@@ -1,0 +1,200 @@
+"""Dataset registration + catalog.
+
+The reference registers a dataset by fanning out sampling tasks that validate
+mandatory columns, infer a schema, and profile columns, persisting the result
+to Redis (``/root/reference/frocket/invoker/jobs/registration_job.py``,
+``worker/runners/registration_task_runner.py:60-218``). On Spark all of that is
+one metadata read (Parquet footers) plus one aggregate job; the catalog is a
+JSON file per dataset.
+
+Column typing follows the reference's deliberately tiny model (INT / FLOAT /
+BOOL / STRING — ``frocket/common/dataset.py:102-107``); anything else is
+recorded under ``unsupported_columns`` and rejected in queries. Timestamp-typed
+columns are additionally accepted as the timestamp column (extension — the
+reference demands raw numerics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SUPPORTED_TYPES = {
+    "tinyint": "INT", "smallint": "INT", "int": "INT", "bigint": "INT",
+    "float": "FLOAT", "double": "FLOAT",
+    "boolean": "BOOL",
+    "string": "STRING",
+    "timestamp": "FLOAT", "timestamp_ntz": "FLOAT", "date": "FLOAT",
+}
+
+CATEGORICAL_RATIO = 0.1  # reference config 'dataset.categorical.ratio'
+TOP_VALUES_COUNT = 20    # reference config 'dataset.categorical.top.count'
+
+
+class DatasetValidationError(ValueError):
+    pass
+
+
+@dataclass
+class ColumnInfo:
+    name: str
+    dtype: str            # Spark simpleString
+    coltype: Optional[str]  # INT/FLOAT/BOOL/STRING, None if unsupported
+    min: Optional[float] = None
+    max: Optional[float] = None
+    approx_distinct: Optional[int] = None
+    categorical: bool = False
+    top_values: Optional[dict] = None
+
+
+@dataclass
+class Dataset:
+    name: str
+    basepath: str
+    group_id_column: str
+    timestamp_column: str
+    registered_at: float = 0.0
+    total_rows: int = 0
+    total_groups: int = 0
+    min_timestamp: Optional[float] = None
+    max_timestamp: Optional[float] = None
+    columns: dict = field(default_factory=dict)       # name -> ColumnInfo dict
+    unsupported_columns: dict = field(default_factory=dict)  # name -> dtype
+
+    def schema_map(self) -> dict[str, str]:
+        return {name: info["dtype"] for name, info in self.columns.items()}
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.basepath)
+
+
+def _coltype(dtype: T.DataType) -> Optional[str]:
+    return SUPPORTED_TYPES.get(dtype.simpleString())
+
+
+def register_dataset(
+    spark: SparkSession,
+    name: str,
+    basepath: str,
+    group_id_column: str,
+    timestamp_column: str,
+    validate: bool = True,
+    profile: bool = True,
+    catalog_dir: Optional[str] = None,
+) -> Dataset:
+    """Validate + profile a Parquet dataset; optionally persist to a catalog dir.
+
+    Validation parity (reference ``registration_task_runner.py:85-125``):
+    * group column exists, is INT or STRING, and has no nulls;
+    * timestamp column exists, is numeric (or timestamp — extension), no nulls;
+    * unsupported-typed columns are recorded but not rejected.
+
+    Unlike the reference there is NO files-per-group disjointness requirement —
+    Spark shuffles by group where needed, so registration drops the reference's
+    cross-file group-uniqueness check (``registration_job.py:252-272``) entirely.
+    """
+    df = spark.read.parquet(basepath)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+
+    if group_id_column not in fields:
+        raise DatasetValidationError(f"Group-id column '{group_id_column}' not found")
+    if timestamp_column not in fields:
+        raise DatasetValidationError(f"Timestamp column '{timestamp_column}' not found")
+    if _coltype(fields[group_id_column]) not in ("INT", "STRING"):
+        raise DatasetValidationError(
+            f"Group-id column must be int or string, got "
+            f"{fields[group_id_column].simpleString()}")
+    if _coltype(fields[timestamp_column]) not in ("INT", "FLOAT"):
+        raise DatasetValidationError(
+            f"Timestamp column must be numeric or timestamp, got "
+            f"{fields[timestamp_column].simpleString()}")
+
+    columns: dict[str, dict] = {}
+    unsupported: dict[str, str] = {}
+    for col_name, dtype in fields.items():
+        ct = _coltype(dtype)
+        if ct is None:
+            unsupported[col_name] = dtype.simpleString()
+        else:
+            columns[col_name] = asdict(
+                ColumnInfo(name=col_name, dtype=dtype.simpleString(), coltype=ct))
+
+    ds = Dataset(
+        name=name, basepath=basepath,
+        group_id_column=group_id_column, timestamp_column=timestamp_column,
+        registered_at=time.time(), columns=columns,
+        unsupported_columns=unsupported)
+
+    if validate or profile:
+        ts_num = F.col(timestamp_column).cast("double")
+        aggs = [
+            F.count(F.lit(1)).alias("__rows"),
+            F.sum(F.col(group_id_column).isNull().cast("long")).alias("__null_groups"),
+            F.sum(ts_num.isNull().cast("long")).alias("__null_ts"),
+            F.approx_count_distinct(group_id_column).alias("__groups"),
+            F.min(ts_num).alias("__min_ts"),
+            F.max(ts_num).alias("__max_ts"),
+        ]
+        if profile:
+            for col_name, info in columns.items():
+                safe = f"`{col_name}`"
+                if info["coltype"] in ("INT", "FLOAT"):
+                    aggs.append(F.expr(f"min({safe})").cast("double").alias(f"__min__{col_name}"))
+                    aggs.append(F.expr(f"max({safe})").cast("double").alias(f"__max__{col_name}"))
+                aggs.append(F.approx_count_distinct(col_name).alias(f"__nuniq__{col_name}"))
+        row = df.agg(*aggs).collect()[0]
+
+        if validate:
+            if row["__null_groups"] > 0:
+                raise DatasetValidationError(
+                    f"Group-id column '{group_id_column}' has "
+                    f"{row['__null_groups']} null values")
+            if row["__null_ts"] > 0:
+                raise DatasetValidationError(
+                    f"Timestamp column '{timestamp_column}' has "
+                    f"{row['__null_ts']} null values")
+
+        ds.total_rows = row["__rows"]
+        ds.total_groups = row["__groups"]
+        ds.min_timestamp = row["__min_ts"]
+        ds.max_timestamp = row["__max_ts"]
+
+        if profile:
+            total = max(row["__rows"], 1)
+            categorical_strings = []
+            for col_name, info in columns.items():
+                nuniq = row[f"__nuniq__{col_name}"]
+                info["approx_distinct"] = nuniq
+                if info["coltype"] in ("INT", "FLOAT"):
+                    info["min"] = row[f"__min__{col_name}"]
+                    info["max"] = row[f"__max__{col_name}"]
+                if info["coltype"] == "STRING" and nuniq / total <= CATEGORICAL_RATIO:
+                    info["categorical"] = True
+                    categorical_strings.append(col_name)
+            # Top values for categorical strings, one small job per column
+            # (reference keeps approximate merged top-Ns; ours are exact).
+            for col_name in categorical_strings:
+                top = (df.groupBy(col_name).count()
+                       .orderBy(F.desc("count"), F.asc(col_name))
+                       .limit(TOP_VALUES_COUNT).collect())
+                columns[col_name]["top_values"] = {
+                    str(r[col_name]): r["count"] for r in top if r[col_name] is not None}
+
+    if catalog_dir:
+        os.makedirs(catalog_dir, exist_ok=True)
+        with open(os.path.join(catalog_dir, f"{name}.json"), "w") as fh:
+            json.dump(asdict(ds), fh, indent=2, default=str)
+    return ds
+
+
+def load_dataset(catalog_dir: str, name: str) -> Dataset:
+    with open(os.path.join(catalog_dir, f"{name}.json")) as fh:
+        data = json.load(fh)
+    return Dataset(**data)

@@ -1,0 +1,142 @@
+"""Execute a query end-to-end and shape the reference-compatible JSON result.
+
+The reference returns a small JSON document — counts + aggregation maps, never
+row data (``/root/reference/frocket/common/tasks/query.py:98-134``,
+``apiserver.py:216-247``). This engine produces the same shape from collected
+Spark aggregates:
+
+    {"query":  {"matchingGroups": N, "matchingGroupRows": N,
+                "aggregations": [{"column","type","name","top","value"}, ...]},
+     "funnel": {"sequence": [{"matchingGroups","matchingGroupRows",
+                              "aggregations"}, ...],
+                "endAggregations": [...]}}
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from funnel_rocket_spark.planner.compiler import QueryPlan
+from funnel_rocket_spark.validation.validator import ExpandedQuery, expand_and_validate
+
+
+class QueryEngine:
+    """Runs validated queries over a DataFrame keyed by (group, timestamp).
+
+    Unlike the reference's engine (one Pandas DataFrame per worker, results
+    reduced on the invoker — ``query_engine.py:72-106``), one instance covers
+    the whole dataset: Spark distributes the plan, the driver collects only
+    tiny aggregates.
+    """
+
+    def __init__(self, group_id_column: str, timestamp_column: str):
+        self.group_id_column = group_id_column
+        self.timestamp_column = timestamp_column
+
+    def expand(self, query: dict, df: Optional[DataFrame] = None) -> ExpandedQuery:
+        schema = (
+            {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            if df is not None
+            else None
+        )
+        return expand_and_validate(
+            query,
+            dataset_schema=schema,
+            group_id_column=self.group_id_column,
+            timestamp_column=self.timestamp_column,
+        )
+
+    def plan(self, df: DataFrame, query: dict, validate_schema: bool = True) -> QueryPlan:
+        expanded = self.expand(query, df if validate_schema else None)
+        return QueryPlan(df, expanded, self.group_id_column, self.timestamp_column)
+
+    def run(self, df: DataFrame, query: dict, validate_schema: bool = True) -> dict:
+        plan = self.plan(df, query, validate_schema=validate_schema)
+        q = plan.q
+
+        query_aggs = q.get("query", {}).get("aggregations") or []
+        funnel = q.get("funnel")
+        needs_rows = bool(query_aggs) or funnel is not None
+
+        rows = None
+        if needs_rows:
+            rows = plan.rows_of_matching_groups()
+            rows.persist(StorageLevel.MEMORY_AND_DISK)
+
+        try:
+            counts = plan.counts().collect()[0]
+            result: dict = {
+                "query": {
+                    "matchingGroups": counts["matching_groups"],
+                    "matchingGroupRows": counts["matching_group_rows"],
+                    "aggregations": self._collect_aggregations(plan, query_aggs, rows),
+                }
+            }
+
+            if funnel is not None:
+                frows = plan.funnel_rows()
+                frows.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    step_counts = {
+                        r["step"]: r
+                        for r in plan.funnel_step_counts().collect()
+                    }
+                    step_aggs = funnel.get("stepAggregations") or []
+                    end_aggs = funnel.get("endAggregations") or []
+                    n_steps = len(funnel["sequence"])
+                    sequence = []
+                    for i in range(n_steps):
+                        sc = step_counts[i]
+                        entry = {
+                            "matchingGroups": sc["matching_groups"],
+                            "matchingGroupRows": sc["matching_group_rows"],
+                            "aggregations": self._collect_aggregations(
+                                plan, step_aggs, plan.funnel_step_rows(i))
+                            if step_aggs else None,
+                        }
+                        sequence.append(entry)
+                    result["funnel"] = {
+                        "sequence": sequence,
+                        "endAggregations": self._collect_aggregations(
+                            plan, end_aggs, plan.funnel_step_rows(n_steps - 1))
+                        if end_aggs else None,
+                    }
+                finally:
+                    frows.unpersist()
+            else:
+                result["funnel"] = None
+            return result
+        finally:
+            if rows is not None:
+                rows.unpersist()
+
+    @staticmethod
+    def _collect_aggregations(
+        plan: QueryPlan, aggs: list[dict], rows: Optional[DataFrame]
+    ) -> Optional[list[dict]]:
+        if not aggs:
+            return None
+        out = []
+        for agg in aggs:
+            adf = plan.aggregation_df(agg, rows)
+            collected = adf.collect()
+            if agg["type"] == "count":
+                value: object = collected[0]["count"] if collected else 0
+                top = None
+            else:
+                metric = adf.columns[-1]
+                value = {str(r["value"]): r[metric] for r in collected}
+                top = int(agg.get("top", 10))
+            out.append(
+                {
+                    "column": agg["column"],
+                    "type": agg["type"],
+                    "name": agg.get("name"),
+                    "top": top,
+                    "value": value,
+                }
+            )
+        return out

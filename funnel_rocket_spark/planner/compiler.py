@@ -1,0 +1,373 @@
+"""Compile an expanded query into lazy PySpark DataFrame programs.
+
+This is the Spark-native replacement for the reference's per-file Pandas engine
+(``/root/reference/frocket/engine/query_engine.py``) *and* its entire
+invoker/worker/reduce machinery: one declarative DataFrame expression tree that
+Catalyst plans (predicate pushdown, column pruning, partial aggregation,
+AQE-chosen join strategies) and Tungsten executes with whole-stage codegen.
+
+Key translation (SURVEY.md §7): **a condition is a boolean aggregate per
+group.** All conditions are evaluated in a single ``groupBy(group_id)`` pass:
+
+    per_group = df.groupBy(G).agg(
+        (count_matching(pred0) >= 1).alias("__cond_0"),
+        (sum_matching(pred1, X) < 350).alias("__cond_1"),
+        ...)
+    matched = per_group.filter(relation)      # "$0 and ($1 or $2)"
+    rows    = df.join(matched, G, "left_semi")  # universe for aggregations
+
+Sequence conditions need per-row comparisons against per-group running state;
+those are computed as window aggregates over ``Window.partitionBy(G)`` *before*
+the groupBy — one shuffle, reused by every step (see ``_with_sequence_anchors``).
+
+Null semantics (Pandas parity — the reference's #1 correctness trap, see
+reference ``query_engine.py:205-210`` and ``tests/test_query_engine.py:102-144``):
+``== > >= < <= contains regex`` on NULL → no match; ``!=`` / ``not contains`` on
+NULL → match. Every generated predicate is explicitly null-coalesced.
+"""
+
+from __future__ import annotations
+
+import operator
+from dataclasses import dataclass
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from funnel_rocket_spark.validation.validator import ExpandedQuery
+
+COND_PREFIX = "__cond_"
+ROWS_COL = "__fr_rows"
+MATCH_COL = "__fr_match"
+NEG_INF = float("-inf")
+
+_CMP = {
+    "==": operator.eq,
+    "!=": operator.ne,
+    ">": operator.gt,
+    ">=": operator.ge,
+    "<": operator.lt,
+    "<=": operator.le,
+}
+
+DEFAULT_TOP_COUNT = 10  # reference config 'aggregations.top.default.count'
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_TIME_TYPES = (T.TimestampType, T.TimestampNTZType, T.DateType)
+LONG_MIN = -(2**63)
+
+
+def ts_numeric(df: DataFrame, ts_col: str) -> tuple[Column, Column]:
+    """(numeric timestamp Column, 'before everything' sentinel literal).
+
+    Integer timestamps stay in their native long type — casting epoch-nanos
+    (~1.7e18) to double would quantize to ~256 ns steps and break strict-``>``
+    sequence comparisons. Timestamp/date columns cast to double epoch seconds;
+    float columns pass through.
+    """
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, _INT_TYPES):
+        return F.col(ts_col), F.lit(LONG_MIN)
+    if isinstance(dtype, _TIME_TYPES):
+        return F.col(ts_col).cast(T.DoubleType()), F.lit(NEG_INF)
+    return F.col(ts_col).cast(T.DoubleType()), F.lit(NEG_INF)
+
+
+def filter_to_column(f: dict) -> Column:
+    """Single filter → null-coalesced boolean Column (reference F1,
+    ``query_engine.py:193-210``)."""
+    col, op, value = F.col(f["column"]), f["op"], f["value"]
+    if op == "contains":
+        return F.coalesce(col.contains(F.lit(value)), F.lit(False))
+    if op == "not contains":
+        return F.coalesce(~col.contains(F.lit(value)), F.lit(True))
+    if op == "regex":
+        return F.coalesce(col.rlike(value), F.lit(False))
+    pred = _CMP[op](col, F.lit(value))
+    # NULL comparisons: != matches (Pandas NaN != x → True), the rest don't.
+    return F.coalesce(pred, F.lit(op == "!="))
+
+
+def filters_to_column(cond_or_step: dict) -> Column:
+    """AND of ``filter`` / every element of ``filters`` (reference F2,
+    ``query_engine.py:212-215``)."""
+    preds = []
+    if "filter" in cond_or_step:
+        preds.append(filter_to_column(cond_or_step["filter"]))
+    if "filters" in cond_or_step:
+        preds.extend(filter_to_column(f) for f in cond_or_step["filters"])
+    return reduce(operator.and_, preds)
+
+
+def _target_flag(pred: Column, cond: dict) -> Column:
+    """Condition target evaluation as aggregate expressions (reference A1-A3,
+    ``query_engine.py:139-182``).
+
+    * count target: groups whose matching-row count satisfies ``op value``.
+      Groups with ZERO matching rows only match when ``includeZero`` (the
+      reference materializes them by set difference, ``query_engine.py:170-178``;
+      here they fall out of the same aggregate since we never pre-filter rows).
+    * sum target: sum of ``column`` over matching rows; zero-match groups never
+      match; all-null sums coalesce to 0 like Pandas' skip-NaN sum.
+    """
+    target = cond["target"]
+    cmp = _CMP[target["op"]]
+    cnt = F.sum(F.when(pred, 1).otherwise(0))
+    if target["type"] == "count":
+        flag = cmp(cnt, F.lit(target["value"]))
+        if not cond.get("includeZero", False):
+            flag = flag & (cnt > 0)
+        return flag
+    if target["type"] == "sum":
+        total = F.coalesce(F.sum(F.when(pred, F.col(target["column"]))), F.lit(0))
+        return cmp(total, F.lit(target["value"])) & (cnt > 0)
+    raise ValueError(f"Unknown target type: {target['type']}")
+
+
+@dataclass(frozen=True)
+class SequenceSpec:
+    """A compiled sequence: per-step predicates + options."""
+
+    step_preds: list  # list[Column]
+    row_found: list  # list[bool] — False means "step did NOT happen" (extension)
+    max_duration: Optional[float]
+    prefix: str  # anchor column name prefix
+
+    def anchor(self, i: int) -> str:
+        return f"{self.prefix}a{i}"
+
+    @property
+    def last_anchor(self) -> str:
+        return self.anchor(len(self.step_preds) - 1)
+
+
+def compile_sequence(sequence: list[dict], prefix: str,
+                     max_duration: Optional[float] = None) -> SequenceSpec:
+    return SequenceSpec(
+        step_preds=[filters_to_column(step) for step in sequence],
+        row_found=[step.get("rowFound", True) for step in sequence],
+        max_duration=max_duration,
+        prefix=prefix,
+    )
+
+
+def with_sequence_anchors(df: DataFrame, spec: SequenceSpec, group_col: str,
+                          ts_col: str) -> DataFrame:
+    """Add per-row anchor columns ``<prefix>a{i}`` for each sequence step.
+
+    Anchor semantics (reference W1, ``query_engine.py:221-249``): step *i*
+    matches a group iff some row satisfies the step predicate with
+    ``ts STRICTLY > min-ts of the previous step's match`` (reference W3,
+    ``query_engine.py:233`` — same-timestamp events cannot chain). The anchor
+    of step i is that min-ts, constant across the group's rows; NULL anchor =
+    step failed. All anchors share one ``Window.partitionBy(group)`` — a single
+    exchange, no joins, no per-group Python.
+
+    Extensions beyond reference behavior (declared in its schema but never
+    implemented there — ``query_schema.json:40,168``):
+    * ``maxDuration``: steps ≥1 must also satisfy ``ts <= first_anchor + d``.
+    * ``rowFound: false``: the step passes iff NO row matches after the
+      previous anchor; the anchor carries over unchanged.
+
+    A ``-inf`` sentinel anchors step 0 ("no time constraint yet").
+    """
+    w = Window.partitionBy(group_col)
+    ts, sentinel = ts_numeric(df, ts_col)
+    prev: Column = sentinel
+    first_anchor: Optional[Column] = None
+    for i, (pred, found) in enumerate(zip(spec.step_preds, spec.row_found)):
+        scoped = pred & prev.isNotNull() & (ts > prev)
+        if spec.max_duration is not None and first_anchor is not None:
+            scoped = scoped & (ts <= first_anchor + F.lit(spec.max_duration))
+        min_match = F.min(F.when(scoped, ts)).over(w)
+        if found:
+            anchor = min_match
+        else:  # extension: step must NOT have happened; anchor passes through
+            anchor = F.when(prev.isNotNull() & min_match.isNull(), prev)
+        df = df.withColumn(spec.anchor(i), anchor)
+        prev = F.col(spec.anchor(i))
+        if first_anchor is None:
+            first_anchor = prev
+    return df
+
+
+class QueryPlan:
+    """Lazy compilation of one expanded query over one DataFrame.
+
+    Every public method returns an unexecuted DataFrame; callers compose/collect.
+    """
+
+    def __init__(self, df: DataFrame, expanded: ExpandedQuery,
+                 group_col: str, ts_col: str):
+        self.expanded = expanded
+        self.group_col = group_col
+        self.ts_col = ts_col
+        self.q = expanded.query
+        self._conditions = self.q.get("query", {}).get("conditions", []) or []
+        self._seq_specs: dict[int, SequenceSpec] = {}
+        self._funnel_spec: Optional[SequenceSpec] = None
+
+        # Row scope: timeframe filter, applied before everything (reference F3,
+        # ``query_task_runner.py:116-133`` — from-inclusive, to-exclusive).
+        tf = self.q.get("timeframe") or {}
+        if tf:
+            ts, _ = ts_numeric(df, ts_col)
+            if "from" in tf:
+                df = df.filter(ts >= F.lit(tf["from"]))
+            if "to" in tf:
+                df = df.filter(ts < F.lit(tf["to"]))
+
+        # Column pruning (reference F4): select only referenced columns. Catalyst
+        # would prune anyway; explicit select keeps plans/readable schemas tight.
+        cols = [c for c in df.columns if c in expanded.used_columns]
+        self.df = df.select(*cols) if len(cols) < len(df.columns) else df
+
+        for i, cond in enumerate(self._conditions):
+            if "sequence" in cond:
+                self._seq_specs[i] = compile_sequence(
+                    cond["sequence"], prefix=f"__fr_seq{i}_",
+                    max_duration=cond.get("maxDuration"))
+        funnel = self.q.get("funnel")
+        if funnel:
+            self._funnel_spec = compile_sequence(
+                funnel["sequence"], prefix="__fr_fun_",
+                max_duration=funnel.get("maxDuration"))
+
+    # ------------------------------------------------------------------ #
+
+    def _df_with_condition_anchors(self) -> DataFrame:
+        df = self.df
+        for spec in self._seq_specs.values():
+            df = with_sequence_anchors(df, spec, self.group_col, self.ts_col)
+        return df
+
+    def per_group(self) -> DataFrame:
+        """One row per group: ``__cond_i`` boolean flags + per-group row count.
+
+        Single groupBy pass — Spark's partial/final HashAggregate replaces the
+        reference's per-part results + invoker reduce (reference A12,
+        ``common/tasks/query.py:84-134``).
+        """
+        aggs = [F.count(F.lit(1)).alias(ROWS_COL)]
+        for i, cond in enumerate(self._conditions):
+            if "sequence" in cond:
+                spec = self._seq_specs[i]
+                flag = F.max(F.col(spec.last_anchor).isNotNull())
+            else:
+                flag = _target_flag(filters_to_column(cond), cond)
+            aggs.append(F.coalesce(flag, F.lit(False)).alias(f"{COND_PREFIX}{i}"))
+        return self._df_with_condition_anchors().groupBy(self.group_col).agg(*aggs)
+
+    def relation_column(self) -> Column:
+        """Boolean Column over per_group()'s ``__cond_i`` flags (reference R2)."""
+        template = self.expanded.relation_template
+        if template is None:
+            return F.lit(True)
+        expr = template.format(*[f"{COND_PREFIX}{i}" for i in
+                                 range(len(self._conditions))])
+        return F.expr(expr)
+
+    def matched_groups(self) -> DataFrame:
+        """Groups satisfying the relation; columns: group, __fr_rows."""
+        return self.per_group().filter(self.relation_column())
+
+    def counts(self) -> DataFrame:
+        """1-row DataFrame: matching_groups, matching_group_rows (reference A11).
+
+        No join needed — group count and row count both fall out of the
+        per-group frame.
+        """
+        return self.matched_groups().agg(
+            F.count(F.lit(1)).alias("matching_groups"),
+            F.coalesce(F.sum(ROWS_COL), F.lit(0)).alias("matching_group_rows"),
+        )
+
+    def rows_of_matching_groups(self) -> DataFrame:
+        """All rows of matching groups (reference F5/J1 semi-filter,
+        ``helpers/pandas.py:20-37``): the universe for aggregations + funnel.
+        A left-semi join on the group key — AQE picks broadcast vs shuffle
+        based on the matched-group count at runtime.
+        """
+        if not self._conditions:
+            return self.df
+        matched = self.matched_groups().select(self.group_col)
+        return self.df.join(matched, on=self.group_col, how="left_semi")
+
+    # ----------------------------- aggregations ----------------------- #
+
+    def aggregation_df(self, agg: dict, rows: DataFrame) -> DataFrame:
+        """One aggregation (reference A4-A8, ``query_engine.py:61-67``) over a
+        row universe. Per-value maps return (value, <agg>) DataFrames trimmed to
+        exact top-K by value desc — the reference's per-worker grace-factor
+        approximation (A10) is unnecessary under Spark's exact partial/final agg.
+        """
+        col, atype = agg["column"], agg["type"]
+        other = agg.get("otherColumn")
+        top = int(agg.get("top", DEFAULT_TOP_COUNT))
+        if atype == "count":
+            return rows.agg(F.count(F.col(col)).alias("count"))
+        per_value = {
+            "countPerValue": F.count(F.lit(1)).alias("count"),
+            "groupsPerValue": F.count_distinct(F.col(self.group_col)).alias("groups"),
+            "sumPerValue": F.sum(F.col(other)).alias("sum") if other else None,
+            "meanPerValue": F.avg(F.col(other)).alias("mean") if other else None,
+        }[atype]
+        out = rows.groupBy(F.col(col).alias("value")).agg(per_value)
+        metric = out.columns[-1]
+        return out.orderBy(F.desc(metric), F.asc("value")).limit(top)
+
+    def aggregations(self, rows: Optional[DataFrame] = None) -> list[tuple[dict, DataFrame]]:
+        aggs = self.q.get("query", {}).get("aggregations") or []
+        if not aggs:
+            return []
+        rows = rows if rows is not None else self.rows_of_matching_groups()
+        return [(a, self.aggregation_df(a, rows)) for a in aggs]
+
+    # ------------------------------- funnel ---------------------------- #
+
+    def funnel_rows(self) -> Optional[DataFrame]:
+        """Row universe with funnel anchor columns attached (reference W2 —
+        funnel runs over rows of groups matching the query conditions,
+        ``query_engine.py:102-104``)."""
+        if self._funnel_spec is None:
+            return None
+        return with_sequence_anchors(
+            self.rows_of_matching_groups(), self._funnel_spec,
+            self.group_col, self.ts_col)
+
+    def funnel_step_counts(self) -> Optional[DataFrame]:
+        """Per-step (step, matching_groups, matching_group_rows).
+
+        Anchors are per-group constants, so reduce rows → groups first
+        (reusing the window's hash partitioning — no extra shuffle), then one
+        tiny aggregate over groups.
+        """
+        spec = self._funnel_spec
+        if spec is None:
+            return None
+        rows = self.funnel_rows()
+        per_group = rows.groupBy(self.group_col).agg(
+            F.count(F.lit(1)).alias(ROWS_COL),
+            *[F.first(spec.anchor(i)).alias(spec.anchor(i))
+              for i in range(len(spec.step_preds))],
+        )
+        steps = []
+        for i in range(len(spec.step_preds)):
+            passed = F.col(spec.anchor(i)).isNotNull()
+            steps.append(per_group.agg(
+                F.lit(i).alias("step"),
+                F.coalesce(F.sum(F.when(passed, 1)), F.lit(0)).alias("matching_groups"),
+                F.coalesce(F.sum(F.when(passed, F.col(ROWS_COL))), F.lit(0))
+                 .alias("matching_group_rows"),
+            ))
+        return reduce(lambda a, b: a.unionAll(b), steps)
+
+    def funnel_step_rows(self, step: int) -> Optional[DataFrame]:
+        """All rows of groups that passed funnel step ``step``."""
+        spec = self._funnel_spec
+        if spec is None:
+            return None
+        return self.funnel_rows().filter(F.col(spec.anchor(step)).isNotNull())

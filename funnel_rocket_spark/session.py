@@ -1,0 +1,41 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for correctness tests on local[N] but with settings that carry to a real
+cluster: AQE on (runtime re-planning, skew-join handling, shuffle coalescing),
+Arrow enabled for the few Pandas-UDF paths, and a shuffle-partition count that
+AQE coalesces down when partitions are small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "funnel-rocket-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or int(cpus)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Testdata events.parquet uses TIMESTAMP(NANOS), which Spark 4 only
+        # reads as int64 under this flag (a numeric ts, like the reference's).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
