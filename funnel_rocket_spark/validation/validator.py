@@ -256,6 +256,8 @@ def expand_and_validate(
             key = cond["name"].strip().lower()
             if key in names:
                 _err(f"Duplicate condition name '{cond['name']}'")
+            if key in ("and", "or", "&&", "||"):
+                _err(f"'{key}' is not a valid condition name")
             names[key] = i
 
     # Aggregation expansion in all three locations (reference consts.py:37-39)
@@ -274,6 +276,11 @@ def expand_and_validate(
     used_conditions: list[int] = []
     if conditions:
         rel = q.get("query", {}).get("relation")
+        # A bare operator ("and"/"or"/"&&"/"||") combines ALL conditions with
+        # that op (reference query_validator.py:243-256).
+        if rel and rel.strip().lower() in ("and", "or", "&&", "||"):
+            op = rel.strip().lower()
+            rel = f" {op} ".join(f"${i}" for i in range(len(conditions)))
         if rel:
             try:
                 relation_template, used_conditions = parse_relation(

@@ -1,0 +1,422 @@
+"""Engine-semantics tests ported from the reference's tier-1 suite
+(``/root/reference/tests/test_query_engine.py``) — same synthetic data shapes,
+same expected numbers, engine swapped for the Spark one.
+
+Data model: 4 users a/b/c/d with 2^(i+2) rows each (4/8/16/32), cycling
+category/type/keyword values, sequential timestamps and prices.
+"""
+
+import pandas as pd
+import pytest
+
+from funnel_rocket_spark.engine import QueryEngine
+
+CATEGORIES = ["fishing", "running", "climbing", "snorkeling"]
+TYPES = ["view", "click", "purchase", "a2c"]
+KEYWORDS = ["cat|dog", "mouse|cat|dog", "cat", "dog|mouse|cat"]
+BEGIN_TS = 1610555782
+BEGIN_PRICE = 100
+ALL_USERS = ["a", "b", "c", "d"]
+
+
+def make_data() -> pd.DataFrame:
+    frames = []
+    for index, user in enumerate(ALL_USERS):
+        index += 2
+        n = 2**index
+        frames.append(
+            pd.DataFrame(
+                {
+                    "id": [user] * n,
+                    "timestamp": [BEGIN_TS + index + i for i in range(n)],
+                    "category": CATEGORIES * (n // 4),
+                    "type": TYPES * (n // 4),
+                    "price": [BEGIN_PRICE + index + i for i in range(n)],
+                    "keywords": [f"{w}_{user}" for w in KEYWORDS] * (n // 4),
+                }
+            )
+        )
+    return pd.concat(frames, axis=0)
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    df = spark.createDataFrame(make_data())
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+def run(spark_df, query_part=None, funnel_part=None, timeframe=None):
+    full = {}
+    if query_part:
+        full["query"] = query_part
+    if funnel_part:
+        full["funnel"] = funnel_part
+    if timeframe:
+        full["timeframe"] = timeframe
+    engine = QueryEngine("id", "timestamp")
+    return engine.run(spark_df, full)
+
+
+def test_empty_query_brings_all_users(sdf):
+    res = run(sdf, {"conditions": []})
+    assert res["query"]["matchingGroups"] == 4
+    assert res["query"]["matchingGroupRows"] == 4 + 8 + 16 + 32
+
+
+def test_simple_filter(sdf):
+    q = {
+        "relation": "and",
+        "conditions": [
+            {
+                "filter": {"column": "price", "op": ">", "value": 133},
+                "target": {"type": "count", "op": ">", "value": 2},
+            }
+        ],
+    }
+    res = run(sdf, q)
+    # matches only user 'd' (2^5 rows)
+    assert res["query"]["matchingGroups"] == 1
+    assert res["query"]["matchingGroupRows"] == 32
+
+
+def test_logical_or(sdf):
+    q = {
+        "relation": "or",
+        "conditions": [
+            {
+                "filter": {"column": "price", "op": "<=", "value": 104},
+                "target": {"type": "count", "op": ">", "value": 2},
+            },
+            {
+                "filter": {"column": "price", "op": ">", "value": 133},
+                "target": {"type": "count", "op": ">", "value": 2},
+            },
+        ],
+    }
+    res = run(sdf, q)
+    assert res["query"]["matchingGroups"] == 2  # users a and d
+    assert res["query"]["matchingGroupRows"] == 4 + 32
+
+
+def test_sum_target(spark):
+    rows = [{"f": i, "id": "a", "timestamp": i} for i in range(1, 1001)]
+    rows.append({"f": 10, "id": "b", "timestamp": 2})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    q = {
+        "conditions": [
+            {
+                "filter": {"column": "f", "op": ">", "value": 0},
+                "target": {
+                    "type": "sum",
+                    "op": "==",
+                    "column": "f",
+                    "value": 1000 * 1001 // 2,
+                },
+            }
+        ]
+    }
+    res = run(df, q)
+    assert res["query"]["matchingGroupRows"] == 1000
+
+
+def test_boolean_operators_with_nulls(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"bool_field": True, "id": "a", "timestamp": 1},
+                {"bool_field": False, "id": "b", "timestamp": 2},
+                {"bool_field": None, "id": "b", "timestamp": 3},
+            ]
+        ).astype({"bool_field": "boolean"})
+    )
+    # (op, value, expected matchingGroupRows, target_op) — NULL counts as a
+    # match for '!=' (Pandas parity; reference test_query_engine.py:102-144)
+    cases = [
+        ("==", True, 1, "=="),
+        ("!=", True, 2, ">"),
+        ("==", False, 2, "=="),
+        ("!=", False, 3, "=="),
+    ]
+    for op, value, expectation, target_op in cases:
+        q = {
+            "conditions": [
+                {
+                    "filter": {"column": "bool_field", "op": op, "value": value},
+                    "target": {"type": "count", "op": target_op, "value": 1},
+                }
+            ]
+        }
+        res = run(df, q)
+        assert res["query"]["matchingGroupRows"] == expectation, (op, value)
+
+
+def test_numeric_operators(sdf):
+    # timestamp <= BEGIN_TS+5 yields 4 rows for a, 3 for b, 2 for c, 1 for d
+    cases = [("==", 2, 1), ("<", 3, 2), (">", 2, 2), ("<=", 1, 1), (">=", 4, 1), ("!=", 1, 3)]
+    for op, val, expectation in cases:
+        q = {
+            "relation": "and",
+            "conditions": [
+                {
+                    "filter": {"column": "timestamp", "op": "<=", "value": BEGIN_TS + 5},
+                    "target": {"type": "count", "op": op, "value": val},
+                }
+            ],
+        }
+        res = run(sdf, q)
+        assert res["query"]["matchingGroups"] == expectation, (op, val)
+
+
+def test_string_operators(sdf):
+    # all with target count > 3 (reference test_string_operators)
+    cases = [
+        ("contains", "dog_a", 0),
+        ("contains", "dog_b", 8),
+        ("contains", "dog_c", 16),
+        ("==", "cat_a", 0),
+        ("==", "cat_c", 16),
+        ("!=", "cat_a", 56),
+        ("not contains", "mouse", 56),
+    ]
+    for op, value, expectation in cases:
+        q = {
+            "relation": "or",
+            "conditions": [
+                {
+                    "filter": {"column": "keywords", "op": op, "value": value},
+                    "target": {"type": "count", "op": ">", "value": 3},
+                }
+            ],
+        }
+        res = run(sdf, q)
+        assert res["query"]["matchingGroupRows"] == expectation, (op, value)
+
+
+def test_multi_filter(sdf):
+    q = {
+        "relation": "or",
+        "conditions": [
+            {
+                "filters": [
+                    {"column": "price", "op": "<=", "value": 104},
+                    {"column": "category", "op": "==", "value": "running"},
+                ],
+                "target": {"type": "count", "op": "==", "value": 1},
+            }
+        ],
+    }
+    res = run(sdf, q)
+    assert res["query"]["matchingGroups"] == 2  # users a and b
+    assert res["query"]["matchingGroupRows"] == 4 + 8
+
+
+def test_column_aggregations(sdf):
+    res = run(sdf, {"conditions": [], "aggregations": [{"column": "category"}]})
+    aggs = {a["type"]: a for a in res["query"]["aggregations"]}
+    assert len(aggs) == 3
+    assert aggs["count"]["value"] == 60
+    assert aggs["countPerValue"]["value"] == {c: 15 for c in CATEGORIES}
+    assert aggs["groupsPerValue"]["value"] == {c: 4 for c in CATEGORIES}
+
+
+def test_other_column_aggregations(spark):
+    rows = [
+        {"id": "a", "timestamp": 1, "category": "a" if i % 2 == 0 else "b", "price": i}
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    res = run(
+        df,
+        {
+            "conditions": [],
+            "aggregations": [
+                {"column": "category", "type": "sumPerValue", "otherColumn": "price"}
+            ],
+        },
+    )
+    assert res["query"]["aggregations"][0]["value"] == {"a": 20, "b": 25}
+    res = run(
+        df,
+        {
+            "conditions": [],
+            "aggregations": [
+                {"column": "category", "type": "meanPerValue", "otherColumn": "price"}
+            ],
+        },
+    )
+    assert res["query"]["aggregations"][0]["value"] == {"a": 4.0, "b": 5.0}
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    rows = []
+    for i in range(5):
+        rows += [
+            {"id": "a", "timestamp": i, "category": i, "price": 1},
+            {"id": "b", "timestamp": i, "category": i if i < 2 else -1, "price": 2},
+            {"id": "c", "timestamp": i, "category": 4 - i, "price": 3},
+        ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_sequence_condition(seq_df):
+    # categories over time: a: 0 1 2 3 4 | b: 0 1 -1 -1 -1 | c: 4 3 2 1 0
+    q = {
+        "conditions": [
+            {
+                "sequence": [
+                    {"filter": ["category", "==", 0]},
+                    {"filter": ["category", "<=", 2]},
+                    {"filter": ["category", "<", 0]},
+                ]
+            }
+        ],
+        "aggregations": [{"column": "price"}],
+    }
+    res = run(seq_df, q)
+    assert res["query"]["matchingGroups"] == 1  # only b
+    agg = res["query"]["aggregations"][-1]
+    assert "2" in agg["value"]
+
+    q = {
+        "conditions": [
+            {
+                "sequence": [
+                    {"filter": ["category", ">=", 3]},
+                    {"filter": ["category", "<=", 2]},
+                    {"filter": ["category", "==", 0]},
+                ]
+            }
+        ],
+        "aggregations": [{"column": "price"}],
+    }
+    res = run(seq_df, q)
+    assert res["query"]["matchingGroups"] == 1  # only c
+    assert "3" in res["query"]["aggregations"][-1]["value"]
+
+
+def test_sequence_strict_inequality(spark):
+    """Same-timestamp events cannot chain (reference query_engine.py:233)."""
+    rows = [
+        {"id": "a", "timestamp": 1, "type": "view"},
+        {"id": "a", "timestamp": 1, "type": "purchase"},  # same ts: no chain
+        {"id": "b", "timestamp": 1, "type": "view"},
+        {"id": "b", "timestamp": 2, "type": "purchase"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    q = {
+        "conditions": [
+            {
+                "sequence": [
+                    {"filter": ["type", "==", "view"]},
+                    {"filter": ["type", "==", "purchase"]},
+                ]
+            }
+        ]
+    }
+    res = run(df, q)
+    assert res["query"]["matchingGroups"] == 1  # only b
+
+
+def test_funnel_step_counts(sdf):
+    funnel = {
+        "sequence": [
+            {"filter": ["type", "==", "view"]},
+            {"filter": ["type", "==", "click"]},
+            {"filter": ["type", "==", "purchase"]},
+        ],
+        "endAggregations": [{"column": "price", "type": "count"}],
+    }
+    res = run(sdf, query_part={"conditions": []}, funnel_part=funnel)
+    steps = res["funnel"]["sequence"]
+    # every user has view->click->purchase in order (types cycle per 4 rows)
+    assert [s["matchingGroups"] for s in steps] == [4, 4, 4]
+    assert steps[-1]["matchingGroupRows"] == 60
+    assert res["funnel"]["endAggregations"][0]["value"] == 60
+
+
+def test_include_zero(spark):
+    rows = [
+        {"id": "a", "timestamp": 1, "type": "purchase"},
+        {"id": "a", "timestamp": 2, "type": "view"},
+        {"id": "b", "timestamp": 1, "type": "view"},
+        {"id": "c", "timestamp": 1, "type": "view"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    # users with zero purchases: target count == 0 auto-sets includeZero
+    q = {"conditions": [{"filter": ["type", "==", "purchase"], "target": ["count", "==", 0]}]}
+    res = run(df, q)
+    assert res["query"]["matchingGroups"] == 2
+    assert res["query"]["matchingGroupRows"] == 2
+    # users with < 2 purchases including zero
+    q = {
+        "conditions": [
+            {
+                "filter": ["type", "==", "purchase"],
+                "target": ["count", "<", 2],
+                "includeZero": True,
+            }
+        ]
+    }
+    res = run(df, q)
+    assert res["query"]["matchingGroups"] == 3
+    # without includeZero, zero-purchase users do NOT match count < 2
+    q = {"conditions": [{"filter": ["type", "==", "purchase"], "target": ["count", "<", 2]}]}
+    res = run(df, q)
+    assert res["query"]["matchingGroups"] == 1
+
+
+def test_timeframe(sdf):
+    res = run(
+        sdf,
+        {"conditions": []},
+        timeframe={"from": BEGIN_TS, "to": BEGIN_TS + 6},
+    )
+    # rows with BEGIN_TS <= ts < BEGIN_TS+6: a:4 (ts 2..5... offsets), computed:
+    # a: ts BEGIN+2..BEGIN+5 → 4 rows; b: BEGIN+3..BEGIN+5 → 3; c: BEGIN+4..+5 → 2; d: BEGIN+5 → 1
+    assert res["query"]["matchingGroupRows"] == 10
+    assert res["query"]["matchingGroups"] == 4
+
+
+def test_sequence_max_duration_extension(spark):
+    rows = [
+        {"id": "a", "timestamp": 1, "type": "view"},
+        {"id": "a", "timestamp": 100, "type": "purchase"},
+        {"id": "b", "timestamp": 1, "type": "view"},
+        {"id": "b", "timestamp": 3, "type": "purchase"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    seq = [{"filter": ["type", "==", "view"]}, {"filter": ["type", "==", "purchase"]}]
+    q = {"conditions": [{"sequence": seq, "maxDuration": 5}]}
+    res = run(df, q)
+    assert res["query"]["matchingGroups"] == 1  # only b within 5
+    q = {"conditions": [{"sequence": seq, "maxDuration": 200}]}
+    res = run(df, q)
+    assert res["query"]["matchingGroups"] == 2
+
+
+def test_sequence_row_found_false_extension(spark):
+    rows = [
+        {"id": "a", "timestamp": 1, "type": "view"},
+        {"id": "a", "timestamp": 2, "type": "error"},
+        {"id": "a", "timestamp": 3, "type": "purchase"},
+        {"id": "b", "timestamp": 1, "type": "view"},
+        {"id": "b", "timestamp": 2, "type": "purchase"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    # view then NO error then purchase → only b
+    q = {
+        "conditions": [
+            {
+                "sequence": [
+                    {"filter": ["type", "==", "view"]},
+                    {"filter": ["type", "==", "error"], "rowFound": False},
+                    {"filter": ["type", "==", "purchase"]},
+                ]
+            }
+        ]
+    }
+    res = run(df, q)
+    assert res["query"]["matchingGroups"] == 1
