@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query runs via the same (spark, sf_dir) callables the correctness gate
+uses. A one-query warmup absorbs JVM/codegen startup so per-query numbers
+reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from funnel_rocket_spark import benchqueries
+from funnel_rocket_spark.session import get_spark
+
+HEADLINE = [
+    "fr_empty_query",
+    "fr_count_target",
+    "fr_sum_target",
+    "fr_relation_expr",
+    "fr_string_ops",
+    "fr_agg_count_per_value",
+    "fr_agg_groups_per_value",
+    "fr_sequence",
+    "fr_funnel_steps",
+    "fr_seq_row_not_found",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "multimodal_features",
+    "s5_denorm_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="funnel-rocket-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_queries = benchqueries.queries()
+    names = [n for n in HEADLINE if n in all_queries]
+
+    # Warmup: JVM + codegen + parquet footer caches
+    all_queries["fr_empty_query"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        rows = all_queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+        _ = len(rows)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,549 @@
+"""Named query catalog: every implemented operator as a (spark, sf_dir) →
+DataFrame callable plus, where expressible, a DuckDB-runnable ANSI-SQL oracle
+producing identical column names and values.
+
+This backs ``__spark_entry__.py`` (driver correctness gate) and ``bench.py``.
+Funnel-engine queries (fr_*) go through the real QueryEngine/QueryPlan —
+they exercise the actual product code path, not hand-written Spark.
+
+Float-valued results are rounded consistently on both sides; thresholds avoid
+representable-sum boundaries so double-accumulation order can't flip
+memberships.
+"""
+
+from __future__ import annotations
+
+import copy
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark.engine import QueryEngine
+from funnel_rocket_spark.operators import dedup, multimodal, similarity, text
+
+# --------------------------------------------------------------------------- #
+# loaders
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS): read as int64 epoch-nanos —
+        # conveniently the reference's "timestamp is just a number" model.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _engine() -> QueryEngine:
+    return QueryEngine("user_id", "ts")
+
+
+NANOS_DAY = 86_400 * 10**9
+TS_2024_01_05 = 1_704_412_800 * 10**9
+TS_2024_01_15 = 1_705_276_800 * 10**9
+
+_COUNTS_SQL_SHELL = """
+WITH m AS ({matched}),
+     r AS (SELECT count(*) c FROM events WHERE user_id IN (SELECT user_id FROM m))
+SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
+       (SELECT c FROM r)::BIGINT AS matching_group_rows
+"""
+
+# DuckDB prelude shared by document-pipeline oracles: whitespace tokens +
+# distinct word 3-gram shingles.
+_TOKS_SQL = (
+    "SELECT doc_id, text, "
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk "
+    "FROM documents"
+)
+_GRAMS_SQL = (
+    "SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk)-1, 1)), "
+    "i -> array_to_string(tk[i:i+2], ' '))) AS gr FROM (" + _TOKS_SQL + ")"
+)
+
+
+# --------------------------------------------------------------------------- #
+# funnel-engine queries (the reference's own query shapes, SURVEY §2)
+
+def _fr_counts(query_json: dict):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, "events")
+        return _engine().plan(df, query_json).counts()
+
+    return fn
+
+
+def _fr_groups_only(query_json: dict):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, "events")
+        return _engine().plan(df, query_json).counts().select("matching_groups")
+
+    return fn
+
+
+def _fr_aggregation(query_json: dict, agg: dict, post=None):
+    q = copy.deepcopy(query_json)
+    q.setdefault("query", {})["aggregations"] = [agg]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, "events")
+        plan = _engine().plan(df, q)
+        ((_agg, out),) = plan.aggregations()
+        return post(out) if post else out
+
+    return fn
+
+
+Q_EMPTY: dict = {}
+Q_PURCHASE3 = {"query": {"conditions": [
+    {"filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 3]}]}}
+Q_ZERO_ERRORS = {"query": {"conditions": [
+    {"filter": ["event_type", "==", "error"], "target": ["count", "==", 0]}]}}
+Q_SUM_TARGET = {"query": {"conditions": [
+    {"filter": ["event_type", "==", "purchase"],
+     "target": ["sum", "value", ">", 900.37]}]}}
+Q_MULTI_FILTER = {"query": {"conditions": [
+    {"filters": [{"column": "event_type", "op": "==", "value": "purchase"},
+                 {"column": "value", "op": ">=", "value": 150.0}],
+     "target": ["count", ">=", 2]}]}}
+Q_RELATION = {"query": {
+    "relation": "($0 or $big_errors) and $2",
+    "conditions": [
+        {"filter": ["event_type", "==", "purchase"]},
+        {"name": "big_errors", "filter": ["event_type", "==", "error"],
+         "target": ["sum", "value", ">=", 500.37]},
+        {"filter": ["event_type", "==", "click"], "target": ["count", ">=", 5]},
+    ]}}
+Q_TIMEFRAME = {"timeframe": {"from": TS_2024_01_05, "to": TS_2024_01_15},
+               "query": {"conditions": [{"filter": ["event_type", "==", "purchase"]}]}}
+Q_STRING_OPS = {"query": {"conditions": [
+    {"filter": ["props", "contains", '"k": 7}']},
+    {"filter": ["props", "not contains", '"k": 1'], "target": ["count", ">=", 10]},
+]}}
+Q_REGEX = {"query": {"conditions": [
+    {"filter": ["props", "regex", '"k": 4[0-9]}']}]}}
+Q_PURCHASE1 = {"query": {"conditions": [{"filter": ["event_type", "==", "purchase"]}]}}
+Q_SEQUENCE = {"query": {"conditions": [{"sequence": [
+    {"filter": ["event_type", "==", "signup"]},
+    {"filter": ["event_type", "==", "click"]},
+    {"filter": ["event_type", "==", "purchase"]}]}]}}
+Q_SEQ_MAXDUR = {"query": {"conditions": [{
+    "sequence": [{"filter": ["event_type", "==", "signup"]},
+                 {"filter": ["event_type", "==", "purchase"]}],
+    "maxDuration": 2 * NANOS_DAY}]}}
+Q_SEQ_NOT = {"query": {"conditions": [{"sequence": [
+    {"filter": ["event_type", "==", "signup"]},
+    {"filter": ["event_type", "==", "error"], "rowFound": False},
+    {"filter": ["event_type", "==", "purchase"]}]}]}}
+Q_FUNNEL = {"funnel": {"sequence": [
+    {"filter": ["event_type", "==", "signup"]},
+    {"filter": ["event_type", "==", "click"]},
+    {"filter": ["event_type", "==", "purchase"]}]}}
+
+_SEQ_STEPS_SQL = """
+s0 AS (SELECT user_id, min(ts) t FROM events WHERE event_type = 'signup' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s0 ON e.user_id = s0.user_id
+       AND e.ts > s0.t WHERE e.event_type = 'click' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 ON e.user_id = s1.user_id
+       AND e.ts > s1.t WHERE e.event_type = 'purchase' GROUP BY 1)
+"""
+
+
+def _funnel_steps_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return _engine().plan(df, Q_FUNNEL).funnel_step_counts()
+
+
+def _registration_profile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_distinct("user_id").alias("n_groups"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.count_distinct("event_type").alias("n_event_types"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# training-data pipeline operators
+
+def _dedup_exact_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dedup.exact_duplicates(docs, min_count=1)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("n_docs") - 1).otherwise(0))
+        .alias("n_redundant"),
+    )
+
+
+def _jaccard_pairs_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+def _minhash_pairs_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3, threshold=0.5)
+
+
+def _simhash_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        dedup.simhash16(F.col("text")).cast("bigint").alias("simhash"),
+    )
+
+
+def _text_stats_fn(spark, sf_dir):
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _text_quality_fn(spark, sf_dir):
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_fn(spark, sf_dir):
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _fingerprint_fn(spark, sf_dir):
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def _ann_topk_fn(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+def _embedding_pairs_fn(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return similarity.embedding_dup_pairs(emb, threshold=0.45)
+
+
+def _multimodal_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    return multimodal.decode_features(payloads)
+
+
+def _s5_denorm_join_fn(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# catalog
+
+QUERIES: dict[str, tuple] = {
+    # ---- reference query shapes (SURVEY §2) ------------------------------- #
+    "fr_empty_query": (
+        _fr_counts(Q_EMPTY),
+        "SELECT count(DISTINCT user_id)::BIGINT AS matching_groups, "
+        "count(*)::BIGINT AS matching_group_rows FROM events",
+    ),
+    "fr_count_target": (
+        _fr_counts(Q_PURCHASE3),
+        _COUNTS_SQL_SHELL.format(matched=(
+            "SELECT user_id FROM events GROUP BY user_id "
+            "HAVING count(*) FILTER (WHERE event_type = 'purchase') >= 3")),
+    ),
+    "fr_include_zero": (
+        _fr_counts(Q_ZERO_ERRORS),
+        _COUNTS_SQL_SHELL.format(matched=(
+            "SELECT user_id FROM events GROUP BY user_id "
+            "HAVING count(*) FILTER (WHERE event_type = 'error') = 0")),
+    ),
+    "fr_sum_target": (
+        _fr_counts(Q_SUM_TARGET),
+        _COUNTS_SQL_SHELL.format(matched=(
+            "SELECT user_id FROM events WHERE event_type = 'purchase' "
+            "GROUP BY user_id HAVING sum(value) > 900.37")),
+    ),
+    "fr_multi_filter": (
+        _fr_counts(Q_MULTI_FILTER),
+        _COUNTS_SQL_SHELL.format(matched=(
+            "SELECT user_id FROM events GROUP BY user_id HAVING count(*) "
+            "FILTER (WHERE event_type = 'purchase' AND value >= 150.0) >= 2")),
+    ),
+    "fr_relation_expr": (
+        _fr_counts(Q_RELATION),
+        _COUNTS_SQL_SHELL.format(matched=(
+            "SELECT user_id FROM events GROUP BY user_id HAVING "
+            "((count(*) FILTER (WHERE event_type = 'purchase') >= 1) OR "
+            " (coalesce(sum(value) FILTER (WHERE event_type = 'error'), 0) >= 500.37 "
+            "  AND count(*) FILTER (WHERE event_type = 'error') > 0)) AND "
+            "(count(*) FILTER (WHERE event_type = 'click') >= 5)")),
+    ),
+    "fr_timeframe": (
+        _fr_counts(Q_TIMEFRAME),
+        """
+WITH ev AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-05'
+            AND ts < TIMESTAMP '2024-01-15'),
+m AS (SELECT user_id FROM ev GROUP BY user_id
+      HAVING count(*) FILTER (WHERE event_type = 'purchase') >= 1),
+r AS (SELECT count(*) c FROM ev WHERE user_id IN (SELECT user_id FROM m))
+SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
+       (SELECT c FROM r)::BIGINT AS matching_group_rows
+""",
+    ),
+    "fr_string_ops": (
+        _fr_counts(Q_STRING_OPS),
+        _COUNTS_SQL_SHELL.format(matched=(
+            "SELECT user_id FROM events GROUP BY user_id HAVING "
+            "count(*) FILTER (WHERE coalesce(contains(props, '\"k\": 7}'), false)) >= 1 "
+            "AND count(*) FILTER (WHERE coalesce(NOT contains(props, '\"k\": 1'), true)) >= 10")),
+    ),
+    "fr_regex_filter": (
+        _fr_counts(Q_REGEX),
+        _COUNTS_SQL_SHELL.format(matched=(
+            "SELECT user_id FROM events GROUP BY user_id HAVING "
+            "count(*) FILTER (WHERE coalesce(regexp_matches(props, '\"k\": 4[0-9]}'), false)) >= 1")),
+    ),
+    "fr_agg_count_per_value": (
+        _fr_aggregation(Q_PURCHASE1, {"column": "event_type", "type": "countPerValue", "top": 10}),
+        """
+WITH m AS (SELECT user_id FROM events GROUP BY user_id
+           HAVING count(*) FILTER (WHERE event_type = 'purchase') >= 1),
+r AS (SELECT * FROM events WHERE user_id IN (SELECT user_id FROM m))
+SELECT event_type AS value, count(*)::BIGINT AS "count" FROM r
+GROUP BY 1 ORDER BY "count" DESC, value ASC LIMIT 10
+""",
+    ),
+    "fr_agg_groups_per_value": (
+        _fr_aggregation(Q_EMPTY, {"column": "event_type", "type": "groupsPerValue", "top": 10}),
+        "SELECT event_type AS value, count(DISTINCT user_id)::BIGINT AS groups "
+        "FROM events GROUP BY 1 ORDER BY groups DESC, value ASC LIMIT 10",
+    ),
+    "fr_agg_sum_per_value": (
+        _fr_aggregation(Q_EMPTY, {"column": "event_type", "type": "sumPerValue",
+                                  "otherColumn": "value", "top": 10},
+                        post=lambda out: out.select(
+                            "value", F.round("sum", 2).alias("sum_value"))),
+        "SELECT * FROM (SELECT event_type AS value, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1 ORDER BY sum(value) DESC, value ASC LIMIT 10)",
+    ),
+    "fr_agg_mean_per_value": (
+        _fr_aggregation(Q_EMPTY, {"column": "event_type", "type": "meanPerValue",
+                                  "otherColumn": "value", "top": 10},
+                        post=lambda out: out.select(
+                            "value", F.round("mean", 4).alias("mean_value"))),
+        "SELECT * FROM (SELECT event_type AS value, round(avg(value), 4) AS mean_value "
+        "FROM events GROUP BY 1 ORDER BY avg(value) DESC, value ASC LIMIT 10)",
+    ),
+    "fr_sequence": (
+        _fr_counts(Q_SEQUENCE),
+        "WITH " + _SEQ_STEPS_SQL + """,
+m AS (SELECT user_id FROM s2),
+r AS (SELECT count(*) c FROM events WHERE user_id IN (SELECT user_id FROM m))
+SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
+       (SELECT c FROM r)::BIGINT AS matching_group_rows
+""",
+    ),
+    "fr_funnel_steps": (
+        _funnel_steps_fn,
+        "WITH " + _SEQ_STEPS_SQL + """
+SELECT 0 AS step, (SELECT count(*) FROM s0)::BIGINT AS matching_groups,
+       (SELECT count(*) FROM events WHERE user_id IN (SELECT user_id FROM s0))::BIGINT AS matching_group_rows
+UNION ALL
+SELECT 1, (SELECT count(*) FROM s1)::BIGINT,
+       (SELECT count(*) FROM events WHERE user_id IN (SELECT user_id FROM s1))::BIGINT
+UNION ALL
+SELECT 2, (SELECT count(*) FROM s2)::BIGINT,
+       (SELECT count(*) FROM events WHERE user_id IN (SELECT user_id FROM s2))::BIGINT
+""",
+    ),
+    "fr_seq_max_duration": (
+        _fr_groups_only(Q_SEQ_MAXDUR),
+        """
+WITH s0 AS (SELECT user_id, min(ts) t FROM events WHERE event_type = 'signup' GROUP BY 1),
+s1 AS (SELECT e.user_id FROM events e JOIN s0 ON e.user_id = s0.user_id
+       AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 2 DAY
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT count(*)::BIGINT AS matching_groups FROM s1
+""",
+    ),
+    "fr_seq_row_not_found": (
+        _fr_groups_only(Q_SEQ_NOT),
+        """
+WITH s0 AS (SELECT user_id, min(ts) t FROM events WHERE event_type = 'signup' GROUP BY 1),
+ok1 AS (SELECT s0.user_id, s0.t FROM s0 WHERE NOT EXISTS (
+        SELECT 1 FROM events e WHERE e.user_id = s0.user_id
+        AND e.event_type = 'error' AND e.ts > s0.t)),
+s2 AS (SELECT e.user_id FROM events e JOIN ok1 ON e.user_id = ok1.user_id
+       AND e.ts > ok1.t WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT count(*)::BIGINT AS matching_groups FROM s2
+""",
+    ),
+    "fr_registration_profile": (
+        _registration_profile_fn,
+        "SELECT count(*)::BIGINT AS total_rows, count(DISTINCT user_id)::BIGINT AS n_groups, "
+        "round(min(value), 2) AS min_value, round(max(value), 2) AS max_value, "
+        "count(DISTINCT event_type)::BIGINT AS n_event_types FROM events",
+    ),
+    # ---- training-data pipeline operators --------------------------------- #
+    "dedup_exact": (
+        _dedup_exact_fn,
+        "WITH h AS (SELECT md5(text) AS ch, count(*) AS c FROM documents GROUP BY 1) "
+        "SELECT count(*)::BIGINT AS n_distinct, sum(c)::BIGINT AS n_docs, "
+        "sum(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END)::BIGINT AS n_redundant FROM h",
+    ),
+    "dedup_ngram_jaccard": (
+        _jaccard_pairs_fn,
+        "WITH g AS (" + _GRAMS_SQL + """)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.gr, b.gr))::DOUBLE /
+             (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.gr, b.gr))::DOUBLE /
+            (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 6) >= 0.5
+""",
+    ),
+    "dedup_minhash_lsh": (
+        _minhash_pairs_fn,
+        "WITH g AS (" + _GRAMS_SQL + """),
+sigs AS (SELECT doc_id, gr,
+  list_transform(range(0, 32), i ->
+    list_aggregate(list_transform(gr, s -> md5(i || ':' || s)), 'min')) AS sig
+  FROM g WHERE len(gr) > 0),
+banded AS (SELECT doc_id, gr, b AS band,
+  md5(b || '|' || array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
+  FROM sigs, unnest(range(0, 8)) t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+  round(len(list_intersect(ga.gr, gb.gr))::DOUBLE /
+        (len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr))), 6) AS jaccard
+FROM cand JOIN g ga ON cand.id_a = ga.doc_id JOIN g gb ON cand.id_b = gb.doc_id
+WHERE round(len(list_intersect(ga.gr, gb.gr))::DOUBLE /
+            (len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr))), 6) >= 0.5
+""",
+    ),
+    "dedup_simhash": (
+        _simhash_fn,
+        """
+WITH toks AS (""" + _TOKS_SQL + """)
+SELECT doc_id, list_sum(list_transform(range(0, 16), j ->
+  CASE WHEN list_sum(list_transform(tk, w ->
+    CASE WHEN substr(md5(w), j+1, 1) IN ('8','9','a','b','c','d','e','f')
+    THEN 1 ELSE -1 END)) > 0 THEN 1<<j ELSE 0 END))::BIGINT AS simhash
+FROM toks
+""",
+    ),
+    "text_stats": (
+        _text_stats_fn,
+        """
+WITH toks AS (""" + _TOKS_SQL + """)
+SELECT doc_id, length(text)::INT AS n_chars, len(tk)::INT AS n_tokens,
+  round(length(text)::DOUBLE / greatest(len(tk), 1), 6) AS chars_per_token,
+  round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / greatest(length(text), 1), 6) AS digit_ratio,
+  round((length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE / greatest(length(text), 1), 6) AS space_ratio
+FROM toks
+""",
+    ),
+    "text_quality": (
+        _text_quality_fn,
+        """
+WITH toks AS (""" + _TOKS_SQL + """),
+feat AS (SELECT doc_id,
+  len(list_intersect(tk, ['the','a','of','and','to','in','is','that','it','for'])) AS stop_hits,
+  len(tk) AS n_tokens, length(text) AS n_chars,
+  (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / greatest(length(text), 1) AS punct_ratio,
+  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / greatest(length(text), 1) AS digit_ratio
+  FROM toks)
+SELECT doc_id, greatest(least(round(
+  (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.1 END)
+  + (CASE WHEN stop_hits >= 2 THEN 0.3 WHEN stop_hits = 1 THEN 0.15 ELSE 0.0 END)
+  + 0.3 - round(punct_ratio * 0.5 + digit_ratio * 0.5, 6), 6), 1.0), 0.0) AS quality
+FROM feat
+""",
+    ),
+    "text_langid": (
+        _langid_fn,
+        """
+WITH toks AS (""" + _TOKS_SQL + """),
+s AS (SELECT doc_id,
+  len(list_intersect(tk, ['der','die','das','und','ist','von','mit','den','im','ein'])) AS s_de,
+  len(list_intersect(tk, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+  len(list_intersect(tk, ['el','la','de','que','y','en','un','por','con','los'])) AS s_es,
+  len(list_intersect(tk, ['le','la','de','et','est','un','une','dans','que','pour'])) AS s_fr
+  FROM toks)
+SELECT doc_id, CASE
+  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+  ELSE 'fr' END AS lang_pred
+FROM s
+""",
+    ),
+    "text_fingerprint": (
+        _fingerprint_fn,
+        "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ')) "
+        "AS fingerprint FROM documents",
+    ),
+    "ann_cosine_topk": (
+        _ann_topk_fn,
+        """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (SELECT q.query_id, e.vec_id,
+  round(list_dot_product(e.v, q.qv) /
+        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM e, q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id ASC) AS rn FROM scored)
+WHERE rn <= 10
+""",
+    ),
+    "dedup_embedding_cosine": (
+        _embedding_pairs_fn,
+        """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+""",
+    ),
+    "multimodal_features": (
+        _multimodal_fn,
+        "SELECT doc_id AS id, strlen(text)::BIGINT AS byte_len, md5(text) AS digest, "
+        "lower(hex(encode(substr(text, 1, 4)))) AS head_hex FROM documents",
+    ),
+    "s5_denorm_join": (
+        _s5_denorm_join_fn,
+        "SELECT c.c_mktsegment AS mktsegment, count(*)::BIGINT AS n_orders, "
+        "round(sum(o.o_totalprice), 2) AS sum_totalprice FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",
+    ),
+}
+
+# Queries with no SQL-expressible oracle (driver records rows-only check)
+NO_ORACLE: dict = {}
+
+
+def queries() -> dict:
+    out = {name: fn for name, (fn, _sql) in QUERIES.items()}
+    out.update(NO_ORACLE)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,237 @@
+"""Deduplication operators for document corpora at 100 TB scale.
+
+Five families, all expressed as DataFrame programs over JVM built-ins so
+Catalyst/Tungsten keep them in whole-stage codegen:
+
+* exact        — hash-groupBy on content digest (one shuffle on the digest)
+* n-gram Jaccard — shingle explode → self-join on shingle → pair aggregation
+* MinHash+LSH  — shingle → k md5-salted min-hashes → band buckets → join only
+                 within buckets → verify candidates with true Jaccard
+* SimHash      — per-word md5 nibbles vote per bit position; near-dups =
+                 small Hamming distance
+* embedding    — cosine over an array<float> column (see similarity.py)
+
+Portability note: hashes are md5-based (not Spark's xxhash/murmur) so that a
+DuckDB/ANSI-SQL oracle computes bit-identical results; min-hash takes the
+LEXICOGRAPHIC min of salted md5 hex strings — uniform and portable, no
+hex→int conversion needed anywhere.
+
+Scale notes are on each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col, lowercase: bool = True):
+    """Whitespace tokens of a text column, empty strings removed."""
+    c = F.lower(col) if lowercase else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def word_ngrams(col, n: int = 3):
+    """Distinct word n-gram shingles as an array<string> column.
+
+    ``transform`` over token indexes keeps this a single JVM expression —
+    no UDF, no explode until the caller decides to.
+    """
+    toks = tokens(col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # sequence(0, -1) is not expressible: guard empty token lists
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     min_count: int = 2) -> DataFrame:
+    """Exact dedup via content digest: (content_hash, n_docs, keep_id).
+
+    ``keep_id`` is the smallest id — the canonical survivor. Scale: one
+    shuffle keyed on the digest; partial aggregation halves shuffle volume;
+    no skew risk beyond genuinely pathological duplicate groups (AQE splits
+    those).
+    """
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+                  F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") >= min_count)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold: (id_a, id_b, jaccard).
+
+    Exact but quadratic in the worst case — the self-join on shingle only
+    pairs documents sharing at least one shingle, so real corpora stay far
+    from |D|². For 100 TB use :func:`minhash_lsh_pairs` instead and reserve
+    this for verification of candidate pairs.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    exploded = shingled.select("id", "n_grams", F.explode("grams").alias("gram"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(b, on="gram")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"),
+             F.first("a.n_grams").alias("na"),
+             F.first("b.n_grams").alias("nb"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(col, num_hashes: int = 32, n: int = 3):
+    """Array of ``num_hashes`` min-hash values for a text column.
+
+    Hash h_i(doc) = min over shingles of md5(i || ':' || shingle), taking the
+    lexicographic min of the hex strings — equivalent to a random permutation
+    min under a uniform hash, and bit-portable to any SQL engine with md5.
+    Entirely JVM-side: transform + array_min over the shingle array.
+    """
+    grams = word_ngrams(col, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(grams, lambda g: F.md5(F.concat_ws(":", i, g).cast("binary")))
+        ),
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 32, bands: int = 8, n: int = 3,
+                      threshold: float = 0.5, verify: bool = True) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs: (id_a, id_b[, jaccard]).
+
+    Pipeline: signature → split into ``bands`` bands of ``num_hashes/bands``
+    rows → bucket key = md5(band_idx || band slice) → self-join per bucket →
+    distinct candidate pairs → (optionally) verify with true n-gram Jaccard.
+
+    Scale: the expensive all-pairs join happens only WITHIN tiny buckets;
+    shuffle keys are (band, bucket-hash) — well distributed by construction.
+    This is the 100 TB dedup path (band/row tuning trades recall vs cost:
+    P(candidate) = 1-(1-j^r)^b).
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
+        word_ngrams(F.col(text_col), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b_idx: F.struct(
+                    b_idx.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", b_idx, F.slice("sig", b_idx * rows_per_band + 1,
+                                                rows_per_band)
+                        ).cast("binary")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return candidates
+
+    grams = sigs.select("id", "grams", F.size("grams").alias("n_grams"))
+    ga = grams.alias("ga")
+    gb = grams.alias("gb")
+    joined = (
+        candidates.join(ga, candidates.id_a == F.col("ga.id"))
+        .join(gb, candidates.id_b == F.col("gb.id"))
+    )
+    inter = F.size(F.array_intersect("ga.grams", "gb.grams"))
+    jac = inter / (F.col("ga.n_grams") + F.col("gb.n_grams") - inter)
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(col, n_bits: int = 16):
+    """16-bit SimHash of a text column as an int column.
+
+    Bit j is the majority vote over words of the high bit of the j-th md5
+    nibble of the word: portable to any engine with md5 + substring. 16 bits
+    is plenty to band near-dup candidates at small Hamming radii; the scheme
+    extends to 64 bits by reading more nibbles.
+    """
+    toks = tokens(col)
+
+    def vote_merge(j: int):
+        def merge(acc, w):
+            high = F.substring(F.md5(w.cast("binary")), j + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            )
+            return acc + F.when(high, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    bit_votes = [F.aggregate(toks, F.lit(0), vote_merge(j)) for j in range(n_bits)]
+    out = F.lit(0)
+    for j, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation uses the two 8-bit halves as LSH buckets (a pair
+    within Hamming ≤ 2 of a 16-bit hash agrees exactly on at least one half
+    when the differing bits fall in one half; for radius ≥ bits/bands this is
+    a recall heuristic — the standard simhash banding trade-off). Verification
+    computes the exact distance via bit_count(xor).
+    """
+    hashed = df.select(F.col(id_col).alias("id"),
+                       simhash16(F.col(text_col)).alias("sh"))
+    halves = hashed.select(
+        "id", "sh",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("half"), (F.col("sh") % 256).alias("key")),
+            F.struct(F.lit(1).alias("half"), (F.col("sh") / 256).cast("int").alias("key")),
+        )).alias("hb"),
+    ).select("id", "sh", "hb.half", "hb.key")
+    a, b = halves.alias("a"), halves.alias("b")
+    dist = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, on=["half", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                dist.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

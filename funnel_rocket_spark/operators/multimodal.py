@@ -1,0 +1,92 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads ride as opaque ``binary`` columns with typed metadata columns
+next to them. The Spark-side machinery here is real and tested — schemas,
+Arrow-batched ``mapInPandas`` decode stage, partition-size guidance — while
+the actual codec step is stubbed (image/audio libraries are not available in
+this environment): ``decode_features`` computes deterministic byte-level
+features, and ``decode_image_stub`` raises ``NotImplementedError`` where a
+real decoder (PIL / torchaudio / pyav) would plug in.
+
+At 100 TB: binary columns dominate partition size — size
+``spark.sql.files.maxPartitionBytes`` for ~128 MB of *payload*, keep the
+decode stage after a narrow projection of (id, payload) so shuffled bytes are
+minimal, and let ``mapInPandas`` stream Arrow batches (bounded memory,
+``spark.sql.execution.arrow.maxRecordsPerBatch`` controls batch height).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "id bigint, byte_len bigint, digest string, head_hex string"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Demo payload builder: utf-8 bytes of a text column as the media blob.
+
+    Real pipelines read the blob from Parquet/tar shards directly; this keeps
+    the downstream plumbing exercisable with the available test data.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Where a real image decode would go (PIL.Image.open → size/mode/EXIF).
+
+    STUB: media codecs are not available in this environment.
+    """
+    raise NotImplementedError(
+        "Image decoding requires PIL/torchvision — not available here. "
+        "Swap this function for a real decoder in deployment."
+    )
+
+
+def decode_features(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "id") -> DataFrame:
+    """Arrow-batched feature extraction over a binary column via mapInPandas.
+
+    The deterministic byte-level features (length, md5 digest, head bytes)
+    stand in for decoded-media features; the UDF signature, batch iteration,
+    and output schema are exactly what a real decoder stage uses.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "byte_len": payloads.map(len),
+                    "digest": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "head_hex": payloads.map(lambda b: b[:4].hex()),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(df: DataFrame, n_frames: int = 4,
+                      id_col: str = "id") -> DataFrame:
+    """Plan rows for frame sampling: one output row per (video, frame_idx).
+
+    The explode happens BEFORE decode so Spark parallelizes per-frame work;
+    the decode stage itself is the stubbed mapInPandas above in deployment.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+    )

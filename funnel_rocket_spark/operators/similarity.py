@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — exact baseline; broadcast the (small) query set,
+  keep the dot product in JVM higher-order functions (zip_with + aggregate).
+* LSH-bucketed variant — random-hyperplane sign bits as bucket key; only
+  same-bucket pairs are compared. The 100 TB path: the corpus shuffles once
+  on the bucket key, each bucket is small, recall tunes with bits/tables.
+
+Hyperplanes are derived deterministically from md5 so results are
+reproducible run-to-run without a random seed exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, vec_id, cosine_sim).
+
+    The query side is explicitly broadcast — corpus never shuffles; ranking
+    happens in per-query windows over the (tiny) candidate score set.
+    Excludes self-matches when ids collide. Ties break by vec_id for
+    determinism.
+    """
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    scored = joined.where(F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col, id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cosine_sim")
+    )
+
+
+def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold: (id_a, id_b, cosine_sim).
+
+    Brute-force O(n²) — correct baseline; use :func:`lsh_bucketed_pairs`
+    at scale.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b",
+                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _hyperplane(bit: int, dim: int):
+    """Deterministic ±1 hyperplane component from md5(bit:dim) parity."""
+    nibble = F.substring(F.md5(F.concat_ws(":", F.lit(bit), F.lit(dim)).cast("binary")), 1, 1)
+    return F.when(nibble.isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                  F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(vec_col, n_bits: int = 8, dim: int = 64):
+    """Random-hyperplane LSH bucket id (int) for an embedding column.
+
+    sign(v · h_b) per bit, h_b a deterministic ±1 hyperplane. Pure JVM
+    expressions; the md5-derived plane components fold to constants at
+    optimization time.
+    """
+    bucket = F.lit(0)
+    for b in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[_hyperplane(b, d) for d in range(dim)]),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 8,
+                       dim: int = 64, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Approximate near-dup pairs: compare only within LSH buckets.
+
+    Recall loss vs brute force is the standard sign-LSH trade-off (high-cosine
+    pairs agree on most sign bits). Shuffle key = bucket id; bucket sizes are
+    ~n/2^bits — tune n_bits so buckets fit comfortably in memory at scale.
+    """
+    bucketed = df.select(F.col(id_col), F.col(vec_col),
+                         lsh_bucket(F.col(vec_col), n_bits, dim).alias("bucket"))
+    a = bucketed.select(F.col("bucket"), F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"))
+    b = bucketed.select(F.col("bucket"), F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure JVM Column expressions (regexp/split/aggregate) — designed so an
+ANSI-SQL oracle reproduces values bit-for-bit (ratios rounded to 6 places).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark.operators.dedup import tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic language
+# ID. Deliberately small + deterministic; replace with fastText & co. in a
+# real deployment (kept dependency-free here).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "que", "pour"],
+}
+
+
+def token_count(col):
+    """Whitespace token count — the cheap proxy; see bpe_token_estimate."""
+    return F.size(tokens(col, lowercase=False))
+
+
+def bpe_token_estimate(col):
+    """BPE-ish token-count estimate: word-pieces + digits + punctuation runs.
+
+    A regex approximation of a GPT-style tokenizer's piece count (useful for
+    budget estimation over a corpus without shipping a tokenizer model):
+    pieces of ≤4 word chars, digit runs, and individual punctuation marks.
+    """
+    pieces = F.regexp_extract_all(
+        F.lower(col), F.lit(r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: chars, tokens, mean token length, punct/digit/space
+    ratios. One narrow projection — no shuffle at all."""
+    col = F.col(text_col)
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    n_digit = F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    n_space = F.length(col) - F.length(F.regexp_replace(col, r"\s", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6).alias("chars_per_token"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
+        F.round(n_space / F.greatest(n_chars, F.lit(1)), 6).alias("space_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + stopword presence −
+    punctuation/digit noise. The shape of C4/Gopher-style quality filters,
+    deterministic and oracle-checkable."""
+    col = F.col(text_col)
+    toks = tokens(col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(col)
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    punct_ratio = (n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))) / F.greatest(n_chars, F.lit(1))
+    digit_ratio = (n_chars - F.length(F.regexp_replace(col, r"[0-9]", ""))) / F.greatest(n_chars, F.lit(1))
+    length_score = F.when((n_tokens >= 10) & (n_tokens <= 100000), 0.4).otherwise(0.1)
+    stop_score = F.when(stop_hits >= 2, 0.3).when(stop_hits == 1, 0.15).otherwise(0.0)
+    noise_penalty = F.round(punct_ratio * 0.5 + digit_ratio * 0.5, 6)
+    score = F.round(length_score + stop_score + F.lit(0.3) - noise_penalty, 6)
+    return df.select(
+        F.col(id_col),
+        F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: score per language = count of that
+    language's stopwords among the doc's tokens; argmax wins, 'und'
+    (undetermined) when all scores are 0. Ties break by language code order —
+    deterministic for the oracle."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(lang)
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(lang) for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply in reverse
+        pred = F.when((F.col(lang) == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    lowercase token set. Rabin-style content fingerprinting for fast
+    equality-after-normalization checks."""
+    toks = F.array_sort(F.array_distinct(tokens(F.col(text_col))))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", toks).cast("binary")).alias("fingerprint"),
+    )
