@@ -1,0 +1,111 @@
+"""Command-line interface — parity with the reference's ``frocket/cli.py``
+(register / list / info / run / empty-query), minus the Redis/worker fleet:
+the CLI *is* the whole system, one Spark session per invocation.
+
+Usage:
+    python -m funnel_rocket_spark.cli register <name> <basepath> <group_col> <ts_col>
+    python -m funnel_rocket_spark.cli list
+    python -m funnel_rocket_spark.cli info <name>
+    python -m funnel_rocket_spark.cli run <name> --file query.json [--empty]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+from funnel_rocket_spark.catalog import load_dataset, register_dataset
+from funnel_rocket_spark.engine import QueryEngine
+from funnel_rocket_spark.session import get_spark
+
+DEFAULT_CATALOG_DIR = os.environ.get(
+    "FUNNEL_ROCKET_CATALOG", os.path.expanduser("~/.funnel_rocket_spark")
+)
+
+
+def cmd_register(args) -> int:
+    spark = get_spark()
+    ds = register_dataset(
+        spark, args.name, args.basepath, args.group_id_column,
+        args.timestamp_column, catalog_dir=args.catalog)
+    print(json.dumps({
+        "dataset": ds.name, "rows": ds.total_rows, "groups": ds.total_groups,
+        "unsupportedColumns": ds.unsupported_columns}, indent=2))
+    return 0
+
+
+def cmd_list(args) -> int:
+    for path in sorted(glob.glob(os.path.join(args.catalog, "*.json"))):
+        with open(path) as fh:
+            meta = json.load(fh)
+        print(f"{meta['name']}\t{meta['basepath']}\t"
+              f"rows={meta.get('total_rows')}\tgroups={meta.get('total_groups')}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    try:
+        with open(os.path.join(args.catalog, f"{args.name}.json")) as fh:
+            print(fh.read())
+    except FileNotFoundError:
+        print(f"error: dataset '{args.name}' is not registered "
+              f"(catalog: {args.catalog})", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_run(args) -> int:
+    if args.empty:
+        query = {}
+    else:
+        with open(args.file) as fh:
+            query = json.load(fh)
+    try:
+        ds = load_dataset(args.catalog, args.name)
+    except FileNotFoundError:
+        print(f"error: dataset '{args.name}' is not registered "
+              f"(catalog: {args.catalog})", file=sys.stderr)
+        return 2
+    spark = get_spark()
+    engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
+    result = engine.run(ds.load(spark), query)
+    print(json.dumps(result, indent=2, default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="funnel-rocket-spark")
+    parser.add_argument("--catalog", default=DEFAULT_CATALOG_DIR)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("register", help="register a Parquet dataset")
+    p.add_argument("name")
+    p.add_argument("basepath")
+    p.add_argument("group_id_column")
+    p.add_argument("timestamp_column")
+    p.set_defaults(func=cmd_register)
+
+    p = sub.add_parser("list", help="list registered datasets")
+    p.set_defaults(func=cmd_list)
+
+    p = sub.add_parser("info", help="show dataset schema/stats")
+    p.add_argument("name")
+    p.set_defaults(func=cmd_info)
+
+    p = sub.add_parser("run", help="run a query JSON against a dataset")
+    p.add_argument("name")
+    p.add_argument("--file", help="query JSON file")
+    p.add_argument("--empty", action="store_true", help="run the empty query")
+    p.set_defaults(func=cmd_run)
+
+    args = parser.parse_args(argv)
+    if args.command == "run" and not args.empty and not args.file:
+        parser.error("run requires --file or --empty")
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

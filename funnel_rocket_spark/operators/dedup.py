@@ -80,6 +80,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingled = df.select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
+    # Materialize: the self-join references this frame twice; without a
+    # persist each side re-tokenizes + re-shingles the full corpus.
+    shingled.persist()
     exploded = shingled.select("id", "n_grams", F.explode("grams").alias("gram"))
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
@@ -131,11 +134,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
-        word_ngrams(F.col(text_col), n).alias("grams"),
+    # Two-step projection so the shingle array is computed ONCE per row, then
+    # referenced by the 32 min-hash lambdas — not re-derived from raw text
+    # inside every lambda iteration. The persist materializes the signature
+    # table (exactly what a production 100 TB dedup does): the band explode,
+    # the candidate self-join, and the verification join all reuse it instead
+    # of re-hashing the corpus once per branch.
+    grams_df = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
     ).filter(F.size("grams") > 0)
+    sigs = grams_df.select(
+        "id",
+        "grams",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("grams"),
+                            lambda g: F.md5(F.concat_ws(":", i, g).cast("binary")))
+            ),
+        ).alias("sig"),
+    )
+    sigs.persist()
 
     banded = sigs.select(
         "id",

@@ -1,0 +1,80 @@
+"""Data-prep sources/sinks: CSV ingest with denormalizing join (reference S5)
+and group-partitioned Parquet writing (reference S6).
+
+The reference ships these as standalone Pandas map/reduce tools
+(``/root/reference/dataprep_example/ingest_retailrocket_dataset.py`` and
+``repartition.py`` — hash = ``id % num_parts``, per-part files, optional
+sort). On Spark both are one-liners around the DataFrame writer; the value
+added here is the *layout contract*: bucketed-by-group output lets every
+subsequent funnel query run shuffle-free, which is the Spark equivalent of
+the reference's every-group-in-one-file invariant (``README.md:123-124``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ingest_csv_denormalized(
+    spark: SparkSession,
+    events_csv: str,
+    properties_csv: Optional[str] = None,
+    join_key: str = "itemid",
+    header: bool = True,
+) -> DataFrame:
+    """CSV events (+ optional item-properties CSV) → denormalized DataFrame.
+
+    Mirrors the reference's RetailRocket prep (inner equi-join on the item
+    key, ``ingest_retailrocket_dataset.py:58``). The properties side is
+    explicitly broadcast — the dimension table is small by construction.
+    """
+    events = spark.read.csv(events_csv, header=header, inferSchema=True)
+    if properties_csv is None:
+        return events
+    props = spark.read.csv(properties_csv, header=header, inferSchema=True)
+    return events.join(F.broadcast(props), on=join_key, how="inner")
+
+
+def repartition_by_group(
+    df: DataFrame,
+    path: str,
+    group_col: str,
+    num_parts: int,
+    sort_col: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write Parquet repartitioned so each group's rows share one file part
+    (reference S6, ``repartition.py:47-64,123-154``).
+
+    ``repartition(num_parts, group)`` hash-distributes whole groups;
+    ``sortWithinPartitions`` optionally orders rows (the reference offers
+    sort-by-group+ts for locality). For query-time shuffle elimination prefer
+    :func:`write_bucketed` — file-level partitioning alone is opaque to
+    Catalyst.
+    """
+    out = df.repartition(num_parts, F.col(group_col))
+    if sort_col is not None:
+        out = out.sortWithinPartitions(group_col, sort_col)
+    out.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    group_col: str,
+    num_buckets: int,
+    sort_col: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed table: ``bucketBy(group)`` makes the layout visible
+    to Catalyst, so ``groupBy(group)`` / group-keyed joins skip their
+    exchange entirely — the 100 TB-scale parity with the reference's
+    partitioning invariant, but declared instead of hand-maintained.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, group_col)
+    if sort_col is not None:
+        writer = writer.sortBy(group_col, sort_col)
+    writer.format("parquet").saveAsTable(table_name)

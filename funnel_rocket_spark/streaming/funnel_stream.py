@@ -1,0 +1,119 @@
+"""Incremental funnel over Structured Streaming.
+
+EXTENSION beyond the reference: funnel-rocket is strictly batch
+(``/root/reference/docs/api.md:93-128`` — its "streaming" is HTTP progress
+chunks). The natural Spark expression of an always-on funnel is
+``applyInPandasWithState``: per-group state carries (furthest step reached,
+anchor timestamp of that step); each micro-batch advances state with the same
+greedy earliest-event semantics as the batch engine (strict ``ts >`` anchor,
+reference ``query_engine.py:221-249``).
+
+Semantics/caveats:
+* Within a batch, events are sorted by ts — intra-batch disorder is fine.
+* Cross-batch late events cannot retroactively advance an earlier step
+  (standard streaming trade-off; a watermark-delay + re-sort stage can be
+  put in front if bounded disorder must be tolerated).
+* ``rowFound: false`` steps are rejected — absence-over-unbounded-future is
+  not decidable incrementally.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "group_id long, steps_completed int, anchor_ts double"
+STATE_SCHEMA = "steps_completed int, anchor_ts double"
+
+
+def _pandas_filter(pdf: pd.DataFrame, f: dict) -> pd.Series:
+    """Single filter with the engine's null semantics, on Pandas (the
+    in-state mirror of planner.compiler.filter_to_column)."""
+    col, op, value = pdf[f["column"]], f["op"], f["value"]
+    if op == "==":
+        return col == value
+    if op == "!=":
+        return (col != value) | col.isna()
+    if op == "contains":
+        return col.str.contains(value, regex=False, na=False)
+    if op == "not contains":
+        return ~col.str.contains(value, regex=False, na=True)
+    if op == "regex":
+        return col.str.contains(value, regex=True, na=False)
+    return {"<": col < value, "<=": col <= value,
+            ">": col > value, ">=": col >= value}[op]
+
+
+def _step_pred(pdf: pd.DataFrame, step: dict) -> pd.Series:
+    filters = []
+    if "filter" in step:
+        filters.append(step["filter"])
+    if "filters" in step:
+        filters.extend(step["filters"])
+    mask = pd.Series(True, index=pdf.index)
+    for f in filters:
+        mask &= _pandas_filter(pdf, f)
+    return mask
+
+
+def incremental_funnel(
+    events: DataFrame,
+    sequence: list[dict],
+    group_col: str,
+    ts_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """events (streaming DF) → per-group funnel progress updates.
+
+    Returns a streaming DataFrame (group_id, steps_completed, anchor_ts)
+    in update mode — one row per group per batch in which its state changed.
+    """
+    for step in sequence:
+        if step.get("rowFound", True) is False:
+            raise NotImplementedError(
+                "rowFound:false cannot be evaluated incrementally")
+    n_steps = len(sequence)
+
+    def update(
+        key: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            steps_done, anchor = state.get
+        else:
+            steps_done, anchor = 0, float("-inf")
+
+        advanced = False
+        for pdf in batches:
+            pdf = pdf.sort_values(ts_col)
+            preds = [_step_pred(pdf, s) for s in sequence]
+            for idx in pdf.index:
+                if steps_done >= n_steps:
+                    break
+                # One event advances at most one step (strict ts > anchor
+                # also prevents same-timestamp chaining, like the batch path)
+                if preds[steps_done].loc[idx]:
+                    ts_val = float(pdf.at[idx, ts_col])
+                    if ts_val > anchor:
+                        anchor = ts_val
+                        steps_done += 1
+                        advanced = True
+
+        if advanced:
+            state.update((steps_done, anchor))
+            yield pd.DataFrame(
+                {"group_id": [key[0]], "steps_completed": [steps_done],
+                 "anchor_ts": [anchor]}
+            )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

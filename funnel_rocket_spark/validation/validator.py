@@ -276,6 +276,8 @@ def expand_and_validate(
     used_conditions: list[int] = []
     if conditions:
         rel = q.get("query", {}).get("relation")
+        if rel is not None and not rel.strip():
+            _err("Relation cannot be an empty string", "relation")
         # A bare operator ("and"/"or"/"&&"/"||") combines ALL conditions with
         # that op (reference query_validator.py:243-256).
         if rel and rel.strip().lower() in ("and", "or", "&&", "||"):

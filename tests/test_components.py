@@ -1,0 +1,126 @@
+"""Component tests: sources (S5 ingest join, S6 repartition writer, bucketed
+tables), CLI, catalog persistence, and the streaming incremental funnel."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark.sources import ingest_csv_denormalized, repartition_by_group
+from funnel_rocket_spark.streaming import incremental_funnel
+
+
+def test_ingest_csv_denormalized(spark, tmp_path):
+    events = tmp_path / "events.csv"
+    props = tmp_path / "props.csv"
+    events.write_text("visitorid,itemid,event\n1,10,view\n2,10,view\n2,11,buy\n3,99,view\n")
+    props.write_text("itemid,categoryid\n10,777\n11,888\n")
+    out = ingest_csv_denormalized(spark, str(events), str(props))
+    rows = {(r["visitorid"], r["categoryid"]) for r in out.collect()}
+    assert rows == {(1, 777), (2, 777), (2, 888)}  # inner join drops item 99
+
+
+def test_repartition_by_group(spark, tmp_path):
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("uid"), F.col("id").alias("ts"))
+    path = str(tmp_path / "parts")
+    repartition_by_group(df, path, "uid", num_parts=4, sort_col="ts")
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    # every group's rows land in exactly one file (the reference's invariant)
+    spread = (back.select("uid", F.input_file_name().alias("f"))
+              .groupBy("uid").agg(F.count_distinct("f").alias("nf"))
+              .agg(F.max("nf")).collect()[0][0])
+    assert spread == 1
+
+
+def test_catalog_roundtrip(spark, tmp_path):
+    from funnel_rocket_spark.catalog import load_dataset, register_dataset
+
+    src = tmp_path / "data"
+    spark.range(100).select(
+        (F.col("id") % 10).alias("uid"), F.col("id").alias("ts"),
+        (F.col("id") * 1.5).alias("price"),
+    ).write.parquet(str(src))
+    ds = register_dataset(spark, "roundtrip", str(src), "uid", "ts",
+                          catalog_dir=str(tmp_path / "cat"))
+    loaded = load_dataset(str(tmp_path / "cat"), "roundtrip")
+    assert loaded.total_rows == 100
+    assert loaded.group_id_column == "uid"
+    assert loaded.columns["price"]["coltype"] == "FLOAT"
+    assert loaded.columns["price"]["max"] == pytest.approx(148.5)
+
+
+def test_cli_end_to_end(tmp_path):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "2"}
+    datadir = str(tmp_path / "ds")
+    catalog = str(tmp_path / "cat")
+    # build a tiny dataset via a one-off spark job in-process of the CLI run
+    build = (
+        "from funnel_rocket_spark.session import get_spark;"
+        "from pyspark.sql import functions as F;"
+        "s=get_spark(master='local[2]');"
+        f"s.range(50).select((F.col('id')%5).alias('uid'),F.col('id').alias('ts'),"
+        f"(F.col('id')%3==0).alias('promo')).write.parquet('{datadir}');s.stop()"
+    )
+    subprocess.run([sys.executable, "-c", build], check=True, env=env,
+                   capture_output=True)
+    reg = subprocess.run(
+        [sys.executable, "-m", "funnel_rocket_spark.cli", "--catalog", catalog,
+         "register", "tiny", datadir, "uid", "ts"],
+        check=True, env=env, capture_output=True, text=True)
+    assert '"rows": 50' in reg.stdout
+
+    qfile = tmp_path / "q.json"
+    qfile.write_text(json.dumps(
+        {"query": {"conditions": [{"filter": ["promo", "==", True]}]}}))
+    run = subprocess.run(
+        [sys.executable, "-m", "funnel_rocket_spark.cli", "--catalog", catalog,
+         "run", "tiny", "--file", str(qfile)],
+        check=True, env=env, capture_output=True, text=True)
+    result = json.loads(run.stdout)
+    assert result["query"]["matchingGroups"] == 5
+    assert result["query"]["matchingGroupRows"] == 50
+
+
+def test_incremental_funnel_stream(spark, tmp_path):
+    indir = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    indir.mkdir()
+    # batch 1: users advance partially; batch 2: completions + late event
+    pd.DataFrame([
+        {"user_id": 1, "ts": 1.0, "etype": "view"},
+        {"user_id": 1, "ts": 2.0, "etype": "click"},
+        {"user_id": 2, "ts": 1.0, "etype": "view"},
+        {"user_id": 3, "ts": 5.0, "etype": "click"},  # wrong first step
+    ]).to_parquet(indir / "b1.parquet")
+    pd.DataFrame([
+        {"user_id": 1, "ts": 3.0, "etype": "purchase"},
+        {"user_id": 2, "ts": 2.0, "etype": "click"},
+        {"user_id": 2, "ts": 2.0, "etype": "purchase"},  # same-ts: no chain
+    ]).to_parquet(indir / "b2.parquet")
+
+    stream = (spark.readStream.schema("user_id long, ts double, etype string")
+              .option("maxFilesPerTrigger", "1").parquet(str(indir)))
+    seq = [{"filter": ["etype", "==", "view"]},
+           {"filter": ["etype", "==", "click"]},
+           {"filter": ["etype", "==", "purchase"]}]
+    # expand shorthand steps like the validator would
+    seq = [{"filter": {"column": s["filter"][0], "op": s["filter"][1],
+                       "value": s["filter"][2]}} for s in seq]
+    out = incremental_funnel(stream, seq, "user_id", "ts")
+    q = (out.writeStream.format("memory").queryName("funnel_updates")
+         .outputMode("update").option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = {r["group_id"]: r["steps_completed"]
+             for r in spark.sql(
+                 "SELECT group_id, max(steps_completed) AS steps_completed "
+                 "FROM funnel_updates GROUP BY group_id").collect()}
+    assert final[1] == 3   # completed the funnel
+    assert final[2] == 2   # same-ts purchase cannot chain after click
+    assert 3 not in final  # never matched step 0 → no update emitted
