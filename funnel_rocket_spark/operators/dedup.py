@@ -77,7 +77,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     from |D|². For 100 TB use :func:`minhash_lsh_pairs` instead and reserve
     this for verification of candidate pairs.
     """
-    shingled = df.select(
+    # Fan out first: a small parquet arrives as one input partition, which
+    # would serialize the CPU-heavy shingling on a single core.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = df.repartition(par).select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     # Materialize: the self-join references this frame twice; without a
@@ -134,25 +137,28 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
-    # Two-step projection so the shingle array is computed ONCE per row, then
-    # referenced by the 32 min-hash lambdas — not re-derived from raw text
-    # inside every lambda iteration. The persist materializes the signature
-    # table (exactly what a production 100 TB dedup does): the band explode,
-    # the candidate self-join, and the verification join all reuse it instead
-    # of re-hashing the corpus once per branch.
-    grams_df = df.select(
+    # Signature computation stays FLAT: explode shingles, compute the k salted
+    # md5s as plain projected columns (whole-stage codegen — nested
+    # higher-order-function lambdas fall back to interpreted evaluation, ~3×
+    # slower measured), then groupBy(id) with k min() aggregates. The persisted
+    # frames are the materialized signature table a production 100 TB dedup
+    # keeps anyway; band explode, candidate join, and verification all reuse
+    # them instead of re-hashing the corpus per branch.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    grams_df = df.repartition(par).select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
     ).filter(F.size("grams") > 0)
-    sigs = grams_df.select(
+    grams_df.persist()
+    exploded = grams_df.select("id", F.explode("grams").alias("g"))
+    hashed = exploded.select(
         "id",
-        "grams",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(F.col("grams"),
-                            lambda g: F.md5(F.concat_ws(":", i, g).cast("binary")))
-            ),
-        ).alias("sig"),
+        *[F.md5(F.concat_ws(":", F.lit(i), F.col("g")).cast("binary")).alias(f"h{i}")
+          for i in range(num_hashes)],
+    )
+    sigs = (
+        hashed.groupBy("id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+        .select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
     )
     sigs.persist()
 
@@ -184,7 +190,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     if not verify:
         return candidates
 
-    grams = sigs.select("id", "grams", F.size("grams").alias("n_grams"))
+    grams = grams_df.select("id", "grams", F.size("grams").alias("n_grams"))
     ga = grams.alias("ga")
     gb = grams.alias("gb")
     joined = (
@@ -235,8 +241,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     a recall heuristic — the standard simhash banding trade-off). Verification
     computes the exact distance via bit_count(xor).
     """
-    hashed = df.select(F.col(id_col).alias("id"),
-                       simhash16(F.col(text_col)).alias("sh"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hashed = df.repartition(par).select(F.col(id_col).alias("id"),
+                                        simhash16(F.col(text_col)).alias("sh"))
     halves = hashed.select(
         "id", "sh",
         F.explode(F.array(
