@@ -25,6 +25,9 @@ from funnel_rocket_spark.operators import dedup, multimodal, similarity, text
 # loaders
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # tz-independent epoch math for NTZ timestamp columns (driver sessions
+    # may not have our session.py defaults)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet is TIMESTAMP(NANOS): read as int64 epoch-nanos —
         # conveniently the reference's "timestamp is just a number" model.
@@ -165,6 +168,42 @@ def _registration_profile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------- #
 # training-data pipeline operators
+
+Q_LINEITEM = {
+    # timeframe in epoch SECONDS (l_shipdate is a real timestamp column —
+    # exercises the TimestampType→double path): 1994-01-01 .. 1996-01-01
+    "timeframe": {"from": 757_382_400, "to": 820_454_400},
+    "query": {
+        "relation": "$0 and $1",
+        "conditions": [
+            {"filter": ["l_discount", ">", 0.05],
+             "target": ["sum", "l_extendedprice", ">", 50000.37]},
+            {"filter": ["l_returnflag", "==", "N"], "target": ["count", ">=", 2]},
+        ],
+    },
+}
+
+
+def _fr_lineitem_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    eng = QueryEngine("l_orderkey", "l_shipdate")
+    return eng.plan(df, Q_LINEITEM).counts()
+
+
+def _text_tokens_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_token_estimate(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def _ann_lsh_pairs_fn(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return similarity.lsh_bucketed_pairs(emb, threshold=0.4, n_bits=8, dim=64)
+
 
 def _dedup_exact_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -392,7 +431,54 @@ SELECT count(*)::BIGINT AS matching_groups FROM s2
         "round(min(value), 2) AS min_value, round(max(value), 2) AS max_value, "
         "count(DISTINCT event_type)::BIGINT AS n_event_types FROM events",
     ),
+    "fr_lineitem_engine": (
+        _fr_lineitem_fn,
+        """
+WITH li AS (SELECT * FROM lineitem WHERE epoch(l_shipdate) >= 757382400
+            AND epoch(l_shipdate) < 820454400),
+m AS (SELECT l_orderkey FROM li GROUP BY l_orderkey
+      HAVING coalesce(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 0) > 50000.37
+         AND count(*) FILTER (WHERE l_discount > 0.05) > 0
+         AND count(*) FILTER (WHERE l_returnflag = 'N') >= 2),
+r AS (SELECT count(*) c FROM li WHERE l_orderkey IN (SELECT l_orderkey FROM m))
+SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
+       (SELECT c FROM r)::BIGINT AS matching_group_rows
+""",
+    ),
     # ---- training-data pipeline operators --------------------------------- #
+    "text_tokens": (
+        _text_tokens_fn,
+        """
+WITH toks AS (""" + _TOKS_SQL + """)
+SELECT doc_id, len(tk)::INT AS n_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]'))::INT
+    AS n_bpe_tokens
+FROM toks
+""",
+    ),
+    "ann_lsh_bucketed": (
+        _ann_lsh_pairs_fn,
+        """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+hp AS (SELECT b, list_transform(range(0, 64), d ->
+         CASE WHEN substr(md5(b || ':' || d), 1, 1)
+              IN ('8','9','a','b','c','d','e','f')
+         THEN 1.0 ELSE -1.0 END) AS h
+       FROM unnest(range(0, 8)) t(b)),
+bk AS (SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.v, hp.h) > 0
+             THEN 1 << hp.b ELSE 0 END)::BIGINT AS bucket
+       FROM e, hp GROUP BY e.vec_id),
+eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+    AS cosine_sim
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+""",
+    ),
     "dedup_exact": (
         _dedup_exact_fn,
         "WITH h AS (SELECT md5(text) AS ch, count(*) AS c FROM documents GROUP BY 1) "

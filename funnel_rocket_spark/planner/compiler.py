@@ -71,7 +71,13 @@ def ts_numeric(df: DataFrame, ts_col: str) -> tuple[Column, Column]:
     dtype = df.schema[ts_col].dataType
     if isinstance(dtype, _INT_TYPES):
         return F.col(ts_col), F.lit(LONG_MIN)
-    if isinstance(dtype, _TIME_TYPES):
+    if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
+        # NTZ/date don't cast to double directly; go via timestamp. Pin the
+        # session timezone to UTC (see session.get_spark) so the wall time IS
+        # the epoch — tz-independent parity with DuckDB's epoch().
+        return (F.col(ts_col).cast(T.TimestampType()).cast(T.DoubleType()),
+                F.lit(NEG_INF))
+    if isinstance(dtype, T.TimestampType):
         return F.col(ts_col).cast(T.DoubleType()), F.lit(NEG_INF)
     return F.col(ts_col).cast(T.DoubleType()), F.lit(NEG_INF)
 

@@ -1,0 +1,13 @@
+from funnel_rocket_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+    pushed_filters,
+    read_schema_columns,
+)
+
+__all__ = [
+    "formatted_plan",
+    "pushed_filters",
+    "read_schema_columns",
+    "count_exchanges",
+]

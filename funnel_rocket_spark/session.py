@@ -33,6 +33,9 @@ def get_spark(
         # Testdata events.parquet uses TIMESTAMP(NANOS), which Spark 4 only
         # reads as int64 under this flag (a numeric ts, like the reference's).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ timestamps are interpreted in the session tz when cast; pin to
+        # UTC so epoch conversions are machine-independent.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

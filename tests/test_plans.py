@@ -1,0 +1,64 @@
+"""Physical-plan regression gates: the shapes that keep queries viable at
+100 TB. If any of these fail, the query still returns correct rows at test
+scale — and becomes a cluster-killer at real scale. See plans/inspect.py.
+"""
+
+import pytest
+
+from funnel_rocket_spark import benchqueries as bq
+from funnel_rocket_spark.engine import QueryEngine
+from funnel_rocket_spark.plans import (
+    count_exchanges,
+    pushed_filters,
+    read_schema_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return bq.load_table(spark, SF, "events")
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return QueryEngine("user_id", "ts")
+
+
+def test_counts_query_reads_only_used_columns(events, engine):
+    plan = engine.plan(events, bq.Q_PURCHASE3)
+    [cols] = read_schema_columns(plan.counts())
+    assert sorted(cols) == ["event_type", "user_id"]  # no ts, value, props...
+
+
+def test_timeframe_pushed_to_parquet(events, engine):
+    plan = engine.plan(events, bq.Q_TIMEFRAME)
+    pushed = pushed_filters(plan.counts())
+    assert any("GreaterThanOrEqual(ts" in p for p in pushed), pushed
+    assert any("LessThan(ts" in p for p in pushed), pushed
+
+
+def test_counts_query_single_group_shuffle(events, engine):
+    # one exchange on the group key + the single-partition final reduce
+    plan = engine.plan(events, bq.Q_PURCHASE3)
+    assert count_exchanges(plan.counts()) <= 2
+
+
+def test_sequence_needs_one_data_exchange(events, engine):
+    # 3-step sequence: 1 exchange feeding all chained Windows + final reduce.
+    # The groupBy after the windows must REUSE the window partitioning.
+    plan = engine.plan(events, bq.Q_SEQUENCE)
+    assert count_exchanges(plan.counts()) <= 2
+
+
+def test_multi_condition_still_one_pass(events, engine):
+    plan = engine.plan(events, bq.Q_RELATION)
+    assert count_exchanges(plan.counts()) <= 2
+
+
+def test_denorm_join_broadcasts(spark):
+    df = bq.QUERIES["s5_denorm_join"][0](spark, SF)
+    assert "BroadcastHashJoin" in df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
