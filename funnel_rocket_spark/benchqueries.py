@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from funnel_rocket_spark.engine import QueryEngine
-from funnel_rocket_spark.operators import dedup, multimodal, similarity, text
+from funnel_rocket_spark.operators import dedup, multimodal, similarity, skew, text
 
 # --------------------------------------------------------------------------- #
 # loaders
@@ -444,6 +444,12 @@ r AS (SELECT count(*) c FROM li WHERE l_orderkey IN (SELECT l_orderkey FROM m))
 SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
        (SELECT c FROM r)::BIGINT AS matching_group_rows
 """,
+    ),
+    "fr_agg_groups_skew_path": (
+        lambda spark, sf_dir: skew.groups_per_value_skewed(
+            load_table(spark, sf_dir, "events"), "event_type", "user_id"),
+        "SELECT event_type AS value, count(DISTINCT user_id)::BIGINT AS groups "
+        "FROM events GROUP BY 1",
     ),
     # ---- training-data pipeline operators --------------------------------- #
     "text_tokens": (

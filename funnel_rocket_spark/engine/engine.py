@@ -53,7 +53,18 @@ class QueryEngine:
         expanded = self.expand(query, df if validate_schema else None)
         return QueryPlan(df, expanded, self.group_id_column, self.timestamp_column)
 
-    def run(self, df: DataFrame, query: dict, validate_schema: bool = True) -> dict:
+    def run(self, df: DataFrame, query: dict, validate_schema: bool = True,
+            with_stats: bool = False) -> dict:
+        """Execute and return the reference-shaped result JSON.
+
+        ``with_stats`` adds a ``stats`` block (the reference returns a rich
+        invoker/worker stats object, ``docs/api.md:645-736``; here the
+        fan-out metrics collapse into Spark's own execution, so the block
+        carries wall time + engine identity + the used-column set).
+        """
+        import time as _time
+
+        t0 = _time.perf_counter()
         plan = self.plan(df, query, validate_schema=validate_schema)
         q = plan.q
 
@@ -108,6 +119,16 @@ class QueryEngine:
                     frows.unpersist()
             else:
                 result["funnel"] = None
+            if with_stats:
+                result["stats"] = {
+                    "engine": "spark",
+                    "success": True,
+                    "totalSeconds": round(_time.perf_counter() - t0, 4),
+                    "usedColumns": plan.expanded.used_columns,
+                    "sparkAppId": df.sparkSession.sparkContext.applicationId,
+                    "defaultParallelism":
+                        df.sparkSession.sparkContext.defaultParallelism,
+                }
             return result
         finally:
             if rows is not None:

@@ -5,6 +5,6 @@ higher-order array functions) — no Python UDFs except the clearly-marked
 multimodal decode plumbing, which is Arrow-batched ``mapInPandas``.
 """
 
-from funnel_rocket_spark.operators import dedup, multimodal, similarity, text
+from funnel_rocket_spark.operators import dedup, multimodal, similarity, skew, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "similarity", "skew", "text"]

@@ -57,6 +57,25 @@ def test_multi_condition_still_one_pass(events, engine):
     assert count_exchanges(plan.counts()) <= 2
 
 
+def test_bucketed_layout_eliminates_group_shuffle(spark, tmp_path_factory, engine):
+    """bucketBy(group) = the reference's every-group-in-one-file invariant,
+    declared: condition evaluation AND window sequences lose their group-key
+    exchange (only the final single-partition reduce remains)."""
+    from funnel_rocket_spark.sources.ingest import write_bucketed
+
+    events = bq.load_table(spark, SF, "events")
+    table = "events_bucketed_plan_test"
+    write_bucketed(events, table, "user_id", num_buckets=4, sort_col="ts")
+    try:
+        bdf = spark.table(table)
+        assert count_exchanges(engine.plan(bdf, bq.Q_PURCHASE3).counts()) == 1
+        assert count_exchanges(engine.plan(bdf, bq.Q_SEQUENCE).counts()) == 1
+        assert (engine.plan(bdf, bq.Q_SEQUENCE).counts().collect()
+                == engine.plan(events, bq.Q_SEQUENCE).counts().collect())
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_denorm_join_broadcasts(spark):
     df = bq.QUERIES["s5_denorm_join"][0](spark, SF)
     assert "BroadcastHashJoin" in df._sc._jvm.PythonSQLUtils.explainString(
