@@ -1,0 +1,158 @@
+"""HTTP API server — route parity with the reference's Flask apiserver
+(``/root/reference/frocket/apiserver.py:175-247``):
+
+    POST /datasets/register              {name, basepath, group_id_column,
+                                          timestamp_column}
+    POST /datasets/<name>/unregister
+    GET  /datasets
+    GET  /datasets/<name>/schema
+    POST /datasets/<name>/query          body = query JSON
+    GET  /datasets/<name>/empty-query
+
+``?stream=true`` on query routes streams NDJSON progress lines followed by
+the result — the reference's chunked-progress behavior (``apiserver.py:
+125-172``), with Spark's StatusTracker supplying stage progress in place of
+Lambda task polling. One SparkSession serves all requests; Spark's scheduler
+interleaves concurrent queries (FAIR pool recommended for multi-tenant use).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Optional
+
+from flask import Flask, Response, jsonify, request, stream_with_context
+
+from funnel_rocket_spark.catalog import (
+    DatasetValidationError,
+    load_dataset,
+    register_dataset,
+)
+from funnel_rocket_spark.engine import QueryEngine
+from funnel_rocket_spark.session import get_spark
+from funnel_rocket_spark.validation import QueryValidationError
+
+
+def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
+    app = Flask("funnel-rocket-spark")
+    app.config["CATALOG_DIR"] = catalog_dir or os.environ.get(
+        "FUNNEL_ROCKET_CATALOG", os.path.expanduser("~/.funnel_rocket_spark"))
+    _spark = spark or get_spark(app_name="funnel-rocket-spark-api")
+
+    def _dataset(name: str):
+        return load_dataset(app.config["CATALOG_DIR"], name)
+
+    @app.errorhandler(QueryValidationError)
+    def on_validation_error(e):
+        return jsonify({"success": False, "errorMessage": str(e),
+                        "kind": getattr(e, "kind", "schema")}), 400
+
+    @app.errorhandler(DatasetValidationError)
+    def on_dataset_error(e):
+        return jsonify({"success": False, "errorMessage": str(e)}), 400
+
+    @app.errorhandler(FileNotFoundError)
+    def on_missing(e):
+        return jsonify({"success": False,
+                        "errorMessage": "dataset not registered"}), 404
+
+    @app.route("/datasets/register", methods=["POST"])
+    def register():
+        body = request.get_json(force=True)
+        ds = register_dataset(
+            _spark, body["name"], body["basepath"],
+            body["group_id_column"], body["timestamp_column"],
+            catalog_dir=app.config["CATALOG_DIR"])
+        return jsonify({"success": True, "dataset": {
+            "name": ds.name, "totalRows": ds.total_rows,
+            "totalGroups": ds.total_groups,
+            "unsupportedColumns": ds.unsupported_columns}})
+
+    @app.route("/datasets/<name>/unregister", methods=["POST"])
+    def unregister(name):
+        path = os.path.join(app.config["CATALOG_DIR"], f"{name}.json")
+        existed = os.path.exists(path)
+        if existed:
+            os.remove(path)
+        return jsonify({"success": True, "removed": existed})
+
+    @app.route("/datasets")
+    def list_datasets():
+        out = []
+        cat = app.config["CATALOG_DIR"]
+        if os.path.isdir(cat):
+            for fn in sorted(os.listdir(cat)):
+                if fn.endswith(".json"):
+                    with open(os.path.join(cat, fn)) as fh:
+                        meta = json.load(fh)
+                    out.append({"name": meta["name"],
+                                "basepath": meta["basepath"],
+                                "totalRows": meta.get("total_rows")})
+        return jsonify(out)
+
+    @app.route("/datasets/<name>/schema")
+    def schema(name):
+        ds = _dataset(name)
+        return jsonify({"columns": ds.columns,
+                        "unsupportedColumns": ds.unsupported_columns,
+                        "groupIdColumn": ds.group_id_column,
+                        "timestampColumn": ds.timestamp_column})
+
+    def _run(name: str, query: dict, should_stream: bool):
+        ds = _dataset(name)
+        engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
+        df = ds.load(_spark)
+        if not should_stream:
+            return jsonify(engine.run(df, query, with_stats=True))
+
+        def generate():
+            holder: dict = {}
+
+            def work():
+                try:
+                    holder["result"] = engine.run(df, query, with_stats=True)
+                except Exception as e:  # surfaced in the stream tail
+                    holder["error"] = str(e)
+
+            t = threading.Thread(target=work, daemon=True)
+            t.start()
+            tracker = _spark.sparkContext.statusTracker()
+            while t.is_alive():
+                stages = tracker.getActiveStageIds()
+                yield json.dumps({"stage": "running",
+                                  "activeSparkStages": len(stages)}) + "\n"
+                t.join(timeout=0.25)
+            if "error" in holder:
+                yield json.dumps({"success": False,
+                                  "errorMessage": holder["error"]}) + "\n"
+            else:
+                yield json.dumps(holder["result"]) + "\n"
+
+        return Response(stream_with_context(generate()),
+                        mimetype="application/x-ndjson")
+
+    @app.route("/datasets/<name>/query", methods=["POST"])
+    def query(name):
+        body = request.get_json(force=True)
+        should_stream = request.args.get("stream", "false").lower() == "true"
+        return _run(name, body, should_stream)
+
+    @app.route("/datasets/<name>/empty-query")
+    def empty_query(name):
+        should_stream = request.args.get("stream", "false").lower() == "true"
+        return _run(name, {}, should_stream)
+
+    return app
+
+
+def main() -> None:  # pragma: no cover - manual entry point
+    app = create_app()
+    app.run(host=os.environ.get("API_HOST", "127.0.0.1"),
+            port=int(os.environ.get("API_PORT", "5000")), threaded=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""API-server tests via Flask's test client against a live SparkSession —
+mirrors the reference's service-tier tests (SURVEY §5 tier 3)."""
+
+import json
+
+import pytest
+
+from funnel_rocket_spark.api import create_app
+
+SF_EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    catalog = str(tmp_path_factory.mktemp("api_catalog"))
+    app = create_app(spark=spark, catalog_dir=catalog)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        yield c
+
+
+def test_register_and_list(client):
+    r = client.post("/datasets/register", json={
+        "name": "ev", "basepath": SF_EVENTS,
+        "group_id_column": "user_id", "timestamp_column": "ts"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["success"] and body["dataset"]["totalRows"] == 1000
+
+    r = client.get("/datasets")
+    assert [d["name"] for d in r.get_json()] == ["ev"]
+
+    r = client.get("/datasets/ev/schema")
+    assert r.get_json()["groupIdColumn"] == "user_id"
+    assert "event_type" in r.get_json()["columns"]
+
+
+def test_query_routes(client):
+    q = {"query": {"conditions": [
+        {"filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 3]}]}}
+    r = client.post("/datasets/ev/query", json=q)
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["query"]["matchingGroups"] == 15
+    assert body["stats"]["engine"] == "spark"
+
+    r = client.get("/datasets/ev/empty-query")
+    assert r.get_json()["query"]["matchingGroupRows"] == 1000
+
+
+def test_query_streaming_progress(client):
+    r = client.post("/datasets/ev/query?stream=true", json={})
+    lines = [json.loads(ln) for ln in r.get_data(as_text=True).splitlines()]
+    assert len(lines) >= 1
+    final = lines[-1]
+    assert final["query"]["matchingGroups"] == 15
+    for progress in lines[:-1]:
+        assert progress["stage"] == "running"
+
+
+def test_error_paths(client):
+    r = client.post("/datasets/ev/query", json={
+        "query": {"conditions": [{"filter": ["nope", "==", 1]}]}})
+    assert r.status_code == 400
+    assert "Unknown column" in r.get_json()["errorMessage"]
+
+    r = client.post("/datasets/missing/query", json={})
+    assert r.status_code == 404
+
+    r = client.post("/datasets/register", json={
+        "name": "bad", "basepath": SF_EVENTS,
+        "group_id_column": "value", "timestamp_column": "ts"})
+    assert r.status_code == 400
+
+    r = client.post("/datasets/ev/unregister")
+    assert r.get_json()["removed"] is True
+    assert client.get("/datasets").get_json() == []
