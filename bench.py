@@ -20,29 +20,9 @@ import time
 from funnel_rocket_spark import benchqueries
 from funnel_rocket_spark.session import get_spark
 
-HEADLINE = [
-    "fr_empty_query",
-    "fr_count_target",
-    "fr_sum_target",
-    "fr_relation_expr",
-    "fr_string_ops",
-    "fr_agg_count_per_value",
-    "fr_agg_groups_per_value",
-    "fr_sequence",
-    "fr_funnel_steps",
-    "fr_seq_row_not_found",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_stats",
-    "text_langid",
-    "text_fingerprint",
-    "ann_cosine_topk",
-    "dedup_embedding_cosine",
-    "multimodal_features",
-    "s5_denorm_join",
-]
+# The full query catalog, in catalog order. Every operator the engine claims
+# is timed — no cherry-picking.
+HEADLINE = list(benchqueries.QUERIES.keys())
 
 
 def main() -> None:
