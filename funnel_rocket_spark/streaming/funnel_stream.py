@@ -40,7 +40,9 @@ def _pandas_filter(pdf: pd.DataFrame, f: dict) -> pd.Series:
     if op == "contains":
         return col.str.contains(value, regex=False, na=False)
     if op == "not contains":
-        return ~col.str.contains(value, regex=False, na=True)
+        # nulls MATCH 'not contains' — same as the batch engine's
+        # coalesce(~contains, true) (planner.compiler.filter_to_column)
+        return ~col.str.contains(value, regex=False, na=False)
     if op == "regex":
         return col.str.contains(value, regex=True, na=False)
     return {"<": col < value, "<=": col <= value,

@@ -348,9 +348,17 @@ def expand_and_validate(
     if "from" in tf and "to" in tf and tf["from"] >= tf["to"]:
         _err("timeframe 'from' must be strictly before 'to'", "type_mismatch")
 
+    warnings: list[str] = []
+    unused = sorted(set(range(len(conditions))) - set(used_conditions))
+    if unused:  # a reference TODO (query_validator.py:264) — implemented here
+        warnings.append(
+            f"Conditions {unused} are not referenced by the relation "
+            f"expression and will not affect matching")
+
     return ExpandedQuery(
         query=q,
         used_columns=used,
         relation_template=relation_template,
         used_conditions=used_conditions,
+        warnings=warnings,
     )
