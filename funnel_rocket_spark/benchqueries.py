@@ -505,10 +505,14 @@ WHERE round(len(list_intersect(a.gr, b.gr))::DOUBLE /
     "dedup_minhash_lsh": (
         _minhash_pairs_fn,
         "WITH g AS (" + _GRAMS_SQL + """),
-sigs AS (SELECT doc_id, gr,
-  list_transform(range(0, 32), i ->
-    list_aggregate(list_transform(gr, s -> md5(i || ':' || s)), 'min')) AS sig
+based AS (SELECT doc_id, gr,
+  list_transform(gr, s -> ('0x' || substr(md5(s), 1, 11))::BIGINT) AS bases
   FROM g WHERE len(gr) > 0),
+sigs AS (SELECT doc_id, gr, [""" + ", ".join(
+            f"list_aggregate(list_transform(bases, h -> ({a} * h + {b}) % "
+            f"{dedup.MINHASH_MOD}), 'min')"
+            for a, b in dedup.minhash_params(32)) + """] AS sig
+  FROM based),
 banded AS (SELECT doc_id, gr, b AS band,
   md5(b || '|' || array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
   FROM sigs, unnest(range(0, 8)) t(b)),

@@ -36,8 +36,17 @@ def word_ngrams(col, n: int = 3):
 
     ``transform`` over token indexes keeps this a single JVM expression —
     no UDF, no explode until the caller decides to.
+
+    PERF NOTE: the token-split subtree is referenced from inside the per-index
+    lambda; higher-order lambdas are evaluated interpreted and re-evaluate
+    that subtree per shingle (quadratic re-splitting). For bulk pipelines use
+    :func:`shingle_frame`, which stages tokens as a materialized column.
     """
     toks = tokens(col)
+    return _ngrams_over(toks, n)
+
+
+def _ngrams_over(toks, n: int):
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(0), count - F.lit(1)),
@@ -47,6 +56,21 @@ def word_ngrams(col, n: int = 3):
     return F.when(count > 0, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, grams) with the tokenization staged — split once per row.
+
+    Two projections with an explode barrier between them would still collapse
+    under Catalyst's CollapseProject; a persisted frame guarantees the token
+    array is computed exactly once, and the shingle table is the natural
+    materialization point of every dedup pipeline anyway.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks_df = df.repartition(par).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    toks_df.persist()
+    return toks_df.select("id", _ngrams_over(F.col("toks"), n).alias("grams"))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -77,14 +101,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     from |D|². For 100 TB use :func:`minhash_lsh_pairs` instead and reserve
     this for verification of candidate pairs.
     """
-    # Fan out first: a small parquet arrives as one input partition, which
-    # would serialize the CPU-heavy shingling on a single core.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    shingled = df.repartition(par).select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
     # Materialize: the self-join references this frame twice; without a
     # persist each side re-tokenizes + re-shingles the full corpus.
+    shingled = shingle_frame(df, text_col, id_col, n).withColumn(
+        "n_grams", F.size("grams"))
     shingled.persist()
     exploded = shingled.select("id", "n_grams", F.explode("grams").alias("gram"))
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -104,21 +124,52 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_signature(col, num_hashes: int = 32, n: int = 3):
-    """Array of ``num_hashes`` min-hash values for a text column.
+MINHASH_MOD = (1 << 61) - 1  # Mersenne prime 2^61-1
 
-    Hash h_i(doc) = min over shingles of md5(i || ':' || shingle), taking the
-    lexicographic min of the hex strings — equivalent to a random permutation
-    min under a uniform hash, and bit-portable to any SQL engine with md5.
-    Entirely JVM-side: transform + array_min over the shingle array.
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash constants, md5-derived.
+
+    Sized so a_i * base never overflows int64 (a_i odd < 2^19, base < 2^44
+    from 11 md5 hex chars): the same arithmetic is then bit-identical in any
+    engine with 64-bit integers — no hugeint, no wrap-around divergence.
+    """
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        a = (int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (1 << 18)) * 2 + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % (1 << 20)
+        params.append((a, b))
+    return params
+
+
+def minhash_base(col):
+    """Shingle → int base hash: first 11 md5 hex chars as int64 (< 2^44)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 11), 16, 10).cast("long")
+
+
+def minhash_signature(col, num_hashes: int = 32, n: int = 3):
+    """Array of ``num_hashes`` min-hash values (int64) for a text column.
+
+    ONE md5 per shingle (the expensive part), then ``num_hashes`` universal
+    hashes h_i = (a_i·base + b_i) mod 2^61-1 (Broder's scheme) — ~30× less
+    hashing than md5-per-(i, shingle), and still bit-portable to a SQL oracle
+    (see ``minhash_params``). This HOF form documents the semantics;
+    :func:`minhash_lsh_pairs` computes the same values via flat projected
+    columns for whole-stage codegen.
     """
     grams = word_ngrams(col, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(grams, lambda g: F.md5(F.concat_ws(":", i, g).cast("binary")))
-        ),
-    )
+    bases = F.transform(grams, lambda g: minhash_base(g))
+
+    def perm(a: int, b: int):
+        # NB: closure, not default-args — pyspark counts lambda params
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD)
+
+    return F.array(*[
+        F.array_min(F.transform(bases, perm(a, b)))
+        for a, b in minhash_params(num_hashes)
+    ])
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -144,16 +195,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # frames are the materialized signature table a production 100 TB dedup
     # keeps anyway; band explode, candidate join, and verification all reuse
     # them instead of re-hashing the corpus per branch.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    grams_df = df.repartition(par).select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
-    ).filter(F.size("grams") > 0)
+    grams_df = shingle_frame(df, text_col, id_col, n).filter(F.size("grams") > 0)
     grams_df.persist()
+    params = minhash_params(num_hashes)
     exploded = grams_df.select("id", F.explode("grams").alias("g"))
-    hashed = exploded.select(
+    based = exploded.select("id", minhash_base(F.col("g")).alias("base"))
+    hashed = based.select(
         "id",
-        *[F.md5(F.concat_ws(":", F.lit(i), F.col("g")).cast("binary")).alias(f"h{i}")
-          for i in range(num_hashes)],
+        *[((F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"h{i}")
+          for i, (a, b) in enumerate(params)],
     )
     sigs = (
         hashed.groupBy("id")
@@ -161,6 +211,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
     )
     sigs.persist()
+    # Eagerly materialize: the band self-join and the verification join each
+    # reference sigs/grams twice IN THE SAME job — branches of a first job
+    # race past a cold cache and compute the signatures multiple times.
+    sigs.count()
 
     banded = sigs.select(
         "id",
