@@ -202,7 +202,8 @@ def _text_tokens_fn(spark, sf_dir):
 def _ann_lsh_pairs_fn(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    return similarity.lsh_bucketed_pairs(emb, threshold=0.4, n_bits=8, dim=64)
+    return similarity.lsh_bucketed_pairs(emb, threshold=0.4, n_bits=4, tables=4,
+                                         dim=64)
 
 
 def _dedup_exact_fn(spark, sf_dir):
@@ -470,19 +471,24 @@ hp AS (SELECT b, list_transform(range(0, 64), d ->
          CASE WHEN substr(md5(b || ':' || d), 1, 1)
               IN ('8','9','a','b','c','d','e','f')
          THEN 1.0 ELSE -1.0 END) AS h
-       FROM unnest(range(0, 8)) t(b)),
-bk AS (SELECT e.vec_id,
-         sum(CASE WHEN list_dot_product(e.v, hp.h) > 0
-             THEN 1 << hp.b ELSE 0 END)::BIGINT AS bucket
-       FROM e, hp GROUP BY e.vec_id),
-eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id))
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       FROM unnest(range(0, 16)) t(b)),
+proj AS (SELECT e.vec_id, hp.b,
+           CASE WHEN list_dot_product(e.v, hp.h) > 0 THEN 1 ELSE 0 END AS bit
+         FROM e, hp),
+bk AS (SELECT vec_id, b // 4 AS tbl,
+         sum(bit << (b % 4))::BIGINT AS bucket
+       FROM proj GROUP BY vec_id, b // 4),
+eb AS (SELECT e.vec_id, e.v, bk.tbl, bk.bucket FROM e JOIN bk USING (vec_id)),
+pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id)
+SELECT p.id_a, p.id_b,
+  round(list_dot_product(ea.v, eb2.v) /
+        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb2.v, eb2.v))), 6)
     AS cosine_sim
-FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+FROM pairs p JOIN e ea ON p.id_a = ea.vec_id JOIN e eb2 ON p.id_b = eb2.vec_id
+WHERE round(list_dot_product(ea.v, eb2.v) /
+        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb2.v, eb2.v))), 6) >= 0.4
 """,
     ),
     "dedup_exact": (

@@ -166,38 +166,44 @@ def hyperplane_matrix(n_bits: int, dim: int):
     return mat
 
 
-def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 8,
-                       dim: int = 64, id_col: str = "vec_id",
+def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
+                       tables: int = 4, dim: int = 64, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
-    """Approximate near-dup pairs: compare only within LSH buckets.
-
-    Recall loss vs brute force is the standard sign-LSH trade-off (high-cosine
-    pairs agree on most sign bits). Shuffle key = bucket id; bucket sizes are
-    ~n/2^bits — tune n_bits so buckets fit comfortably in memory at scale.
+    """Approximate near-dup pairs: compare only within sign-LSH buckets,
+    ``tables`` independent hash tables of ``n_bits`` bits each (standard
+    multi-probe trade-off: P(candidate) = 1-(1-p^bits)^tables with
+    p = 1-θ/π). A pair is emitted once even when several tables bucket it
+    together.
 
     Physical strategy: bucket assignment is an Arrow-batched numpy projection
-    (``V @ H.T`` — the pure-Column form builds 8 constant-folded 64-term
+    (``V @ H.T`` — the pure-Column form builds constant-folded 64-term
     expression trees that Spark evaluates interpreted, measured ~10× slower),
-    then a shuffle on bucket id, then per-bucket numpy GEMM via
-    ``applyInPandas``. Every stage is distributed; nothing is collected.
+    then a shuffle on (table, bucket), per-bucket numpy GEMM via
+    ``applyInPandas``, then pair dedup. Every stage is distributed; nothing
+    is collected.
     """
     import numpy as np
     import pandas as pd
 
-    hmat = hyperplane_matrix(n_bits, dim)
+    total_bits = tables * n_bits
+    hmat = hyperplane_matrix(total_bits, dim)
     weights = (1 << np.arange(n_bits)).astype(np.int64)
 
-    def assign_bucket(batches):
+    def assign_buckets(batches):
         for pdf in batches:
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
-            buckets = ((v @ hmat.T) > 0) @ weights
-            yield pd.DataFrame({
-                "id": pdf[id_col], "vec": list(pdf[vec_col]),
-                "bucket": buckets,
-            })
+            bits = (v @ hmat.T) > 0  # (n, total_bits)
+            frames = []
+            for t in range(tables):
+                frames.append(pd.DataFrame({
+                    "id": pdf[id_col], "vec": list(pdf[vec_col]),
+                    "tbl": t,
+                    "bucket": bits[:, t * n_bits:(t + 1) * n_bits] @ weights,
+                }))
+            yield pd.concat(frames, ignore_index=True)
 
     bucketed = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        assign_bucket, schema=f"id long, vec array<double>, bucket long")
+        assign_buckets, schema="id long, vec array<double>, tbl int, bucket long")
 
     def bucket_pairs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf["id"].to_numpy(dtype=np.int64)
@@ -208,5 +214,6 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 8,
         return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
                              "cosine_sim": sims[ai, bi]})
 
-    return bucketed.groupBy("bucket").applyInPandas(
+    pairs = bucketed.groupBy("tbl", "bucket").applyInPandas(
         bucket_pairs, schema="id_a long, id_b long, cosine_sim double")
+    return pairs.dropDuplicates(["id_a", "id_b"])
