@@ -291,6 +291,13 @@ class QueryPlan:
             F.coalesce(F.sum(ROWS_COL), F.lit(0)).alias("matching_group_rows"),
         )
 
+    def matching_group_ids(self) -> DataFrame:
+        """The matched group ids as a one-column DataFrame — the audience
+        export the reference never offered (its results are counts only).
+        Write it out with ``.write.parquet(...)`` for downstream activation.
+        """
+        return self.matched_groups().select(self.group_col)
+
     def rows_of_matching_groups(self) -> DataFrame:
         """All rows of matching groups (reference F5/J1 semi-filter,
         ``helpers/pandas.py:20-37``): the universe for aggregations + funnel.
@@ -315,9 +322,17 @@ class QueryPlan:
         top = int(agg.get("top", DEFAULT_TOP_COUNT))
         if atype == "count":
             return rows.agg(F.count(F.col(col)).alias("count"))
+        # approx=true switches groupsPerValue to HLL approx_count_distinct —
+        # the scale option SURVEY §2.4/A6 calls for (exact is the default,
+        # matching the reference)
+        groups_agg = (
+            F.approx_count_distinct(F.col(self.group_col))
+            if agg.get("approx", False)
+            else F.count_distinct(F.col(self.group_col))
+        ).alias("groups")
         per_value = {
             "countPerValue": F.count(F.lit(1)).alias("count"),
-            "groupsPerValue": F.count_distinct(F.col(self.group_col)).alias("groups"),
+            "groupsPerValue": groups_agg,
             "sumPerValue": F.sum(F.col(other)).alias("sum") if other else None,
             "meanPerValue": F.avg(F.col(other)).alias("mean") if other else None,
         }[atype]

@@ -137,6 +137,7 @@ _AGGREGATION = {
         },
         "otherColumn": {"type": "string"},
         "top": {"type": "integer", "minimum": 1},
+        "approx": {"type": "boolean"},
     },
 }
 

@@ -420,3 +420,25 @@ def test_sequence_row_found_false_extension(spark):
     }
     res = run(df, q)
     assert res["query"]["matchingGroups"] == 1
+
+
+def test_approx_groups_per_value(sdf):
+    """approx=true (HLL) stays within tolerance of exact on small data."""
+    res = run(sdf, {"conditions": [], "aggregations": [
+        {"column": "category", "type": "groupsPerValue", "approx": True}]})
+    approx = res["query"]["aggregations"][0]["value"]
+    assert set(approx) == set(CATEGORIES)
+    for v in approx.values():
+        assert abs(v - 4) <= 1  # rsd default 5%; tiny data is near-exact
+
+
+def test_matching_group_ids_export(spark, sdf, tmp_path):
+    from funnel_rocket_spark.engine import QueryEngine
+
+    plan = QueryEngine("id", "timestamp").plan(
+        sdf, {"query": {"conditions": [
+            {"filter": {"column": "price", "op": ">", "value": 133}}]}})
+    out = str(tmp_path / "audience")
+    plan.matching_group_ids().write.parquet(out)
+    back = spark.read.parquet(out)
+    assert [r["id"] for r in back.collect()] == ["d"]
