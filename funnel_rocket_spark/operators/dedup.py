@@ -259,6 +259,71 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Near-duplicate pair list → (id, cluster) via min-label propagation.
+
+    Connected components over the similarity graph: every doc's label starts
+    as its own id; each round every node takes the min label in its
+    neighborhood; converged when no label changes. Components from dedup
+    thresholds are tiny (duplicate clusters), so this converges in a few
+    rounds — each round is two joins + a groupBy-min, all DataFrame algebra.
+    For web-scale graphs swap in the large-star/small-star algorithm; the
+    contract (pairs in → cluster labels out) stays the same.
+
+    The canonical survivor of each cluster is its min id == the cluster label.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"),
+                               F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"),
+                        F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def apply_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop near-duplicates: keep one survivor (min id) per cluster.
+
+    The anti-join removes every non-survivor; docs in no pair pass through
+    untouched. This is the terminal step of the 100 TB dedup pipeline:
+    candidate pairs (minhash/simhash/embedding) → clusters → filtered corpus.
+    """
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
+    return df.join(losers, df[id_col] == losers.id, "left_anti")
+
+
 def simhash16(col, n_bits: int = 16):
     """16-bit SimHash of a text column as an int column.
 

@@ -1,0 +1,36 @@
+"""dedup_clusters / apply_dedup: connected components + survivor filtering."""
+
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark.operators import dedup
+
+
+def test_dedup_clusters_transitive(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singleton edge-less 99 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    clusters = {r["id"]: r["cluster"]
+                for r in dedup.dedup_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_apply_dedup_keeps_survivors(spark):
+    docs = spark.range(6).select(F.col("id").alias("doc_id"),
+                                 F.concat(F.lit("d"), "id").alias("text"))
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)],
+                                  "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup.apply_dedup(docs, pairs).collect())
+    # cluster {0,1,2} -> keep 0; cluster {4,5} -> keep 4; 3 untouched
+    assert kept == [0, 3, 4]
+
+
+def test_end_to_end_minhash_then_apply(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    deduped = dedup.apply_dedup(docs, pairs)
+    n_docs = docs.count()
+    n_pairs = pairs.count()
+    n_kept = deduped.count()
+    assert n_kept < n_docs  # some near-dups exist in the corpus
+    assert n_kept >= n_docs - n_pairs  # can't drop more than pair count
