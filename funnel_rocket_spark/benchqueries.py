@@ -155,6 +155,22 @@ def _funnel_steps_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine().plan(df, Q_FUNNEL).funnel_step_counts()
 
 
+def _funnel_step_agg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countPerValue(event_type) over rows of groups passing funnel step 1
+    (W2 stepAggregations through the real plan path)."""
+    df = load_table(spark, sf_dir, "events")
+    plan = _engine().plan(df, Q_FUNNEL)
+    step_rows = plan.funnel_step_rows(1)
+    return plan.aggregation_df(
+        {"column": "event_type", "type": "countPerValue", "top": 10}, step_rows)
+
+
+Q_SEQ_MULTIFILTER = {"query": {"conditions": [{"sequence": [
+    {"filters": [{"column": "event_type", "op": "==", "value": "view"},
+                 {"column": "value", "op": ">=", "value": 50.0}]},
+    {"filter": ["event_type", "==", "purchase"]}]}]}}
+
+
 def _registration_profile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "events")
     return df.agg(
@@ -402,6 +418,24 @@ SELECT 1, (SELECT count(*) FROM s1)::BIGINT,
 UNION ALL
 SELECT 2, (SELECT count(*) FROM s2)::BIGINT,
        (SELECT count(*) FROM events WHERE user_id IN (SELECT user_id FROM s2))::BIGINT
+""",
+    ),
+    "fr_funnel_step_agg": (
+        _funnel_step_agg_fn,
+        "WITH " + _SEQ_STEPS_SQL + """
+SELECT event_type AS value, count(*)::BIGINT AS "count"
+FROM events WHERE user_id IN (SELECT user_id FROM s1)
+GROUP BY 1 ORDER BY "count" DESC, value ASC LIMIT 10
+""",
+    ),
+    "fr_seq_multi_filter_step": (
+        _fr_groups_only(Q_SEQ_MULTIFILTER),
+        """
+WITH s0 AS (SELECT user_id, min(ts) t FROM events
+            WHERE event_type = 'view' AND value >= 50.0 GROUP BY 1),
+s1 AS (SELECT e.user_id FROM events e JOIN s0 ON e.user_id = s0.user_id
+       AND e.ts > s0.t WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT count(*)::BIGINT AS matching_groups FROM s1
 """,
     ),
     "fr_seq_max_duration": (
