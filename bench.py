@@ -37,23 +37,33 @@ def main() -> None:
     names = [n for n in HEADLINE if n in all_queries]
 
     # Warmup: JVM + codegen + parquet footer caches
-    all_queries["fr_empty_query"](spark, sf_dir).collect()
+    try:
+        all_queries["fr_empty_query"](spark, sf_dir).collect()
+    except Exception:
+        pass  # per-query error capture below reports the real problem
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         start = time.perf_counter()
-        rows = all_queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 4)
-        _ = len(rows)
+        try:
+            rows = all_queries[name](spark, sf_dir).collect()
+            _ = len(rows)
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as e:  # one broken query must not sink the report
+            errors[name] = str(e)[:200]
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    report = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        report["errors"] = errors
+    print(json.dumps(report))
     spark.stop()
 
 

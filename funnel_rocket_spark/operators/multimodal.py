@@ -79,6 +79,39 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
     )
 
 
+MEDIA_META_SCHEMA = (
+    "media_type string, codec string, width int, height int, "
+    "duration_ms bigint, sample_rate int"
+)
+
+
+def with_media_metadata(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "id") -> DataFrame:
+    """Attach a typed metadata struct next to the opaque payload.
+
+    Real pipelines carry this from ingestion (container headers); here the
+    fields are deterministically derived from the payload bytes so the
+    schema, null-handling, and downstream filters are exercisable. Filtering
+    on `meta.*` happens BEFORE any decode — Catalyst prunes the binary column
+    out of scans that only touch metadata.
+    """
+    byte_len = F.octet_length(F.col(payload_col))
+    return df.select(
+        F.col(id_col),
+        F.col(payload_col),
+        F.struct(
+            F.when(byte_len % 3 == 0, "image")
+            .when(byte_len % 3 == 1, "audio")
+            .otherwise("video").alias("media_type"),
+            F.lit("stub").alias("codec"),
+            (byte_len % 1920).cast("int").alias("width"),
+            (byte_len % 1080).cast("int").alias("height"),
+            (byte_len * 10).cast("bigint").alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
 def frame_sample_plan(df: DataFrame, n_frames: int = 4,
                       id_col: str = "id") -> DataFrame:
     """Plan rows for frame sampling: one output row per (video, frame_idx).

@@ -1,0 +1,54 @@
+"""Multimodal plumbing: payload attach, typed metadata, Arrow decode stage,
+frame-sample planning, and the explicit codec-stub seam."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark.operators import multimodal
+from funnel_rocket_spark.plans import read_schema_columns
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return multimodal.attach_binary_payload(docs)
+
+
+def test_decode_features_deterministic(spark, payloads):
+    feats = multimodal.decode_features(payloads).collect()
+    assert len(feats) == 500
+    by_id = {r["id"]: r for r in feats}
+    # cross-check one row against plain python
+    import hashlib
+    row = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id") == 0).collect()[0]
+    raw = row["text"].encode()
+    assert by_id[0]["byte_len"] == len(raw)
+    assert by_id[0]["digest"] == hashlib.md5(raw).hexdigest()
+    assert by_id[0]["head_hex"] == raw[:4].hex()
+
+
+def test_media_metadata_prunes_payload(payloads, tmp_path):
+    meta = multimodal.with_media_metadata(payloads)
+    assert meta.schema["meta"].dataType.fieldNames() == [
+        "media_type", "codec", "width", "height", "duration_ms", "sample_rate"]
+    # metadata-only query over a PARQUET source must not read the payload
+    path = str(tmp_path / "media")
+    meta.write.parquet(path)
+    spark_df = payloads.sparkSession.read.parquet(path)
+    q = spark_df.filter(F.col("meta.media_type") == "image").select(
+        "id", "meta.width")
+    [cols] = read_schema_columns(q)
+    assert "payload" not in cols
+
+
+def test_frame_sample_plan(payloads):
+    plan = multimodal.frame_sample_plan(payloads.limit(3), n_frames=4)
+    rows = plan.collect()
+    assert len(rows) == 12
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3}
+
+
+def test_codec_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"\x89PNG...")
