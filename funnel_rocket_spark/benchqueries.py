@@ -222,6 +222,58 @@ def _ann_lsh_pairs_fn(spark, sf_dir):
                                          dim=64)
 
 
+def _olap_pricing_summary_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: wide grouped aggregation with
+    arithmetic expressions — exercises multi-aggregate partial/final plans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _olap_top_orders_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join (broadcast dims) + grouped revenue +
+    exact top-k with deterministic ties."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+def _olap_revenue_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: selective predicate (pushdown-friendly) + scalar agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def _dedup_exact_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     groups = dedup.exact_duplicates(docs, min_count=1)
@@ -485,6 +537,41 @@ SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
             load_table(spark, sf_dir, "events"), "event_type", "user_id"),
         "SELECT event_type AS value, count(DISTINCT user_id)::BIGINT AS groups "
         "FROM events GROUP BY 1",
+    ),
+    # ---- general-OLAP breadth (TPC-H-shaped) ------------------------------ #
+    "olap_pricing_summary": (
+        _olap_pricing_summary_fn,
+        """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    ),
+    "olap_top_orders": (
+        _olap_top_orders_fn,
+        """
+SELECT o.o_orderkey AS orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY revenue DESC, orderkey ASC LIMIT 10
+""",
+    ),
+    "olap_revenue_filter": (
+        _olap_revenue_filter_fn,
+        """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
     ),
     # ---- training-data pipeline operators --------------------------------- #
     "text_tokens": (

@@ -200,14 +200,66 @@ def with_sequence_anchors(df: DataFrame, spec: SequenceSpec, group_col: str,
     return df
 
 
+def sequence_fold_flag(spec: SequenceSpec, df: DataFrame, ts_col: str) -> Column:
+    """Sequence-condition flag as a PURE AGGREGATE: no window, no extra sort.
+
+    ``array_sort(collect_list(struct(ts, step_preds…)))`` then a single
+    left-to-right fold carrying (steps_done, anchor, first_anchor). Greedy
+    earliest-event advance ≡ the reference's iterative min-ts (an event
+    advances at most one step; strict ``ts >`` blocks same-ts chains). Groups
+    matching all steps have done == n.
+
+    Scale trade-off vs window anchors: one in-memory array per group during
+    aggregation (fine for user-sized groups, the window path spills better on
+    pathological ones) in exchange for dropping the partition sort — sequence
+    conditions then ride the SAME single groupBy as every other condition.
+    Not applicable to ``rowFound: false`` (needs lookahead) — the planner
+    falls back to window anchors there.
+    """
+    n = len(spec.step_preds)
+    ts, sentinel = ts_numeric(df, ts_col)
+    events = F.array_sort(F.collect_list(F.struct(
+        ts.alias("ts"),
+        *[pred.alias(f"p{i}") for i, pred in enumerate(spec.step_preds)],
+    )))
+
+    def merge(acc: Column, e: Column) -> Column:
+        out = acc
+        # chain per-step advance checks, innermost = keep state
+        for i in reversed(range(n)):
+            can = (acc["done"] == i) & F.coalesce(e[f"p{i}"], F.lit(False)) \
+                & (e["ts"] > acc["anchor"])
+            if spec.max_duration is not None and i > 0:
+                can = can & (e["ts"] <= acc["first"] + F.lit(spec.max_duration))
+            advanced = F.struct(
+                (acc["done"] + 1).alias("done"),
+                e["ts"].alias("anchor"),
+                (e["ts"] if i == 0 else acc["first"]).alias("first"),
+            )
+            out = F.when(can, advanced).otherwise(out)
+        return out
+
+    init = F.struct(F.lit(0).alias("done"), sentinel.alias("anchor"),
+                    sentinel.alias("first"))
+    return F.aggregate(events, init, merge)["done"] == F.lit(n)
+
+
 class QueryPlan:
     """Lazy compilation of one expanded query over one DataFrame.
 
     Every public method returns an unexecuted DataFrame; callers compose/collect.
+
+    ``sequence_strategy``: how sequence CONDITIONS evaluate —
+    ``"auto"`` (default) uses the windowless fold unless a step has
+    ``rowFound: false``; ``"window"`` forces window-min anchors;
+    ``"fold"`` forces the fold (rejects rowFound:false). Funnels always use
+    window anchors (their per-step row universes need per-row flags).
     """
 
     def __init__(self, df: DataFrame, expanded: ExpandedQuery,
-                 group_col: str, ts_col: str):
+                 group_col: str, ts_col: str,
+                 sequence_strategy: str = "auto"):
+        self.sequence_strategy = sequence_strategy
         self.expanded = expanded
         self.group_col = group_col
         self.ts_col = ts_col
@@ -244,10 +296,20 @@ class QueryPlan:
 
     # ------------------------------------------------------------------ #
 
+    def _use_fold(self, spec: SequenceSpec) -> bool:
+        if self.sequence_strategy == "window":
+            return False
+        foldable = all(spec.row_found)
+        if self.sequence_strategy == "fold" and not foldable:
+            raise ValueError(
+                "sequence_strategy='fold' cannot express rowFound:false steps")
+        return foldable
+
     def _df_with_condition_anchors(self) -> DataFrame:
         df = self.df
         for spec in self._seq_specs.values():
-            df = with_sequence_anchors(df, spec, self.group_col, self.ts_col)
+            if not self._use_fold(spec):
+                df = with_sequence_anchors(df, spec, self.group_col, self.ts_col)
         return df
 
     def per_group(self) -> DataFrame:
@@ -255,13 +317,18 @@ class QueryPlan:
 
         Single groupBy pass — Spark's partial/final HashAggregate replaces the
         reference's per-part results + invoker reduce (reference A12,
-        ``common/tasks/query.py:84-134``).
+        ``common/tasks/query.py:84-134``). Sequence conditions join the same
+        pass as aggregate folds (see :func:`sequence_fold_flag`) unless a
+        ``rowFound: false`` step forces window anchors.
         """
         aggs = [F.count(F.lit(1)).alias(ROWS_COL)]
         for i, cond in enumerate(self._conditions):
             if "sequence" in cond:
                 spec = self._seq_specs[i]
-                flag = F.max(F.col(spec.last_anchor).isNotNull())
+                if self._use_fold(spec):
+                    flag = sequence_fold_flag(spec, self.df, self.ts_col)
+                else:
+                    flag = F.max(F.col(spec.last_anchor).isNotNull())
             else:
                 flag = _target_flag(filters_to_column(cond), cond)
             aggs.append(F.coalesce(flag, F.lit(False)).alias(f"{COND_PREFIX}{i}"))

@@ -442,3 +442,44 @@ def test_matching_group_ids_export(spark, sdf, tmp_path):
     plan.matching_group_ids().write.parquet(out)
     back = spark.read.parquet(out)
     assert [r["id"] for r in back.collect()] == ["d"]
+
+
+def test_sequence_strategies_agree(spark, sdf, seq_df):
+    """fold (default) and window strategies must produce identical results."""
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    eng = QueryEngine("id", "timestamp")
+    queries = [
+        {"query": {"conditions": [{"sequence": [
+            {"filter": ["category", "==", 0]},
+            {"filter": ["category", "<=", 2]},
+            {"filter": ["category", "<", 0]}]}]}},
+        {"query": {"conditions": [{"sequence": [
+            {"filter": ["category", ">=", 3]},
+            {"filter": ["category", "==", 0]}], "maxDuration": 3}]}},
+    ]
+    for q in queries:
+        expanded = eng.expand(q, seq_df)
+        fold = QueryPlan(seq_df, expanded, "id", "timestamp",
+                         sequence_strategy="fold").counts().collect()
+        window = QueryPlan(seq_df, expanded, "id", "timestamp",
+                           sequence_strategy="window").counts().collect()
+        assert fold == window, q
+
+
+def test_fold_rejects_row_found_false(seq_df):
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+    import pytest as _pytest
+
+    eng = QueryEngine("id", "timestamp")
+    q = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "==", 1], "rowFound": False}]}]}}
+    expanded = eng.expand(q, seq_df)
+    # auto silently falls back to window; explicit fold refuses
+    QueryPlan(seq_df, expanded, "id", "timestamp").counts().collect()
+    with _pytest.raises(ValueError):
+        QueryPlan(seq_df, expanded, "id", "timestamp",
+                  sequence_strategy="fold").counts()
