@@ -76,6 +76,20 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_repartition(args) -> int:
+    """Data-prep parity with the reference's repartition tool
+    (``dataprep_example/repartition.py`` CLI)."""
+    from funnel_rocket_spark.sources.ingest import repartition_by_group
+
+    spark = get_spark()
+    df = spark.read.parquet(args.input)
+    repartition_by_group(df, args.output, args.group_id_column,
+                         num_parts=args.parts, sort_col=args.sort)
+    print(json.dumps({"success": True, "output": args.output,
+                      "parts": args.parts}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="funnel-rocket-spark")
     parser.add_argument("--catalog", default=DEFAULT_CATALOG_DIR)
@@ -100,6 +114,15 @@ def main(argv=None) -> int:
     p.add_argument("--file", help="query JSON file")
     p.add_argument("--empty", action="store_true", help="run the empty query")
     p.set_defaults(func=cmd_run)
+
+    p = sub.add_parser("repartition",
+                       help="rewrite Parquet partitioned by group (prep tool)")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("group_id_column")
+    p.add_argument("--parts", type=int, default=32)
+    p.add_argument("--sort", default=None, help="sort column within partitions")
+    p.set_defaults(func=cmd_repartition)
 
     args = parser.parse_args(argv)
     if args.command == "run" and not args.empty and not args.file:
