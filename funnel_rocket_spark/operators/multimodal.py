@@ -112,6 +112,42 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload",
     )
 
 
+RESIZED_SCHEMA = "id bigint, width int, height int, thumb binary"
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64,
+                  payload_col: str = "payload", id_col: str = "id") -> DataFrame:
+    """Arrow-batched resize stage: (id, width, height, thumb binary).
+
+    The Spark plumbing (narrow projection → mapInPandas → binary output
+    column) is exactly a production thumbnailer's; the pixel work is a
+    deterministic stand-in (proportional byte sampling of the payload —
+    codecs aren't available here; swap the inner function for
+    PIL.Image.resize in deployment).
+    """
+    import pandas as pd
+
+    target = width * height // 8  # stand-in thumb byte budget
+
+    def fake_resize(payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        step = max(len(payload) // max(target, 1), 1)
+        return payload[::step][:target]
+
+    def resize(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "width": width,
+                "height": height,
+                "thumb": pdf[payload_col].map(fake_resize),
+            })
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, n_frames: int = 4,
                       id_col: str = "id") -> DataFrame:
     """Plan rows for frame sampling: one output row per (video, frame_idx).

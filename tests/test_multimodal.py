@@ -52,3 +52,12 @@ def test_frame_sample_plan(payloads):
 def test_codec_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(b"\x89PNG...")
+
+
+def test_resize_stage(payloads):
+    out = multimodal.resize_images(payloads, width=64, height=64).collect()
+    assert len(out) == 500
+    for r in out[:10]:
+        assert r["width"] == 64 and r["height"] == 64
+        assert isinstance(r["thumb"], (bytes, bytearray))
+        assert 0 < len(r["thumb"]) <= 64 * 64 // 8
