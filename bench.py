@@ -42,14 +42,22 @@ def main() -> None:
     except Exception:
         pass  # per-query error capture below reports the real problem
 
+    # Best of two runs per query: the reference's baseline numbers are warm
+    # runs (BASELINE.md Workload A), and min-of-N suppresses scheduler noise
+    # on a shared box.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        start = time.perf_counter()
+        best = None
         try:
-            rows = all_queries[name](spark, sf_dir).collect()
-            _ = len(rows)
-            timings[name] = round(time.perf_counter() - start, 4)
+            for _ in range(runs):
+                start = time.perf_counter()
+                rows = all_queries[name](spark, sf_dir).collect()
+                _ = len(rows)
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None or elapsed < best else best
+            timings[name] = round(best, 4)
         except Exception as e:  # one broken query must not sink the report
             errors[name] = str(e)[:200]
 
@@ -60,6 +68,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": runs,
     }
     if errors:
         report["errors"] = errors

@@ -34,6 +34,7 @@ from funnel_rocket_spark.catalog import (
 from funnel_rocket_spark.engine import QueryEngine
 from funnel_rocket_spark.session import get_spark
 from funnel_rocket_spark.validation import QueryValidationError
+from funnel_rocket_spark.validation.validator import check_timeframe_scale
 
 
 def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
@@ -103,6 +104,7 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
 
     def _run(name: str, query: dict, should_stream: bool):
         ds = _dataset(name)
+        check_timeframe_scale(query, ds.min_timestamp, ds.max_timestamp)
         engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
         df = ds.load(_spark)
         if not should_stream:

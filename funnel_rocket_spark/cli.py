@@ -20,6 +20,7 @@ import sys
 from funnel_rocket_spark.catalog import load_dataset, register_dataset
 from funnel_rocket_spark.engine import QueryEngine
 from funnel_rocket_spark.session import get_spark
+from funnel_rocket_spark.validation.validator import check_timeframe_scale
 
 DEFAULT_CATALOG_DIR = os.environ.get(
     "FUNNEL_ROCKET_CATALOG", os.path.expanduser("~/.funnel_rocket_spark")
@@ -69,9 +70,16 @@ def cmd_run(args) -> int:
         print(f"error: dataset '{args.name}' is not registered "
               f"(catalog: {args.catalog})", file=sys.stderr)
         return 2
-    spark = get_spark()
-    engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
-    result = engine.run(ds.load(spark), query)
+    from funnel_rocket_spark.validation import QueryValidationError
+
+    try:
+        check_timeframe_scale(query, ds.min_timestamp, ds.max_timestamp)
+        spark = get_spark()
+        engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
+        result = engine.run(ds.load(spark), query)
+    except QueryValidationError as e:
+        print(f"error: invalid query: {e}", file=sys.stderr)
+        return 1
     print(json.dumps(result, indent=2, default=str))
     return 0
 

@@ -226,6 +226,30 @@ def _collect_filters(cond_or_step: dict) -> list[dict]:
     return out
 
 
+def check_timeframe_scale(query: dict, dataset_min_ts: Optional[float],
+                          dataset_max_ts: Optional[float]) -> None:
+    """Digit-count sanity check of timeframe values against the dataset's
+    timestamp range (reference ``query_validator.py:268-299`` — the engine is
+    deliberately unopinionated about resolution, so only the SCALE is
+    checked: a seconds-scale 'from' against a nanos-scale dataset is almost
+    certainly a unit mistake)."""
+    tf = query.get("timeframe") or {}
+
+    def digits(x: float) -> int:
+        return len(str(abs(int(x)))) if x else 1
+
+    for key, bound in (("from", dataset_min_ts), ("to", dataset_max_ts)):
+        value = tf.get(key)
+        if value is None or bound is None:
+            continue
+        if digits(value) != digits(bound):
+            _err(
+                f"Timeframe '{key}'={value} does not appear to be in the same "
+                f"scale as the dataset's timestamps (~{int(bound)})",
+                "type_mismatch",
+            )
+
+
 def expand_and_validate(
     query: dict,
     dataset_schema: Optional[dict[str, str]] = None,

@@ -163,3 +163,14 @@ def test_malformed_documents_rejected():
     ]:
         with pytest.raises(QueryValidationError):
             ev(bad, schema=None)
+
+
+def test_timeframe_scale_check():
+    from funnel_rocket_spark.validation.validator import check_timeframe_scale
+
+    nanos = 1.7e18
+    check_timeframe_scale({"timeframe": {"from": int(1.705e18)}}, nanos, nanos)
+    with pytest.raises(QueryValidationError):  # seconds vs nanos dataset
+        check_timeframe_scale({"timeframe": {"from": 1_700_000_000}}, nanos, nanos)
+    check_timeframe_scale({}, nanos, nanos)        # no timeframe: fine
+    check_timeframe_scale({"timeframe": {"to": 5}}, None, None)  # no stats: fine
