@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from funnel_rocket_spark.engine import QueryEngine
-from funnel_rocket_spark.operators import dedup, multimodal, similarity, skew, text
+from funnel_rocket_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    skew,
+    temporal,
+    text,
+)
 
 # --------------------------------------------------------------------------- #
 # loaders
@@ -220,6 +227,48 @@ def _ann_lsh_pairs_fn(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     return similarity.lsh_bucketed_pairs(emb, threshold=0.4, n_bits=4, tables=4,
                                          dim=64)
+
+
+NANOS_2H = 2 * 3600 * 10**9
+
+
+def _sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = temporal.session_stats(
+        ev.select("user_id", "ts"), "user_id", "ts", gap=NANOS_2H)
+    # DuckDB truncates TIMESTAMP(NANOS) to us; compare at us precision
+    return stats.select(
+        "user_id", "session_id", "n_events",
+        F.expr("start_ts DIV 1000").alias("start_us"),
+        F.expr("end_ts DIV 1000").alias("end_us"),
+        (F.expr("end_ts DIV 1000") - F.expr("start_ts DIV 1000")).alias("duration_us"),
+    )
+
+
+def _asof_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"))
+    joined = temporal.as_of_join(purchases, clicks, on="user_id",
+                                 left_ts="ts", right_ts="ts")
+    return joined.select("event_id", "user_id",
+                         F.expr("ts DIV 1000").alias("ts_us"), "click_value")
+
+
+def _range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(float(lo), float(lo + 40)) for lo in range(0, 200, 40)]
+        + [(200.0, 1e9)],
+        "band_lo double, band_hi double")
+    joined = temporal.range_join(ev.select("event_id", "value"), bands,
+                                 point_col="value", lo_col="band_lo",
+                                 hi_col="band_hi", bucket_size=40.0)
+    return (joined.groupBy("band_lo", "band_hi")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
 
 
 def _olap_pricing_summary_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +586,47 @@ SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
             load_table(spark, sf_dir, "events"), "event_type", "user_id"),
         "SELECT event_type AS value, count(DISTINCT user_id)::BIGINT AS groups "
         "FROM events GROUP BY 1",
+    ),
+    # ---- temporal operators (sessionization / as-of / range join) --------- #
+    "sessionize_events": (
+        _sessionize_fn,
+        f"""
+WITH s AS (SELECT user_id, ts,
+  CASE WHEN lag(ts) OVER w IS NULL
+       OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > {NANOS_2H} THEN 1 ELSE 0
+  END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s2 AS (SELECT user_id, ts,
+  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+  AS idx FROM s)
+SELECT user_id, user_id || '#' || idx AS session_id,
+  count(*)::BIGINT AS n_events,
+  min(epoch_us(ts))::BIGINT AS start_us, max(epoch_us(ts))::BIGINT AS end_us,
+  (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS duration_us
+FROM s2 GROUP BY 1, 2
+""",
+    ),
+    "asof_join_clicks": (
+        _asof_join_fn,
+        """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, epoch_us(p.ts)::BIGINT AS ts_us, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    ),
+    "range_join_value_bands": (
+        _range_join_fn,
+        """
+WITH bands AS (
+  SELECT lo::DOUBLE AS band_lo, (lo + 40)::DOUBLE AS band_hi
+  FROM unnest(range(0, 200, 40)) t(lo)
+  UNION ALL SELECT 200.0, 1e9)
+SELECT b.band_lo, b.band_hi, count(*)::BIGINT AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.band_lo AND e.value < b.band_hi
+GROUP BY 1, 2
+""",
     ),
     # ---- general-OLAP breadth (TPC-H-shaped) ------------------------------ #
     "olap_pricing_summary": (

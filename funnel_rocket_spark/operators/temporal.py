@@ -1,0 +1,138 @@
+"""Temporal / event-stream operators Spark lacks natively: sessionization,
+as-of join, range join.
+
+None exist in the reference (its one query shape has no joins at all) — but
+they're the bread-and-butter of event analytics next to funnels, and the
+classic "custom operator" exercises for a Spark engine. All three are pure
+DataFrame algebra:
+
+* sessionization — lag + cumulative-sum over a per-group window (one shuffle)
+* as-of join     — the union trick: interleave both sides on the time axis,
+                   carry the right side's values forward with
+                   ``last(..., ignorenulls)``; ONE shuffle, no per-group
+                   Python, no bucketing approximation
+* range join     — bucketize the point column so Catalyst gets an equi-join
+                   key, then re-filter exactly; without it Spark falls back
+                   to a broadcast-nested-loop over the inequality
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, group_col: str, ts_col: str, gap: int,
+               session_col: str = "session_id") -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the previous
+    event of the same group exceeds ``gap`` (same units as the ts column).
+
+    session_id = "<group>#<n>" with n counting sessions per group from 0 —
+    deterministic and join-friendly. One window over (group, ts): a single
+    exchange, reused by downstream per-session aggregations.
+    """
+    w = Window.partitionBy(group_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull() | (F.col(ts_col) - prev_ts > F.lit(gap))
+    ).cast("long")
+    session_idx = (
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - F.lit(1)
+    )
+    return df.withColumn(
+        session_col,
+        F.concat_ws("#", F.col(group_col), session_idx.cast("string")),
+    )
+
+
+def session_stats(df: DataFrame, group_col: str, ts_col: str, gap: int) -> DataFrame:
+    """Per-session rollup: (group, session_id, n_events, start_ts, end_ts,
+    duration)."""
+    sess = sessionize(df, group_col, ts_col, gap)
+    return sess.groupBy(group_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration"),
+    )
+
+
+def as_of_join(left: DataFrame, right: DataFrame, on: str,
+               left_ts: str, right_ts: str,
+               value_cols: Optional[list[str]] = None,
+               tolerance: Optional[int] = None) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row with
+    ``right_ts <= left_ts`` (ties match), per ``on`` key.
+
+    The union trick: tag both sides, interleave on the time axis, and carry
+    right-side values forward with ``last(..., ignorenulls=True)`` over one
+    (key, time) window — exact, one shuffle, scales like any window query.
+    ``tolerance`` (same units as ts) nulls out matches older than
+    ``left_ts - tolerance``, like ``pd.merge_asof``.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)]
+
+    lhs = left.select(
+        F.col(on), F.col(left_ts).alias("__t"), F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left.columns if c not in (on,)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+    )
+    rhs = right.select(
+        F.col(on), F.col(right_ts).alias("__t"), F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != on],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = lhs.unionByName(rhs)
+
+    # right rows sort BEFORE left rows at equal time → ties match
+    w = (Window.partitionBy(on).orderBy("__t", "__is_left")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+               for c in value_cols]
+    carried_ts = F.last(F.when(F.col("__is_left") == 0, F.col("__t")),
+                        ignorenulls=True).over(w)
+
+    out = unioned.select(
+        "*", *carried, carried_ts.alias("__rt")
+    ).filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        keep = F.col("__rt") >= F.col("__t") - F.lit(tolerance)
+        out = out.select(
+            *[c for c in left.columns],
+            *[F.when(keep, F.col(c)).alias(c) for c in value_cols],
+        )
+    else:
+        out = out.select(*[c for c in left.columns], *value_cols)
+    return out
+
+
+def range_join(points: DataFrame, ranges: DataFrame, point_col: str,
+               lo_col: str, hi_col: str, bucket_size: float) -> DataFrame:
+    """Join points to [lo, hi) ranges via bucketized equi-join.
+
+    Each range explodes to the buckets it overlaps; points join on their own
+    bucket, then the exact predicate re-filters. Catalyst gets a hash-join
+    key instead of a nested-loop inequality — the standard trick until
+    Spark grows a native range join. ``bucket_size`` should be ≥ the typical
+    range width (each range lands in O(width/bucket_size + 1) buckets).
+    """
+    b = F.lit(bucket_size)
+    ranged = ranges.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(F.col(lo_col) / b),
+                             F.floor((F.col(hi_col) - F.lit(1e-9)) / b))),
+    )
+    pointed = points.withColumn("__bucket", F.floor(F.col(point_col) / b))
+    return (
+        pointed.join(ranged, on="__bucket")
+        .filter((F.col(point_col) >= F.col(lo_col))
+                & (F.col(point_col) < F.col(hi_col)))
+        .drop("__bucket")
+    )

@@ -1,0 +1,51 @@
+"""Temporal operators: sessionization, as-of join (incl. tolerance), range
+join — unit semantics on hand-built data (the catalog queries cover the
+DuckDB differential)."""
+
+from funnel_rocket_spark.operators import temporal
+
+
+def test_sessionize(spark):
+    rows = [
+        ("u1", 0), ("u1", 10), ("u1", 100), ("u1", 105),  # 2 sessions (gap 50)
+        ("u2", 7),                                          # 1 session
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long")
+    out = temporal.session_stats(df, "g", "ts", gap=50).collect()
+    stats = {r["session_id"]: (r["n_events"], r["duration"]) for r in out}
+    assert stats == {"u1#0": (2, 10), "u1#1": (2, 5), "u2#0": (1, 0)}
+
+
+def test_as_of_join_semantics(spark):
+    trades = spark.createDataFrame(
+        [("A", 5), ("A", 10), ("A", 2), ("B", 7)], "sym string, t long")
+    quotes = spark.createDataFrame(
+        [("A", 3, 1.0), ("A", 5, 2.0), ("A", 9, 3.0), ("C", 1, 9.9)],
+        "sym string, t long, px double")
+    out = temporal.as_of_join(trades, quotes, on="sym", left_ts="t",
+                              right_ts="t")
+    got = {(r["sym"], r["t"]): r["px"] for r in out.collect()}
+    # t=5 matches the equal-ts quote (ties included); t=2 has none; B has none
+    assert got == {("A", 2): None, ("A", 5): 2.0, ("A", 10): 3.0,
+                   ("B", 7): None}
+
+
+def test_as_of_join_tolerance(spark):
+    trades = spark.createDataFrame([("A", 100)], "sym string, t long")
+    quotes = spark.createDataFrame([("A", 10, 1.0)], "sym string, t long, px double")
+    with_tol = temporal.as_of_join(trades, quotes, "sym", "t", "t",
+                                   tolerance=50).collect()[0]
+    assert with_tol["px"] is None  # quote is 90 old, tolerance 50
+    without = temporal.as_of_join(trades, quotes, "sym", "t", "t").collect()[0]
+    assert without["px"] == 1.0
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 45.0), (3, 99.9), (4, 250.0)], "id long, v double")
+    ranges = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 100.0, "mid"), (100.0, 1000.0, "high")],
+        "lo double, hi double, label string")
+    out = temporal.range_join(points, ranges, "v", "lo", "hi", bucket_size=50.0)
+    got = {r["id"]: r["label"] for r in out.collect()}
+    assert got == {1: "low", 2: "low", 3: "mid", 4: "high"}
