@@ -49,3 +49,25 @@ def test_range_join(spark):
     out = temporal.range_join(points, ranges, "v", "lo", "hi", bucket_size=50.0)
     got = {r["id"]: r["label"] for r in out.collect()}
     assert got == {1: "low", 2: "low", 3: "mid", 4: "high"}
+
+
+def test_sessionize_agrees_with_session_window(spark):
+    """Cross-validation: gap-based sessionize == Spark's built-in
+    session_window aggregation (session COUNT per group must match)."""
+    from funnel_rocket_spark import benchqueries as bq
+    from pyspark.sql import functions as F
+
+    ev = bq.load_table(spark, "/root/testdata/sf0.001", "events")
+    gap_ns = 2 * 3600 * 10**9
+    mine = (temporal.session_stats(ev.select("user_id", "ts"), "user_id",
+                                   "ts", gap=gap_ns)
+            .groupBy("user_id").count())
+    builtin = (
+        ev.select("user_id", F.timestamp_micros(F.expr("ts DIV 1000")).alias("t"))
+        .groupBy("user_id", F.session_window("t", "2 hours"))
+        .count()
+        .groupBy("user_id").count()
+    )
+    a = {r["user_id"]: r["count"] for r in mine.collect()}
+    b = {r["user_id"]: r["count"] for r in builtin.collect()}
+    assert a == b
