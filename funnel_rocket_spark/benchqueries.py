@@ -271,6 +271,22 @@ def _range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def _time_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = temporal.time_rollup(
+        ev, "ts", every=NANOS_DAY, group_cols=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum("value"), 2).alias("sum_value")])
+    return out.select(F.expr("bucket_start DIV 1000").alias("bucket_us"),
+                      "event_type", "n_events", "sum_value")
+
+
+def _ann_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4)
+
+
 def _olap_pricing_summary_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: wide grouped aggregation with
     arithmetic expressions — exercises multi-aggregate partial/final plans."""
@@ -847,10 +863,22 @@ WHERE round(list_dot_product(a.v, b.v) /
         "round(sum(o.o_totalprice), 2) AS sum_totalprice FROM orders o "
         "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1",
     ),
+    "time_rollup_daily": (
+        _time_rollup_fn,
+        f"""
+SELECT (epoch_ns(ts) - epoch_ns(ts) % {NANOS_DAY}) // 1000 AS bucket_us,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    ),
 }
 
-# Queries with no SQL-expressible oracle (driver records rows-only check)
-NO_ORACLE: dict = {}
+# Queries with no SQL-expressible oracle (driver records rows-only check):
+# IVF relies on Spark-ML k-means centroids — not reproducible in SQL.
+NO_ORACLE: dict = {
+    "ann_ivf_topk": _ann_ivf_fn,
+}
 
 
 def queries() -> dict:

@@ -113,6 +113,25 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     return out
 
 
+def time_rollup(df: DataFrame, ts_col: str, every: int,
+                group_cols: Optional[list[str]] = None,
+                aggs: Optional[list[Column]] = None,
+                bucket_col: str = "bucket_start") -> DataFrame:
+    """Hypertable-style time-bucketed rollup: aggregate into fixed windows of
+    ``every`` (same units as the numeric ts column).
+
+    bucket_start = ts - (ts mod every) — the continuous-aggregate shape
+    (TimescaleDB's time_bucket / Druid's granularity). Plain groupBy: partial
+    aggregation map-side, shuffle keyed on (bucket, *group_cols) — uniform by
+    construction, no skew. Pair with date-partitioned storage and each bucket
+    touches one partition.
+    """
+    bucket = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(every))).alias(bucket_col)
+    keys = [bucket] + [F.col(c) for c in (group_cols or [])]
+    aggs = aggs or [F.count(F.lit(1)).alias("n_rows")]
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def range_join(points: DataFrame, ranges: DataFrame, point_col: str,
                lo_col: str, hi_col: str, bucket_size: float) -> DataFrame:
     """Join points to [lo, hi) ranges via bucketized equi-join.

@@ -1,0 +1,44 @@
+"""IVF approximate search: full-probe must reduce to exact brute force;
+partial probe recall tracks the probed share."""
+
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark import benchqueries as bq
+from funnel_rocket_spark.operators import similarity
+
+
+def _result_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """n_probe == n_clusters degenerates to brute force — the IVF machinery
+    (index build, probe routing, per-cell scoring, global rank) must then
+    reproduce the exact top-k identically."""
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _result_sets(similarity.cosine_topk(emb, queries, k=10))
+    full = _result_sets(similarity.ivf_topk(emb, queries, k=10,
+                                            n_clusters=8, n_probe=8))
+    assert full == exact
+
+
+def test_ivf_partial_probe_sane(spark):
+    """Probing half the cells on near-uniform vectors: recall must be at
+    least the probed share (routing to NEAREST cells can only beat random
+    cell choice) and results must still be valid size-k sets."""
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _result_sets(similarity.cosine_topk(emb, queries, k=10))
+    approx = _result_sets(similarity.ivf_topk(emb, queries, k=10,
+                                              n_clusters=8, n_probe=4))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    for ids in approx.values():
+        assert len(ids) == 10

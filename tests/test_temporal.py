@@ -71,3 +71,14 @@ def test_sessionize_agrees_with_session_window(spark):
     a = {r["user_id"]: r["count"] for r in mine.collect()}
     b = {r["user_id"]: r["count"] for r in builtin.collect()}
     assert a == b
+
+
+def test_time_rollup_units(spark):
+    rows = [("a", 5, 1.0), ("a", 15, 2.0), ("b", 12, 4.0), ("a", 25, 8.0)]
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    from pyspark.sql import functions as F
+
+    out = temporal.time_rollup(df, "ts", every=10, group_cols=["g"],
+                               aggs=[F.sum("v").alias("s")])
+    got = {(r["bucket_start"], r["g"]): r["s"] for r in out.collect()}
+    assert got == {(0, "a"): 1.0, (10, "a"): 2.0, (10, "b"): 4.0, (20, "a"): 8.0}
