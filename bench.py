@@ -22,7 +22,7 @@ from funnel_rocket_spark.session import get_spark
 
 # The full query catalog, in catalog order. Every operator the engine claims
 # is timed — no cherry-picking.
-HEADLINE = list(benchqueries.QUERIES.keys())
+HEADLINE = list(benchqueries.QUERIES.keys()) + list(benchqueries.NO_ORACLE.keys())
 
 
 def main() -> None:

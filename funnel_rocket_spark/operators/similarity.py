@@ -124,6 +124,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
+             max_iter: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id") -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus with
@@ -144,11 +145,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     queries = queries.select(F.col(id_col),
                              F.col(vec_col).cast("array<double>").alias(vec_col))
     ml_corpus = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="__features",
-                predictionCol="__cell")
+    # A coarse quantizer doesn't need converged Lloyd iterations — cell
+    # boundaries just need to be stable enough to route probes.
+    km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
+                featuresCol="__features", predictionCol="__cell")
     model = km.fit(ml_corpus)
     assigned = model.transform(ml_corpus).select(id_col, vec_col, "__cell")
-    assigned.persist()  # the IVF index table
 
     centers = model.clusterCenters()  # tiny: n_clusters × dim on the driver
 
