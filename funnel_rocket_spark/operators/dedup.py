@@ -259,30 +259,39 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
-    """Near-duplicate pair list → (id, cluster) via min-label propagation.
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 10,
+                   algorithm: str = "star") -> DataFrame:
+    """Near-duplicate pair list → (id, cluster) connected-component labels.
 
-    Connected components over the similarity graph: every doc's label starts
-    as its own id; each round every node takes the min label in its
-    neighborhood; converged when no label changes. Components from dedup
-    thresholds are tiny (duplicate clusters), so this converges in a few
-    rounds — each round is two joins + a groupBy-min, all DataFrame algebra.
-    For web-scale graphs swap in the large-star/small-star algorithm; the
-    contract (pairs in → cluster labels out) stays the same.
+    ``algorithm="star"`` (default): alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log n) rounds regardless of component
+    diameter, each round two groupBy-min + join passes of pure DataFrame
+    algebra. This is the 100 TB path: a duplicate *chain* (a~b~c~...~z,
+    common with loose thresholds) has diameter O(n) and would need O(n)
+    rounds of label propagation, but still only O(log n) star rounds.
+
+    ``algorithm="propagate"``: simple min-label propagation — one
+    join+groupBy per round, converges in diameter rounds. Fine for the
+    tiny star-shaped components a tight dedup threshold yields.
 
     The canonical survivor of each cluster is its min id == the cluster label.
     """
+    if algorithm == "star":
+        return _star_clusters(pairs, max_iterations)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"),
                                F.col("id_a").alias("dst")))
         .distinct()
     )
-    edges.persist()
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
+        # truncate lineage per round or the plan grows exponentially
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -296,20 +305,81 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
                 F.least(F.col("cluster"),
                         F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .limit(1).count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
+
+
+def _star_clusters(pairs: DataFrame, max_iterations: int) -> DataFrame:
+    """Large-star/small-star connected components.
+
+    Each round rewires edges toward the component minimum:
+    - large-star: for node u, m = min(N(u) ∪ {u}); link every STRICTLY
+      LARGER neighbor to m.
+    - small-star: orient edges max→min; for node u, m = min of its smaller
+      neighborhood ∪ {u}; link u and all its smaller neighbors to m.
+    Components converge to stars centered on their min id. Convergence is
+    detected by an order-insensitive edge-set checksum (count + sum of
+    per-edge hashes) — one aggregate, no subtract shuffle.
+    """
+    edges = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+             .filter(F.col("u") != F.col("v")))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        return (und.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(F.greatest("u", "v").alias("u"),
+                            F.least("u", "v").alias("v"))
+        m = oriented.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        joined = oriented.join(m, "u")
+        relinked = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_link = m.where(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v"))
+        return (relinked.unionAll(self_link)
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    def checksum(e: DataFrame):
+        row = e.agg(F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum(F.xxhash64("u", "v")
+                                     .cast("decimal(38,0)")), F.lit(0))
+                    .alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    # Each star pass references `edges` several times, so without lineage
+    # truncation the logical plan grows exponentially with rounds (driver
+    # OOM while optimizing). localCheckpoint materializes the round and
+    # resets lineage — the standard idiom for iterative graph algorithms.
+    edges = edges.localCheckpoint(eager=True)
+    prev = checksum(edges)
+    for _ in range(max_iterations):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    centers = edges.select(F.col("v").alias("id")).distinct().withColumn(
+        "cluster", F.col("id"))
+    return (edges.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+            .unionAll(centers).distinct())
 
 
 def apply_dedup(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -34,3 +34,34 @@ def test_end_to_end_minhash_then_apply(spark):
     n_kept = deduped.count()
     assert n_kept < n_docs  # some near-dups exist in the corpus
     assert n_kept >= n_docs - n_pairs  # can't drop more than pair count
+
+def test_star_handles_long_chain(spark):
+    """A 64-node chain has diameter 63 — label propagation's worst case.
+    Large-star/small-star must still collapse it to one cluster within the
+    default iteration budget (O(log n) rounds)."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "id_a long, id_b long")
+    clusters = {r["id"]: r["cluster"]
+                for r in dedup.dedup_clusters(pairs).collect()}
+    assert clusters == {i: 0 for i in range(64)}
+
+
+def test_star_agrees_with_propagation(spark):
+    """Differential check on a pseudo-random multi-component graph."""
+    import random
+
+    rnd = random.Random(7)
+    edges = {(rnd.randrange(0, 120), rnd.randrange(0, 120)) for _ in range(90)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {r["id"]: r["cluster"]
+            for r in dedup.dedup_clusters(pairs, algorithm="star").collect()}
+    prop = {r["id"]: r["cluster"]
+            for r in dedup.dedup_clusters(pairs, max_iterations=120,
+                                          algorithm="propagate").collect()}
+    assert star == prop
+
+
+def test_star_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.dedup_clusters(pairs).count() == 0
