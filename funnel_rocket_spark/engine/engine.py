@@ -88,7 +88,9 @@ class QueryEngine:
             }
 
             if funnel is not None:
-                frows = plan.funnel_rows()
+                # One row per group; step counts and every step-rows semi
+                # join derive from it (plan-equal rebuilds hit this cache).
+                frows = plan.funnel_per_group()
                 frows.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     step_counts = {

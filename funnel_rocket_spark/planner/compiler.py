@@ -41,6 +41,7 @@ from funnel_rocket_spark.validation.validator import ExpandedQuery
 
 COND_PREFIX = "__cond_"
 ROWS_COL = "__fr_rows"
+DONE_COL = "__fr_done"
 MATCH_COL = "__fr_match"
 NEG_INF = float("-inf")
 
@@ -200,14 +201,16 @@ def with_sequence_anchors(df: DataFrame, spec: SequenceSpec, group_col: str,
     return df
 
 
-def sequence_fold_flag(spec: SequenceSpec, df: DataFrame, ts_col: str) -> Column:
-    """Sequence-condition flag as a PURE AGGREGATE: no window, no extra sort.
+def sequence_fold_done(spec: SequenceSpec, df: DataFrame, ts_col: str) -> Column:
+    """Steps-completed count as a PURE AGGREGATE: no window, no extra sort.
 
     ``array_sort(collect_list(struct(ts, step_preds…)))`` then a single
     left-to-right fold carrying (steps_done, anchor, first_anchor). Greedy
     earliest-event advance ≡ the reference's iterative min-ts (an event
-    advances at most one step; strict ``ts >`` blocks same-ts chains). Groups
-    matching all steps have done == n.
+    advances at most one step; strict ``ts >`` blocks same-ts chains). The
+    result is the length of the matched step prefix: ``done > i`` ⇔ the
+    group passed step *i* (= window anchor i non-null), ``done == n`` ⇔ the
+    full sequence matched.
 
     Scale trade-off vs window anchors: one in-memory array per group during
     aggregation (fine for user-sized groups, the window path spills better on
@@ -241,7 +244,13 @@ def sequence_fold_flag(spec: SequenceSpec, df: DataFrame, ts_col: str) -> Column
 
     init = F.struct(F.lit(0).alias("done"), sentinel.alias("anchor"),
                     sentinel.alias("first"))
-    return F.aggregate(events, init, merge)["done"] == F.lit(n)
+    return F.aggregate(events, init, merge)["done"]
+
+
+def sequence_fold_flag(spec: SequenceSpec, df: DataFrame, ts_col: str) -> Column:
+    """Full-sequence-matched flag — ``done == n`` over the fold."""
+    return (sequence_fold_done(spec, df, ts_col)
+            == F.lit(len(spec.step_preds)))
 
 
 class QueryPlan:
@@ -252,8 +261,10 @@ class QueryPlan:
     ``sequence_strategy``: how sequence CONDITIONS evaluate —
     ``"auto"`` (default) uses the windowless fold unless a step has
     ``rowFound: false``; ``"window"`` forces window-min anchors;
-    ``"fold"`` forces the fold (rejects rowFound:false). Funnels always use
-    window anchors (their per-step row universes need per-row flags).
+    ``"fold"`` forces the fold (rejects rowFound:false). Funnels follow the
+    same rule: anchors are per-group constants, so the fold's steps-done
+    count feeds every funnel output; window anchors only when a
+    ``rowFound:false`` step needs them.
     """
 
     def __init__(self, df: DataFrame, expanded: ExpandedQuery,
@@ -426,36 +437,70 @@ class QueryPlan:
             self.rows_of_matching_groups(), self._funnel_spec,
             self.group_col, self.ts_col)
 
-    def funnel_step_counts(self) -> Optional[DataFrame]:
-        """Per-step (step, matching_groups, matching_group_rows).
+    def funnel_per_group(self) -> Optional[DataFrame]:
+        """(group, __fr_rows, __fr_done): row count + completed-step count
+        per group of the funnel universe.
 
-        Anchors are per-group constants, so reduce rows → groups first
-        (reusing the window's hash partitioning — no extra shuffle), then one
-        tiny aggregate over groups.
+        Funnel anchors are per-group CONSTANTS, so this tiny frame carries
+        everything any funnel output needs: group passed step i ⇔ done > i.
+        Foldable funnels (no ``rowFound:false``) compute ``done`` in the
+        groupBy itself — no window, no partition sort. Otherwise window
+        anchors are attached first and ``done`` counts non-null anchors
+        (valid because passing step i requires passing i-1).
         """
         spec = self._funnel_spec
         if spec is None:
             return None
-        rows = self.funnel_rows()
-        per_group = rows.groupBy(self.group_col).agg(
+        rows = self.rows_of_matching_groups()
+        if self._use_fold(spec):
+            return rows.groupBy(self.group_col).agg(
+                F.count(F.lit(1)).alias(ROWS_COL),
+                sequence_fold_done(spec, rows, self.ts_col).alias(DONE_COL),
+            )
+        anchored = with_sequence_anchors(rows, spec, self.group_col, self.ts_col)
+        pg = anchored.groupBy(self.group_col).agg(
             F.count(F.lit(1)).alias(ROWS_COL),
             *[F.first(spec.anchor(i)).alias(spec.anchor(i))
               for i in range(len(spec.step_preds))],
         )
-        steps = []
-        for i in range(len(spec.step_preds)):
-            passed = F.col(spec.anchor(i)).isNotNull()
-            steps.append(per_group.agg(
-                F.lit(i).alias("step"),
-                F.coalesce(F.sum(F.when(passed, 1)), F.lit(0)).alias("matching_groups"),
-                F.coalesce(F.sum(F.when(passed, F.col(ROWS_COL))), F.lit(0))
-                 .alias("matching_group_rows"),
-            ))
-        return reduce(lambda a, b: a.unionAll(b), steps)
+        done = reduce(lambda a, b: a + b,
+                      [F.col(spec.anchor(i)).isNotNull().cast("int")
+                       for i in range(len(spec.step_preds))])
+        return pg.select(self.group_col, ROWS_COL, done.alias(DONE_COL))
 
-    def funnel_step_rows(self, step: int) -> Optional[DataFrame]:
-        """All rows of groups that passed funnel step ``step``."""
+    def funnel_step_counts(self) -> Optional[DataFrame]:
+        """Per-step (step, matching_groups, matching_group_rows).
+
+        ONE aggregate over the per-group frame producing all steps' counts
+        as columns, unpivoted with ``inline`` — the n-way union of
+        per-step aggregates (which re-scanned the universe n times) is gone.
+        """
         spec = self._funnel_spec
         if spec is None:
             return None
-        return self.funnel_rows().filter(F.col(spec.anchor(step)).isNotNull())
+        n = len(spec.step_preds)
+        aggs = []
+        for i in range(n):
+            passed = F.col(DONE_COL) > F.lit(i)
+            aggs.append(F.coalesce(F.sum(F.when(passed, 1)), F.lit(0))
+                        .alias(f"__g{i}"))
+            aggs.append(F.coalesce(F.sum(F.when(passed, F.col(ROWS_COL))),
+                                   F.lit(0)).alias(f"__r{i}"))
+        one = self.funnel_per_group().agg(*aggs)
+        return one.select(F.inline(F.array(*[
+            F.struct(F.lit(i).alias("step"),
+                     F.col(f"__g{i}").alias("matching_groups"),
+                     F.col(f"__r{i}").alias("matching_group_rows"))
+            for i in range(n)])))
+
+    def funnel_step_rows(self, step: int) -> Optional[DataFrame]:
+        """All rows of groups that passed funnel step ``step`` — a semi join
+        against the per-group frame (AQE broadcasts the small side)."""
+        spec = self._funnel_spec
+        if spec is None:
+            return None
+        passed = (self.funnel_per_group()
+                  .filter(F.col(DONE_COL) > F.lit(step))
+                  .select(self.group_col))
+        return self.rows_of_matching_groups().join(
+            passed, on=self.group_col, how="left_semi")

@@ -483,3 +483,32 @@ def test_fold_rejects_row_found_false(seq_df):
     with _pytest.raises(ValueError):
         QueryPlan(seq_df, expanded, "id", "timestamp",
                   sequence_strategy="fold").counts()
+
+
+def test_funnel_strategies_agree(spark, seq_df):
+    """Funnel step counts via the fold fast-path (done > i) must equal the
+    window-anchor path (anchor i non-null) step by step."""
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    eng = QueryEngine("id", "timestamp")
+    funnels = [
+        {"sequence": [{"filter": ["category", ">=", 0]},
+                      {"filter": ["category", "<=", 2]},
+                      {"filter": ["category", "==", 1]}]},
+        {"sequence": [{"filter": ["category", ">=", 3]},
+                      {"filter": ["category", "==", 0]}],
+         "maxDuration": 3},
+    ]
+    for fn in funnels:
+        q = {"query": {}, "funnel": fn}
+        expanded = eng.expand(q, seq_df)
+        fold = QueryPlan(seq_df, expanded, "id", "timestamp",
+                         sequence_strategy="fold"
+                         ).funnel_step_counts().collect()
+        window = QueryPlan(seq_df, expanded, "id", "timestamp",
+                           sequence_strategy="window"
+                           ).funnel_step_counts().collect()
+        key = lambda rs: [(r["step"], r["matching_groups"],
+                           r["matching_group_rows"]) for r in rs]
+        assert key(fold) == key(window), fn
