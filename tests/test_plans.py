@@ -81,3 +81,40 @@ def test_denorm_join_broadcasts(spark):
     assert "BroadcastHashJoin" in df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple"
     )
+
+
+def test_funnel_fold_path_has_no_window_sort(events, engine):
+    """Foldable funnels must NOT pay a partition sort: the steps-done count
+    rides the groupBy (fold aggregate), so the physical plan contains no
+    Window node and no Sort beyond what groupBy needs (none)."""
+    q = {"query": {}, "funnel": {"sequence": [
+        {"filter": ["event_type", "==", "view"]},
+        {"filter": ["event_type", "==", "purchase"]}]}}
+    plan = engine.plan(events, q)
+    explained = plan.funnel_step_counts()._sc._jvm.PythonSQLUtils.explainString(
+        plan.funnel_step_counts()._jdf.queryExecution(), "simple")
+    assert "Window" not in explained, explained
+    assert "Sort" not in explained, explained
+
+
+def test_funnel_row_found_false_falls_back_to_window(events, engine):
+    q = {"query": {}, "funnel": {"sequence": [
+        {"filter": ["event_type", "==", "view"]},
+        {"filter": ["event_type", "==", "purchase"], "rowFound": False}]}}
+    plan = engine.plan(events, q)
+    explained = plan.funnel_step_counts()._sc._jvm.PythonSQLUtils.explainString(
+        plan.funnel_step_counts()._jdf.queryExecution(), "simple")
+    assert "Window" in explained
+
+
+def test_time_rollup_single_shuffle(spark):
+    """Fixed-window rollup is one partial/final aggregate: exactly one
+    exchange on (bucket, keys) + nothing else."""
+    from funnel_rocket_spark.operators import temporal
+    from pyspark.sql import functions as F
+
+    ev = bq.load_table(spark, SF, "events")
+    out = temporal.time_rollup(ev, "ts", every=86_400_000_000_000,
+                               group_cols=["event_type"],
+                               aggs=[F.count(F.lit(1)).alias("n")])
+    assert count_exchanges(out) == 1
