@@ -124,3 +124,41 @@ def test_incremental_funnel_stream(spark, tmp_path):
     assert final[1] == 3   # completed the funnel
     assert final[2] == 2   # same-ts purchase cannot chain after click
     assert 3 not in final  # never matched step 0 → no update emitted
+
+
+def test_streaming_time_rollup(spark, tmp_path):
+    from funnel_rocket_spark.streaming import streaming_time_rollup
+
+    indir = tmp_path / "roll_in"
+    ckpt = tmp_path / "roll_ckpt"
+    indir.mkdir()
+    # minute buckets; watermark 30s. Batch 2 carries one late-but-in-grace
+    # event (00:50, bucket 0) and advances time far enough (03:00) to
+    # finalize buckets 0-1.
+    pd.DataFrame([
+        {"ts": "2026-01-01 00:00:10", "etype": "view"},
+        {"ts": "2026-01-01 00:00:40", "etype": "view"},
+        {"ts": "2026-01-01 00:01:20", "etype": "click"},
+    ]).to_parquet(indir / "b1.parquet")
+    pd.DataFrame([
+        {"ts": "2026-01-01 00:00:50", "etype": "view"},   # late, in grace
+        {"ts": "2026-01-01 00:03:00", "etype": "view"},   # advances watermark
+    ]).to_parquet(indir / "b2.parquet")
+
+    stream = (spark.readStream.schema("ts string, etype string")
+              .option("maxFilesPerTrigger", "1").parquet(str(indir))
+              .select(F.col("ts").cast("timestamp").alias("ts"), "etype"))
+    out = streaming_time_rollup(stream, "ts", every="1 minute",
+                                watermark="30 seconds",
+                                group_cols=["etype"],
+                                aggs=[F.count(F.lit(1)).alias("n")])
+    q = (out.writeStream.format("memory").queryName("rollup_out")
+         .outputMode("append").option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(str(r["bucket_start"]), r["etype"]): r["n"]
+           for r in spark.sql("SELECT * FROM rollup_out").collect()}
+    # finalized buckets only (bucket 3 is still open when input ends):
+    # the late 00:00:50 view IS counted in bucket 0.
+    assert got == {("2026-01-01 00:00:00", "view"): 3,
+                   ("2026-01-01 00:01:00", "click"): 1}
