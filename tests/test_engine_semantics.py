@@ -512,3 +512,87 @@ def test_funnel_strategies_agree(spark, seq_df):
         key = lambda rs: [(r["step"], r["matching_groups"],
                            r["matching_group_rows"]) for r in rs]
         assert key(fold) == key(window), fn
+
+
+def test_kitchen_sink_query(spark):
+    """Maximal query in the spirit of the reference's
+    tests/utils/base_query_example.json: every feature at once — timeframe,
+    named conditions, shorthand+verbose forms, includeZero, sum targets,
+    multi-filters, sequence with maxDuration + rowFound:false, named
+    relation with ||, default + named aggregations, funnel with
+    maxDuration + stepAggregations + endAggregations."""
+    from pyspark.sql import functions as F
+
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.engine import QueryEngine
+
+    ev = bq.load_table(spark, "/root/testdata/sf0.001", "events")
+    ts_lo = int(ev.agg(F.min("ts")).collect()[0][0])
+    ts_hi = int(ev.agg(F.max("ts")).collect()[0][0])
+    q = {
+        "timeframe": {"from": ts_lo, "to": ts_hi},
+        "query": {
+            "relation": "($1 and $2) || $seq || (($did_signup))",
+            "conditions": [
+                {"name": "did_signup",
+                 "filter": ["event_type", "==", "signup"],
+                 "target": ["count", ">=", 0], "includeZero": True},
+                {"name": "clicked", "filter": ["event_type", "==", "click"],
+                 "includeZero": False},
+                {"filter": {"column": "event_type", "op": "==",
+                            "value": "view"},
+                 "target": {"type": "sum", "column": "value", "op": "<",
+                            "value": 350}},
+                {"filters": [
+                    {"column": "event_type", "op": "==", "value": "purchase"},
+                    {"column": "value", "op": ">=", "value": 3}],
+                 "target": ["sum", "value", "<", 350]},
+                {"name": "seq", "sequence": [
+                    {"filter": ["event_type", "==", "view"]},
+                    {"filters": [
+                        {"column": "event_type", "op": "==",
+                         "value": "purchase"},
+                        {"column": "value", "op": ">=", "value": 3}]},
+                    {"rowFound": False,
+                     "filter": {"column": "event_type", "op": "==",
+                                "value": "error"}}],
+                 "maxDuration": (ts_hi - ts_lo) // 2},
+            ],
+            "aggregations": [
+                {"column": "event_type"},
+                {"column": "event_id", "type": "count",
+                 "name": "purchase_count"},
+                {"column": "event_type", "type": "sumPerValue",
+                 "otherColumn": "value", "name": "hoola"},
+            ],
+        },
+        "funnel": {
+            "sequence": [
+                {"filter": ["event_type", "==", "view"]},
+                {"filter": {"column": "event_type", "op": "==",
+                            "value": "purchase"}}],
+            "maxDuration": ts_hi - ts_lo,
+            "stepAggregations": [
+                {"column": "event_id", "type": "count", "name": "mosh"},
+                {"column": "event_type", "type": "groupsPerValue",
+                 "name": "mosh2"}],
+            "endAggregations": [{"column": "event_type"}],
+        },
+    }
+    eng = QueryEngine("user_id", "ts")
+    result = eng.run(ev, q)
+
+    # includeZero + count>=0 makes $did_signup universally true → every
+    # group matches the relation.
+    all_groups = ev.select("user_id").distinct().count()
+    assert result["query"]["matchingGroups"] == all_groups
+    aggs = result["query"]["aggregations"]
+    # default expansion on bare {"column": ...} → count/countPerValue/
+    # groupsPerValue; named aggregations keep their names
+    names = {a["name"] for a in aggs if a.get("name")}
+    assert {"purchase_count", "hoola"} <= names
+    assert len(result["funnel"]["sequence"]) == 2
+    step1 = result["funnel"]["sequence"][1]
+    assert 0 < step1["matchingGroups"] <= all_groups
+    assert step1["aggregations"] is not None
+    assert result["funnel"]["endAggregations"] is not None
