@@ -64,16 +64,22 @@ def session_stats(df: DataFrame, group_col: str, ts_col: str, gap: int) -> DataF
 def as_of_join(left: DataFrame, right: DataFrame, on: str,
                left_ts: str, right_ts: str,
                value_cols: Optional[list[str]] = None,
-               tolerance: Optional[int] = None) -> DataFrame:
-    """Backward as-of join: each left row gets the latest right row with
-    ``right_ts <= left_ts`` (ties match), per ``on`` key.
+               tolerance: Optional[int] = None,
+               direction: str = "backward") -> DataFrame:
+    """As-of join: each left row gets the latest right row with
+    ``right_ts <= left_ts`` (``direction="backward"``, default) or the
+    earliest with ``right_ts >= left_ts`` (``direction="forward"``); ties
+    match in both directions, per ``on`` key — `pd.merge_asof` semantics.
 
     The union trick: tag both sides, interleave on the time axis, and carry
     right-side values forward with ``last(..., ignorenulls=True)`` over one
     (key, time) window — exact, one shuffle, scales like any window query.
-    ``tolerance`` (same units as ts) nulls out matches older than
-    ``left_ts - tolerance``, like ``pd.merge_asof``.
+    Forward is the same plan with the time axis reversed. ``tolerance``
+    (same units as ts) nulls out matches farther than ``tolerance`` from
+    ``left_ts``, like ``pd.merge_asof``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)]
 
@@ -91,8 +97,12 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     )
     unioned = lhs.unionByName(rhs)
 
-    # right rows sort BEFORE left rows at equal time → ties match
-    w = (Window.partitionBy(on).orderBy("__t", "__is_left")
+    # right rows sort BEFORE left rows at equal time → ties match; forward
+    # walks the time axis in reverse so "carry forward" finds the earliest
+    # right row at-or-after the left row
+    t_order = (F.col("__t").asc() if direction == "backward"
+               else F.col("__t").desc())
+    w = (Window.partitionBy(on).orderBy(t_order, F.col("__is_left").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
                for c in value_cols]
@@ -103,7 +113,9 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
         "*", *carried, carried_ts.alias("__rt")
     ).filter(F.col("__is_left") == 1)
     if tolerance is not None:
-        keep = F.col("__rt") >= F.col("__t") - F.lit(tolerance)
+        keep = (F.col("__rt") >= F.col("__t") - F.lit(tolerance)
+                if direction == "backward"
+                else F.col("__rt") <= F.col("__t") + F.lit(tolerance))
         out = out.select(
             *[c for c in left.columns],
             *[F.when(keep, F.col(c)).alias(c) for c in value_cols],

@@ -82,3 +82,44 @@ def test_time_rollup_units(spark):
                                aggs=[F.sum("v").alias("s")])
     got = {(r["bucket_start"], r["g"]): r["s"] for r in out.collect()}
     assert got == {(0, "a"): 1.0, (10, "a"): 2.0, (10, "b"): 4.0, (20, "a"): 8.0}
+
+
+def test_asof_forward_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    lpdf = pd.DataFrame({
+        "k": rng.integers(0, 4, 60), "t": rng.integers(0, 100, 60),
+        "lv": np.arange(60)}).sort_values("t").reset_index(drop=True)
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 4, 40), "t": rng.integers(0, 100, 40),
+        "price": rng.random(40).round(3)}).sort_values("t")
+    # merge_asof needs unique-ish ordering; drop duplicate (k, t) on the
+    # right keeping the LAST so ties are deterministic on both engines...
+    # forward direction takes the FIRST right row at-or-after, so keep first.
+    rpdf = rpdf.drop_duplicates(["k", "t"], keep="first")
+
+    want = pd.merge_asof(lpdf, rpdf, on="t", by="k", direction="forward")
+
+    ldf = spark.createDataFrame(lpdf.rename(columns={"t": "lt"}))
+    rdf = spark.createDataFrame(rpdf.rename(columns={"t": "rt"}))
+    got = temporal.as_of_join(ldf, rdf, on="k", left_ts="lt", right_ts="rt",
+                              direction="forward").toPandas()
+    got = got.sort_values("lv").reset_index(drop=True)
+    want = want.sort_values("lv").reset_index(drop=True)
+    assert len(got) == len(want)
+    for i in range(len(want)):
+        w, g = want["price"].iloc[i], got["price"].iloc[i]
+        assert (pd.isna(w) and pd.isna(g)) or w == g, (i, w, g)
+
+
+def test_asof_forward_tolerance(spark):
+    ldf = spark.createDataFrame([(1, 10), (1, 50)], "k long, lt long")
+    rdf = spark.createDataFrame(
+        [(1, 12, 1.0), (1, 90, 2.0)], "k long, rt long, price double")
+    got = {r["lt"]: r["price"] for r in temporal.as_of_join(
+        ldf, rdf, on="k", left_ts="lt", right_ts="rt",
+        direction="forward", tolerance=5).collect()}
+    assert got[10] == 1.0      # 12 is within 10+5
+    assert got[50] is None     # 90 is beyond 50+5
