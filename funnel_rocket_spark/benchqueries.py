@@ -257,6 +257,21 @@ def _asof_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.expr("ts DIV 1000").alias("ts_us"), "click_value")
 
 
+def _asof_forward_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each view paired with the NEXT purchase of that user."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"))
+    joined = temporal.as_of_join(views, purchases, on="user_id",
+                                 left_ts="ts", right_ts="ts",
+                                 direction="forward")
+    return joined.select("event_id", "user_id",
+                         F.expr("ts DIV 1000").alias("ts_us"),
+                         "purchase_value")
+
+
 def _range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bands = spark.createDataFrame(
@@ -634,6 +649,15 @@ WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase
 c AS (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click')
 SELECT p.event_id, p.user_id, epoch_us(p.ts)::BIGINT AS ts_us, c.click_value
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    ),
+    "asof_join_forward": (
+        _asof_forward_fn,
+        """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase')
+SELECT v.event_id, v.user_id, epoch_us(v.ts)::BIGINT AS ts_us, p.purchase_value
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
 """,
     ),
     "range_join_value_bands": (

@@ -275,7 +275,7 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
     bucketed = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         assign_buckets, schema="id long, vec array<double>, tbl int, bucket long")
 
-    def bucket_pairs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def bucket_pairs(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf["id"].to_numpy(dtype=np.int64)
         v = np.array(list(pdf["vec"]), dtype=np.float64)
         norms = np.linalg.norm(v, axis=1)
