@@ -122,28 +122,22 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
         block_pairs, schema="id_a long, id_b long, cosine_sim double")
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
-             max_iter: int = 8,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
-    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus with
-    k-means, then search only the ``n_probe`` nearest cells per query.
+def ivf_index(corpus: DataFrame, n_clusters: int = 16, seed: int = 42,
+              max_iter: int = 8, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Build an IVF (inverted-file) index: k-means coarse quantizer.
 
-    The Spark-native IVF shape: the corpus is partitioned by cell (ONE
-    shuffle, reusable across queries as a materialized index table); each
-    query broadcasts with its probe-cell list; scoring happens per cell.
-    Recall/cost tunes with ``n_probe``/``n_clusters`` exactly like FAISS IVF.
-    Deterministic for a fixed seed + input layout. Returns
-    (query_id, vec_id, cosine_sim).
+    Returns ``(assigned, centers)`` — the cell-assigned corpus DataFrame
+    (id, vec, __cell) and the tiny driver-side center list
+    (n_clusters × dim). At scale this is the one-time expensive step: write
+    ``assigned`` out partitioned by ``__cell`` (and persist the centers) and
+    every subsequent :func:`ivf_search` is a pruned read + per-cell scoring.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus = corpus.select(F.col(id_col),
                            F.col(vec_col).cast("array<double>").alias(vec_col))
-    queries = queries.select(F.col(id_col),
-                             F.col(vec_col).cast("array<double>").alias(vec_col))
     ml_corpus = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
     # A coarse quantizer doesn't need converged Lloyd iterations — cell
     # boundaries just need to be stable enough to route probes.
@@ -151,14 +145,28 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 featuresCol="__features", predictionCol="__cell")
     model = km.fit(ml_corpus)
     assigned = model.transform(ml_corpus).select(id_col, vec_col, "__cell")
+    return assigned, model.clusterCenters()
 
-    centers = model.clusterCenters()  # tiny: n_clusters × dim on the driver
 
+def ivf_search(assigned: DataFrame, centers, queries: DataFrame, k: int = 10,
+               n_probe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               query_id_col: str = "query_id") -> DataFrame:
+    """Search an IVF index: route each query to its ``n_probe`` nearest
+    cells, score only those cells, rank per query.
+
+    Each query broadcasts with its probe-cell list; the corpus side never
+    shuffles (the cell equi-join uses the index's layout). Recall/cost tunes
+    with ``n_probe``/``n_clusters`` exactly like FAISS IVF. Deterministic
+    for a fixed index. Returns (query_id, vec_id, cosine_sim).
+    """
     import numpy as np
-    import pandas as pd
 
+    queries = queries.select(F.col(id_col),
+                             F.col(vec_col).cast("array<double>").alias(vec_col))
     cmat = np.array(centers, dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
+    n_probe = min(n_probe, len(cmat))
 
     def probe_cells(batches):
         for pdf in batches:
@@ -190,6 +198,24 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .select(query_id_col, id_col, "cosine_sim"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
+             max_iter: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """One-shot IVF approximate top-k: :func:`ivf_index` + :func:`ivf_search`.
+
+    Convenience wrapper — production reuse should build the index once and
+    search it many times (index build dominates one-shot cost).
+    """
+    assigned, centers = ivf_index(corpus, n_clusters=n_clusters, seed=seed,
+                                  max_iter=max_iter, id_col=id_col,
+                                  vec_col=vec_col)
+    return ivf_search(assigned, centers, queries, k=k, n_probe=n_probe,
+                      id_col=id_col, vec_col=vec_col,
+                      query_id_col=query_id_col)
 
 
 def _hyperplane(bit: int, dim: int):

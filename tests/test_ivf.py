@@ -42,3 +42,20 @@ def test_ivf_partial_probe_sane(spark):
     assert sum(recalls) / len(recalls) >= 0.4, recalls
     for ids in approx.values():
         assert len(ids) == 10
+
+
+def test_ivf_index_reuse(spark, tmp_path):
+    """The index round-trips through parquet (the production path: build
+    once, write partitioned by cell, search many times)."""
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 3)
+    assigned, centers = similarity.ivf_index(emb, n_clusters=8)
+    direct = _result_sets(similarity.ivf_search(assigned, centers, queries,
+                                                k=5, n_probe=8))
+    path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("__cell").parquet(path)
+    loaded = spark.read.parquet(path)
+    reloaded = _result_sets(similarity.ivf_search(loaded, centers, queries,
+                                                  k=5, n_probe=8))
+    assert direct == reloaded
