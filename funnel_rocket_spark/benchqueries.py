@@ -383,10 +383,7 @@ def _minhash_pairs_fn(spark, sf_dir):
 def _simhash_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    return docs.select(
-        F.col("doc_id"),
-        dedup.simhash16(F.col("text")).cast("bigint").alias("simhash"),
-    )
+    return dedup.simhash16_table(docs)
 
 
 def _text_stats_fn(spark, sf_dir):

