@@ -57,6 +57,13 @@ def main() -> None:
                 _ = len(rows)
                 elapsed = time.perf_counter() - start
                 best = elapsed if best is None or elapsed < best else best
+                # Each run builds FRESH DataFrames, so frames persisted
+                # inside a query (dedup keeps shingle/signature tables) are
+                # dead weight the moment the run ends — without this, ~90
+                # runs of orphaned caches pile up and later queries pay
+                # eviction/GC for storage they never read. Untimed: every
+                # run still pays its own persist cost inside the window.
+                spark.catalog.clearCache()
             timings[name] = round(best, 4)
         except Exception as e:  # one broken query must not sink the report
             errors[name] = str(e)[:200]

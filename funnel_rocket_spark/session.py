@@ -37,6 +37,11 @@ def get_spark(
         # UTC so epoch conversions are machine-independent.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # The generated-class cache defaults to 100 entries; a session running
+        # the full query catalog compiles several hundred codegen stages, so
+        # re-runs of an identical plan recompile instead of hitting the cache
+        # (static conf — must be set before the first codegen).
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
