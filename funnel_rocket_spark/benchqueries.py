@@ -302,6 +302,15 @@ def _ann_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4)
 
 
+def _ann_ivf_full_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-probe IVF: every cell is searched, so the result is exactly
+    brute-force top-k — the one IVF configuration a SQL oracle can check
+    value-for-value (the partial-probe entry stays rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=8)
+
+
 def _olap_pricing_summary_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: wide grouped aggregation with
     arithmetic expressions — exercises multi-aggregate partial/final plans."""
@@ -435,6 +444,21 @@ def _s5_denorm_join_fn(spark, sf_dir):
 
 # --------------------------------------------------------------------------- #
 # catalog
+
+# Brute-force cosine top-k over the embeddings table: the oracle for the
+# exact scorer AND for full-probe IVF (same rounding + vec_id tie-break).
+_BRUTE_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (SELECT q.query_id, e.vec_id,
+  round(list_dot_product(e.v, q.qv) /
+        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM e, q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id ASC) AS rn FROM scored)
+WHERE rn <= 10
+"""
 
 QUERIES: dict[str, tuple] = {
     # ---- reference query shapes (SURVEY §2) ------------------------------- #
@@ -853,18 +877,13 @@ FROM s
     ),
     "ann_cosine_topk": (
         _ann_topk_fn,
-        """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-scored AS (SELECT q.query_id, e.vec_id,
-  round(list_dot_product(e.v, q.qv) /
-        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
-  FROM e, q WHERE e.vec_id <> q.query_id)
-SELECT query_id, vec_id, cosine_sim FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY cosine_sim DESC, vec_id ASC) AS rn FROM scored)
-WHERE rn <= 10
-""",
+        _BRUTE_TOPK_SQL,
+    ),
+    # Full-probe IVF searches every cell, so brute-force top-k is the exact
+    # oracle — value-level proof the IVF join/score/rank machinery is right.
+    "ann_ivf_fullprobe": (
+        _ann_ivf_full_fn,
+        _BRUTE_TOPK_SQL,
     ),
     "dedup_embedding_cosine": (
         _embedding_pairs_fn,

@@ -65,3 +65,20 @@ def test_star_agrees_with_propagation(spark):
 def test_star_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.dedup_clusters(pairs).count() == 0
+
+
+def test_simhash_table_matches_column_version(spark):
+    """simhash16_table is the throughput shape of simhash16 — bit-identical,
+    including empty/whitespace/null documents (simhash 0)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").unionByName(spark.createDataFrame(
+            [(9001, ""), (9002, "   "), (9003, None)],
+            "doc_id long, text string"))
+    col_ver = {r["doc_id"]: r["simhash"] for r in docs.select(
+        "doc_id",
+        dedup.simhash16(F.col("text")).cast("bigint").alias("simhash"),
+    ).collect()}
+    tab_ver = {r["doc_id"]: r["simhash"]
+               for r in dedup.simhash16_table(docs).collect()}
+    assert tab_ver == col_ver
+    assert tab_ver[9001] == tab_ver[9002] == tab_ver[9003] == 0
