@@ -45,7 +45,7 @@ def main() -> None:
     # Best of two runs per query: the reference's baseline numbers are warm
     # runs (BASELINE.md Workload A), and min-of-N suppresses scheduler noise
     # on a shared box.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -64,6 +64,10 @@ def main() -> None:
                 # eviction/GC for storage they never read. Untimed: every
                 # run still pays its own persist cost inside the window.
                 spark.catalog.clearCache()
+                # local mode = one JVM: collect the previous query's garbage
+                # outside the timed window so heavy allocators (k-means,
+                # Arrow batches) don't bill their GC debt to the next query.
+                spark.sparkContext._jvm.System.gc()
             timings[name] = round(best, 4)
         except Exception as e:  # one broken query must not sink the report
             errors[name] = str(e)[:200]
