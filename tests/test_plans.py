@@ -118,3 +118,22 @@ def test_time_rollup_single_shuffle(spark):
                                group_cols=["event_type"],
                                aggs=[F.count(F.lit(1)).alias("n")])
     assert count_exchanges(out) == 1
+
+
+def test_simhash_table_single_agg_shuffle(spark):
+    """simhash16_table: explode + hash-once projection + ONE groupBy(id)
+    exchange (plus the caller-controlled repartition, if any). More
+    exchanges means the vote aggregation stopped map-side combining."""
+    from funnel_rocket_spark.operators import dedup
+    from funnel_rocket_spark.plans import formatted_plan
+
+    docs = bq.load_table(spark, SF, "documents")
+    plan = dedup.simhash16_table(docs)
+    assert count_exchanges(plan) == 1
+    # the hash projection must be a flat Project (md5 once per token), with
+    # partial aggregation before the exchange — not an interpreted
+    # aggregate-HOF over the token array. (Codegen ids aren't visible in a
+    # pre-execution AQE plan, so gate on the node shapes instead.)
+    fp = formatted_plan(plan)
+    assert "partial_sum" in fp     # map-side combine before the exchange
+    assert "aggregate(" not in fp  # no interpreted fold over the token array
