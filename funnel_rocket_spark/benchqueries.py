@@ -445,6 +445,41 @@ def _s5_denorm_join_fn(spark, sf_dir):
 # --------------------------------------------------------------------------- #
 # catalog
 
+def _dedup_pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: minhash-LSH candidate pairs -> connected
+    components (large-star/small-star) -> survivor filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
+                                    threshold=0.5)
+    return dedup.apply_dedup(docs, pairs).select("doc_id")
+
+
+# MinHash-LSH candidate pairs verified by true Jaccard — shared by the
+# pair-level entry and the end-to-end pipeline oracle.
+_MINHASH_PAIRS_SQL = "WITH g AS (" + _GRAMS_SQL + """),
+based AS (SELECT doc_id, gr,
+  list_transform(gr, s -> ('0x' || substr(md5(s), 1, 11))::BIGINT) AS bases
+  FROM g WHERE len(gr) > 0),
+sigs AS (SELECT doc_id, gr, [""" + ", ".join(
+    f"list_aggregate(list_transform(bases, h -> ({a} * h + {b}) % "
+    f"{dedup.MINHASH_MOD}), 'min')"
+    for a, b in dedup.minhash_params(32)) + """] AS sig
+  FROM based),
+banded AS (SELECT doc_id, gr, b AS band,
+  md5(b || '|' || array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
+  FROM sigs, unnest(range(0, 8)) t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+  round(len(list_intersect(ga.gr, gb.gr))::DOUBLE /
+        (len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr))), 6) AS jaccard
+FROM cand JOIN g ga ON cand.id_a = ga.doc_id JOIN g gb ON cand.id_b = gb.doc_id
+WHERE round(len(list_intersect(ga.gr, gb.gr))::DOUBLE /
+            (len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr))), 6) >= 0.5
+"""
+
+
 # Brute-force cosine top-k over the embeddings table: the oracle for the
 # exact scorer AND for full-probe IVF (same rounding + vec_id tie-break).
 _BRUTE_TOPK_SQL = """
@@ -787,27 +822,27 @@ WHERE round(len(list_intersect(a.gr, b.gr))::DOUBLE /
     ),
     "dedup_minhash_lsh": (
         _minhash_pairs_fn,
-        "WITH g AS (" + _GRAMS_SQL + """),
-based AS (SELECT doc_id, gr,
-  list_transform(gr, s -> ('0x' || substr(md5(s), 1, 11))::BIGINT) AS bases
-  FROM g WHERE len(gr) > 0),
-sigs AS (SELECT doc_id, gr, [""" + ", ".join(
-            f"list_aggregate(list_transform(bases, h -> ({a} * h + {b}) % "
-            f"{dedup.MINHASH_MOD}), 'min')"
-            for a, b in dedup.minhash_params(32)) + """] AS sig
-  FROM based),
-banded AS (SELECT doc_id, gr, b AS band,
-  md5(b || '|' || array_to_string(sig[b*4+1 : b*4+4], '|')) AS bucket
-  FROM sigs, unnest(range(0, 8)) t(b)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-  AND a.doc_id < b.doc_id)
-SELECT id_a, id_b,
-  round(len(list_intersect(ga.gr, gb.gr))::DOUBLE /
-        (len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr))), 6) AS jaccard
-FROM cand JOIN g ga ON cand.id_a = ga.doc_id JOIN g gb ON cand.id_b = gb.doc_id
-WHERE round(len(list_intersect(ga.gr, gb.gr))::DOUBLE /
-            (len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr))), 6) >= 0.5
+        _MINHASH_PAIRS_SQL,
+    ),
+    # End-to-end dedup pipeline: candidate pairs -> connected components ->
+    # survivor filter. The oracle expresses the iterative clustering as a
+    # recursive CTE: cc(id, lbl) holds every id that can reach a SMALLER id
+    # (base: an edge to a smaller neighbor; step: a neighbor's known smaller
+    # label propagates). A doc is dropped iff it appears in cc — identical
+    # to apply_dedup keeping the min id of each cluster.
+    "dedup_pipeline_minhash": (
+        _dedup_pipeline_fn,
+        """
+WITH RECURSIVE pairs AS (""" + _MINHASH_PAIRS_SQL + """),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+cc(id, lbl) AS (
+  SELECT src, dst FROM edges WHERE dst < src
+  UNION
+  SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst
+  WHERE c.lbl < e.src
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cc)
 """,
     ),
     "dedup_simhash": (
