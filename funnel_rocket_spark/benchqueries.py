@@ -308,7 +308,10 @@ def _ann_ivf_full_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value (the partial-probe entry stays rows-only)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=8)
+    # max_iter=1 + random init: quantizer quality is irrelevant when every
+    # cell is probed — the result is brute-force-exact for ANY assignment.
+    return similarity.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=8,
+                               max_iter=1, init_mode="random")
 
 
 def _olap_pricing_summary_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -124,7 +124,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
 
 def ivf_index(corpus: DataFrame, n_clusters: int = 16, seed: int = 42,
               max_iter: int = 8, id_col: str = "vec_id",
-              vec_col: str = "embedding"):
+              vec_col: str = "embedding", init_mode: str = "k-means||"):
     """Build an IVF (inverted-file) index: k-means coarse quantizer.
 
     Returns ``(assigned, centers)`` — the cell-assigned corpus DataFrame
@@ -141,7 +141,9 @@ def ivf_index(corpus: DataFrame, n_clusters: int = 16, seed: int = 42,
     ml_corpus = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
     # A coarse quantizer doesn't need converged Lloyd iterations — cell
     # boundaries just need to be stable enough to route probes.
-    km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
+    # init_mode="random" skips the (itself iterative) k-means|| init passes —
+    # right when cell quality barely matters (e.g. full-probe verification).
+    km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, initMode=init_mode,
                 featuresCol="__features", predictionCol="__cell")
     model = km.fit(ml_corpus)
     assigned = model.transform(ml_corpus).select(id_col, vec_col, "__cell")
@@ -204,7 +206,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
              max_iter: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             init_mode: str = "k-means||") -> DataFrame:
     """One-shot IVF approximate top-k: :func:`ivf_index` + :func:`ivf_search`.
 
     Convenience wrapper — production reuse should build the index once and
@@ -212,7 +215,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     assigned, centers = ivf_index(corpus, n_clusters=n_clusters, seed=seed,
                                   max_iter=max_iter, id_col=id_col,
-                                  vec_col=vec_col)
+                                  vec_col=vec_col, init_mode=init_mode)
     return ivf_search(assigned, centers, queries, k=k, n_probe=n_probe,
                       id_col=id_col, vec_col=vec_col,
                       query_id_col=query_id_col)
