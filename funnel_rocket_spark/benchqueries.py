@@ -448,6 +448,15 @@ def _s5_denorm_join_fn(spark, sf_dir):
 # --------------------------------------------------------------------------- #
 # catalog
 
+def _decontaminate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training docs share 3-grams with a
+    held-out eval slice (doc_id % 97 == 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.ngram_contamination(corpus, evalset, n=3)
+
+
 def _dedup_pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline: minhash-LSH candidate pairs -> connected
     components (large-star/small-star) -> survivor filter."""
@@ -846,6 +855,15 @@ cc(id, lbl) AS (
   WHERE c.lbl < e.src
 )
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cc)
+""",
+    ),
+    "decontaminate_ngram": (
+        _decontaminate_fn,
+        "WITH g AS (" + _GRAMS_SQL + """),
+eg AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 97 = 0),
+cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 97 <> 0)
+SELECT cg.doc_id, count(*)::BIGINT AS n_shared
+FROM cg JOIN eg ON cg.gram = eg.gram GROUP BY cg.doc_id
 """,
     ),
     "dedup_simhash": (

@@ -124,6 +124,30 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_contamination(corpus: DataFrame, evalset: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word n-grams with an
+    eval set — ``(id_col, n_shared)`` for every corpus doc with ≥1 shared
+    distinct n-gram.
+
+    The 100 TB shape: eval sets are tiny relative to the corpus, so their
+    distinct-gram set BROADCASTS — the corpus side streams through a
+    map-side hash join with zero shuffle of corpus grams; the only exchange
+    is the final per-doc count. Raise ``n`` (13-grams are the common
+    contamination radius) to sharpen precision; the plan is unchanged.
+    """
+    corpus_grams = shingle_frame(corpus, text_col, id_col, n)
+    eval_grams = (shingle_frame(evalset, text_col, id_col, n)
+                  .select(F.explode("grams").alias("gram")).distinct())
+    exploded = corpus_grams.select("id", F.explode("grams").alias("gram"))
+    return (exploded.join(F.broadcast(eval_grams), "gram")
+            # grams are distinct per doc (array_distinct upstream), so a
+            # plain count is the distinct shared-gram count
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_shared"))
+            .select(F.col("id").alias(id_col), "n_shared"))
+
+
 MINHASH_MOD = (1 << 61) - 1  # Mersenne prime 2^61-1
 
 

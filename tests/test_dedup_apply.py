@@ -82,3 +82,24 @@ def test_simhash_table_matches_column_version(spark):
                for r in dedup.simhash16_table(docs).collect()}
     assert tab_ver == col_ver
     assert tab_ver[9001] == tab_ver[9002] == tab_ver[9003] == 0
+
+
+def test_ngram_contamination_semantics_and_broadcast(spark):
+    """Known overlaps on hand-built docs; the eval gram set must broadcast
+    (corpus grams never shuffle for the join — the 100 TB shape)."""
+    from funnel_rocket_spark.plans import formatted_plan
+
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat today"),   # shares "the cat sat", "cat sat on", ...
+         (2, "dogs bark loudly at night"),      # no overlap
+         (3, "on the mat today we rest")],      # shares "on the mat", "the mat today"
+        "doc_id long, text string")
+    evalset = spark.createDataFrame(
+        [(100, "the cat sat on the mat today")], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_shared"]
+           for r in dedup.ngram_contamination(corpus, evalset, n=3).collect()}
+    # doc 1 == eval doc: all 5 of its distinct 3-grams shared; doc 3 shares
+    # "on the mat" and "the mat today"; doc 2 absent entirely
+    assert out == {1: 5, 3: 2}
+    plan = formatted_plan(dedup.ngram_contamination(corpus, evalset, n=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
