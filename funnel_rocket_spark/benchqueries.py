@@ -64,10 +64,17 @@ _TOKS_SQL = (
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk "
     "FROM documents"
 )
-_GRAMS_SQL = (
-    "SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk)-1, 1)), "
-    "i -> array_to_string(tk[i:i+2], ' '))) AS gr FROM (" + _TOKS_SQL + ")"
-)
+def _grams_sql(n: int = 3) -> str:
+    """Distinct word n-gram shingles (mirrors dedup.word_ngrams)."""
+    return (
+        "SELECT doc_id, list_distinct(list_transform("
+        f"range(1, greatest(len(tk)-{n - 2}, 1)), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' '))) AS gr "
+        "FROM (" + _TOKS_SQL + ")"
+    )
+
+
+_GRAMS_SQL = _grams_sql(3)
 
 
 # --------------------------------------------------------------------------- #
@@ -466,6 +473,27 @@ def _dedup_pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.apply_dedup(docs, pairs).select("doc_id")
 
 
+def _curation_pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation chain in one query: near-dup
+    survivors ∩ quality ≥ 0.9 ∩ not contaminated vs the eval slice.
+    All three stages are semi/anti joins against small id sets — AQE turns
+    every one into a broadcast join at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
+                                    threshold=0.5)
+    survivors = dedup.apply_dedup(docs, pairs).select("doc_id")
+    good = text.quality_score(corpus).filter(
+        F.col("quality") >= 0.9).select("doc_id")
+    contaminated = dedup.ngram_contamination(corpus, evalset, n=5) \
+        .select("doc_id")
+    return (corpus.select("doc_id")
+            .join(survivors, "doc_id", "left_semi")
+            .join(good, "doc_id", "left_semi")
+            .join(contaminated, "doc_id", "left_anti"))
+
+
 # MinHash-LSH candidate pairs verified by true Jaccard — shared by the
 # pair-level entry and the end-to-end pipeline oracle.
 _MINHASH_PAIRS_SQL = "WITH g AS (" + _GRAMS_SQL + """),
@@ -489,6 +517,24 @@ SELECT id_a, id_b,
 FROM cand JOIN g ga ON cand.id_a = ga.doc_id JOIN g gb ON cand.id_b = gb.doc_id
 WHERE round(len(list_intersect(ga.gr, gb.gr))::DOUBLE /
             (len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr))), 6) >= 0.5
+"""
+
+
+# C4/Gopher-style heuristic quality score — shared by the per-doc entry and
+# the curation pipeline oracle.
+_QUALITY_SQL = """
+WITH toks AS (""" + _TOKS_SQL + """),
+feat AS (SELECT doc_id,
+  len(list_intersect(tk, ['the','a','of','and','to','in','is','that','it','for'])) AS stop_hits,
+  len(tk) AS n_tokens, length(text) AS n_chars,
+  (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / greatest(length(text), 1) AS punct_ratio,
+  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / greatest(length(text), 1) AS digit_ratio
+  FROM toks)
+SELECT doc_id, greatest(least(round(
+  (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.1 END)
+  + (CASE WHEN stop_hits >= 2 THEN 0.3 WHEN stop_hits = 1 THEN 0.15 ELSE 0.0 END)
+  + 0.3 - round(punct_ratio * 0.5 + digit_ratio * 0.5, 6), 6), 1.0), 0.0) AS quality
+FROM feat
 """
 
 
@@ -857,6 +903,32 @@ cc(id, lbl) AS (
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cc)
 """,
     ),
+    # Capstone: the full curation chain, value-gated end-to-end by composing
+    # the dedup recursive-CTE, quality, and contamination oracles.
+    "curation_pipeline": (
+        _curation_pipeline_fn,
+        """
+WITH RECURSIVE pairs AS (""" + _MINHASH_PAIRS_SQL + """),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+cc(id, lbl) AS (
+  SELECT src, dst FROM edges WHERE dst < src
+  UNION
+  SELECT e.src, c.lbl FROM edges e JOIN cc c ON c.id = e.dst
+  WHERE c.lbl < e.src
+),
+qual AS (""" + _QUALITY_SQL + """),
+cont AS (WITH g AS (""" + _grams_sql(5) + """),
+  eg AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 97 = 0),
+  cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 97 <> 0)
+  SELECT DISTINCT cg.doc_id FROM cg JOIN eg ON cg.gram = eg.gram)
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 0
+  AND doc_id NOT IN (SELECT id FROM cc)
+  AND doc_id IN (SELECT doc_id FROM qual WHERE quality >= 0.9)
+  AND doc_id NOT IN (SELECT doc_id FROM cont)
+""",
+    ),
     "decontaminate_ngram": (
         _decontaminate_fn,
         "WITH g AS (" + _GRAMS_SQL + """),
@@ -891,20 +963,7 @@ FROM toks
     ),
     "text_quality": (
         _text_quality_fn,
-        """
-WITH toks AS (""" + _TOKS_SQL + """),
-feat AS (SELECT doc_id,
-  len(list_intersect(tk, ['the','a','of','and','to','in','is','that','it','for'])) AS stop_hits,
-  len(tk) AS n_tokens, length(text) AS n_chars,
-  (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / greatest(length(text), 1) AS punct_ratio,
-  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / greatest(length(text), 1) AS digit_ratio
-  FROM toks)
-SELECT doc_id, greatest(least(round(
-  (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.1 END)
-  + (CASE WHEN stop_hits >= 2 THEN 0.3 WHEN stop_hits = 1 THEN 0.15 ELSE 0.0 END)
-  + 0.3 - round(punct_ratio * 0.5 + digit_ratio * 0.5, 6), 6), 1.0), 0.0) AS quality
-FROM feat
-""",
+        _QUALITY_SQL,
     ),
     "text_langid": (
         _langid_fn,
