@@ -417,6 +417,10 @@ def _langid_fn(spark, sf_dir):
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
+def _text_repetition_fn(spark, sf_dir):
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 def _fingerprint_fn(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
@@ -964,6 +968,25 @@ FROM toks
     "text_quality": (
         _text_quality_fn,
         _QUALITY_SQL,
+    ),
+    "text_repetition": (
+        _text_repetition_fn,
+        # Non-distinct contiguous n-grams (duplicates kept) mirror
+        # text._contiguous_ngrams; dup fraction = 1 - distinct/total.
+        """
+WITH toks AS (""" + _TOKS_SQL + """),
+g AS (SELECT doc_id, tk,
+  list_transform(range(1, greatest(len(tk) - 0, 1)),
+                 i -> array_to_string(tk[i:i+1], ' ')) AS g2,
+  list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> array_to_string(tk[i:i+2], ' ')) AS g3
+  FROM toks)
+SELECT doc_id, len(tk)::INT AS n_tokens,
+  round((len(tk) - len(list_distinct(tk)))::DOUBLE / greatest(len(tk), 1), 6) AS dup_token_frac,
+  round((len(g2) - len(list_distinct(g2)))::DOUBLE / greatest(len(g2), 1), 6) AS dup_2gram_frac,
+  round((len(g3) - len(list_distinct(g3)))::DOUBLE / greatest(len(g3), 1), 6) AS dup_3gram_frac
+FROM g
+""",
     ),
     "text_langid": (
         _langid_fn,

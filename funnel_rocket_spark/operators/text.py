@@ -101,6 +101,52 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return scored.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+def _contiguous_ngrams(toks, n: int):
+    """ALL contiguous word n-grams (duplicates kept), as one JVM expression.
+
+    Built by zip_with over n shifted slices of the token array rather than
+    ``transform(sequence(...))``: a lambda that captures the token subtree
+    re-evaluates it once PER GRAM (interpreted, quadratic re-splitting),
+    while here the token array is evaluated a constant n+1 times per row.
+    """
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.slice(toks, 1, cnt)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, cnt),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return grams
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    tokens / 2-grams / 3-grams that are duplicates of an earlier occurrence
+    in the same document. High values flag boilerplate and degenerate
+    machine-generated text (Rae et al. 2021 §A1.1 use the same family of
+    duplicate-n-gram filters).
+
+    Pure per-row column math — no shuffle, no UDF; scales linearly with
+    corpus size and stays partition-local at 100 TB.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.round(
+            (n - F.size(F.array_distinct(arr))) / F.greatest(n, F.lit(1)), 6)
+
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        dup_frac(toks).alias("dup_token_frac"),
+        dup_frac(_contiguous_ngrams(toks, 2)).alias("dup_2gram_frac"),
+        dup_frac(_contiguous_ngrams(toks, 3)).alias("dup_3gram_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     lowercase token set. Rabin-style content fingerprinting for fast

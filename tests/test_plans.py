@@ -137,3 +137,12 @@ def test_simhash_table_single_agg_shuffle(spark):
     fp = formatted_plan(plan)
     assert "partial_sum" in fp     # map-side combine before the exchange
     assert "aggregate(" not in fp  # no interpreted fold over the token array
+
+
+def test_repetition_stats_shuffle_free(spark):
+    """Per-document repetition signals are pure row-local column math: zero
+    exchanges, so the operator scales linearly and partition-local."""
+    from funnel_rocket_spark.operators import text
+
+    docs = bq.load_table(spark, SF, "documents")
+    assert count_exchanges(text.repetition_stats(docs)) == 0

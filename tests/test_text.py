@@ -1,0 +1,37 @@
+"""Unit tests for text-analysis operators with hand-computed expectations."""
+
+from funnel_rocket_spark.operators import text
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # tokens: [a, a, a, b] -> dup tokens 2/4; 2-grams [a a, a a, a b]
+            # -> 1/3 dup; 3-grams [a a a, a a b] -> 0/2 dup
+            (1, "a a  a b"),
+            # no repetition at any granularity
+            (2, "x y z"),
+            # fewer tokens than n: empty gram lists -> 0.0 via guarded denom
+            (3, "solo"),
+            (4, ""),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["dup_token_frac"] == 0.5
+    assert rows[1]["dup_2gram_frac"] == round(1 / 3, 6)
+    assert rows[1]["dup_3gram_frac"] == 0.0
+
+    assert rows[2]["n_tokens"] == 3
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[2]["dup_3gram_frac"] == 0.0
+
+    assert rows[3]["n_tokens"] == 1
+    assert rows[3]["dup_2gram_frac"] == 0.0
+    assert rows[3]["dup_3gram_frac"] == 0.0
+
+    assert rows[4]["n_tokens"] == 0
+    assert rows[4]["dup_token_frac"] == 0.0
