@@ -418,7 +418,18 @@ def _langid_fn(spark, sf_dir):
 
 
 def _text_repetition_fn(spark, sf_dir):
-    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+    # single-file parquet = one input partition; spread the interpreted
+    # zip_with work across cores before the CPU-bound projection
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(
+        docs.repartition(spark.sparkContext.defaultParallelism))
+
+
+def _chunk_documents_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(
+        docs.repartition(spark.sparkContext.defaultParallelism),
+        max_tokens=16)
 
 
 def _fingerprint_fn(spark, sf_dir):
@@ -968,6 +979,21 @@ FROM toks
     "text_quality": (
         _text_quality_fn,
         _QUALITY_SQL,
+    ),
+    "text_chunks": (
+        _chunk_documents_fn,
+        # Non-overlapping 16-token windows; slices mirror text.chunk_documents
+        # (DuckDB list slice bounds are 1-based inclusive).
+        """
+WITH toks AS (""" + _TOKS_SQL + """),
+c AS (SELECT doc_id, tk,
+  unnest(range(0, greatest(ceil((len(tk) - 16) / 16.0) + 1, 1)::BIGINT)) AS cid
+  FROM toks)
+SELECT doc_id, cid::INT AS chunk_id,
+  len(tk[cid*16+1 : cid*16+16])::INT AS n_chunk_tokens,
+  array_to_string(tk[cid*16+1 : cid*16+16], ' ') AS chunk_text
+FROM c
+""",
     ),
     "text_repetition": (
         _text_repetition_fn,

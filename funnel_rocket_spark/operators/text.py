@@ -147,6 +147,49 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", max_tokens: int = 2048,
+                    stride: int | None = None) -> DataFrame:
+    """Split each document into fixed-size token windows — the
+    chunk/packing step of a training-data pipeline (context-length
+    budgeting, optionally overlapping windows for retrieval corpora).
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text); every document
+    yields at least one chunk (an empty doc yields one empty chunk, so no
+    rows are silently dropped).
+
+    Scale shape: tokenize once per document in the projection BELOW the
+    Generate (explode) node, then slice the carried token array once per
+    chunk row — no shuffle, no UDF, output cardinality ~n_tokens/stride per
+    doc. ``stride < max_tokens`` gives overlapping windows.
+    """
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks_df = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n_tok = F.size("__toks")
+    # windows fully covering the doc: ceil((n - max)/stride) + 1, min 1
+    n_chunks = F.greatest(
+        F.ceil((n_tok - F.lit(max_tokens)) / F.lit(float(stride))) + 1,
+        F.lit(1),
+    )
+    exploded = toks_df.select(
+        F.col(id_col), "__toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+         .alias("chunk_id"),
+    )
+    window = F.slice(F.col("__toks"),
+                     F.col("chunk_id") * stride + 1, max_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(window).alias("n_chunk_tokens"),
+        F.concat_ws(" ", window).alias("chunk_text"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     lowercase token set. Rabin-style content fingerprinting for fast

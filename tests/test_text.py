@@ -35,3 +35,30 @@ def test_repetition_stats_hand_computed(spark):
 
     assert rows[4]["n_tokens"] == 0
     assert rows[4]["dup_token_frac"] == 0.0
+
+
+def test_chunk_documents_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")],
+        "doc_id INT, text STRING",
+    )
+    out = text.chunk_documents(df, max_tokens=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+
+    assert [c["chunk_text"] for c in by_doc[1]] == ["a b", "c d", "e"]
+    assert [c["n_chunk_tokens"] for c in by_doc[1]] == [2, 2, 1]
+    # every doc yields >= 1 chunk, even empty ones
+    assert [c["chunk_text"] for c in by_doc[2]] == ["x"]
+    assert [c["chunk_text"] for c in by_doc[3]] == [""]
+    assert by_doc[3][0]["n_chunk_tokens"] == 0
+
+
+def test_chunk_documents_overlapping_stride(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id INT, text STRING")
+    out = sorted(text.chunk_documents(df, max_tokens=3, stride=2).collect(),
+                 key=lambda r: r["chunk_id"])
+    assert [c["chunk_text"] for c in out] == ["a b c", "c d e"]
