@@ -1,7 +1,17 @@
+from funnel_rocket_spark.streaming.dedup_stream import (
+    content_digest,
+    streaming_exact_dedup,
+)
 from funnel_rocket_spark.streaming.funnel_stream import incremental_funnel
 from funnel_rocket_spark.streaming.rollup import (
     nanos_to_timestamp,
     streaming_time_rollup,
 )
 
-__all__ = ["incremental_funnel", "nanos_to_timestamp", "streaming_time_rollup"]
+__all__ = [
+    "content_digest",
+    "incremental_funnel",
+    "nanos_to_timestamp",
+    "streaming_exact_dedup",
+    "streaming_time_rollup",
+]

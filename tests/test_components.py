@@ -162,3 +162,37 @@ def test_streaming_time_rollup(spark, tmp_path):
     # the late 00:00:50 view IS counted in bucket 0.
     assert got == {("2026-01-01 00:00:00", "view"): 3,
                    ("2026-01-01 00:01:00", "click"): 1}
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from funnel_rocket_spark.streaming import streaming_exact_dedup
+
+    indir = tmp_path / "dedup_in"
+    ckpt = tmp_path / "dedup_ckpt"
+    indir.mkdir()
+    # b1: two distinct docs (doc 2 repeats doc 1's content modulo case/space
+    # -> same digest). b2: another duplicate within the watermark plus one
+    # fresh doc.
+    pd.DataFrame([
+        {"ts": "2026-01-01 00:00:01", "doc_id": 1, "text": "Hello  World"},
+        {"ts": "2026-01-01 00:00:02", "doc_id": 2, "text": "hello world"},
+        {"ts": "2026-01-01 00:00:03", "doc_id": 3, "text": "other doc"},
+    ]).to_parquet(indir / "b1.parquet")
+    pd.DataFrame([
+        {"ts": "2026-01-01 00:00:30", "doc_id": 4, "text": "HELLO   world"},
+        {"ts": "2026-01-01 00:00:31", "doc_id": 5, "text": "brand new"},
+    ]).to_parquet(indir / "b2.parquet")
+
+    stream = (spark.readStream.schema("ts string, doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(indir))
+              .select(F.col("ts").cast("timestamp").alias("ts"),
+                      "doc_id", "text"))
+    out = streaming_exact_dedup(stream, "ts", watermark="5 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    survivors = sorted(r["doc_id"] for r in
+                       spark.sql("SELECT * FROM dedup_out").collect())
+    # one survivor per distinct content: docs 2 and 4 are dropped
+    assert survivors == [1, 3, 5]
