@@ -22,6 +22,7 @@ from funnel_rocket_spark.engine import QueryEngine
 from funnel_rocket_spark.operators import (
     dedup,
     multimodal,
+    sampling,
     similarity,
     skew,
     temporal,
@@ -423,6 +424,18 @@ def _text_repetition_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_stats(
         docs.repartition(spark.sparkContext.defaultParallelism))
+
+
+def _hash_sample_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, 0.25).select("doc_id")
+
+
+def _stratified_sample_fn(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = sampling.stratified_hash_sample(
+        ev, {"view": 0.1, "purchase": 1.0}, "event_type", id_col="user_id")
+    return out.select("event_id", "user_id", "event_type")
 
 
 def _chunk_documents_fn(spark, sf_dir):
@@ -979,6 +992,24 @@ FROM toks
     "text_quality": (
         _text_quality_fn,
         _QUALITY_SQL,
+    ),
+    "sample_deterministic": (
+        _hash_sample_fn,
+        # same md5-prefix gate as sampling.sample_gate (11 hex chars -> int64)
+        """
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 11))::BIGINT < 4398046511104
+""",
+    ),
+    "sample_stratified": (
+        _stratified_sample_fn,
+        """
+SELECT event_id, user_id, event_type FROM events
+WHERE CASE event_type
+  WHEN 'view' THEN ('0x' || substr(md5(user_id::VARCHAR), 1, 11))::BIGINT < 1759218604441
+  WHEN 'purchase' THEN ('0x' || substr(md5(user_id::VARCHAR), 1, 11))::BIGINT < 17592186044416
+  ELSE FALSE END
+""",
     ),
     "text_chunks": (
         _chunk_documents_fn,

@@ -1,0 +1,58 @@
+"""Deterministic corpus sampling: hash-gated row selection.
+
+``df.sample`` draws from a per-partition RNG — the selected set changes with
+partitioning, task retries, and Spark version, which makes pipelines
+unreproducible and results un-oracle-able. These operators gate each row on
+an md5 hash of its id instead: the same rows are selected on any engine, any
+layout, any day. That determinism is what a training-data pipeline needs —
+held-out splits and ablation subsets must be stable artifacts, not draws.
+
+Scale shape: pure row-local projection + filter (no shuffle); the hash is
+uniform so the sample rate is honored within binomial noise per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^44 buckets — every value of the 11-hex-char hash is a distinct bucket,
+# so rate resolution is ~6e-14 and the gate is a single integer compare.
+_BUCKETS = 1 << 44
+
+
+def sample_gate(col, rate: float, salt: str = ""):
+    """Boolean Column: deterministically keep ~``rate`` of distinct values.
+
+    Gate = first 11 md5 hex chars of (salt || value) as int64 < rate · 2^44.
+    Same id + same salt → same verdict everywhere; changing ``salt`` draws
+    an independent sample (use per-split salts: "train", "holdout", ...).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))
+                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    return bucket < F.lit(int(rate * _BUCKETS))
+
+
+def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
+                salt: str = "") -> DataFrame:
+    """Deterministic ~``rate`` sample of rows, keyed on ``id_col``.
+
+    All rows of an id share one verdict, so sampling a keyed table keeps
+    groups intact (sample users, not user-rows).
+    """
+    return df.filter(sample_gate(F.col(id_col), rate, salt))
+
+
+def stratified_hash_sample(df: DataFrame, rates: dict, strata_col: str,
+                           id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps stratum value →
+    keep rate; strata absent from the map are dropped. The workhorse of
+    corpus mixing (e.g. {"en": 1.0, "de": 0.3}) — one pass, no shuffle."""
+    gate = F.lit(False)
+    for value, rate in sorted(rates.items()):
+        gate = F.when(F.col(strata_col) == value,
+                      sample_gate(F.col(id_col), rate, salt)).otherwise(gate)
+    return df.filter(gate)

@@ -1,0 +1,62 @@
+"""Deterministic hash-sampling semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+
+
+def test_rate_honored_and_stable(spark, ids):
+    kept = sampling.hash_sample(ids, 0.25)
+    n = kept.count()
+    assert abs(n - 2500) < 200  # binomial noise at n=10k
+    # deterministic: the same call selects the same rows
+    again = sampling.hash_sample(ids, 0.25)
+    assert kept.exceptAll(again).count() == 0
+
+
+def test_rates_are_nested(spark, ids):
+    """A lower-rate sample is a subset of a higher-rate one (same salt) —
+    the property that makes scaling a subsample up/down reproducible."""
+    small = sampling.hash_sample(ids, 0.1)
+    big = sampling.hash_sample(ids, 0.5)
+    assert small.exceptAll(big).count() == 0
+
+
+def test_salt_draws_independent_sample(spark, ids):
+    a = set(r["doc_id"] for r in sampling.hash_sample(ids, 0.2).collect())
+    b = set(r["doc_id"] for r in
+            sampling.hash_sample(ids, 0.2, salt="holdout").collect())
+    overlap = len(a & b)
+    # independent draws overlap ~ rate^2 = 4% of 10k = ~400
+    assert 200 < overlap < 700
+    assert a != b
+
+
+def test_keyed_sampling_keeps_groups_intact(spark):
+    rows = spark.range(0, 3000).select(
+        (F.col("id") % 300).alias("user_id"), F.col("id").alias("event_id"))
+    kept = sampling.hash_sample(rows, 0.3, id_col="user_id")
+    per_user = kept.groupBy("user_id").count().collect()
+    assert all(r["count"] == 10 for r in per_user)  # all-or-nothing per user
+
+
+def test_stratified_rates(spark):
+    rows = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("stratum"))
+    out = sampling.stratified_hash_sample(
+        rows, {"a": 1.0, "b": 0.1}, "stratum").groupBy("stratum").count()
+    got = {r["stratum"]: r["count"] for r in out.collect()}
+    assert got["a"] == 2000
+    assert abs(got["b"] - 200) < 80
+
+
+def test_bad_rate_rejected():
+    with pytest.raises(ValueError):
+        sampling.sample_gate(F.lit("x"), 1.5)
