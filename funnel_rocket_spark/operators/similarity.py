@@ -84,8 +84,8 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
     faster. ``method="expr"``: pure Column expressions (no driver collect,
     works at any corpus size — but quadratic HOF evaluation).
     """
-    unit = unit_normalized(df, id_col, vec_col)
     if method == "expr":
+        unit = unit_normalized(df, id_col, vec_col)
         unit.persist()  # both join sides reuse the normalized vectors
         a = unit.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = unit.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -99,9 +99,20 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
     import numpy as np
     import pandas as pd
 
-    collected = unit.collect()  # corpus index: small by contract (see doc)
+    def _unit_rows(m: "np.ndarray") -> "np.ndarray":
+        norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        return m / norms
+
+    # Normalization happens in numpy on BOTH sides (not via JVM
+    # higher-order functions — those run interpreted and would re-normalize
+    # the corpus Spark-side a second time feeding mapInPandas): the Spark
+    # plan is a bare column-pruned scan into the Arrow batches.
+    raw = df.select(id_col, vec_col)
+    collected = raw.collect()  # corpus index: small by contract (see doc)
     ids = np.array([r[id_col] for r in collected], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in collected], dtype=np.float64)
+    mat = _unit_rows(np.array([r[vec_col] for r in collected],
+                              dtype=np.float64))
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast((ids, mat))
 
@@ -109,7 +120,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
         b_ids, b_mat = bc.value
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a_mat = _unit_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
             sims = np.round(a_mat @ b_mat.T, 6)
             ai, bi = np.nonzero(
                 (sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
@@ -118,7 +129,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
                 "cosine_sim": sims[ai, bi],
             })
 
-    return unit.mapInPandas(
+    return raw.mapInPandas(
         block_pairs, schema="id_a long, id_b long, cosine_sim double")
 
 

@@ -59,3 +59,22 @@ def test_ivf_index_reuse(spark, tmp_path):
     reloaded = _result_sets(similarity.ivf_search(loaded, centers, queries,
                                                   k=5, n_probe=8))
     assert direct == reloaded
+
+
+def test_embedding_dup_methods_agree(spark):
+    """The numpy-GEMM path and the pure-Column-expression path are
+    independent implementations of the same operator — pin them together."""
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    fast = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in similarity.embedding_dup_pairs(emb, 0.45).collect()}
+    slow = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in similarity.embedding_dup_pairs(
+                emb, 0.45, method="expr").collect()}
+    assert fast.keys() == slow.keys() and len(fast) > 0
+    for k in fast:
+        assert abs(fast[k] - slow[k]) < 1e-9
