@@ -22,6 +22,7 @@ from funnel_rocket_spark.engine import QueryEngine
 from funnel_rocket_spark.operators import (
     dedup,
     multimodal,
+    ranking,
     sampling,
     similarity,
     skew,
@@ -443,6 +444,13 @@ def _chunk_documents_fn(spark, sf_dir):
     return text.chunk_documents(
         docs.repartition(spark.sparkContext.defaultParallelism),
         max_tokens=16)
+
+
+def _top_docs_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return ranking.top_k_per_group(
+        docs, ["lang"], [F.desc("n_chars"), F.asc("doc_id")], k=3,
+    ).select("lang", "doc_id", "n_chars", "rnk")
 
 
 def _fingerprint_fn(spark, sf_dir):
@@ -1009,6 +1017,16 @@ WHERE CASE event_type
   WHEN 'view' THEN ('0x' || substr(md5(user_id::VARCHAR), 1, 11))::BIGINT < 1759218604441
   WHEN 'purchase' THEN ('0x' || substr(md5(user_id::VARCHAR), 1, 11))::BIGINT < 17592186044416
   ELSE FALSE END
+""",
+    ),
+    "top_docs_per_lang": (
+        _top_docs_fn,
+        """
+SELECT lang, doc_id, n_chars, rnk::INT AS rnk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents) WHERE rnk <= 3
 """,
     ),
     "text_chunks": (
