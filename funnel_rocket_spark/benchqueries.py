@@ -439,6 +439,12 @@ def _stratified_sample_fn(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type")
 
 
+def _weighted_sample_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_hash_sample(
+        docs, n=50, weight_col="n_chars").select("doc_id", "n_chars")
+
+
 def _chunk_documents_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text.chunk_documents(
@@ -1017,6 +1023,19 @@ WHERE CASE event_type
   WHEN 'view' THEN ('0x' || substr(md5(user_id::VARCHAR), 1, 11))::BIGINT < 1759218604441
   WHEN 'purchase' THEN ('0x' || substr(md5(user_id::VARCHAR), 1, 11))::BIGINT < 17592186044416
   ELSE FALSE END
+""",
+    ),
+    "sample_weighted": (
+        _weighted_sample_fn,
+        # Efraimidis–Spirakis u^(1/w) with u from the same md5 gate as
+        # sample_deterministic; top-50 keys = the weighted sample.
+        """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 11))::BIGINT + 0.5)
+             / 17592186044416.0, 1.0 / n_chars) AS k
+  FROM documents WHERE n_chars > 0)
+ORDER BY k DESC, doc_id LIMIT 50
 """,
     ),
     "top_docs_per_lang": (

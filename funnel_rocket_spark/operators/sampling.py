@@ -56,3 +56,34 @@ def stratified_hash_sample(df: DataFrame, rates: dict, strata_col: str,
         gate = F.when(F.col(strata_col) == value,
                       sample_gate(F.col(id_col), rate, salt)).otherwise(gate)
     return df.filter(gate)
+
+
+def weighted_sample_key(id_col, weight_col, salt: str = ""):
+    """Efraimidis–Spirakis key ``u^(1/w)`` with ``u`` drawn deterministically
+    from the id hash: the n rows with the LARGEST keys are a weighted sample
+    without replacement (heavier rows proportionally likelier). Rows with
+    null or non-positive weight get a null key (never selected)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))
+                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    return F.when(weight_col > 0, F.pow(u, F.lit(1.0) / weight_col))
+
+
+def weighted_hash_sample(df: DataFrame, n: int, weight_col: str,
+                         id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic weighted sample without replacement of ``n`` rows —
+    e.g. "sample documents proportionally to length" for corpus mixing.
+
+    Selection = global top-n by the Efraimidis–Spirakis key, which Spark
+    executes as TakeOrderedAndProject: each task keeps its local n, the
+    driver merges — no full sort, no shuffle of the table, O(n) driver
+    memory. Same id + salt + weight → same verdict on any engine/layout.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    key = weighted_sample_key(F.col(id_col), F.col(weight_col), salt)
+    return (df.withColumn("__esk", key)
+            .filter(F.col("__esk").isNotNull())
+            .orderBy(F.desc("__esk"), F.asc(id_col)).limit(n)
+            .drop("__esk"))

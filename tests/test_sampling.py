@@ -60,3 +60,27 @@ def test_stratified_rates(spark):
 def test_bad_rate_rejected():
     with pytest.raises(ValueError):
         sampling.sample_gate(F.lit("x"), 1.5)
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    # two weight classes, 500 ids each; heavy rows are 20x likelier
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, 200).otherwise(10).alias("w"))
+    got = sampling.weighted_hash_sample(df, 100, "w", id_col="doc_id")
+    ids1 = sorted(r["doc_id"] for r in got.collect())
+    heavy = sum(1 for i in ids1 if i < 500)
+    assert heavy > 80  # expectation ~95 of 100; far from unweighted 50
+    # deterministic across re-evaluation and layout changes
+    ids2 = sorted(r["doc_id"] for r in
+                  sampling.weighted_hash_sample(
+                      df.repartition(7), 100, "w").collect())
+    assert ids1 == ids2
+
+
+def test_weighted_sample_skips_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+        "doc_id long, w double")
+    got = sampling.weighted_hash_sample(df, 4, "w").collect()
+    assert [r["doc_id"] for r in got] == [1]
