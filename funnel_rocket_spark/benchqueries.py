@@ -380,6 +380,63 @@ def _olap_revenue_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _olap_percentiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (absent from the reference's aggregation
+    set, SURVEY §2.4): Spark's `percentile` uses the same linear
+    interpolation as DuckDB's quantile_cont, so values match bit-for-bit
+    modulo rounding. Sort-based aggregate, one shuffle on the group key;
+    `approx_percentile` (KLL/GK sketch) is the 100-TB drop-in when exact
+    ordering stops being worth the sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Percentiles over integer CENTS: even-count groups interpolate at the
+    # exact midpoint of two prices, and (a+b)/2 over 2-decimal dollars lands
+    # on half-cent boundaries where the engines' fp rounding disagrees by one
+    # ulp. Integer inputs make the g=0.5 interpolation exact on both sides.
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(cents, F.lit(0.5)), 2).alias("p50_cents"),
+            F.round(F.percentile(cents, F.lit(0.95)), 2).alias("p95_cents"),
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 2)
+            .alias("p25_qty"),
+        )
+    )
+
+
+def _olap_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (absent from the reference — no grouping sets at
+    all): subtotal rows per returnflag and a grand total in one pass.
+    Spark expands the rollup map-side into the grouping-set union, still a
+    single exchange. Group columns coalesced to 'ALL' so the subtotal rows
+    are plain values (and hash identically in the oracle compare)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows", "sum_qty")
+    )
+
+
+def _olap_distinct_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation modifier (absent from the reference): exact
+    distinct part/supplier counts per returnflag. Spark plans this as
+    expand + two-phase aggregate; `approx_count_distinct` is the sketch
+    path already used by the engine's `approx` option."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_suppkey").alias("n_supps"),
+             F.round(F.sum_distinct(F.col("l_quantity")), 2)
+             .alias("sum_distinct_qty"))
+    )
+
+
 def _dedup_exact_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     groups = dedup.exact_duplicates(docs, min_count=1)
@@ -862,6 +919,34 @@ SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
        count(*)::BIGINT AS n_rows
 FROM lineitem
 WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+    ),
+    "olap_percentiles": (
+        _olap_percentiles_fn,
+        """
+SELECT l_returnflag,
+       round(quantile_cont(round(l_extendedprice * 100)::BIGINT, 0.5), 2) AS p50_cents,
+       round(quantile_cont(round(l_extendedprice * 100)::BIGINT, 0.95), 2) AS p95_cents,
+       round(quantile_cont(l_quantity, 0.25), 2) AS p25_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    ),
+    "olap_rollup": (
+        _olap_rollup_fn,
+        """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    ),
+    "olap_distinct": (
+        _olap_distinct_fn,
+        """
+SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts,
+       count(DISTINCT l_suppkey)::BIGINT AS n_supps,
+       round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty
+FROM lineitem GROUP BY l_returnflag
 """,
     ),
     # ---- training-data pipeline operators --------------------------------- #
