@@ -7,11 +7,13 @@ from funnel_rocket_spark.streaming.rollup import (
     nanos_to_timestamp,
     streaming_time_rollup,
 )
+from funnel_rocket_spark.streaming.sessions import streaming_session_stats
 
 __all__ = [
     "content_digest",
     "incremental_funnel",
     "nanos_to_timestamp",
     "streaming_exact_dedup",
+    "streaming_session_stats",
     "streaming_time_rollup",
 ]

@@ -164,6 +164,41 @@ def test_streaming_time_rollup(spark, tmp_path):
                    ("2026-01-01 00:01:00", "click"): 1}
 
 
+def test_streaming_session_stats(spark, tmp_path):
+    from funnel_rocket_spark.streaming import streaming_session_stats
+
+    indir = tmp_path / "sess_in"
+    ckpt = tmp_path / "sess_ckpt"
+    indir.mkdir()
+    # gap 1 minute: u1 has two sessions (00:00:10+00:00:40, then 00:05:00),
+    # u2 one. Batch 2's 00:20:00 event advances the watermark far enough to
+    # finalize them all; its own session stays open and is not emitted.
+    pd.DataFrame([
+        {"ts": "2026-01-01 00:00:10", "user": "u1"},
+        {"ts": "2026-01-01 00:00:40", "user": "u1"},
+        {"ts": "2026-01-01 00:00:20", "user": "u2"},
+        {"ts": "2026-01-01 00:05:00", "user": "u1"},
+    ]).to_parquet(indir / "b1.parquet")
+    pd.DataFrame([
+        {"ts": "2026-01-01 00:20:00", "user": "u2"},
+    ]).to_parquet(indir / "b2.parquet")
+
+    stream = (spark.readStream.schema("ts string, user string")
+              .option("maxFilesPerTrigger", "1").parquet(str(indir))
+              .select(F.col("ts").cast("timestamp").alias("ts"), "user"))
+    out = streaming_session_stats(stream, "user", "ts", gap="1 minute",
+                                  watermark="30 seconds")
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user"], str(r["session_start"])): r["n_events"]
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert got == {("u1", "2026-01-01 00:00:10"): 2,
+                   ("u1", "2026-01-01 00:05:00"): 1,
+                   ("u2", "2026-01-01 00:00:20"): 1}
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     from funnel_rocket_spark.streaming import streaming_exact_dedup
 
