@@ -78,3 +78,28 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(group_col, sort_col)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    granularity: str = "day",
+    extra_partition_cols: Optional[list[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write Parquet hive-partitioned by a date derived from ``ts_col``
+    (``.../__pdate=2024-01-05/part-*.parquet``).
+
+    The reference scans every part on every query (SURVEY §4: no partition
+    pruning). Date-partitioned layout makes a query `timeframe` prune whole
+    directories at planning time — at 100 TB the difference between reading
+    a day and reading a year. ``granularity`` is any `date_trunc` unit
+    ("day", "month", "hour"); combine with low-cardinality dims via
+    ``extra_partition_cols``. Partition count = days × dims — keep it in the
+    thousands, not millions, or listing dominates.
+    """
+    pdate = F.date_trunc(granularity, F.col(ts_col)).cast("date")
+    out = df.withColumn("__pdate", pdate)
+    cols = ["__pdate"] + list(extra_partition_cols or [])
+    out.write.mode(mode).partitionBy(*cols).parquet(path)

@@ -146,3 +146,30 @@ def test_repetition_stats_shuffle_free(spark):
 
     docs = bq.load_table(spark, SF, "documents")
     assert count_exchanges(text.repetition_stats(docs)) == 0
+
+
+def test_time_partitioned_layout_prunes(spark, tmp_path):
+    """Date-partitioned writes must turn a date-range predicate into
+    PartitionFilters on the scan — directories outside the range are never
+    listed into tasks (the reference always scans every part)."""
+    import pandas as pd
+
+    from funnel_rocket_spark.plans import formatted_plan
+    from funnel_rocket_spark.sources.ingest import write_time_partitioned
+
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.to_datetime(
+            ["2024-01-01 10:00", "2024-01-02 11:00", "2024-01-03 12:00"]),
+        "v": [1, 2, 3],
+    }))
+    path = str(tmp_path / "tp")
+    write_time_partitioned(src, path, "ts", granularity="day")
+
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("__pdate") == "2024-01-02")
+    fp = formatted_plan(q)
+    assert "PartitionFilters" in fp and "__pdate" in fp.split(
+        "PartitionFilters")[1][:200], fp
+    assert [r["v"] for r in q.collect()] == [2]
