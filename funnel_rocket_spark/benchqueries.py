@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from funnel_rocket_spark.engine import QueryEngine
 from funnel_rocket_spark.operators import (
+    audiences,
     dedup,
     multimodal,
     ranking,
@@ -378,6 +379,26 @@ def _olap_revenue_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# thresholds sit at the per-user count median so all three Venn segments
+# are populated at every SF
+Q_HEAVY_PURCHASE = {"query": {"conditions": [
+    {"filter": ["event_type", "==", "purchase"],
+     "target": ["count", ">=", 14]}]}}
+Q_HEAVY_ERROR = {"query": {"conditions": [
+    {"filter": ["event_type", "==", "error"],
+     "target": ["count", ">=", 14]}]}}
+
+
+def _audience_segments_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Venn decomposition of two engine audiences (heavy purchasers vs
+    heavy-error users) — §2.8 set ops made user-facing."""
+    ev = load_table(spark, sf_dir, "events")
+    eng = _engine()
+    a = eng.plan(ev, Q_HEAVY_PURCHASE).matching_group_ids()
+    b = eng.plan(ev, Q_HEAVY_ERROR).matching_group_ids()
+    return audiences.audience_segments(a, b, "user_id")
 
 
 def _olap_percentiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,6 +940,21 @@ SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
        count(*)::BIGINT AS n_rows
 FROM lineitem
 WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+    ),
+    "audience_segments": (
+        _audience_segments_fn,
+        """
+WITH a AS (SELECT user_id FROM events GROUP BY user_id
+           HAVING count(*) FILTER (WHERE event_type = 'purchase') >= 14),
+     b AS (SELECT user_id FROM events GROUP BY user_id
+           HAVING count(*) FILTER (WHERE event_type = 'error') >= 14)
+SELECT segment, count(*)::BIGINT AS n_groups FROM (
+  SELECT CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL THEN 'both'
+              WHEN a.user_id IS NOT NULL THEN 'a_only'
+              ELSE 'b_only' END AS segment
+  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
+GROUP BY segment
 """,
     ),
     "olap_percentiles": (
