@@ -144,26 +144,61 @@ def time_rollup(df: DataFrame, ts_col: str, every: int,
     return df.groupBy(*keys).agg(*aggs)
 
 
-def range_join(points: DataFrame, ranges: DataFrame, point_col: str,
-               lo_col: str, hi_col: str, bucket_size: float) -> DataFrame:
-    """Join points to [lo, hi) ranges via bucketized equi-join.
+# Above this many ranges rows, auto mode stops broadcasting and bucketizes.
+_BROADCAST_RANGES_MAX = 100_000
 
-    Each range explodes to the buckets it overlaps; points join on their own
-    bucket, then the exact predicate re-filters. Catalyst gets a hash-join
-    key instead of a nested-loop inequality — the standard trick until
-    Spark grows a native range join. ``bucket_size`` should be ≥ the typical
-    range width (each range lands in O(width/bucket_size + 1) buckets).
+
+def range_join(points: DataFrame, ranges: DataFrame, point_col: str,
+               lo_col: str, hi_col: str, bucket_size: float,
+               strategy: str = "auto",
+               max_buckets_per_range: int = 100_000) -> DataFrame:
+    """Join points to [lo, hi) ranges; two physical strategies.
+
+    ``broadcast`` — broadcast the ranges side and let Catalyst run a
+    BroadcastNestedLoopJoin on the inequality predicate. No shuffle of the
+    points side at all; each point scans the (small) ranges table. The right
+    plan whenever ranges is dimension-sized — including unbounded bands like
+    ``[200, +inf)`` that the bucketized path cannot represent cheaply.
+
+    ``bucketed`` — explode each range to the ``bucket_size``-wide buckets it
+    overlaps, equi-join points on their own bucket, re-filter exactly.
+    Turns the inequality into a hash-join key: the scalable path when BOTH
+    sides are large (ranges shuffles ~width/bucket_size rows per range).
+    A range spanning more than ``max_buckets_per_range`` buckets raises —
+    a wide-open interval would otherwise silently explode to millions of
+    rows (pick a bigger ``bucket_size``, or use ``broadcast``).
+
+    ``auto`` — broadcast if a bounded peek shows ranges has at most
+    ``_BROADCAST_RANGES_MAX`` rows, else bucketed. The peek is a
+    ``limit(n+1).count()``: cost is capped regardless of ranges' true size.
     """
+    if strategy == "auto":
+        small = ranges.limit(_BROADCAST_RANGES_MAX + 1).count() <= _BROADCAST_RANGES_MAX
+        strategy = "broadcast" if small else "bucketed"
+
+    on = ((F.col(point_col) >= F.col(lo_col))
+          & (F.col(point_col) < F.col(hi_col)))
+    if strategy == "broadcast":
+        return points.join(F.broadcast(ranges), on=on)
+    if strategy != "bucketed":
+        raise ValueError(f"strategy must be auto|broadcast|bucketed: {strategy!r}")
+
     b = F.lit(bucket_size)
-    ranged = ranges.withColumn(
-        "__bucket",
-        F.explode(F.sequence(F.floor(F.col(lo_col) / b),
-                             F.floor((F.col(hi_col) - F.lit(1e-9)) / b))),
-    )
+    lo_b = F.floor(F.col(lo_col) / b)
+    hi_b = F.floor((F.col(hi_col) - F.lit(1e-9)) / b)
+    n_buckets = hi_b - lo_b + 1
+    guard = F.when(
+        n_buckets <= F.lit(max_buckets_per_range), hi_b
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"range_join: a range spans more than {max_buckets_per_range} "
+              f"buckets of size {bucket_size} ([" ),
+        F.col(lo_col).cast("string"), F.lit(", "),
+        F.col(hi_col).cast("string"),
+        F.lit(")); increase bucket_size or use strategy='broadcast'"))))
+    ranged = ranges.withColumn("__bucket", F.explode(F.sequence(lo_b, guard)))
     pointed = points.withColumn("__bucket", F.floor(F.col(point_col) / b))
     return (
         pointed.join(ranged, on="__bucket")
-        .filter((F.col(point_col) >= F.col(lo_col))
-                & (F.col(point_col) < F.col(hi_col)))
+        .filter(on)
         .drop("__bucket")
     )

@@ -46,9 +46,30 @@ def test_range_join(spark):
     ranges = spark.createDataFrame(
         [(0.0, 50.0, "low"), (50.0, 100.0, "mid"), (100.0, 1000.0, "high")],
         "lo double, hi double, label string")
-    out = temporal.range_join(points, ranges, "v", "lo", "hi", bucket_size=50.0)
-    got = {r["id"]: r["label"] for r in out.collect()}
-    assert got == {1: "low", 2: "low", 3: "mid", 4: "high"}
+    for strategy in ("auto", "broadcast", "bucketed"):
+        out = temporal.range_join(points, ranges, "v", "lo", "hi",
+                                  bucket_size=50.0, strategy=strategy)
+        got = {r["id"]: r["label"] for r in out.collect()}
+        assert got == {1: "low", 2: "low", 3: "mid", 4: "high"}, strategy
+
+
+def test_range_join_broadcast_handles_unbounded_band(spark):
+    """A [lo, +huge) band is fine under broadcast — and is exactly the case
+    the bucketized path must refuse rather than explode to millions of
+    bucket rows."""
+    import pytest
+
+    points = spark.createDataFrame([(1, 5.0), (2, 1e8)], "id long, v double")
+    ranges = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 1e9, "rest")],
+        "lo double, hi double, label string")
+    out = temporal.range_join(points, ranges, "v", "lo", "hi",
+                              bucket_size=10.0)  # auto → broadcast
+    assert {r["id"]: r["label"] for r in out.collect()} == {1: "low", 2: "rest"}
+
+    with pytest.raises(Exception, match="increase bucket_size|spans more"):
+        temporal.range_join(points, ranges, "v", "lo", "hi", bucket_size=10.0,
+                            strategy="bucketed").collect()
 
 
 def test_sessionize_agrees_with_session_window(spark):
