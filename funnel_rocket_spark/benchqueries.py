@@ -23,6 +23,7 @@ from funnel_rocket_spark.operators import (
     audiences,
     dedup,
     multimodal,
+    olap,
     ranking,
     sampling,
     similarity,
@@ -403,24 +404,28 @@ def _audience_segments_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _olap_percentiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (absent from the reference's aggregation
-    set, SURVEY §2.4): Spark's `percentile` uses the same linear
-    interpolation as DuckDB's quantile_cont, so values match bit-for-bit
-    modulo rounding. Sort-based aggregate, one shuffle on the group key;
-    `approx_percentile` (KLL/GK sketch) is the 100-TB drop-in when exact
-    ordering stops being worth the sort."""
+    set, SURVEY §2.4), in histogram form (`operators/olap.py`): native
+    `percentile` is a holistic aggregate that funnels every raw value
+    through one reduce task per group (3 here), while the histogram keeps
+    partial aggregation map-side and interpolates identically to DuckDB's
+    quantile_cont — values match bit-for-bit modulo rounding."""
     li = load_table(spark, sf_dir, "lineitem")
     # Percentiles over integer CENTS: even-count groups interpolate at the
     # exact midpoint of two prices, and (a+b)/2 over 2-decimal dollars lands
     # on half-cent boundaries where the engines' fp rounding disagrees by one
     # ulp. Integer inputs make the g=0.5 interpolation exact on both sides.
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    price_p = olap.grouped_exact_percentiles(
+        li, ["l_returnflag"], cents, {"p50_cents": 0.5, "p95_cents": 0.95})
+    qty_p = olap.grouped_exact_percentiles(
+        li, ["l_returnflag"], F.col("l_quantity"), {"p25_qty": 0.25})
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile(cents, F.lit(0.5)), 2).alias("p50_cents"),
-            F.round(F.percentile(cents, F.lit(0.95)), 2).alias("p95_cents"),
-            F.round(F.percentile("l_quantity", F.lit(0.25)), 2)
-            .alias("p25_qty"),
+        price_p.join(qty_p, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("p50_cents", 2).alias("p50_cents"),
+            F.round("p95_cents", 2).alias("p95_cents"),
+            F.round("p25_qty", 2).alias("p25_qty"),
         )
     )
 
