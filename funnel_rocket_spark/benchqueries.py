@@ -463,6 +463,95 @@ def _olap_distinct_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _olap_join_chain_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 5-table star join chain (region → nation → customer
+    → orders → lineitem ⨝ supplier with the nation-match condition).
+
+    Scale shape: the selective dim chain (region filter keeps 1/5 of
+    nations) collapses into one broadcast per step, so the lineitem fact
+    NEVER shuffles for a join — only the final ~nations-sized groupBy
+    exchanges. supplier is an explicit broadcast (dimension-sized at any
+    SF); the customer-derived frame is left to AQE, which broadcasts it
+    while it fits and degrades to shuffle join at extreme SF."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    nations = (nation.join(F.broadcast(region),
+                           nation.n_regionkey == region.r_regionkey)
+               .select("n_nationkey", "n_name"))
+    sel_cust = (cust.join(F.broadcast(nations),
+                          cust.c_nationkey == F.col("n_nationkey"))
+                .select("c_custkey", "c_nationkey", "n_name"))
+    sel_orders = (orders.join(sel_cust, orders.o_custkey == sel_cust.c_custkey)
+                  .select("o_orderkey", "c_nationkey", "n_name"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(sel_orders, li.l_orderkey == sel_orders.o_orderkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (F.col("c_nationkey") == supp.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def _olap_pivot_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT / crosstab (absent from the reference): order counts by
+    priority × status. Explicit pivot values keep the schema static —
+    without them Spark runs an extra distinct job to discover columns,
+    and the plan can't be reasoned about at 100 TB. Physically this is
+    one conditional-count aggregate pass: a single exchange on the
+    groupBy key, no join, no extra scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _event_gap_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth (reference has no rank/lag/lead at all,
+    SURVEY §2.5): per-user inter-event gaps via lag() over (user, ts),
+    aggregated per event type. One window exchange on user_id — the same
+    partitioning every per-group engine pass uses, so at scale this
+    coexists with funnels on a bucketed-by-user layout with zero extra
+    shuffles. Gap math in truncated µs (ts is epoch-nanos int64; the
+    DuckDB oracle's TIMESTAMP carries µs) with (ts, event_id) ordering so
+    same-timestamp ties are deterministic in both engines; integer
+    sums/counts dodge fp accumulation-order entirely."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    base = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.expr("ts DIV 1000").alias("__ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = base.withColumn(
+        "gap_us", F.col("__ts_us") - F.lag("__ts_us").over(w))
+    return (
+        gapped.groupBy("event_type")
+        .agg(F.count("gap_us").alias("n_gaps"),
+             F.sum("gap_us").alias("sum_gap_us"),
+             F.max("gap_us").alias("max_gap_us"))
+        .orderBy("event_type")
+    )
+
+
 def _dedup_exact_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     groups = dedup.exact_duplicates(docs, min_count=1)
@@ -960,6 +1049,43 @@ SELECT segment, count(*)::BIGINT AS n_groups FROM (
               ELSE 'b_only' END AS segment
   FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
 GROUP BY segment
+""",
+    ),
+    "olap_join_chain": (
+        _olap_join_chain_fn,
+        """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+ JOIN customer ON c_nationkey = n_nationkey
+ JOIN orders ON o_custkey = c_custkey
+ JOIN lineitem ON l_orderkey = o_orderkey
+ JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY 1 ORDER BY revenue DESC, n_name ASC
+""",
+    ),
+    "olap_pivot": (
+        _olap_pivot_fn,
+        """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_p
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    ),
+    "event_gap_stats": (
+        _event_gap_stats_fn,
+        """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type, count(gap_us)::BIGINT AS n_gaps,
+       sum(gap_us)::BIGINT AS sum_gap_us, max(gap_us)::BIGINT AS max_gap_us
+FROM g GROUP BY 1 ORDER BY 1
 """,
     ),
     "olap_percentiles": (
