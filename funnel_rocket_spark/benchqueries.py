@@ -1407,6 +1407,13 @@ FROM events GROUP BY 1, 2
 # IVF relies on Spark-ML k-means centroids — not reproducible in SQL.
 NO_ORACLE: dict = {
     "ann_ivf_topk": _ann_ivf_fn,
+    # approx=true swaps groupsPerValue's exact countDistinct for HLL
+    # approx_count_distinct — the 100 TB path when a per-value distinct-group
+    # expand stops being worth it. Sketch values are engine-specific, so the
+    # driver's check is rows-only (DuckDB's HLL would differ bit-wise).
+    "fr_agg_groups_per_value_approx": _fr_aggregation(
+        Q_EMPTY, {"column": "event_type", "type": "groupsPerValue",
+                  "approx": True, "top": 10}),
 }
 
 

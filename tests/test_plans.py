@@ -9,6 +9,7 @@ from funnel_rocket_spark import benchqueries as bq
 from funnel_rocket_spark.engine import QueryEngine
 from funnel_rocket_spark.plans import (
     count_exchanges,
+    formatted_plan,
     pushed_filters,
     read_schema_columns,
 )
@@ -146,6 +147,41 @@ def test_repetition_stats_shuffle_free(spark):
 
     docs = bq.load_table(spark, SF, "documents")
     assert count_exchanges(text.repetition_stats(docs)) == 0
+
+
+def test_join_chain_fact_never_shuffle_joins(spark):
+    """olap_join_chain (Q5-shaped): after AQE settles, every join must be a
+    broadcast — the lineitem fact shuffles only for the final nations-sized
+    aggregate (1 exchange) plus the tiny sort (1 range exchange). A
+    SortMergeJoin on the fact side here means shuffling the full fact table
+    per join at 100 TB."""
+    df = bq.QUERIES["olap_join_chain"][0](spark, SF)
+    df.collect()  # let AQE finalize join strategies
+    fp = formatted_plan(df)
+    assert "isFinalPlan=true" in fp
+    assert "SortMergeJoin" not in fp, fp
+    assert "ShuffledHashJoin" not in fp, fp
+    assert fp.count("BroadcastHashJoin") >= 3
+
+
+def test_pivot_no_join_no_discovery(spark):
+    """Pivot with explicit values is pure aggregation: Spark's two-phase
+    pivot plan ((priority, status) pre-agg → pivot agg → output sort, 3
+    exchanges on ever-shrinking data), with no join and no
+    distinct-discovery job (which implicit pivot values would add)."""
+    df = bq.QUERIES["olap_pivot"][0](spark, SF)
+    assert count_exchanges(df) <= 3
+    assert "Join" not in formatted_plan(df)
+
+
+def test_event_gap_stats_single_window_exchange(spark):
+    """lag() + groupBy(event_type): one exchange for the user window, one
+    for the per-type aggregate, one output-sort range exchange — and the
+    scan reads only the four referenced columns."""
+    df = bq.QUERIES["event_gap_stats"][0](spark, SF)
+    assert count_exchanges(df) <= 3
+    [cols] = read_schema_columns(df)
+    assert sorted(cols) == ["event_id", "event_type", "ts", "user_id"]
 
 
 def test_time_partitioned_layout_prunes(spark, tmp_path):
