@@ -624,6 +624,16 @@ def _chunk_documents_fn(spark, sf_dir):
         max_tokens=16)
 
 
+def _vocabulary_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocabulary(docs, min_count=5, top=200)
+
+
+def _pack_blocks_fn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pack_token_blocks(docs, block_size=128, shards=8)
+
+
 def _top_docs_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return ranking.top_k_per_group(
@@ -1313,6 +1323,45 @@ SELECT doc_id, cid::INT AS chunk_id,
   len(tk[cid*16+1 : cid*16+16])::INT AS n_chunk_tokens,
   array_to_string(tk[cid*16+1 : cid*16+16], ' ') AS chunk_text
 FROM c
+""",
+    ),
+    "text_vocab": (
+        _vocabulary_fn,
+        # top-200 by (count desc, token asc); deterministic tie-break keeps
+        # the LIMIT stable across engines
+        """
+WITH toks AS (""" + _TOKS_SQL + """),
+pd AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+td AS (SELECT token, doc_id, count(*) AS c FROM pd GROUP BY 1, 2)
+SELECT token, sum(c)::BIGINT AS n_occurrences, count(*)::BIGINT AS n_docs
+FROM td GROUP BY token HAVING sum(c) >= 5
+ORDER BY n_occurrences DESC, token ASC LIMIT 200
+""",
+    ),
+    "text_pack_blocks": (
+        _pack_blocks_fn,
+        # Mirrors text.pack_token_blocks: 8-way shard on doc_id, per-shard
+        # token stream in doc_id order, 128-token blocks; md5 over the
+        # block's space-joined tokens verifies packing bit-for-bit.
+        """
+WITH toks AS (""" + _TOKS_SQL + """),
+t AS (SELECT doc_id, doc_id % 8 AS shard, tk, len(tk) AS n
+      FROM toks WHERE len(tk) > 0),
+o AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM t),
+e AS (SELECT shard, doc_id, tk, n, st,
+        unnest(range((st // 128)::BIGINT,
+                     ((st + n - 1) // 128 + 1)::BIGINT)) AS block_id FROM o),
+c AS (SELECT shard, block_id, doc_id,
+        least(n, (block_id+1)*128 - st) - greatest(block_id*128 - st, 0) AS ct,
+        array_to_string(tk[(greatest(block_id*128 - st, 0) + 1)::BIGINT
+                           : least(n, (block_id+1)*128 - st)::BIGINT],
+                        ' ') AS chunk
+      FROM e)
+SELECT shard::BIGINT AS shard, block_id::BIGINT AS block_id,
+       count(*)::BIGINT AS n_docs, sum(ct)::BIGINT AS n_tokens,
+       md5(string_agg(chunk, ' ' ORDER BY doc_id)) AS block_md5
+FROM c GROUP BY 1, 2
 """,
     ),
     "text_repetition": (

@@ -7,7 +7,7 @@ ANSI-SQL oracle reproduces values bit-for-bit (ratios rounded to 6 places).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from funnel_rocket_spark.operators.dedup import tokens
@@ -187,6 +187,96 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         F.col("chunk_id"),
         F.size(window).alias("n_chunk_tokens"),
         F.concat_ws(" ", window).alias("chunk_text"),
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               min_count: int = 1, top: int | None = None) -> DataFrame:
+    """Corpus vocabulary: (token, n_occurrences, n_docs), descending by
+    count — the frequency table behind vocab construction / min-frequency
+    filtering in a tokenizer-training pipeline.
+
+    Scale shape: explode tokens → one groupBy(token) with map-side partial
+    aggregation (the explode never shuffles raw text, only tokens); n_docs
+    rides the same aggregate as a conditional count over per-doc distinct
+    tokens, avoiding a second pass. Hot-token skew is absorbed by the
+    partial aggregates (each map task emits one row per distinct token).
+    Ties order by token for determinism.
+    """
+    # ONE scan of the text, two chained aggregates — both map-side
+    # combinable, no countDistinct expand: per-(token, doc) counts collapse
+    # within-doc repeats at the mappers; the second agg then reads
+    # occurrences as a sum and doc-frequency as a plain row count.
+    per_doc = (
+        df.select(F.col(id_col).alias("__doc"),
+                  F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token", "__doc").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    out = (
+        per_doc.groupBy("token")
+        .agg(F.sum("__c").alias("n_occurrences"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+    )
+    return out.limit(top) if top else out
+
+
+def pack_token_blocks(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", block_size: int = 512,
+                      shards: int = 8) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens (in
+    ``id_col`` order) and split the stream into consecutive blocks of
+    exactly ``block_size`` tokens — documents span block boundaries, the
+    standard concat-then-chunk step that turns a filtered corpus into
+    fixed-length training sequences.
+
+    A single global stream would serialize on one task, so the corpus is
+    ``shards``-way hash-sharded on the id (each shard is an independent
+    token stream packed separately — at 100 TB, shards ≈ cluster
+    parallelism and every shard packs locally after ONE window exchange).
+    Returns one row per (shard, block_id): contributing doc count, token
+    count (== block_size except each shard's tail block), and an md5 over
+    the block's space-joined tokens for bit-level verification.
+    """
+    if block_size <= 0 or shards <= 0:
+        raise ValueError("block_size and shards must be positive")
+    B = block_size
+    base = (
+        df.select(
+            F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard"),
+            F.col(id_col).alias("__id"),
+            tokens(F.col(text_col)).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    w = (Window.partitionBy("shard").orderBy("__id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    placed = base.withColumn(
+        "__start", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    exploded = placed.withColumn(
+        "block_id",
+        F.explode(F.sequence(
+            F.floor(F.col("__start") / B),
+            F.floor((F.col("__start") + F.col("__n") - 1) / B))))
+    local_start = F.greatest(F.col("block_id") * B - F.col("__start"), F.lit(0))
+    local_end = F.least(F.col("__n"),
+                        (F.col("block_id") + 1) * B - F.col("__start"))
+    chunked = exploded.select(
+        "shard", "block_id", "__id",
+        (local_end - local_start).alias("__ct"),
+        F.concat_ws(" ", F.slice("__toks", local_start + 1,
+                                 local_end - local_start)).alias("__chunk"),
+    )
+    ordered_chunks = F.transform(
+        F.array_sort(F.collect_list(F.struct("__id", "__chunk"))),
+        lambda x: x["__chunk"])
+    return (
+        chunked.groupBy("shard", "block_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("__ct").alias("n_tokens"),
+             F.md5(F.concat_ws(" ", ordered_chunks).cast("binary"))
+             .alias("block_md5"))
     )
 
 

@@ -62,3 +62,55 @@ def test_chunk_documents_overlapping_stride(spark):
     out = sorted(text.chunk_documents(df, max_tokens=3, stride=2).collect(),
                  key=lambda r: r["chunk_id"])
     assert [c["chunk_text"] for c in out] == ["a b c", "c d e"]
+
+
+def test_vocabulary_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog"), (3, "")],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["token"]: r for r in text.vocabulary(df).collect()}
+    assert rows["the"]["n_occurrences"] == 3
+    assert rows["the"]["n_docs"] == 2
+    assert rows["cat"]["n_occurrences"] == 1
+    assert rows["cat"]["n_docs"] == 1
+    assert "" not in rows
+
+    top = text.vocabulary(df, min_count=2, top=5).collect()
+    assert [r["token"] for r in top] == ["the"]
+
+
+def test_pack_token_blocks_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(i % 7 + 1)))
+         for i in range(40)],
+        "doc_id INT, text STRING",
+    )
+    rows = text.pack_token_blocks(df, block_size=8, shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    total_tokens = sum(i % 7 + 1 for i in range(40))
+    assert sum(r["n_tokens"] for r in rows) == total_tokens
+    for shard, blocks in by_shard.items():
+        blocks.sort(key=lambda r: r["block_id"])
+        # consecutive block ids from 0
+        assert [b["block_id"] for b in blocks] == list(range(len(blocks)))
+        # every block is exactly block_size except the shard's tail
+        for b in blocks[:-1]:
+            assert b["n_tokens"] == 8
+        assert 1 <= blocks[-1]["n_tokens"] <= 8
+
+
+def test_pack_token_blocks_single_shard_exact_stream(spark):
+    # one shard -> the packed stream is the full concat in doc_id order
+    import hashlib
+    docs = [(1, "a b c"), (2, "d e"), (3, "f g h i")]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    rows = sorted(text.pack_token_blocks(df, block_size=4, shards=1).collect(),
+                  key=lambda r: r["block_id"])
+    stream = "a b c d e f g h i".split()
+    want = [stream[0:4], stream[4:8], stream[8:9]]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 1]
+    for r, blk in zip(rows, want):
+        assert r["block_md5"] == hashlib.md5(" ".join(blk).encode()).hexdigest()
