@@ -209,3 +209,32 @@ def test_time_partitioned_layout_prunes(spark, tmp_path):
     assert "PartitionFilters" in fp and "__pdate" in fp.split(
         "PartitionFilters")[1][:200], fp
     assert [r["v"] for r in q.collect()] == [2]
+
+
+def test_vocabulary_two_exchange_no_distinct_expand(spark):
+    """vocabulary: per-(token,doc) pre-agg then token agg — exactly two
+    exchanges on ever-shrinking keys, both map-side combined, and no
+    countDistinct expand (which would double every token row). The final
+    top-k must be TakeOrderedAndProject, not a global sort exchange."""
+    from funnel_rocket_spark.operators import text
+
+    docs = bq.load_table(spark, SF, "documents")
+    out = text.vocabulary(docs, min_count=5, top=200)
+    assert count_exchanges(out) == 2
+    fp = formatted_plan(out)
+    assert "partial_count" in fp and "partial_sum" in fp
+    assert "Expand" not in fp
+    assert "TakeOrderedAndProject" in fp
+
+
+def test_pack_token_blocks_single_exchange(spark):
+    """pack_token_blocks: ONE exchange total — the window's
+    hashpartitioning(shard) already satisfies the groupBy(shard, block_id)
+    distribution, so block assembly is partition-local after the single
+    shard shuffle. A second exchange here means the packed stream gets
+    re-shuffled at 100 TB."""
+    from funnel_rocket_spark.operators import text
+
+    docs = bq.load_table(spark, SF, "documents")
+    out = text.pack_token_blocks(docs, block_size=128, shards=8)
+    assert count_exchanges(out) == 1
