@@ -463,6 +463,58 @@ def _olap_distinct_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _olap_cube_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE (absent from the reference, like all grouping sets):
+    all 4 grouping combinations in one pass. Spark expands the cube
+    map-side into the grouping-set union — still ONE exchange, same as the
+    rollup; NULL markers coalesced to 'ALL' for oracle-stable values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows", "sum_price")
+    )
+
+
+def _olap_deciles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile segmentation of customers by total spend via
+    olap.exact_ntile — exact ntile(10) semantics WITHOUT the
+    single-partition global window (range shuffle + per-partition
+    row_number + offset arithmetic; see the operator docstring). Spend is
+    rounded to cents before ranking so the frontier is engine-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.round(F.sum("o_totalprice"), 2).alias("spend")))
+    d = olap.exact_ntile(per_cust, 10,
+                         [F.desc("spend"), F.asc("o_custkey")],
+                         out_col="decile")
+    return (d.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("spend"), 2).alias("total_spend"),
+                 F.round(F.min("spend"), 2).alias("min_spend"),
+                 F.round(F.max("spend"), 2).alias("max_spend")))
+
+
+def _tfidf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, top=3)
+
+
+def _embedding_centroids_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_centroids flattened to (label, pos, val) rows so the DuckDB
+    oracle compares element-wise means value-by-value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.label_centroids(emb)
+    return (cent.select("label", "n_vectors",
+                        F.posexplode("centroid").alias("pos", "val"))
+            .select("label", "pos",
+                    F.round("val", 6).alias("centroid_val"), "n_vectors"))
+
+
 def _olap_join_chain_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped: 5-table star join chain (region → nation → customer
     → orders → lineitem ⨝ supplier with the nation-match condition).
@@ -1448,6 +1500,61 @@ SELECT (epoch_ns(ts) - epoch_ns(ts) % {NANOS_DAY}) // 1000 AS bucket_us,
        event_type, count(*)::BIGINT AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    ),
+    "olap_cube": (
+        _olap_cube_fn,
+        """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    ),
+    "olap_customer_deciles": (
+        _olap_deciles_fn,
+        # cents-exact per-customer spend BEFORE ranking, so the decile
+        # frontier is reproducible across engines; custkey breaks ties
+        """
+WITH pc AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+            FROM orders GROUP BY 1),
+d AS (SELECT spend, ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC)
+        AS decile FROM pc)
+SELECT decile::INT AS decile, count(*)::BIGINT AS n_customers,
+       round(sum(spend), 2) AS total_spend,
+       round(min(spend), 2) AS min_spend, round(max(spend), 2) AS max_spend
+FROM d GROUP BY 1
+""",
+    ),
+    "text_tfidf": (
+        _tfidf_fn,
+        # same shape as the Spark plan: (doc, token) counts feed tf, df,
+        # and doc length; scores rounded to 6 BEFORE the ranking window
+        """
+WITH toks AS (""" + _TOKS_SQL + """),
+tfc AS (SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(tk) AS token FROM toks) GROUP BY 1, 2),
+lend AS (SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS len FROM tfc),
+dfreq AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (SELECT doc_id, token, tf,
+        round((tf::DOUBLE / len::DOUBLE) * ln(n.n::DOUBLE / df::DOUBLE), 6)
+          AS tfidf
+      FROM lend JOIN dfreq USING (token) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, token ASC) AS term_rank FROM s)
+SELECT doc_id, term_rank::INT AS term_rank, token, tf::BIGINT AS tf, tfidf
+FROM r WHERE term_rank <= 3
+""",
+    ),
+    "embedding_centroids": (
+        _embedding_centroids_fn,
+        """
+SELECT label, (i - 1)::INT AS pos,
+       round(avg(embedding[i]), 6) AS centroid_val,
+       count(*)::BIGINT AS n_vectors
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, i
 """,
     ),
 }

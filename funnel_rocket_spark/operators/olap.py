@@ -74,3 +74,56 @@ def grouped_exact_percentiles(
             (v_lo.cast("double") + frac * (v_hi - v_lo).cast("double")).alias(name)
         )
     return h.groupBy(*group_cols).agg(*aggs)
+
+
+def exact_ntile(df: DataFrame, n: int, order_cols: list[Column | str],
+                partitions: int | None = None,
+                out_col: str = "bucket") -> DataFrame:
+    """Exact global ``ntile(n)`` without the single-partition window trap.
+
+    ``ntile`` over ``Window.orderBy(...)`` (no partitionBy) funnels the
+    ENTIRE dataset through one task — the classic Spark cluster-killer for
+    global ranking. This formulation keeps every step distributed:
+
+    1. ``repartitionByRange`` on the order columns — a distributed sort
+       shuffle; ranges sampled, data spread over ``partitions`` tasks.
+    2. Per-partition row counts (a tiny ``spark_partition_id`` aggregate,
+       ~#partitions rows) → cumulative offsets, broadcast back.
+    3. ``row_number`` windowed *per partition* (distributed) + the
+       partition's offset = exact global rank; total N rides the same
+       broadcast.
+    4. ntile bucket from (rank, N) arithmetic, matching SQL semantics
+       bit-for-bit: with N = n*q + r, the first r buckets get q+1 rows.
+
+    The only driver-side data is one row per partition. Order must be
+    total (include a unique tie-break column) for deterministic buckets.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    p = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = (df.repartitionByRange(int(p), *cols)
+              .sortWithinPartitions(*cols)
+              .withColumn("__pid", F.spark_partition_id()))
+    sizes = ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    offs, total, acc = {}, 0, 0
+    for row in sizes:
+        offs[row["__pid"]] = acc
+        acc += row["count"]
+    total = acc
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offs.items() for x in kv]) if offs else F.create_map()
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    rank = (F.row_number().over(w) + off_map[F.col("__pid")]).alias("__rank")
+    q, r = divmod(total, n)
+    # first r buckets have q+1 rows; ranks beyond r*(q+1) fall into q-sized
+    # buckets (guard q == 0: fewer rows than buckets → bucket == rank)
+    big_span = r * (q + 1)
+    in_big = F.col("__rank") <= F.lit(big_span)
+    bucket = F.when(in_big, F.ceil(F.col("__rank") / F.lit(q + 1)))
+    bucket = (bucket.otherwise(
+        F.lit(r) + F.ceil((F.col("__rank") - F.lit(big_span)) / F.lit(q)))
+        if q > 0 else bucket.otherwise(F.col("__rank")))
+    return (ranged.select("*", rank)
+            .withColumn(out_col, bucket.cast("int"))
+            .drop("__pid", "__rank"))

@@ -327,3 +327,28 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
     pairs = bucketed.groupBy("tbl", "bucket").applyInPandas(
         bucket_pairs, schema="id_a long, id_b long, cosine_sim double")
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Element-wise mean embedding per label — the centroid/prototype
+    aggregation behind cluster summaries, class prototypes, and IVF-style
+    coarse quantizer training.
+
+    Scale shape: ``posexplode`` turns the vector column into (label, pos,
+    val) rows so the mean is ONE map-side-combinable groupBy(label, pos) —
+    no holistic vector buffers, and hot labels spread over dim-many
+    shuffle keys instead of one. Reassembly into array form is a second,
+    tiny aggregate over #labels × dim rows. Returns (label, n_vectors,
+    centroid array<double>).
+    """
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    per_dim = (pos.groupBy("label", "pos")
+               .agg(F.avg("val").alias("c"), F.count(F.lit(1)).alias("n")))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))),
+        lambda s: s["c"])
+    return (per_dim.groupBy("label")
+            .agg(F.max("n").alias("n_vectors"), ordered.alias("centroid")))

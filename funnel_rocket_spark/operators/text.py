@@ -289,3 +289,43 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.md5(F.concat_ws(" ", toks).cast("binary")).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top: int = 5) -> DataFrame:
+    """Per-document top-``top`` terms by TF-IDF — the keyword-extraction /
+    relevance-weighting step of a curation pipeline. Plain formula, no
+    smoothing: tf = count/doc_len, idf = ln(N/df), both factors exact.
+
+    Scale shape: one (doc, token) aggregate feeds BOTH term frequencies and
+    (via a second shrinking aggregate) document frequencies; the df table
+    joins back on token — an aggregate-to-aggregate shuffle join, never the
+    raw corpus. Corpus size N rides a broadcast single-row frame, so the
+    whole plan stays lazy (no driver-side count). Ranking windows partition
+    by doc — fully distributed. Scores rounded to 6 places BEFORE ranking
+    so the top-k frontier is reproducible across engines.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    doc_w = Window.partitionBy("doc_id")
+    scored = (
+        tf.withColumn("__len", F.sum("tf").over(doc_w))
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round((F.col("tf") / F.col("__len"))
+                    * F.log(F.col("__n") / F.col("df")), 6))
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(rank_w))
+        .filter(F.col("term_rank") <= top)
+        .select("doc_id", "term_rank", "token", "tf", "tfidf")
+    )

@@ -78,3 +78,17 @@ def test_embedding_dup_methods_agree(spark):
     assert fast.keys() == slow.keys() and len(fast) > 0
     for k in fast:
         assert abs(fast[k] - slow[k]) < 1e-9
+
+
+def test_label_centroids_hand_computed(spark):
+    from funnel_rocket_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
+        "vec_id INT, embedding ARRAY<FLOAT>, label INT",
+    )
+    rows = {r["label"]: r for r in similarity.label_centroids(df).collect()}
+    assert rows[0]["n_vectors"] == 2
+    assert rows[0]["centroid"] == [2.0, 3.0]
+    assert rows[1]["n_vectors"] == 1
+    assert rows[1]["centroid"] == [10.0, 20.0]

@@ -64,3 +64,27 @@ def test_bad_quantile_rejected(spark):
     df = spark.createDataFrame([("x", 1.0)], "k string, v double")
     with pytest.raises(ValueError, match="outside"):
         olap.grouped_exact_percentiles(df, ["k"], "v", {"p": 1.5})
+
+
+def test_exact_ntile_matches_sql_semantics(spark):
+    from funnel_rocket_spark.operators import olap
+    from pyspark.sql import functions as F
+
+    # N=12, n=10 -> q=1, r=2: buckets 1,2 get 2 rows, buckets 3..10 get 1
+    df = spark.createDataFrame([(i, 100 - i) for i in range(12)], "k INT, v INT")
+    out = olap.exact_ntile(df, 10, [F.desc("v"), F.asc("k")],
+                           partitions=3, out_col="b")
+    got = {r["k"]: r["b"] for r in out.collect()}
+    # v descends as k ascends, so rank == k+1
+    want = {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6, 8: 7, 9: 8,
+            10: 9, 11: 10}
+    assert got == want
+
+
+def test_exact_ntile_fewer_rows_than_buckets(spark):
+    from funnel_rocket_spark.operators import olap
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k INT")
+    out = olap.exact_ntile(df, 10, [F.asc("k")], partitions=2, out_col="b")
+    assert {r["k"]: r["b"] for r in out.collect()} == {1: 1, 2: 2, 3: 3}

@@ -114,3 +114,26 @@ def test_pack_token_blocks_single_shard_exact_stream(spark):
     assert [r["n_tokens"] for r in rows] == [4, 4, 1]
     for r, blk in zip(rows, want):
         assert r["block_md5"] == hashlib.md5(" ".join(blk).encode()).hexdigest()
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry")],
+        "doc_id INT, text STRING",
+    )
+    rows = text.tfidf_top_terms(df, top=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["term_rank"])
+    # doc1: apple tf=2/3 idf=ln(3/1); banana tf=1/3 idf=ln(3/2)
+    assert d1[0]["token"] == "apple"
+    assert d1[0]["tfidf"] == round((2 / 3) * math.log(3 / 1), 6)
+    assert d1[1]["token"] == "banana"
+    assert d1[1]["tfidf"] == round((1 / 3) * math.log(3 / 2), 6)
+    # doc3: cherry appears in 2 of 3 docs, tf=1
+    [d3] = by_doc[3]
+    assert d3["token"] == "cherry"
+    assert d3["tfidf"] == round(math.log(3 / 2), 6)
