@@ -17,6 +17,7 @@ import copy
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from funnel_rocket_spark.engine import QueryEngine
 from funnel_rocket_spark.operators import (
@@ -40,10 +41,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # may not have our session.py defaults)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet is TIMESTAMP(NANOS): read as int64 epoch-nanos —
-        # conveniently the reference's "timestamp is just a number" model.
+        # If events.parquet carries TIMESTAMP(NANOS), read it as int64
+        # epoch-nanos directly (nanosAsLong); micro/milli timestamps come
+        # back as timestamp(_ntz) and are normalized below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_ns(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Replace a timestamp-typed column with exact epoch-nanos int64.
+
+    For operators that do arithmetic on the time axis (sessionization gaps,
+    as-of tolerance, time buckets) AFTER any scan-level filtering — engine
+    queries never use this (their timeframe predicate must stay on the raw
+    column for parquet pushdown; see planner/compiler.py). Long arithmetic is
+    exact: casting ~1.7e18 nanos to double would quantize to ~256 ns. The
+    NTZ → TIMESTAMP cast is value-preserving under the UTC session timezone
+    pinned in load_table, so results hash-match DuckDB's epoch_ns(ts).
+    Integer columns (e.g. files already storing TIMESTAMP(NANOS) read via
+    nanosAsLong) pass through untouched.
+    """
+    if isinstance(df.schema[col].dataType, (T.LongType, T.IntegerType)):
+        return df
+    return df.withColumn(
+        col, F.unix_micros(F.col(col).cast(T.TimestampType())) * F.lit(1000))
 
 
 def _engine() -> QueryEngine:
@@ -204,9 +225,9 @@ def _registration_profile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data pipeline operators
 
 Q_LINEITEM = {
-    # timeframe in epoch SECONDS (l_shipdate is a real timestamp column —
-    # exercises the TimestampType→double path): 1994-01-01 .. 1996-01-01
-    "timeframe": {"from": 757_382_400, "to": 820_454_400},
+    # timeframe in epoch NANOS (l_shipdate is a real timestamp column —
+    # exercises the timestamp-literal pushdown path): 1994-01-01 .. 1996-01-01
+    "timeframe": {"from": 757_382_400 * 10**9, "to": 820_454_400 * 10**9},
     "query": {
         "relation": "$0 and $1",
         "conditions": [
@@ -244,7 +265,7 @@ NANOS_2H = 2 * 3600 * 10**9
 
 
 def _sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
     stats = temporal.session_stats(
         ev.select("user_id", "ts"), "user_id", "ts", gap=NANOS_2H)
     # DuckDB truncates TIMESTAMP(NANOS) to us; compare at us precision
@@ -257,7 +278,7 @@ def _sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _asof_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -270,7 +291,7 @@ def _asof_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _asof_forward_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: each view paired with the NEXT purchase of that user."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
     views = ev.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -298,7 +319,7 @@ def _range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _time_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
     out = temporal.time_rollup(
         ev, "ts", every=NANOS_DAY, group_cols=["event_type"],
         aggs=[F.count(F.lit(1)).alias("n_events"),
@@ -586,7 +607,7 @@ def _event_gap_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle's TIMESTAMP carries µs) with (ts, event_id) ordering so
     same-timestamp ties are deterministic in both engines; integer
     sums/counts dodge fp accumulation-order entirely."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
     from pyspark.sql import Window
 
     base = ev.select(

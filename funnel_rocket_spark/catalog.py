@@ -79,6 +79,16 @@ def _coltype(dtype: T.DataType) -> Optional[str]:
     return SUPPORTED_TYPES.get(dtype.simpleString())
 
 
+def _numeric(col_name: str, dtype: T.DataType):
+    """Column as double for profiling: timestamp/date become epoch seconds
+    (TIMESTAMP_NTZ/DATE can't cast to double directly — go via TIMESTAMP,
+    value-preserving under a UTC session timezone)."""
+    col = F.col(f"`{col_name}`")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.unix_micros(col.cast(T.TimestampType())) / F.lit(1_000_000.0)
+    return col.cast("double")
+
+
 def register_dataset(
     spark: SparkSession,
     name: str,
@@ -133,7 +143,7 @@ def register_dataset(
         unsupported_columns=unsupported)
 
     if validate or profile:
-        ts_num = F.col(timestamp_column).cast("double")
+        ts_num = _numeric(timestamp_column, fields[timestamp_column])
         aggs = [
             F.count(F.lit(1)).alias("__rows"),
             F.sum(F.col(group_id_column).isNull().cast("long")).alias("__null_groups"),
@@ -144,10 +154,10 @@ def register_dataset(
         ]
         if profile:
             for col_name, info in columns.items():
-                safe = f"`{col_name}`"
                 if info["coltype"] in ("INT", "FLOAT"):
-                    aggs.append(F.expr(f"min({safe})").cast("double").alias(f"__min__{col_name}"))
-                    aggs.append(F.expr(f"max({safe})").cast("double").alias(f"__max__{col_name}"))
+                    num = _numeric(col_name, fields[col_name])
+                    aggs.append(F.min(num).alias(f"__min__{col_name}"))
+                    aggs.append(F.max(num).alias(f"__max__{col_name}"))
                 aggs.append(F.approx_count_distinct(col_name).alias(f"__nuniq__{col_name}"))
         row = df.agg(*aggs).collect()[0]
 

@@ -95,35 +95,48 @@ def exact_ntile(df: DataFrame, n: int, order_cols: list[Column | str],
     4. ntile bucket from (rank, N) arithmetic, matching SQL semantics
        bit-for-bit: with N = n*q + r, the first r buckets get q+1 rows.
 
-    The only driver-side data is one row per partition. Order must be
-    total (include a unique tie-break column) for deterministic buckets.
+    The offsets are computed IN-PLAN from the same range exchange the final
+    ranking reads (both branches share one canonicalized shuffle →
+    ReusedExchange), never via a separate collect job: range bounds are
+    *sampled*, so a second job over nondeterministically-ordered upstream
+    rows (e.g. a hash aggregate) can re-sample different bounds, and
+    offsets measured on partitioning A applied to partitioning B yield
+    phantom ranks > N (observed as an 11th decile of size 1). One action =
+    one exchange = one consistent partitioning. Order must be total
+    (include a unique tie-break column) for deterministic buckets.
     """
     if n <= 0:
         raise ValueError("n must be positive")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     p = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = (df.repartitionByRange(int(p), *cols)
-              .sortWithinPartitions(*cols)
               .withColumn("__pid", F.spark_partition_id()))
-    sizes = ranged.groupBy("__pid").count().orderBy("__pid").collect()
-    offs, total, acc = {}, 0, 0
-    for row in sizes:
-        offs[row["__pid"]] = acc
-        acc += row["count"]
-    total = acc
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offs.items() for x in kv]) if offs else F.create_map()
+    # per-partition sizes → cumulative offsets + grand total. ~p rows, so
+    # the single-partition windows are trivial; the broadcast back to the
+    # big side is p rows too.
+    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    offsets = (
+        ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__off"),
+            F.sum("__c").over(w_all).alias("__n")))
     w = Window.partitionBy("__pid").orderBy(*cols)
-    rank = (F.row_number().over(w) + off_map[F.col("__pid")]).alias("__rank")
-    q, r = divmod(total, n)
+    joined = ranged.join(F.broadcast(offsets), "__pid")
+    rank = F.col("__rank")
+    q = F.floor(F.col("__n") / n)          # small-bucket size
+    r = F.col("__n") % n                   # number of (q+1)-sized buckets
     # first r buckets have q+1 rows; ranks beyond r*(q+1) fall into q-sized
     # buckets (guard q == 0: fewer rows than buckets → bucket == rank)
     big_span = r * (q + 1)
-    in_big = F.col("__rank") <= F.lit(big_span)
-    bucket = F.when(in_big, F.ceil(F.col("__rank") / F.lit(q + 1)))
-    bucket = (bucket.otherwise(
-        F.lit(r) + F.ceil((F.col("__rank") - F.lit(big_span)) / F.lit(q)))
-        if q > 0 else bucket.otherwise(F.col("__rank")))
-    return (ranged.select("*", rank)
+    bucket = (
+        F.when(rank <= big_span, F.ceil(rank / (q + 1)))
+        .when(q > 0, r + F.ceil((rank - big_span) / q))
+        .otherwise(rank))
+    return (joined
+            .withColumn("__rank",
+                        F.row_number().over(w) + F.col("__off"))
             .withColumn(out_col, bucket.cast("int"))
-            .drop("__pid", "__rank"))
+            .drop("__pid", "__rank", "__off", "__n", "__c"))

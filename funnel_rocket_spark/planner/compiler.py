@@ -72,14 +72,15 @@ def ts_numeric(df: DataFrame, ts_col: str) -> tuple[Column, Column]:
     dtype = df.schema[ts_col].dataType
     if isinstance(dtype, _INT_TYPES):
         return F.col(ts_col), F.lit(LONG_MIN)
-    if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
-        # NTZ/date don't cast to double directly; go via timestamp. Pin the
-        # session timezone to UTC (see session.get_spark) so the wall time IS
-        # the epoch — tz-independent parity with DuckDB's epoch().
-        return (F.col(ts_col).cast(T.TimestampType()).cast(T.DoubleType()),
-                F.lit(NEG_INF))
-    if isinstance(dtype, T.TimestampType):
-        return F.col(ts_col).cast(T.DoubleType()), F.lit(NEG_INF)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        # Timestamp/date columns are treated as epoch-NANOSECONDS, exactly,
+        # in int64 — query time values (timeframe, maxDuration) use the same
+        # unit. NTZ/date go via TIMESTAMP first (no direct numeric cast); the
+        # session timezone is pinned to UTC (see session.get_spark) so the
+        # wall time IS the epoch — tz-independent parity with DuckDB's
+        # epoch_ns().
+        return (F.unix_micros(F.col(ts_col).cast(T.TimestampType()))
+                * F.lit(1000), F.lit(LONG_MIN))
     return F.col(ts_col).cast(T.DoubleType()), F.lit(NEG_INF)
 
 
@@ -283,11 +284,28 @@ class QueryPlan:
         # ``query_task_runner.py:116-133`` — from-inclusive, to-exclusive).
         tf = self.q.get("timeframe") or {}
         if tf:
-            ts, _ = ts_numeric(df, ts_col)
-            if "from" in tf:
-                df = df.filter(ts >= F.lit(tf["from"]))
-            if "to" in tf:
-                df = df.filter(ts < F.lit(tf["to"]))
+            dtype = df.schema[ts_col].dataType
+            if isinstance(dtype, (T.TimestampType, T.TimestampNTZType,
+                                  T.DateType)):
+                # Convert the epoch-nanos literal, NOT the column: the
+                # predicate stays on the raw scan column, so it reaches the
+                # parquet reader as a pushed filter (row-group / partition
+                # pruning — the difference between touching one day and one
+                # petabyte). cast(timestamp_micros(lit)) is constant-folded
+                # by Catalyst into a plain literal.
+                def _ts_lit(v):
+                    return (F.timestamp_micros(F.lit(int(v) // 1000))
+                            .cast(dtype))
+                if "from" in tf:
+                    df = df.filter(F.col(ts_col) >= _ts_lit(tf["from"]))
+                if "to" in tf:
+                    df = df.filter(F.col(ts_col) < _ts_lit(tf["to"]))
+            else:
+                ts, _ = ts_numeric(df, ts_col)
+                if "from" in tf:
+                    df = df.filter(ts >= F.lit(tf["from"]))
+                if "to" in tf:
+                    df = df.filter(ts < F.lit(tf["to"]))
 
         # Column pruning (reference F4): select only referenced columns. Catalyst
         # would prune anyway; explicit select keeps plans/readable schemas tight.

@@ -527,8 +527,14 @@ def test_kitchen_sink_query(spark):
     from funnel_rocket_spark.engine import QueryEngine
 
     ev = bq.load_table(spark, "/root/testdata/sf0.001", "events")
-    ts_lo = int(ev.agg(F.min("ts")).collect()[0][0])
-    ts_hi = int(ev.agg(F.max("ts")).collect()[0][0])
+    # epoch-nanos bounds regardless of the physical ts type (int64 nanos or
+    # timestamp[us]); query time values are always epoch-nanos
+    lo, hi = (
+        bq.ts_ns(ev)
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    ts_lo, ts_hi = int(lo), int(hi)
     q = {
         "timeframe": {"from": ts_lo, "to": ts_hi},
         "query": {

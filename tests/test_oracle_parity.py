@@ -6,13 +6,14 @@ Runs at sf0.001 for speed; the driver runs the same comparison at sf0.01.
 """
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("FR_PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -114,7 +114,7 @@ def test_time_rollup_single_shuffle(spark):
     from funnel_rocket_spark.operators import temporal
     from pyspark.sql import functions as F
 
-    ev = bq.load_table(spark, SF, "events")
+    ev = bq.ts_ns(bq.load_table(spark, SF, "events"))
     out = temporal.time_rollup(ev, "ts", every=86_400_000_000_000,
                                group_cols=["event_type"],
                                aggs=[F.count(F.lit(1)).alias("n")])

@@ -78,7 +78,7 @@ def test_sessionize_agrees_with_session_window(spark):
     from funnel_rocket_spark import benchqueries as bq
     from pyspark.sql import functions as F
 
-    ev = bq.load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = bq.ts_ns(bq.load_table(spark, "/root/testdata/sf0.001", "events"))
     gap_ns = 2 * 3600 * 10**9
     mine = (temporal.session_stats(ev.select("user_id", "ts"), "user_id",
                                    "ts", gap=gap_ns)
