@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from funnel_rocket_spark.engine import QueryEngine
 from funnel_rocket_spark.operators import (
     audiences,
+    behavior,
     dedup,
     multimodal,
     olap,
@@ -518,6 +519,79 @@ def _olap_deciles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("spend"), 2).alias("total_spend"),
                  F.round(F.min("spend"), 2).alias("min_spend"),
                  F.round(F.max("spend"), 2).alias("max_spend")))
+
+
+def _retention_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/behavior.py) — the
+    classic follow-on to the reference's funnel counts, absent there."""
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    return behavior.retention_cohorts(
+        ev.select("user_id", "ts"), "user_id", "ts",
+        period=behavior.NANOS_WEEK)
+
+
+def _top_paths_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step event paths; (ts, event_id) total order makes
+    the lead() windows deterministic across engines."""
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    return behavior.top_paths(
+        ev, "user_id", "ts", "event_type",
+        order_cols=["ts", "event_id"], length=3, top=20)
+
+
+def _attribution_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases to the most recent preceding
+    view/click — one carry-forward window, no join."""
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    return behavior.last_touch_attribution(
+        ev, "user_id", "ts", "event_type", conversion="purchase",
+        touch_types=["view", "click"], value_col="value",
+        order_col="event_id")
+
+
+def _conversion_delay_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of days from first view to first subsequent purchase."""
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    return behavior.conversion_delay(
+        ev, "user_id", "ts", "event_type", start="view", end="purchase",
+        bucket=behavior.NANOS_DAY)
+
+
+def _cents(col: str):
+    # exact integer cents: fp-accumulation-proof sums that hash-match any
+    # engine (2-decimal money in double is exact; ×100 round-trips)
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _rolling_revenue_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling revenue over the pre-aggregated daily series."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", _cents("o_totalprice"))
+    return olap.rolling_time_agg(
+        o, "o_orderdate", "cents", window_periods=7, period="day")
+
+
+def _nation_share_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per nation within its region: star join (all dims
+    broadcast — the fact table never shuffles for a join) + window share
+    over the tiny aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.withColumn("cents", _cents("o_totalprice"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return olap.window_share(joined, ["n_name"], ["r_name"], "cents")
+
+
+def _basket_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-purchased in the same order (market-basket mining)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return olap.basket_pairs(li, "l_orderkey", "l_partkey",
+                             min_support=2, top=50)
 
 
 def _tfidf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1576,6 +1650,104 @@ SELECT label, (i - 1)::INT AS pos,
        count(*)::BIGINT AS n_vectors
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 GROUP BY label, i
+""",
+    ),
+    # ---- behavioral analytics (operators/behavior.py) --------------------- #
+    "behavior_retention_weekly": (
+        _retention_fn,
+        """
+WITH act AS (SELECT DISTINCT user_id,
+        epoch_ns(ts) - epoch_ns(ts) % 604800000000000 AS period FROM events),
+coh AS (SELECT user_id, min(period) AS cohort FROM act GROUP BY 1)
+SELECT cohort, (period - cohort) // 604800000000000 AS period_index,
+       count(*)::BIGINT AS n_active
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2
+""",
+    ),
+    "behavior_top_paths": (
+        _top_paths_fn,
+        """
+WITH s AS (SELECT user_id, event_type AS s0,
+        lead(event_type, 1) OVER w AS s1, lead(event_type, 2) OVER w AS s2
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT user_id, s0 || ' > ' || s1 || ' > ' || s2 AS path
+      FROM s WHERE s2 IS NOT NULL)
+SELECT path, count(*)::BIGINT AS n_paths,
+       count(DISTINCT user_id)::BIGINT AS n_groups
+FROM p GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
+""",
+    ),
+    "behavior_attribution": (
+        _attribution_fn,
+        """
+WITH t AS (SELECT user_id, event_type, value,
+        last_value(CASE WHEN event_type IN ('view', 'click')
+                        THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+    FROM events)
+SELECT coalesce(channel, '(none)') AS channel,
+       count(*)::BIGINT AS n_conversions,
+       round(sum(value), 2) AS total_value
+FROM t WHERE event_type = 'purchase' GROUP BY 1
+""",
+    ),
+    "behavior_conversion_delay": (
+        _conversion_delay_fn,
+        """
+WITH s AS (SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS sv
+    FROM events GROUP BY 1),
+e AS (SELECT ev.user_id, min(epoch_ns(ev.ts)) AS ep
+      FROM events ev JOIN s USING (user_id)
+      WHERE ev.event_type = 'purchase' AND epoch_ns(ev.ts) >= s.sv
+      GROUP BY 1)
+SELECT (ep - sv) // 86400000000000 AS delay_bucket,
+       count(*)::BIGINT AS n_groups
+FROM e JOIN s USING (user_id) GROUP BY 1
+""",
+    ),
+    # ---- OLAP breadth (windowed series / share / co-occurrence) ----------- #
+    "olap_rolling_revenue": (
+        _rolling_revenue_fn,
+        """
+WITH daily AS (SELECT date_trunc('day', o_orderdate) AS period_start,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS value
+    FROM orders GROUP BY 1)
+SELECT period_start, value,
+       CAST(sum(value) OVER w AS BIGINT) AS rolling_sum,
+       round(avg(value) OVER w, 4) AS rolling_avg
+FROM daily
+WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', period_start::DATE)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    ),
+    "olap_nation_share": (
+        _nation_share_fn,
+        """
+WITH j AS (SELECT r_name, n_name,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey),
+a AS (SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS value
+      FROM j GROUP BY 1, 2)
+SELECT r_name, n_name, value,
+       round(value::DOUBLE / (sum(value) OVER (PARTITION BY r_name))::DOUBLE,
+             6) AS share
+FROM a
+""",
+    ),
+    "olap_basket_pairs": (
+        _basket_pairs_fn,
+        """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_baskets
+FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY n_baskets DESC, item_a ASC, item_b ASC LIMIT 50
 """,
     ),
 }

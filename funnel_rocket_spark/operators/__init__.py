@@ -5,6 +5,13 @@ higher-order array functions) — no Python UDFs except the clearly-marked
 multimodal decode plumbing, which is Arrow-batched ``mapInPandas``.
 """
 
-from funnel_rocket_spark.operators import dedup, multimodal, similarity, skew, text
+from funnel_rocket_spark.operators import (
+    behavior,
+    dedup,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "skew", "text"]
+__all__ = ["behavior", "dedup", "multimodal", "similarity", "skew", "text"]

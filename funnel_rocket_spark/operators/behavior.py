@@ -1,0 +1,162 @@
+"""Behavioral / product-analytics operators over grouped event streams.
+
+The reference engine (funnel-rocket) answers "which users did X then Y"
+(`engine/query_engine.py`, SURVEY §2.5); these operators answer the
+follow-on questions every product-analytics stack asks of the same
+event-stream data model — cohort retention, common paths, attribution,
+conversion delay. None exist in the reference (SURVEY §2 gaps); each is a
+pure DataFrame program whose shuffles stay keyed on the group column, so
+on a layout bucketed by group (sources/ingest.py) they run shuffle-free
+for the per-group phases.
+
+Time values are exact int64 epoch-nanos (`benchqueries.ts_ns` normalizes
+timestamp columns); period math is integer arithmetic — engine-portable
+and drift-free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NANOS_DAY = 86_400_000_000_000
+NANOS_WEEK = 7 * NANOS_DAY
+
+
+def retention_cohorts(df: DataFrame, group_col: str, ts_col: str,
+                      period: int = NANOS_WEEK) -> DataFrame:
+    """Cohort retention triangle: (cohort, period_index, n_active).
+
+    cohort = the period of the group's FIRST activity; a group counts as
+    active in every period it has ≥1 event. Classic layout: row = cohort,
+    column = periods since cohort start, cell = distinct active groups.
+
+    Scale shape: the raw stream first collapses to DISTINCT (group,
+    period) — the only pass over full data, map-side combinable. The
+    cohort lookup is a min() over that shrunken frame, and the final
+    count(*) per (cohort, index) needs no countDistinct because
+    (group, period) is already unique. Every shuffle key includes the
+    group column (no skew beyond real power users, which AQE splits).
+    """
+    bucket = (F.col(ts_col) - F.col(ts_col) % F.lit(period)).alias("__period")
+    activity = df.select(F.col(group_col), bucket).distinct()
+    cohorts = activity.groupBy(group_col).agg(
+        F.min("__period").alias("__cohort"))
+    return (
+        activity.join(cohorts, group_col)
+        .groupBy(
+            F.col("__cohort").alias("cohort"),
+            # integer DIV, not `/`: nanos deltas exceed 2^53, so a double
+            # quotient can land on x.9999... and truncate one period off
+            F.expr(f"(__period - __cohort) DIV {int(period)}")
+            .alias("period_index"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def top_paths(df: DataFrame, group_col: str, ts_col: str, step_col: str,
+              order_cols: Optional[list] = None, length: int = 3,
+              top: int = 20, sep: str = " > ") -> DataFrame:
+    """Most common length-``length`` event paths: (path, n_paths, n_groups).
+
+    A path is ``length`` CONSECUTIVE events of one group in time order.
+    lead() windows over (group, ts) assemble the steps — one exchange on
+    the group column, the same partitioning the funnel engine uses, then a
+    count-per-path aggregation (map-side combinable; path cardinality ≪
+    row count). Deterministic under ties via ``order_cols``.
+    """
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    steps = [F.col(step_col)] + [
+        F.lead(step_col, i).over(w) for i in range(1, length)]
+    named = df.select(
+        F.col(group_col),
+        *[s.alias(f"__s{i}") for i, s in enumerate(steps)])
+    complete = named.filter(
+        F.lit(True) & F.lit(True) if length == 1
+        else F.col(f"__s{length - 1}").isNotNull())
+    path = F.concat_ws(sep, *[F.col(f"__s{i}") for i in range(length)])
+    return (
+        complete.select(F.col(group_col), path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"),
+             F.count_distinct(group_col).alias("n_groups"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(top)
+    )
+
+
+def last_touch_attribution(df: DataFrame, group_col: str, ts_col: str,
+                           type_col: str,
+                           conversion: str,
+                           touch_types: list[str],
+                           value_col: Optional[str] = None,
+                           order_col: Optional[str] = None) -> DataFrame:
+    """Last-touch attribution: credit each conversion to the most recent
+    preceding touch event of the same group → (channel, n_conversions
+    [, total_value]).  Conversions with no preceding touch land in the
+    ``(none)`` channel, so totals reconcile with the raw conversion count.
+
+    Physical shape: ONE window pass over (group, ts) carrying the last
+    touch type forward (``last(..., ignorenulls=True)`` — the same
+    union-free formulation as :func:`temporal.as_of_join` but inlined,
+    since both sides are the same table), then a tiny per-channel
+    aggregate. No join, one exchange on the group column.
+    """
+    order = [F.col(ts_col).asc()]
+    if order_col:
+        # same-timestamp ties: order by (ts, order_col) so "preceding" is
+        # deterministic in any engine
+        order.append(F.col(order_col).asc())
+    w = (Window.partitionBy(group_col).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col(type_col).isin(*touch_types), F.col(type_col))
+    carried = F.last(touch, ignorenulls=True).over(w)
+    conv = df.withColumn("__channel", carried).filter(
+        F.col(type_col) == conversion)
+    aggs = [F.count(F.lit(1)).alias("n_conversions")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+    return (
+        conv.groupBy(
+            F.coalesce(F.col("__channel"), F.lit("(none)")).alias("channel"))
+        .agg(*aggs)
+    )
+
+
+def conversion_delay(df: DataFrame, group_col: str, ts_col: str,
+                     type_col: str, start: str, end: str,
+                     bucket: int = NANOS_DAY) -> DataFrame:
+    """Time-to-convert histogram: (delay_bucket, n_groups).
+
+    delay = first ``end`` event AT-OR-AFTER the group's first ``start``
+    event, bucketed to ``bucket`` (default: whole days); groups that never
+    start, or never convert after starting, are excluded. The sequence-
+    anchor formulation (same shape as the engine's funnel step-1 anchor,
+    `planner/compiler.py` with_sequence_anchors): one window min for the
+    start anchor, then a conditional min over later end events — two
+    passes, both keyed on the group column, no joins.
+    """
+    w = Window.partitionBy(group_col)
+    anchored = df.withColumn(
+        "__s", F.min(F.when(F.col(type_col) == start, F.col(ts_col))).over(w))
+    per_group = (
+        anchored.filter(F.col("__s").isNotNull())
+        .groupBy(group_col)
+        .agg(F.first("__s").alias("__s"),
+             F.min(F.when((F.col(type_col) == end)
+                          & (F.col(ts_col) >= F.col("__s")),
+                          F.col(ts_col))).alias("__e"))
+        .filter(F.col("__e").isNotNull())
+    )
+    return (
+        # integer DIV (see retention_cohorts: double quotients of
+        # >2^53-nanos deltas truncate wrong at bucket boundaries)
+        per_group.select(
+            F.expr(f"(__e - __s) DIV {int(bucket)}").alias("delay_bucket"))
+        .groupBy("delay_bucket")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )

@@ -140,3 +140,98 @@ def exact_ntile(df: DataFrame, n: int, order_cols: list[Column | str],
                         F.row_number().over(w) + F.col("__off"))
             .withColumn(out_col, bucket.cast("int"))
             .drop("__pid", "__rank", "__off", "__n", "__c"))
+
+
+def rolling_time_agg(df: DataFrame, ts_col: str, value_col: str,
+                     window_periods: int = 7,
+                     period: str = "day",
+                     group_cols: list[str] | None = None) -> DataFrame:
+    """Pre-aggregated rolling time-window metrics, e.g. 7-day rolling
+    revenue: (period_start[, groups...], value, rolling_sum, rolling_avg).
+
+    The scale trick is the ORDER of operations: aggregate to one row per
+    (period[, groups]) FIRST — a map-side-combinable shuffle over the full
+    data — and only then run the rolling window over the shrunken series
+    (|periods| × |groups| rows, years of daily data ≈ thousands of rows).
+    A rolling window DIRECTLY over raw rows would funnel everything
+    through one task per group; over the pre-aggregate it's negligible.
+    ``range_between`` on the integer period index handles gaps (missing
+    days widen the wall-clock window but never silently include extra
+    periods).
+
+    ``ts_col`` must be date/timestamp-typed (period truncation via
+    date_trunc keeps the scan column pushdown-friendly upstream).
+    """
+    group_cols = group_cols or []
+    bucket = F.date_trunc(period, F.col(ts_col))
+    per_period = (
+        df.groupBy(bucket.alias("period_start"),
+                   *[F.col(c) for c in group_cols])
+        .agg(F.sum(value_col).alias("value"))
+    )
+    # integer index for RANGE frames: days since epoch (day/week) or
+    # months since epoch (month) — gap-aware, engine-portable
+    if period in ("day", "week"):
+        idx = F.datediff(F.col("period_start"), F.lit("1970-01-01"))
+        span = window_periods * (7 if period == "week" else 1) - 1
+    elif period == "month":
+        idx = (F.year("period_start") * 12 + F.month("period_start"))
+        span = window_periods - 1
+    else:
+        raise ValueError(f"unsupported period: {period!r}")
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         .orderBy(idx)
+         .rangeBetween(-span, 0)) if group_cols else (
+        Window.orderBy(idx).rangeBetween(-span, 0))
+    return per_period.select(
+        "period_start", *group_cols,
+        F.round("value", 2).alias("value"),
+        F.round(F.sum("value").over(w), 2).alias("rolling_sum"),
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
+    )
+
+
+def window_share(df: DataFrame, part_cols: list[str], within_cols: list[str],
+                 value_col: str) -> DataFrame:
+    """Contribution share: value per ``part_cols``, plus its fraction of
+    the ``within_cols`` total — (parts..., value, share).
+
+    One aggregation shuffle on (within ∪ part); the share itself is a
+    window SUM over the aggregate, which has |parts| rows per ``within``
+    group — trivially small after the pre-agg, never over raw data.
+    """
+    agg = (df.groupBy(*[F.col(c) for c in within_cols + part_cols])
+           .agg(F.sum(value_col).alias("__v")))
+    w = Window.partitionBy(*[F.col(c) for c in within_cols])
+    return agg.select(
+        *within_cols, *part_cols,
+        F.round("__v", 2).alias("value"),
+        F.round(F.col("__v") / F.sum("__v").over(w), 6).alias("share"),
+    )
+
+
+def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
+                 min_support: int = 2, top: int = 50) -> DataFrame:
+    """Co-occurrence mining: item pairs appearing in the same basket —
+    (item_a, item_b, n_baskets), most frequent first.
+
+    Pipeline: distinct (basket, item) → self-join on basket with
+    ``item_a < item_b`` → count per pair. The join explodes each basket
+    quadratically, but baskets are naturally SMALL (line items per order);
+    cost is Σ|basket|² — linear-ish in practice. Pathological mega-baskets
+    are the skew risk: cap them upstream or let AQE skew-split the join.
+    A min_support filter + top-k keeps the result bounded.
+    """
+    bi = df.select(F.col(basket_col).alias("__b"),
+                   F.col(item_col).alias("__i")).distinct()
+    a, b = bi.alias("a"), bi.alias("b")
+    return (
+        a.join(b, F.col("a.__b") == F.col("b.__b"))
+        .where(F.col("a.__i") < F.col("b.__i"))
+        .groupBy(F.col("a.__i").alias("item_a"),
+                 F.col("b.__i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_support)
+        .orderBy(F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b"))
+        .limit(top)
+    )
