@@ -594,6 +594,72 @@ def _basket_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                              min_support=2, top=50)
 
 
+def _token_entropy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each doc's token distribution — perplexity
+    proxy for curation banding."""
+    return text.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def _part_avg_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated aggregate: lineitems below 20% of their
+    part's average quantity. The per-part limit is a pre-aggregate joined
+    back on the SAME key the fact already groups by — an agg-to-fact
+    shuffle join AQE turns broadcast when the part table allows; never a
+    correlated subquery per row. Integer-cents revenue, fp-proof."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "cents", _cents("l_extendedprice"))
+    lim = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("lim"))
+    return (
+        li.join(lim, "l_partkey")
+        .where(F.col("l_quantity") < F.col("lim"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("cents").alias("revenue_cents"))
+    )
+
+
+def _winsorized_mean_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust mean: clamp to the per-group [p5, p95] band (exact
+    histogram percentiles), then average. The 3-row band frame broadcasts
+    back to the fact scan. Floor-to-cent clamps keep every value integral
+    so the mean is an exact-int sum over count — bit-stable across
+    engines regardless of accumulation order."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "cents", _cents("l_extendedprice"))
+    band = olap.grouped_exact_percentiles(
+        li, ["l_returnflag"], F.col("cents"), {"p05": 0.05, "p95": 0.95}
+    ).select("l_returnflag", F.floor("p05").alias("lo"),
+             F.floor("p95").alias("hi"))
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(band), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.avg(clamped), 4).alias("winsorized_mean_cents"))
+    )
+
+
+NANOS_HOUR = 3600 * 10**9
+
+
+def _asof_tolerance_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as_of_join's tolerance path: views matched to the latest click at
+    most 1 hour back; matches farther away null out (pd.merge_asof
+    semantics). Integer-µs delay sum — exact in any engine."""
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    j = temporal.as_of_join(views, clicks, on="user_id", left_ts="ts",
+                            right_ts="click_ts", value_cols=["click_ts"],
+                            tolerance=NANOS_HOUR)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.count("click_ts").alias("n_matched"),
+        F.sum(F.expr("(ts - click_ts) DIV 1000")).alias("sum_delay_us"))
+
+
 def _tfidf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, top=3)
@@ -1650,6 +1716,63 @@ SELECT label, (i - 1)::INT AS pos,
        count(*)::BIGINT AS n_vectors
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 GROUP BY label, i
+""",
+    ),
+    "text_entropy": (
+        _token_entropy_fn,
+        """
+WITH toks AS (""" + _TOKS_SQL + """),
+tc AS (SELECT doc_id, token, count(*) AS c
+       FROM (SELECT doc_id, unnest(tk) AS token FROM toks) GROUP BY 1, 2),
+d AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s FROM tc GROUP BY 1)
+SELECT doc_id, n::BIGINT AS n_tokens, round(ln(n) - s / n, 6) AS entropy
+FROM d
+""",
+    ),
+    "olap_part_avg_filter": (
+        _part_avg_filter_fn,
+        """
+WITH p AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+           FROM lineitem GROUP BY 1)
+SELECT count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN p USING (l_partkey) WHERE l.l_quantity < p.lim
+""",
+    ),
+    "olap_winsorized_mean": (
+        _winsorized_mean_fn,
+        """
+WITH b AS (SELECT l_returnflag,
+        CAST(floor(quantile_cont(
+            CAST(round(l_extendedprice * 100) AS BIGINT), 0.05)) AS BIGINT)
+          AS lo,
+        CAST(floor(quantile_cont(
+            CAST(round(l_extendedprice * 100) AS BIGINT), 0.95)) AS BIGINT)
+          AS hi
+    FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag, count(*)::BIGINT AS n_rows,
+       round(avg(least(greatest(
+           CAST(round(l_extendedprice * 100) AS BIGINT), lo), hi)), 4)
+         AS winsorized_mean_cents
+FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1
+""",
+    ),
+    "asof_join_tolerance": (
+        _asof_tolerance_fn,
+        """
+WITH v AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+m AS (SELECT v.event_id, max(c.cts) AS cts
+      FROM v JOIN c ON v.user_id = c.user_id
+       AND c.cts <= v.ts AND c.cts >= v.ts - INTERVAL 1 HOUR
+      GROUP BY 1)
+SELECT (SELECT count(*) FROM v)::BIGINT AS n_views,
+       (SELECT count(*) FROM m)::BIGINT AS n_matched,
+       (SELECT CAST(sum((epoch_ns(v.ts) - epoch_ns(m.cts)) // 1000)
+                    AS BIGINT)
+        FROM m JOIN v USING (event_id)) AS sum_delay_us
 """,
     ),
     # ---- behavioral analytics (operators/behavior.py) --------------------- #

@@ -329,3 +329,29 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
         .filter(F.col("term_rank") <= top)
         .select("doc_id", "term_rank", "token", "tf", "tfidf")
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats):
+    (doc_id, n_tokens, entropy). A cheap perplexity proxy — gibberish and
+    boilerplate both sit at the entropy extremes, so curation pipelines
+    band on it next to quality_score.
+
+    H = ln(n) - Σ c·ln(c) / n over per-token counts c. Two shuffles, both
+    map-side combinable: (doc, token) counts, then a per-doc sum — the
+    same first aggregate tfidf_top_terms builds (one materialized
+    (doc, token) frame serves both in a combined pipeline). Documents
+    with zero tokens are excluded (H undefined).
+    """
+    tc = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log("c")).alias("s"))
+    return per_doc.select(
+        "doc_id", F.col("n").cast("long").alias("n_tokens"),
+        F.round(F.log("n") - F.col("s") / F.col("n"), 6).alias("entropy"))
