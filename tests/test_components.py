@@ -231,3 +231,60 @@ def test_streaming_exact_dedup(spark, tmp_path):
                        spark.sql("SELECT * FROM dedup_out").collect())
     # one survivor per distinct content: docs 2 and 4 are dropped
     assert survivors == [1, 3, 5]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """write_sharded_jsonl → ingest_jsonl roundtrip: fixed shard count,
+    deterministic hash routing, schema-first read (no inference pass),
+    corrupt-line capture."""
+    import json as jsonlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.sources import ingest
+
+    docs = bq.load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_jsonl")
+    ingest.write_sharded_jsonl(docs, path, shards=4, shard_col="doc_id")
+
+    files = [f for f in __import__("os").listdir(path)
+             if f.startswith("part-")]
+    assert len(files) == 4
+
+    schema = docs.schema
+    back = ingest.ingest_jsonl(spark, path, schema=schema)
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    b = {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()}
+    assert a == b
+
+    # deterministic routing: same shard for the same doc on a re-write
+    path2 = str(tmp_path / "docs_jsonl2")
+    ingest.write_sharded_jsonl(docs, path2, shards=4, shard_col="doc_id")
+
+    def shard_map(p):
+        out = {}
+        for i, f in enumerate(sorted(
+                x for x in __import__("os").listdir(p)
+                if x.startswith("part-"))):
+            for line in open(f"{p}/{f}"):
+                out[jsonlib.loads(line)["doc_id"]] = i
+        return out
+
+    assert shard_map(path) == shard_map(path2)
+
+    # corrupt-line capture: malformed JSON lands in the side column
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n')
+    schema2 = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("_bad", T.StringType()),
+    ])
+    got = ingest.ingest_jsonl(spark, str(bad), schema=schema2,
+                              corrupt_col="_bad")
+    rows = got.collect()
+    assert len(rows) == 2
+    assert sum(r["_bad"] is not None for r in rows) == 1
