@@ -1,3 +1,4 @@
+from funnel_rocket_spark.streaming.counts import streaming_value_counts
 from funnel_rocket_spark.streaming.dedup_stream import (
     content_digest,
     streaming_exact_dedup,
@@ -16,4 +17,5 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_session_stats",
     "streaming_time_rollup",
+    "streaming_value_counts",
 ]

@@ -288,3 +288,42 @@ def test_jsonl_roundtrip(spark, tmp_path):
     rows = got.collect()
     assert len(rows) == 2
     assert sum(r["_bad"] is not None for r in rows) == 1
+
+
+def test_streaming_value_counts(spark, tmp_path):
+    """Streaming twin of countPerValue/groupsPerValue: windowed counts
+    finalize (append-mode) once the watermark passes the window end; the
+    still-open window is withheld."""
+    from funnel_rocket_spark.streaming import streaming_value_counts
+
+    indir = tmp_path / "vc_in"
+    ckpt = tmp_path / "vc_ckpt"
+    indir.mkdir()
+    pd.DataFrame([
+        {"ts": "2026-01-01 00:00:10", "etype": "view", "user": "u1"},
+        {"ts": "2026-01-01 00:00:40", "etype": "view", "user": "u2"},
+        {"ts": "2026-01-01 00:00:50", "etype": "click", "user": "u1"},
+    ]).to_parquet(indir / "b1.parquet")
+    pd.DataFrame([
+        {"ts": "2026-01-01 00:00:55", "etype": "view", "user": "u1"},
+        {"ts": "2026-01-01 00:03:00", "etype": "view", "user": "u9"},
+    ]).to_parquet(indir / "b2.parquet")
+
+    stream = (spark.readStream.schema("ts string, etype string, user string")
+              .option("maxFilesPerTrigger", "1").parquet(str(indir))
+              .select(F.col("ts").cast("timestamp").alias("ts"),
+                      "etype", "user"))
+    out = streaming_value_counts(stream, "ts", "etype", window="1 minute",
+                                 watermark="30 seconds", group_col="user")
+    q = (out.writeStream.format("memory").queryName("vc_out")
+         .outputMode("append").option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(str(r["bucket_start"]), r["value"]): (r["count"],
+                                                  r["approx_groups"])
+           for r in spark.sql("SELECT * FROM vc_out").collect()}
+    # bucket 00:00 finalized: 3 views (incl. the 00:00:55 late-in-grace
+    # one) over 2 distinct users (u1, u2), 1 click; 00:03 still open →
+    # withheld
+    assert got == {("2026-01-01 00:00:00", "view"): (3, 2),
+                   ("2026-01-01 00:00:00", "click"): (1, 1)}
