@@ -871,6 +871,25 @@ def _embedding_pairs_fn(spark, sf_dir):
     return similarity.embedding_dup_pairs(emb, threshold=0.45)
 
 
+def _embedding_dedup_pipeline_fn(spark, sf_dir):
+    """Embedding near-dup pairs -> connected components -> survivors: the
+    same end-to-end shape as dedup_pipeline_minhash with cosine pairs as
+    the candidate generator."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pairs = similarity.embedding_dup_pairs(emb, threshold=0.45)
+    return dedup.apply_dedup(emb, pairs, id_col="vec_id").select("vec_id")
+
+
+def _group_cap_fn(spark, sf_dir):
+    """Per-language document cap (corpus balancing): at most 20 docs per
+    lang, chosen by deterministic md5 rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.per_group_cap(
+        docs, ["lang"], n=20, id_col="doc_id", salt="cap"
+    ).select("lang", "doc_id")
+
+
 def _multimodal_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs)
@@ -1641,6 +1660,39 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) /
         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+""",
+    ),
+    # Same survivors construction as dedup_pipeline_minhash, with cosine
+    # pairs as the candidate generator (recursive-CTE clustering oracle).
+    "dedup_pipeline_embedding": (
+        _embedding_dedup_pipeline_fn,
+        """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        6) >= 0.45),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+cc(id, lbl) AS (
+  SELECT src, dst FROM edges WHERE dst < src
+  UNION
+  SELECT e2.src, c.lbl FROM edges e2 JOIN cc c ON c.id = e2.dst
+  WHERE c.lbl < e2.src
+)
+SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM cc)
+""",
+    ),
+    "sample_group_cap": (
+        _group_cap_fn,
+        """
+WITH r AS (SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang
+        ORDER BY md5('cap' || doc_id::VARCHAR), doc_id) AS rk
+  FROM documents)
+SELECT lang, doc_id FROM r WHERE rk <= 20
 """,
     ),
     "multimodal_features": (

@@ -87,3 +87,25 @@ def weighted_hash_sample(df: DataFrame, n: int, weight_col: str,
             .filter(F.col("__esk").isNotNull())
             .orderBy(F.desc("__esk"), F.asc(id_col)).limit(n)
             .drop("__esk"))
+
+
+def per_group_cap(df: DataFrame, group_cols: list[str], n: int,
+                  id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by deterministic md5 rank —
+    the per-domain/per-source cap every corpus-balancing recipe applies
+    (no single site may contribute more than n documents).
+
+    The "random" n are a pure function of (salt, id): stable across
+    engines, partitionings, and retries, and re-runnable incrementally —
+    unlike a window over ``rand()``. One rank window partitioned by the
+    group columns (the same exchange an existing per-group phase already
+    pays on a bucketed layout); md5-hex order is uniform so the kept set
+    is an unbiased sample of each group.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        key.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n).drop("__rk"))
