@@ -238,3 +238,54 @@ def test_pack_token_blocks_single_exchange(spark):
     docs = bq.load_table(spark, SF, "documents")
     out = text.pack_token_blocks(docs, block_size=128, shards=8)
     assert count_exchanges(out) == 1
+
+
+def test_nation_share_fact_never_shuffles(spark):
+    """olap_nation_share: every dim join must be broadcast — the orders
+    fact table reaches the aggregation without a single join exchange.
+    A SortMergeJoin here means the fact shuffles per dim at 100 TB."""
+    out = bq.QUERIES["olap_nation_share"][0](spark, SF)
+    fp = formatted_plan(out)
+    assert "SortMergeJoin" not in fp
+    # formatted output mentions each node in tree + details sections
+    assert fp.count("BroadcastHashJoin") >= 3
+
+
+def test_rolling_revenue_window_after_preagg(spark):
+    """olap_rolling_revenue: the RANGE window must consume the per-day
+    pre-aggregate, never raw orders — two exchanges total (daily groupBy
+    + the tiny single-partition series window)."""
+    out = bq.QUERIES["olap_rolling_revenue"][0](spark, SF)
+    assert count_exchanges(out) <= 2
+    fp = formatted_plan(out)
+    # partial aggregation before the shuffle = map-side combine on the scan
+    assert "partial_sum" in fp
+
+
+def test_part_avg_filter_no_cartesian(spark):
+    """olap_part_avg_filter: the per-part limit joins back as an
+    equi-join (hash or broadcast), never nested-loop, and the limit side
+    is the pre-aggregate (partial_sum present), not a per-row subquery."""
+    out = bq.QUERIES["olap_part_avg_filter"][0](spark, SF)
+    fp = formatted_plan(out)
+    assert "CartesianProduct" not in fp
+    assert "BroadcastNestedLoopJoin" not in fp
+    assert "partial_" in fp
+
+
+def test_winsorized_band_broadcasts(spark):
+    """olap_winsorized_mean: the 3-row percentile band must broadcast
+    back to the fact scan — no sort-merge join of lineitem against a
+    3-row frame."""
+    out = bq.QUERIES["olap_winsorized_mean"][0](spark, SF)
+    fp = formatted_plan(out)
+    assert "BroadcastHashJoin" in fp
+    assert "SortMergeJoin" not in fp
+
+
+def test_group_cap_single_window_exchange(spark):
+    """sample_group_cap: one rank window on the group partitioning and
+    nothing else — the WindowGroupLimit pushdown must prune rows below
+    the cap BEFORE they cross the exchange where supported."""
+    out = bq.QUERIES["sample_group_cap"][0](spark, SF)
+    assert count_exchanges(out) == 1
