@@ -259,13 +259,12 @@ class QueryPlan:
 
     Every public method returns an unexecuted DataFrame; callers compose/collect.
 
-    ``sequence_strategy``: how sequence CONDITIONS evaluate —
-    ``"auto"`` (default) uses the windowless fold unless a step has
-    ``rowFound: false``; ``"window"`` forces window-min anchors;
-    ``"fold"`` forces the fold (rejects rowFound:false). Funnels follow the
-    same rule: anchors are per-group constants, so the fold's steps-done
-    count feeds every funnel output; window anchors only when a
-    ``rowFound:false`` step needs them.
+    ``sequence_strategy``: how sequences evaluate — ``"auto"`` (default)
+    picks per context (window-min anchors for sequence conditions, the
+    windowless aggregate fold for funnels — see ``_use_fold`` for the
+    measurements behind the split); ``"window"`` forces anchors
+    everywhere; ``"fold"`` forces the fold (rejects rowFound:false,
+    which needs anchor lookahead).
     """
 
     def __init__(self, df: DataFrame, expanded: ExpandedQuery,
@@ -325,14 +324,33 @@ class QueryPlan:
 
     # ------------------------------------------------------------------ #
 
-    def _use_fold(self, spec: SequenceSpec) -> bool:
-        if self.sequence_strategy == "window":
-            return False
+    def _use_fold(self, spec: SequenceSpec, context: str = "condition") -> bool:
+        """Strategy resolution. Explicit "fold"/"window" force that path
+        everywhere; "auto" is context-dependent, decided by measurement:
+
+        - sequence CONDITIONS → window anchors. Both shapes are one data
+          exchange (the groupBy reuses the window's hash partitioning),
+          so the contest is the window's partition sort vs the fold's
+          interpreted aggregate-HOF over per-group arrays — the codegen'd
+          sort wins ~2× on a 10M-row/1M-group stream (tools/
+          scale_check.py), and on a bucketed+sorted layout the sort is
+          free, widening the gap.
+        - FUNNELS → fold. Its steps-done count rides the groupBy itself:
+          every per-step group count from ONE window-free aggregate
+          (gated in tests/test_plans.py), vs anchors + N first()s.
+
+        ``rowFound: false`` needs lookahead only anchors express, so it
+        always forces the window path (and rejects explicit "fold").
+        """
         foldable = all(spec.row_found)
         if self.sequence_strategy == "fold" and not foldable:
             raise ValueError(
                 "sequence_strategy='fold' cannot express rowFound:false steps")
-        return foldable
+        if self.sequence_strategy == "window":
+            return False
+        if self.sequence_strategy == "fold":
+            return True
+        return foldable and context == "funnel"
 
     def _df_with_condition_anchors(self) -> DataFrame:
         df = self.df
@@ -346,9 +364,11 @@ class QueryPlan:
 
         Single groupBy pass — Spark's partial/final HashAggregate replaces the
         reference's per-part results + invoker reduce (reference A12,
-        ``common/tasks/query.py:84-134``). Sequence conditions join the same
-        pass as aggregate folds (see :func:`sequence_fold_flag`) unless a
-        ``rowFound: false`` step forces window anchors.
+        ``common/tasks/query.py:84-134``). Sequence conditions attach
+        window-min anchors first by default (the groupBy reuses the
+        window's partitioning — still one data exchange; see
+        ``_use_fold``), or ride the pass as aggregate folds under
+        ``sequence_strategy="fold"``.
         """
         aggs = [F.count(F.lit(1)).alias(ROWS_COL)]
         for i, cond in enumerate(self._conditions):
@@ -470,7 +490,7 @@ class QueryPlan:
         if spec is None:
             return None
         rows = self.rows_of_matching_groups()
-        if self._use_fold(spec):
+        if self._use_fold(spec, context="funnel"):
             return rows.groupBy(self.group_col).agg(
                 F.count(F.lit(1)).alias(ROWS_COL),
                 sequence_fold_done(spec, rows, self.ts_col).alias(DONE_COL),
