@@ -594,6 +594,24 @@ def _basket_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                              min_support=2, top=50)
 
 
+def _promo_share_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share per ship month: one broadcast
+    dim join (part never shuffles the fact), conditional integer-cents
+    sums, share = one double division — engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "cents", _cents("l_extendedprice"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("cents"))
+                  .otherwise(F.lit(0))).alias("promo_cents")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(promo, F.sum("cents").alias("total_cents"))
+        .withColumn("promo_share",
+                    F.round(F.col("promo_cents") / F.col("total_cents"), 6))
+    )
+
+
 def _token_entropy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each doc's token distribution — perplexity
     proxy for curation banding."""
@@ -1768,6 +1786,21 @@ SELECT label, (i - 1)::INT AS pos,
        count(*)::BIGINT AS n_vectors
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 GROUP BY label, i
+""",
+    ),
+    "olap_promo_share": (
+        _promo_share_fn,
+        """
+WITH j AS (SELECT date_trunc('month', l_shipdate) AS month,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT month,
+  CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT)
+    AS promo_cents,
+  CAST(sum(cents) AS BIGINT) AS total_cents,
+  round(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)::DOUBLE
+        / sum(cents)::DOUBLE, 6) AS promo_share
+FROM j GROUP BY 1
 """,
     ),
     "text_entropy": (
