@@ -24,15 +24,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def sessionize(df: DataFrame, group_col: str, ts_col: str, gap: int,
-               session_col: str = "session_id") -> DataFrame:
-    """Assign session ids: a new session starts when the gap to the previous
-    event of the same group exceeds ``gap`` (same units as the ts column).
-
-    session_id = "<group>#<n>" with n counting sessions per group from 0 —
-    deterministic and join-friendly. One window over (group, ts): a single
-    exchange, reused by downstream per-session aggregations.
-    """
+def sessionize_idx(df: DataFrame, group_col: str, ts_col: str, gap: int,
+                   idx_col: str = "__session_idx") -> DataFrame:
+    """Assign integer session indexes (0, 1, ... per group): a new session
+    starts when the gap to the previous event of the same group exceeds
+    ``gap`` (same units as the ts column). One window over (group, ts): a
+    single exchange, reused by downstream per-session aggregations."""
     w = Window.partitionBy(group_col).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(w)
     new_session = (
@@ -43,21 +40,46 @@ def sessionize(df: DataFrame, group_col: str, ts_col: str, gap: int,
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         - F.lit(1)
     )
-    return df.withColumn(
-        session_col,
-        F.concat_ws("#", F.col(group_col), session_idx.cast("string")),
+    return df.withColumn(idx_col, session_idx)
+
+
+def sessionize(df: DataFrame, group_col: str, ts_col: str, gap: int,
+               session_col: str = "session_id") -> DataFrame:
+    """Like :func:`sessionize_idx` but with string session ids
+    "<group>#<n>" — deterministic and join-friendly. Prefer the integer
+    form for anything that aggregates afterwards: the string concat runs
+    per ROW here, per SESSION there."""
+    return (
+        sessionize_idx(df, group_col, ts_col, gap)
+        .withColumn(session_col,
+                    F.concat_ws("#", F.col(group_col),
+                                F.col("__session_idx").cast("string")))
+        .drop("__session_idx")
     )
 
 
 def session_stats(df: DataFrame, group_col: str, ts_col: str, gap: int) -> DataFrame:
     """Per-session rollup: (group, session_id, n_events, start_ts, end_ts,
-    duration)."""
-    sess = sessionize(df, group_col, ts_col, gap)
-    return sess.groupBy(group_col, "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min(ts_col).alias("start_ts"),
-        F.max(ts_col).alias("end_ts"),
-        (F.max(ts_col) - F.min(ts_col)).alias("duration"),
+    duration).
+
+    Groups by the INTEGER session index (the (group, idx) groupBy reuses
+    the window's hashpartitioning — no second exchange) and renders the
+    "<group>#<n>" id string once per SESSION on the aggregate, not once
+    per row of the full stream.
+    """
+    sess = sessionize_idx(df, group_col, ts_col, gap)
+    return (
+        sess.groupBy(group_col, "__session_idx").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            (F.max(ts_col) - F.min(ts_col)).alias("duration"),
+        )
+        .withColumn("session_id",
+                    F.concat_ws("#", F.col(group_col),
+                                F.col("__session_idx").cast("string")))
+        .select(group_col, "session_id", "n_events", "start_ts", "end_ts",
+                "duration")
     )
 
 

@@ -130,18 +130,18 @@ def test_basket_pairs_counts(spark):
     assert got == {("x", "y"): 3}
 
 
-def test_retention_single_join_shuffle_shape(spark):
-    """Plan gate: retention = distinct + min + join + final agg, all keyed
-    on the group column — no more than 4 exchanges (and the join must not
-    be a cartesian/broadcast-nested-loop)."""
+def test_retention_join_free_shuffle_shape(spark):
+    """Plan gate: retention = distinct + cohort window + final agg, all
+    keyed on the group column, JOIN-FREE — the groupBy-min + self-join
+    formulation sort-merges two near-full-size frames at scale."""
     from funnel_rocket_spark import benchqueries as bq
     from funnel_rocket_spark.plans import count_exchanges, formatted_plan
 
     ev = bq.ts_ns(bq.load_table(spark, "/root/testdata/sf0.001", "events"))
     out = behavior.retention_cohorts(ev.select("user_id", "ts"),
                                      "user_id", "ts")
-    assert count_exchanges(out) <= 4
-    assert "CartesianProduct" not in formatted_plan(out)
+    assert count_exchanges(out) <= 3
+    assert "Join" not in formatted_plan(out)
 
 
 def test_attribution_single_window_exchange(spark):
