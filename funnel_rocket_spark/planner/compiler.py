@@ -259,12 +259,10 @@ class QueryPlan:
 
     Every public method returns an unexecuted DataFrame; callers compose/collect.
 
-    ``sequence_strategy``: how sequences evaluate — ``"auto"`` (default)
-    picks per context (window-min anchors for sequence conditions, the
-    windowless aggregate fold for funnels — see ``_use_fold`` for the
-    measurements behind the split); ``"window"`` forces anchors
-    everywhere; ``"fold"`` forces the fold (rejects rowFound:false,
-    which needs anchor lookahead).
+    ``sequence_strategy``: how sequences evaluate — ``"auto"``/``"window"``
+    (default) use window-min anchors everywhere (see ``_use_fold`` for
+    the measurements); ``"fold"`` forces the windowless aggregate fold
+    (rejects rowFound:false, which needs anchor lookahead).
     """
 
     def __init__(self, df: DataFrame, expanded: ExpandedQuery,
@@ -324,33 +322,27 @@ class QueryPlan:
 
     # ------------------------------------------------------------------ #
 
-    def _use_fold(self, spec: SequenceSpec, context: str = "condition") -> bool:
-        """Strategy resolution. Explicit "fold"/"window" force that path
-        everywhere; "auto" is context-dependent, decided by measurement:
+    def _use_fold(self, spec: SequenceSpec) -> bool:
+        """Strategy resolution. "auto" (default) → window-min anchors for
+        sequence conditions AND funnels, decided by measurement
+        (tools/scale_check.py on 10M/1M and 50M/5M streams): both shapes
+        are one data exchange (the groupBy reuses the window's hash
+        partitioning), so the contest is the window's codegen'd partition
+        sort vs the fold's interpreted aggregate-HOF over per-group
+        arrays — anchors win ~2× for conditions and ~3× for funnel step
+        counts (17.9 s vs 5.4 s at 50M rows), and on a bucketed+sorted
+        layout the sort is free, widening the gap.
 
-        - sequence CONDITIONS → window anchors. Both shapes are one data
-          exchange (the groupBy reuses the window's hash partitioning),
-          so the contest is the window's partition sort vs the fold's
-          interpreted aggregate-HOF over per-group arrays — the codegen'd
-          sort wins ~2× on a 10M-row/1M-group stream (tools/
-          scale_check.py), and on a bucketed+sorted layout the sort is
-          free, widening the gap.
-        - FUNNELS → fold. Its steps-done count rides the groupBy itself:
-          every per-step group count from ONE window-free aggregate
-          (gated in tests/test_plans.py), vs anchors + N first()s.
-
-        ``rowFound: false`` needs lookahead only anchors express, so it
-        always forces the window path (and rejects explicit "fold").
+        Explicit ``"fold"`` forces the windowless aggregate fold (the
+        right shape when sequences share one groupBy pass with many
+        non-sequence conditions and the input isn't sorted); it rejects
+        ``rowFound: false``, which needs lookahead only anchors express.
         """
         foldable = all(spec.row_found)
         if self.sequence_strategy == "fold" and not foldable:
             raise ValueError(
                 "sequence_strategy='fold' cannot express rowFound:false steps")
-        if self.sequence_strategy == "window":
-            return False
-        if self.sequence_strategy == "fold":
-            return True
-        return foldable and context == "funnel"
+        return self.sequence_strategy == "fold"
 
     def _df_with_condition_anchors(self) -> DataFrame:
         df = self.df
@@ -490,7 +482,7 @@ class QueryPlan:
         if spec is None:
             return None
         rows = self.rows_of_matching_groups()
-        if self._use_fold(spec, context="funnel"):
+        if self._use_fold(spec):
             return rows.groupBy(self.group_col).agg(
                 F.count(F.lit(1)).alias(ROWS_COL),
                 sequence_fold_done(spec, rows, self.ts_col).alias(DONE_COL),
