@@ -107,8 +107,13 @@ def last_touch_attribution(df: DataFrame, group_col: str, ts_col: str,
     touch type forward (``last(..., ignorenulls=True)`` — the same
     union-free formulation as :func:`temporal.as_of_join` but inlined,
     since both sides are the same table), then a tiny per-channel
-    aggregate. No join, one exchange on the group column.
+    aggregate. No join, one exchange on the group column — and only the
+    touch/conversion event types cross it: every other type can neither
+    earn nor receive credit, so the filter (pushed to the scan) shrinks
+    the window's input by the full share of irrelevant events before any
+    shuffle happens.
     """
+    df = df.filter(F.col(type_col).isin(*touch_types, conversion))
     order = [F.col(ts_col).asc()]
     if order_col:
         # same-timestamp ties: order by (ts, order_col) so "preceding" is
