@@ -146,8 +146,11 @@ def conversion_delay(df: DataFrame, group_col: str, ts_col: str,
     anchor formulation (same shape as the engine's funnel step-1 anchor,
     `planner/compiler.py` with_sequence_anchors): one window min for the
     start anchor, then a conditional min over later end events — two
-    passes, both keyed on the group column, no joins.
+    passes, both keyed on the group column, no joins. Only the
+    start/end event types are read (scan-pushed isin filter): other
+    types can't move either anchor.
     """
+    df = df.filter(F.col(type_col).isin(start, end))
     w = Window.partitionBy(group_col)
     anchored = df.withColumn(
         "__s", F.min(F.when(F.col(type_col) == start, F.col(ts_col))).over(w))
