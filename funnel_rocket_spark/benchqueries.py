@@ -1964,6 +1964,16 @@ ORDER BY n_baskets DESC, item_a ASC, item_b ASC LIMIT 50
 # IVF relies on Spark-ML k-means centroids — not reproducible in SQL.
 NO_ORACLE: dict = {
     "ann_ivf_topk": _ann_ivf_fn,
+    # The approx twin of olap_percentiles: percentile_approx's GK sketch
+    # is mergeable (map-side combinable, bounded buffers) where native
+    # exact percentile is holistic — the 100 TB default when cent-exact
+    # quantiles aren't required. Sketch values are engine-specific
+    # (DuckDB's approx_quantile uses t-digest), so rows-only.
+    "olap_percentiles_approx": (lambda spark, sf_dir: load_table(
+        spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000)
+             .alias("pct_approx"))),
     # approx=true swaps groupsPerValue's exact countDistinct for HLL
     # approx_count_distinct — the 100 TB path when a per-value distinct-group
     # expand stops being worth it. Sketch values are engine-specific, so the

@@ -203,3 +203,69 @@ def test_sequence_matches_reference_loop(spark, engine, rows, steps):
         if ok:
             survivors.add(g)
     assert result["query"]["matchingGroups"] == len(survivors), (rows, steps)
+
+
+# ------------------------------------------------ behavior ops differential
+
+ev_row_st = st.fixed_dictionaries({
+    "user_id": st.integers(min_value=1, max_value=6),
+    "ts": st.integers(min_value=0, max_value=30),
+    "event_type": st.sampled_from(["a", "b", "c"]),
+    "event_id": st.integers(min_value=0, max_value=10**6),
+})
+ev_data_st = st.lists(ev_row_st, min_size=1, max_size=40, unique_by=(
+    lambda r: (r["user_id"], r["ts"], r["event_id"])))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=ev_data_st, period=st.integers(min_value=1, max_value=7))
+def test_retention_cohorts_matches_pandas(spark, data, period):
+    from funnel_rocket_spark.operators import behavior
+
+    df = spark.createDataFrame(
+        pd.DataFrame(data), "user_id long, ts long, event_type string, "
+                            "event_id long")
+    got = {(r["cohort"], r["period_index"]): r["n_active"]
+           for r in behavior.retention_cohorts(
+               df.select("user_id", "ts"), "user_id", "ts",
+               period=period).collect()}
+
+    pdf = pd.DataFrame(data)
+    pdf["p"] = pdf["ts"] - pdf["ts"] % period
+    act = pdf[["user_id", "p"]].drop_duplicates()
+    cohort = act.groupby("user_id")["p"].min()
+    want: dict = {}
+    for _, r in act.iterrows():
+        c = cohort[r["user_id"]]
+        key = (c, (r["p"] - c) // period)
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=ev_data_st, length=st.integers(min_value=1, max_value=3))
+def test_top_paths_matches_pandas(spark, data, length):
+    from funnel_rocket_spark.operators import behavior
+
+    df = spark.createDataFrame(
+        pd.DataFrame(data), "user_id long, ts long, event_type string, "
+                            "event_id long")
+    got = {r["path"]: (r["n_paths"], r["n_groups"])
+           for r in behavior.top_paths(
+               df, "user_id", "ts", "event_type",
+               order_cols=["ts", "event_id"], length=length,
+               top=1000).collect()}
+
+    pdf = pd.DataFrame(data).sort_values(["user_id", "ts", "event_id"])
+    want: dict = {}
+    for uid, g in pdf.groupby("user_id"):
+        types = list(g["event_type"])
+        for i in range(len(types) - length + 1):
+            p = " > ".join(types[i:i + length])
+            n, users = want.get(p, (0, set()))
+            users.add(uid)
+            want[p] = (n + 1, users)
+    want = {p: (n, len(users)) for p, (n, users) in want.items()}
+    assert got == want
