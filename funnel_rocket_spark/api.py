@@ -64,9 +64,10 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
     def register():
         body = request.get_json(force=True)
         ds = register_dataset(
-            _spark, body["name"], body["basepath"],
+            _spark, body["name"], body.get("basepath"),
             body["group_id_column"], body["timestamp_column"],
-            catalog_dir=app.config["CATALOG_DIR"])
+            catalog_dir=app.config["CATALOG_DIR"],
+            table=body.get("table"))
         return jsonify({"success": True, "dataset": {
             "name": ds.name, "totalRows": ds.total_rows,
             "totalGroups": ds.total_groups,

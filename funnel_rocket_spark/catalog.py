@@ -67,11 +67,20 @@ class Dataset:
     max_timestamp: Optional[float] = None
     columns: dict = field(default_factory=dict)       # name -> ColumnInfo dict
     unsupported_columns: dict = field(default_factory=dict)  # name -> dtype
+    # table-backed dataset (e.g. sources.write_bucketed output): load via
+    # spark.table so Catalyst SEES the bucket spec — engine queries on a
+    # group-bucketed table lose their group-key exchange entirely
+    # (tests/test_plans.py::test_bucketed_layout_eliminates_group_shuffle)
+    table: Optional[str] = None
+    layout: Optional[dict] = None  # {"buckets": n, "bucket_columns": [...],
+    #                                 "sort_columns": [...]} when declared
 
     def schema_map(self) -> dict[str, str]:
         return {name: info["dtype"] for name, info in self.columns.items()}
 
     def load(self, spark: SparkSession) -> DataFrame:
+        if self.table:
+            return spark.table(self.table)
         return spark.read.parquet(self.basepath)
 
 
@@ -89,17 +98,41 @@ def _numeric(col_name: str, dtype: T.DataType):
     return col.cast("double")
 
 
+def _table_layout(spark: SparkSession, table: str) -> Optional[dict]:
+    """Bucket/sort spec of a saved table from DESCRIBE FORMATTED, or None."""
+    info = {r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE FORMATTED {table}").collect()}
+    if "Num Buckets" not in info:
+        return None
+
+    def _cols(key):
+        raw = info.get(key, "")
+        return [c.strip().strip("`") for c in
+                raw.strip("[]").split(",") if c.strip()]
+
+    return {"buckets": int(info["Num Buckets"]),
+            "bucket_columns": _cols("Bucket Columns"),
+            "sort_columns": _cols("Sort Columns")}
+
+
 def register_dataset(
     spark: SparkSession,
     name: str,
-    basepath: str,
+    basepath: Optional[str],
     group_id_column: str,
     timestamp_column: str,
     validate: bool = True,
     profile: bool = True,
     catalog_dir: Optional[str] = None,
+    table: Optional[str] = None,
 ) -> Dataset:
-    """Validate + profile a Parquet dataset; optionally persist to a catalog dir.
+    """Validate + profile a dataset; optionally persist to a catalog dir.
+    Source is either a Parquet ``basepath`` or a saved ``table`` (e.g.
+    ``sources.write_bucketed`` output — its bucket/sort spec is recorded
+    and every ``Dataset.load`` then reads via ``spark.table`` so engine
+    queries get the shuffle-free bucketed plan automatically; the Spark
+    restatement of the reference's registration-time layout invariant,
+    as a recorded optimization instead of a hard requirement).
 
     Validation parity (reference ``registration_task_runner.py:85-125``):
     * group column exists, is INT or STRING, and has no nulls;
@@ -110,7 +143,10 @@ def register_dataset(
     Spark shuffles by group where needed, so registration drops the reference's
     cross-file group-uniqueness check (``registration_job.py:252-272``) entirely.
     """
-    df = spark.read.parquet(basepath)
+    if (basepath is None) == (table is None):
+        raise DatasetValidationError(
+            "exactly one of basepath or table must be given")
+    df = spark.table(table) if table else spark.read.parquet(basepath)
     fields = {f.name: f.dataType for f in df.schema.fields}
 
     if group_id_column not in fields:
@@ -137,10 +173,11 @@ def register_dataset(
                 ColumnInfo(name=col_name, dtype=dtype.simpleString(), coltype=ct))
 
     ds = Dataset(
-        name=name, basepath=basepath,
+        name=name, basepath=basepath or "",
         group_id_column=group_id_column, timestamp_column=timestamp_column,
         registered_at=time.time(), columns=columns,
-        unsupported_columns=unsupported)
+        unsupported_columns=unsupported, table=table,
+        layout=_table_layout(spark, table) if table else None)
 
     if validate or profile:
         ts_num = _numeric(timestamp_column, fields[timestamp_column])

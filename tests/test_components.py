@@ -327,3 +327,32 @@ def test_streaming_value_counts(spark, tmp_path):
     # withheld
     assert got == {("2026-01-01 00:00:00", "view"): (3, 2),
                    ("2026-01-01 00:00:00", "click"): (1, 1)}
+
+
+def test_catalog_bucketed_table_dataset(spark, tmp_path):
+    """Table-backed registration: the bucket/sort spec is recorded, load()
+    goes through spark.table, and an engine query on the loaded frame
+    keeps ONLY the single-partition final reduce — the declared-layout
+    invariant flowing through the catalog."""
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.catalog import load_dataset, register_dataset
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.plans import count_exchanges
+    from funnel_rocket_spark.sources.ingest import write_bucketed
+
+    ev = bq.load_table(spark, "/root/testdata/sf0.001", "events")
+    table = "events_catalog_bucketed_test"
+    write_bucketed(ev, table, "user_id", num_buckets=4, sort_col="ts")
+    try:
+        ds = register_dataset(spark, "bucketed_ds", None, "user_id", "ts",
+                              catalog_dir=str(tmp_path / "cat"), table=table)
+        assert ds.layout == {"buckets": 4, "bucket_columns": ["user_id"],
+                             "sort_columns": ["user_id", "ts"]}
+        loaded = load_dataset(str(tmp_path / "cat"), "bucketed_ds")
+        assert loaded.table == table and loaded.layout == ds.layout
+
+        df = loaded.load(spark)
+        eng = QueryEngine("user_id", "ts")
+        assert count_exchanges(eng.plan(df, bq.Q_PURCHASE3).counts()) == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
