@@ -54,7 +54,67 @@ def synthesize(spark, n_rows: int, n_groups: int, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def synthesize_docs(spark, n_docs: int, path: str) -> None:
+    """Synthetic corpus with planted near-duplicates: every 20th doc is
+    its predecessor's text plus one extra token (Jaccard ≈ 0.98 on
+    3-gram shingles). 60-140 tokens/doc from a 10k-word vocabulary."""
+    base = F.when(F.pmod("id", F.lit(20)) == 0, F.col("id") - 1) \
+        .otherwise(F.col("id"))
+    n_tokens = (F.pmod(F.xxhash64(base, F.lit(7)), F.lit(80)) + 60)
+    words = F.transform(
+        F.sequence(F.lit(1), n_tokens.cast("int")),
+        lambda i: F.concat(F.lit("w"), F.pmod(
+            F.xxhash64(base, i.cast("long")), F.lit(10_000)).cast("string")))
+    text = F.when(
+        F.pmod("id", F.lit(20)) == 0,
+        F.concat_ws(" ", F.concat_ws(" ", words), F.lit("wextra")),
+    ).otherwise(F.concat_ws(" ", words))
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), text.alias("text"))
+     .write.mode("overwrite").parquet(path))
+
+
+def docs_main(n_docs: int) -> None:
+    """Corpus-scale dedup check: minhash LSH pairs + end-to-end survivor
+    filter on n_docs synthetic documents (sf0.1's table is 5k docs —
+    this is the 20-100× version)."""
+    from funnel_rocket_spark.operators import dedup
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, ".scratch", f"docs_{n_docs}.parquet")
+    spark = get_spark(app_name="scale-check-docs")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        synthesize_docs(spark, n_docs, path)
+        print(f"# synthesized {n_docs} docs in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    docs = spark.read.parquet(path)
+
+    out = {"n_docs": n_docs, "timings": {}}
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
+                                    threshold=0.5)
+    n_pairs = pairs.count()
+    out["timings"]["minhash_lsh_pairs"] = round(time.perf_counter() - t0, 2)
+    out["n_pairs"] = n_pairs
+
+    t0 = time.perf_counter()
+    survivors = dedup.apply_dedup(docs, pairs, id_col="doc_id").count()
+    out["timings"]["apply_dedup"] = round(time.perf_counter() - t0, 2)
+    out["n_survivors"] = survivors
+    # planted dups: ids 20, 40, ... (n_docs // 20 of them, minus id 0's
+    # non-existent predecessor handled by base clamp at id -1? id 0 is not
+    # a dup since 0 % 20 == 0 maps to base -1 → range() has no -1, but
+    # xxhash64(-1) still yields a valid unique text) — expect ≈ n_docs/20
+    # pairs and ≈ n_docs - n_docs/20 survivors
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "docs":
+        docs_main(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
+        return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_groups = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
