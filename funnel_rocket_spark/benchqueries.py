@@ -594,6 +594,15 @@ def _basket_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                              min_support=2, top=50)
 
 
+def _session_funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel scoped to 2h-gap sessions: does a single visit view→purchase
+    (vs the whole-history funnel the engine runs)."""
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    return behavior.session_funnel(
+        ev, "user_id", "ts", "event_type", ["view", "purchase"],
+        gap=NANOS_2H)
+
+
 def _promo_share_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style promo revenue share per ship month: one broadcast
     dim join (part never shuffles the fact), conditional integer-cents
@@ -1914,6 +1923,28 @@ e AS (SELECT ev.user_id, min(epoch_ns(ev.ts)) AS ep
 SELECT (ep - sv) // 86400000000000 AS delay_bucket,
        count(*)::BIGINT AS n_groups
 FROM e JOIN s USING (user_id) GROUP BY 1
+""",
+    ),
+    "behavior_session_funnel": (
+        _session_funnel_fn,
+        f"""
+WITH s AS (SELECT user_id, ts, event_type,
+  CASE WHEN lag(ts) OVER w IS NULL
+       OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > {NANOS_2H} THEN 1 ELSE 0
+  END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s2 AS (SELECT user_id, ts, event_type,
+  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+    AS sidx FROM s),
+a0 AS (SELECT user_id, sidx, min(ts) t FROM s2
+       WHERE event_type = 'view' GROUP BY 1, 2),
+a1 AS (SELECT e.user_id, e.sidx, min(e.ts) t FROM s2 e JOIN a0
+       ON e.user_id = a0.user_id AND e.sidx = a0.sidx AND e.ts > a0.t
+       WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+SELECT 0 AS step, 'view' AS step_type,
+       (SELECT count(*) FROM a0)::BIGINT AS n_sessions
+UNION ALL
+SELECT 1, 'purchase', (SELECT count(*) FROM a1)::BIGINT
 """,
     ),
     # ---- OLAP breadth (windowed series / share / co-occurrence) ----------- #

@@ -171,3 +171,42 @@ def conversion_delay(df: DataFrame, group_col: str, ts_col: str,
         .groupBy("delay_bucket")
         .agg(F.count(F.lit(1)).alias("n_groups"))
     )
+
+
+def session_funnel(df: DataFrame, group_col: str, ts_col: str,
+                  type_col: str, steps: list[str], gap: int,
+                  session_col: str = "__session_idx") -> DataFrame:
+    """Funnel scoped to sessions: (step, step_type, n_sessions) — how many
+    SESSIONS (gap-delimited, like temporal.sessionize) complete each
+    prefix of ``steps``, each step strictly later than the previous one
+    and inside the same session.
+
+    The whole-history funnel (planner/compiler.py) answers "did the user
+    ever convert"; this answers "does a single visit convert" — the
+    actionable product question. Physical shape: ONE exchange on the
+    group column serves the sessionization window, the per-(group,
+    session) anchor windows (same partitioning, prefix-compatible sort),
+    and the final per-session collapse; only the tiny per-step count
+    crosses a second (single-partition) exchange.
+    """
+    from funnel_rocket_spark.operators.temporal import sessionize_idx
+
+    sess = sessionize_idx(df, group_col, ts_col, gap, idx_col=session_col)
+    w = Window.partitionBy(group_col, session_col)
+    anchors = []
+    for i, step in enumerate(steps):
+        pred = F.col(type_col) == step
+        if i > 0:
+            pred = pred & (F.col(ts_col) > F.col(f"__a{i - 1}"))
+        sess = sess.withColumn(
+            f"__a{i}", F.min(F.when(pred, F.col(ts_col))).over(w))
+        anchors.append(f"__a{i}")
+    per_session = sess.groupBy(group_col, session_col).agg(
+        *[F.first(a).alias(a) for a in anchors])
+    counts = per_session.agg(
+        *[F.count(a).alias(f"__n{i}") for i, a in enumerate(anchors)])
+    steps_arr = F.array(*[
+        F.struct(F.lit(i).alias("step"), F.lit(s).alias("step_type"),
+                 F.col(f"__n{i}").alias("n_sessions"))
+        for i, s in enumerate(steps)])
+    return counts.select(F.inline(steps_arr))

@@ -158,3 +158,25 @@ def test_attribution_single_window_exchange(spark):
     plan = formatted_plan(out)
     assert count_exchanges(out) <= 2
     assert "Join" not in plan
+
+
+def test_session_funnel_resets_across_sessions(spark):
+    GAP = 100
+    rows = [
+        # user 1, session 0: view then purchase → completes both steps
+        (1, 10, "view", 0.0, 1), (1, 20, "purchase", 0.0, 2),
+        # user 1, session 1 (gap > 100): view only
+        (1, 500, "view", 0.0, 3),
+        # user 2, one session: purchase BEFORE view → step 1 not completed
+        (2, 10, "purchase", 0.0, 4), (2, 20, "view", 0.0, 5),
+        # user 3: purchase in the NEXT session must not credit session 0
+        (3, 10, "view", 0.0, 6), (3, 400, "purchase", 0.0, 7),
+    ]
+    df = _events(spark, rows)
+    out = {(r["step"], r["step_type"]): r["n_sessions"]
+           for r in behavior.session_funnel(
+               df, "user_id", "ts", "event_type", ["view", "purchase"],
+               gap=GAP).collect()}
+    # sessions with a view: u1s0, u1s1, u2s0, u3s0 = 4; completing
+    # view->purchase within the session: only u1s0
+    assert out == {(0, "view"): 4, (1, "purchase"): 1}
