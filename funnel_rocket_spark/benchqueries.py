@@ -594,6 +594,40 @@ def _basket_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                              min_support=2, top=50)
 
 
+def _funnel_step_timing_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-between-funnel-steps distribution: for each transition of the
+    signup→click→purchase funnel, how many groups complete it and the
+    median gap — the funnel anchors (planner/compiler.py, strict-> chain)
+    composed with the exact histogram percentile operator
+    (operators/olap.py). Gaps are int64 nanos, so the p50 interpolation
+    is exact on both engines."""
+    from funnel_rocket_spark.planner.compiler import (
+        compile_sequence,
+        with_sequence_anchors,
+    )
+
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    spec = compile_sequence(
+        [{"filter": {"column": "event_type", "op": "==", "value": v}}
+         for v in ("signup", "click", "purchase")], prefix="__t_")
+    anchored = with_sequence_anchors(ev, spec, "user_id", "ts")
+    per_group = anchored.groupBy("user_id").agg(
+        *[F.first(spec.anchor(i)).alias(f"__a{i}") for i in range(3)])
+    gaps = None
+    for i in (1, 2):
+        g = (per_group.filter(F.col(f"__a{i}").isNotNull())
+             .select(F.lit(i).alias("step"),
+                     (F.col(f"__a{i}") - F.col(f"__a{i - 1}"))
+                     .alias("__gap")))
+        gaps = g if gaps is None else gaps.unionAll(g)
+    p = olap.grouped_exact_percentiles(
+        gaps, ["step"], F.col("__gap"), {"p50_gap_ns": 0.5})
+    n = gaps.groupBy("step").agg(F.count(F.lit(1)).alias("n_groups"))
+    return (n.join(p, "step")
+            .select("step", "n_groups",
+                    F.round("p50_gap_ns", 1).alias("p50_gap_ns")))
+
+
 def _session_funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel scoped to 2h-gap sessions: does a single visit view→purchase
     (vs the whole-history funnel the engine runs)."""
@@ -1923,6 +1957,19 @@ e AS (SELECT ev.user_id, min(epoch_ns(ev.ts)) AS ep
 SELECT (ep - sv) // 86400000000000 AS delay_bucket,
        count(*)::BIGINT AS n_groups
 FROM e JOIN s USING (user_id) GROUP BY 1
+""",
+    ),
+    "behavior_funnel_step_timing": (
+        _funnel_step_timing_fn,
+        "WITH " + _SEQ_STEPS_SQL + """,
+g AS (SELECT 1 AS step, epoch_ns(s1.t) - epoch_ns(s0.t) AS gap
+      FROM s1 JOIN s0 USING (user_id)
+      UNION ALL
+      SELECT 2, epoch_ns(s2.t) - epoch_ns(s1.t)
+      FROM s2 JOIN s1 USING (user_id))
+SELECT step, count(*)::BIGINT AS n_groups,
+       round(quantile_cont(gap, 0.5), 1) AS p50_gap_ns
+FROM g GROUP BY 1
 """,
     ),
     "behavior_session_funnel": (
