@@ -594,6 +594,15 @@ def _basket_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                              min_support=2, top=50)
 
 
+def _retention_rates_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7 retention rates per daily cohort — the classic KPI on top of
+    the cohort machinery."""
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    return behavior.retention_rates(
+        ev.select("user_id", "ts"), "user_id", "ts",
+        period=behavior.NANOS_DAY, horizons=[1, 7])
+
+
 def _funnel_step_timing_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-between-funnel-steps distribution: for each transition of the
     signup→click→purchase funnel, how many groups complete it and the
@@ -1957,6 +1966,26 @@ e AS (SELECT ev.user_id, min(epoch_ns(ev.ts)) AS ep
 SELECT (ep - sv) // 86400000000000 AS delay_bucket,
        count(*)::BIGINT AS n_groups
 FROM e JOIN s USING (user_id) GROUP BY 1
+""",
+    ),
+    "behavior_retention_rates": (
+        _retention_rates_fn,
+        """
+WITH act AS (SELECT DISTINCT user_id,
+        epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS period FROM events),
+coh AS (SELECT user_id, min(period) AS cohort FROM act GROUP BY 1),
+j AS (SELECT act.user_id, act.period, coh.cohort,
+             (act.period - coh.cohort) // 86400000000000 AS idx
+      FROM act JOIN coh USING (user_id)),
+pc AS (SELECT cohort,
+        sum(CASE WHEN idx = 0 THEN 1 ELSE 0 END) AS n_groups,
+        sum(CASE WHEN idx = 1 THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN idx = 7 THEN 1 ELSE 0 END) AS n7
+       FROM j GROUP BY 1)
+SELECT cohort, CAST(n_groups AS BIGINT) AS n_groups,
+       round(n1::DOUBLE / n_groups::DOUBLE, 6) AS rate_p1,
+       round(n7::DOUBLE / n_groups::DOUBLE, 6) AS rate_p7
+FROM pc
 """,
     ),
     "behavior_funnel_step_timing": (

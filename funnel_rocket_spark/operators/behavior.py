@@ -210,3 +210,29 @@ def session_funnel(df: DataFrame, group_col: str, ts_col: str,
                  F.col(f"__n{i}").alias("n_sessions"))
         for i, s in enumerate(steps)])
     return counts.select(F.inline(steps_arr))
+
+
+def retention_rates(df: DataFrame, group_col: str, ts_col: str,
+                    period: int = NANOS_DAY,
+                    horizons: list[int] = (1, 7)) -> DataFrame:
+    """The classic DN-retention KPI: per cohort, the fraction of its
+    groups active again exactly N periods later — (cohort, n_groups,
+    rate_p{N}...). D1/D7 with daily periods by default.
+
+    Derived from the same distinct-activity + cohort-window frame as
+    :func:`retention_cohorts` (one extra conditional-count aggregate, no
+    new shuffle shape); rates are one double division per cohort row.
+    """
+    bucket = (F.col(ts_col) - F.col(ts_col) % F.lit(period)).alias("__period")
+    activity = df.select(F.col(group_col), bucket).distinct()
+    w = Window.partitionBy(group_col)
+    labeled = activity.withColumn("__cohort", F.min("__period").over(w))
+    idx = F.expr(f"(__period - __cohort) DIV {int(period)}")
+    per_cohort = labeled.groupBy(F.col("__cohort").alias("cohort")).agg(
+        F.sum((idx == 0).cast("long")).alias("n_groups"),
+        *[F.sum((idx == h).cast("long")).alias(f"__n{h}")
+          for h in horizons])
+    return per_cohort.select(
+        "cohort", "n_groups",
+        *[F.round(F.col(f"__n{h}") / F.col("n_groups"), 6)
+          .alias(f"rate_p{h}") for h in horizons])
