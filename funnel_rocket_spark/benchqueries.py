@@ -2091,10 +2091,42 @@ NO_ORACLE: dict = {
 }
 
 
+# The driver's correctness gate audits the FIRST 50 entries of queries().
+# Round 2 verified the 50 reference-shaped queries; round 3 rotates the 37
+# previously-unaudited extension queries (behavior_*, text_*, olap_* extras,
+# ann_*, multimodal, ingest shapes) into the window, padded with 13
+# representative fr_* queries for continuity. Everything else follows in
+# catalog order, so all 87 stay runnable by bench.py.
+_DRIVER_PRIORITY = [
+    # 37 queries that had only local oracle-parity greens after round 2
+    "behavior_retention_weekly", "behavior_top_paths", "behavior_attribution",
+    "behavior_conversion_delay", "behavior_retention_rates",
+    "behavior_funnel_step_timing", "behavior_session_funnel",
+    "text_chunks", "text_vocab", "text_pack_blocks", "text_repetition",
+    "text_langid", "text_fingerprint", "text_tfidf", "text_entropy",
+    "top_docs_per_lang",
+    "ann_cosine_topk", "ann_ivf_fullprobe", "ann_ivf_topk",
+    "dedup_embedding_cosine", "dedup_pipeline_embedding",
+    "embedding_centroids", "sample_group_cap", "multimodal_features",
+    "s5_denorm_join", "time_rollup_daily", "asof_join_tolerance",
+    "olap_cube", "olap_customer_deciles", "olap_promo_share",
+    "olap_part_avg_filter", "olap_winsorized_mean", "olap_rolling_revenue",
+    "olap_nation_share", "olap_basket_pairs", "olap_percentiles_approx",
+    "fr_agg_groups_per_value_approx",
+    # 13 representative reference-shaped queries (already driver-green in r2)
+    "fr_empty_query", "fr_count_target", "fr_sum_target", "fr_multi_filter",
+    "fr_relation_expr", "fr_timeframe", "fr_regex_filter",
+    "fr_agg_count_per_value", "fr_agg_groups_per_value", "fr_sequence",
+    "fr_funnel_steps", "fr_funnel_step_agg", "fr_seq_max_duration",
+]
+
+
 def queries() -> dict:
     out = {name: fn for name, (fn, _sql) in QUERIES.items()}
     out.update(NO_ORACLE)
-    return out
+    ordered = {k: out[k] for k in _DRIVER_PRIORITY if k in out}
+    ordered.update({k: v for k, v in out.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
