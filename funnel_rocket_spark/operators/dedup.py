@@ -243,11 +243,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
         .select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
     )
+    # Lazy persist: the first consuming job materializes the cache. The band
+    # self-join references sigs twice in one job, but BlockManager computes
+    # each cached partition once (concurrent readers block on the loading
+    # partition), so an eager count() would only serialize an extra job —
+    # measured +31% on standalone pair queries in round 2.
     sigs.persist()
-    # Eagerly materialize: the band self-join and the verification join each
-    # reference sigs/grams twice IN THE SAME job — branches of a first job
-    # race past a cold cache and compute the signatures multiple times.
-    sigs.count()
 
     banded = sigs.select(
         "id",
@@ -318,18 +319,28 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10,
     tiny star-shaped components a tight dedup threshold yields.
 
     The canonical survivor of each cluster is its min id == the cluster label.
+
+    ``driver_threshold=0`` opts out of the size probe entirely: the call
+    stays lazy (no Spark job at call time) and always takes the distributed
+    path — for plan-composition callers that must not trigger evaluation.
     """
     if driver_threshold:
         # ONE evaluation probes and fetches: ≤ threshold rows back means
         # we already hold the whole edge list; threshold+1 means the graph
-        # is big — fall through to the distributed path (which recomputes
-        # pairs; callers on that path persist upstream frames anyway).
+        # is big — fall through to the distributed path. The probe persists
+        # `pairs` so the (often expensive LSH self-join) lineage is computed
+        # once: the driver path releases it after collecting, the
+        # distributed star rounds read the cached edges instead of
+        # recomputing them.
+        pairs.persist()
         rows = pairs.select("id_a", "id_b").limit(
             driver_threshold + 1).collect()
         if len(rows) <= driver_threshold:
-            return _driver_union_find_rows(
+            out = _driver_union_find_rows(
                 rows, pairs.schema["id_a"].dataType.simpleString(),
                 pairs.sparkSession)
+            pairs.unpersist()
+            return out
     if algorithm == "star":
         return _star_clusters(pairs, max_iterations)
     edges = (

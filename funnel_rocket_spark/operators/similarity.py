@@ -70,20 +70,45 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def _collect_corpus(raw: DataFrame):
+    """The ONLY driver collect in the brute-force index path — a named seam
+    so tests can assert the auto-routed LSH path never touches it."""
+    return raw.collect()
+
+
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        method: str = "numpy") -> DataFrame:
+                        method: str = "auto",
+                        max_index_rows: int = 500_000) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold: (id_a, id_b, cosine_sim).
 
-    Brute-force O(n²) baseline; use :func:`lsh_bucketed_pairs` at true scale.
+    ``method="auto"`` (default): a bounded size probe (scans at most
+    ``max_index_rows + 1`` ids) picks the physical strategy — the exact
+    brute-force index below the bound, sign-LSH bucketing above it. The
+    probe runs one cheap job at call time; pass an explicit method to stay
+    fully lazy.
 
-    ``method="numpy"`` (default): the unit-normalized corpus is broadcast to
+    ``method="numpy"``: the unit-normalized corpus is broadcast to
     executors as a dense matrix (the in-memory-index assumption every
     brute-force ANN tool makes) and each Arrow batch computes a blocked GEMM
     ``A_batch @ B.T`` — BLAS replaces per-pair JVM array allocation, ~10×
-    faster. ``method="expr"``: pure Column expressions (no driver collect,
-    works at any corpus size — but quadratic HOF evaluation).
+    faster. Exact, but the driver must hold the corpus: n·d float64 must
+    fit (500k × 64 dims ≈ 256 MB), hence the auto guard.
+
+    ``method="lsh"``: delegate to :func:`lsh_bucketed_pairs` — fully
+    distributed, nothing collected, precision 1 (every emitted pair is
+    verified by true cosine) but recall < 1. The 100 TB path.
+
+    ``method="expr"``: pure Column expressions (no driver collect, exact at
+    any corpus size — but quadratic HOF evaluation; verification-only).
     """
+    if method == "auto":
+        n = df.select(id_col).limit(max_index_rows + 1).count()
+        method = "numpy" if n <= max_index_rows else "lsh"
+    if method == "lsh":
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+        return lsh_bucketed_pairs(df, threshold=threshold, id_col=id_col,
+                                  vec_col=vec_col, dim=dim)
     if method == "expr":
         unit = unit_normalized(df, id_col, vec_col)
         unit.persist()  # both join sides reuse the normalized vectors
@@ -109,7 +134,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
     # the corpus Spark-side a second time feeding mapInPandas): the Spark
     # plan is a bare column-pruned scan into the Arrow batches.
     raw = df.select(id_col, vec_col)
-    collected = raw.collect()  # corpus index: small by contract (see doc)
+    collected = _collect_corpus(raw)  # guarded by the auto size probe
     ids = np.array([r[id_col] for r in collected], dtype=np.int64)
     mat = _unit_rows(np.array([r[vec_col] for r in collected],
                               dtype=np.float64))

@@ -80,6 +80,37 @@ def test_embedding_dup_methods_agree(spark):
         assert abs(fast[k] - slow[k]) < 1e-9
 
 
+def test_embedding_dup_auto_routes_to_lsh(spark, monkeypatch):
+    """Above max_index_rows the auto method must take the distributed LSH
+    path and never collect the corpus to the driver — the seam raises if
+    the brute-force index path is touched."""
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+    def _no_collect(raw):
+        raise AssertionError("driver collect on the auto-LSH path")
+
+    monkeypatch.setattr(similarity, "_collect_corpus", _no_collect)
+    pairs = similarity.embedding_dup_pairs(
+        emb, 0.45, method="auto", max_index_rows=10).collect()
+    # LSH verifies candidates with true cosine: precision 1 vs brute force
+    brute = {(r["id_a"], r["id_b"]) for r in similarity.embedding_dup_pairs(
+        emb, 0.45, method="expr").collect()}
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got <= brute and len(got) > 0
+
+
+def test_embedding_dup_auto_small_uses_index(spark):
+    """Below the bound, auto == the exact numpy index path."""
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    auto = {(r["id_a"], r["id_b"]) for r in similarity.embedding_dup_pairs(
+        emb, 0.45, method="auto").collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in similarity.embedding_dup_pairs(
+        emb, 0.45, method="numpy").collect()}
+    assert auto == exact and len(auto) > 0
+
+
 def test_label_centroids_hand_computed(spark):
     from funnel_rocket_spark.operators import similarity
 
