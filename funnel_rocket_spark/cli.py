@@ -1,12 +1,14 @@
 """Command-line interface — parity with the reference's ``frocket/cli.py``
-(register / list / info / run / empty-query), minus the Redis/worker fleet:
-the CLI *is* the whole system, one Spark session per invocation.
+(register / list / info / run / unregister / config), minus the Redis/worker
+fleet: the CLI *is* the whole system, one Spark session per invocation.
 
 Usage:
     python -m funnel_rocket_spark.cli register <name> <basepath> <group_col> <ts_col>
     python -m funnel_rocket_spark.cli list
-    python -m funnel_rocket_spark.cli info <name>
-    python -m funnel_rocket_spark.cli run <name> --file query.json [--empty]
+    python -m funnel_rocket_spark.cli info <name> [--full]
+    python -m funnel_rocket_spark.cli run <name> --file query.json [--empty] [--string JSON]
+    python -m funnel_rocket_spark.cli unregister <name> [--force]
+    python -m funnel_rocket_spark.cli config
 """
 
 from __future__ import annotations
@@ -50,17 +52,58 @@ def cmd_list(args) -> int:
 def cmd_info(args) -> int:
     try:
         with open(os.path.join(args.catalog, f"{args.name}.json")) as fh:
-            print(fh.read())
+            meta = json.load(fh)
     except FileNotFoundError:
         print(f"error: dataset '{args.name}' is not registered "
               f"(catalog: {args.catalog})", file=sys.stderr)
         return 2
+    if not args.full:
+        # Reference `info` shows the summary; `info --full` adds the full
+        # per-column schema/profile (frocket/cli.py info_parser --full).
+        meta.pop("columns", None)
+    print(json.dumps(meta, indent=2, default=str))
+    return 0
+
+
+def cmd_unregister(args) -> int:
+    """Reference parity: ``unregister <dataset> [--force]``. The reference's
+    --force bypasses the in-use check on its Redis datastore; with no shared
+    datastore here there is nothing to be in use, so --force is accepted and
+    recorded in the output for script compatibility."""
+    path = os.path.join(args.catalog, f"{args.name}.json")
+    existed = os.path.exists(path)
+    if existed:
+        os.remove(path)
+    print(json.dumps({"success": True, "dataset": args.name,
+                      "removed": existed, "force": bool(args.force)}))
+    return 0 if existed else 2
+
+
+def cmd_config(args) -> int:
+    """Reference parity: ``config`` prints the effective configuration
+    (reference dumps its config dict). Here: catalog location plus the
+    Spark session settings the engine launches with."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    print(json.dumps({
+        "catalog.dir": args.catalog,
+        "spark.master": f"local[{cpus}]",
+        "spark.sql.shuffle.partitions": int(cpus),
+        "spark.sql.adaptive.enabled": True,
+        "spark.sql.adaptive.coalescePartitions.enabled": True,
+        "spark.sql.adaptive.skewJoin.enabled": True,
+        "spark.sql.execution.arrow.pyspark.enabled": True,
+        "spark.sql.parquet.filterPushdown": True,
+        "spark.sql.legacy.parquet.nanosAsLong": True,
+        "spark.sql.session.timeZone": "UTC",
+    }, indent=2))
     return 0
 
 
 def cmd_run(args) -> int:
     if args.empty:
         query = {}
+    elif args.query_string:
+        query = json.loads(args.query_string)
     else:
         with open(args.file) as fh:
             query = json.load(fh)
@@ -115,13 +158,28 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("info", help="show dataset schema/stats")
     p.add_argument("name")
+    p.add_argument("--full", action="store_true",
+                   help="include the full per-column schema/profile")
     p.set_defaults(func=cmd_info)
 
     p = sub.add_parser("run", help="run a query JSON against a dataset")
     p.add_argument("name")
-    p.add_argument("--file", help="query JSON file")
-    p.add_argument("--empty", action="store_true", help="run the empty query")
+    src = p.add_mutually_exclusive_group()
+    src.add_argument("--file", "-f", help="query JSON file")
+    src.add_argument("--empty", "-e", action="store_true",
+                     help="run the empty query")
+    src.add_argument("--string", "-s", dest="query_string",
+                     help="run the given query JSON string")
     p.set_defaults(func=cmd_run)
+
+    p = sub.add_parser("unregister", help="unregister a dataset")
+    p.add_argument("name")
+    p.add_argument("--force", action="store_true",
+                   help="accepted for reference-script compatibility")
+    p.set_defaults(func=cmd_unregister)
+
+    p = sub.add_parser("config", help="show effective configuration")
+    p.set_defaults(func=cmd_config)
 
     p = sub.add_parser("repartition",
                        help="rewrite Parquet partitioned by group (prep tool)")
@@ -133,8 +191,9 @@ def main(argv=None) -> int:
     p.set_defaults(func=cmd_repartition)
 
     args = parser.parse_args(argv)
-    if args.command == "run" and not args.empty and not args.file:
-        parser.error("run requires --file or --empty")
+    if (args.command == "run" and not args.empty and not args.file
+            and not args.query_string):
+        parser.error("run requires --file, --empty, or --string")
     return args.func(args)
 
 

@@ -1,0 +1,65 @@
+"""CLI round-trip — parity with the reference's frocket/cli.py command set:
+register → list → info → run → unregister → config, driven in-process
+through main(argv) (getOrCreate reuses the test SparkSession)."""
+
+import json
+
+from funnel_rocket_spark import cli
+
+SF_EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _run(capsys, *argv) -> tuple[int, str]:
+    rc = cli.main(list(argv))
+    return rc, capsys.readouterr().out
+
+
+def test_cli_roundtrip(spark, tmp_path, capsys):
+    catalog = str(tmp_path / "catalog")
+
+    rc, out = _run(capsys, "--catalog", catalog, "register", "ev",
+                   SF_EVENTS, "user_id", "ts")
+    assert rc == 0
+    assert json.loads(out)["rows"] == 1000
+
+    rc, out = _run(capsys, "--catalog", catalog, "list")
+    assert rc == 0 and out.startswith("ev\t")
+
+    rc, out = _run(capsys, "--catalog", catalog, "info", "ev")
+    assert rc == 0
+    meta = json.loads(out)
+    assert meta["name"] == "ev" and "columns" not in meta
+
+    rc, out = _run(capsys, "--catalog", catalog, "info", "ev", "--full")
+    assert rc == 0 and "columns" in json.loads(out)
+
+    rc, out = _run(capsys, "--catalog", catalog, "run", "ev", "--empty")
+    assert rc == 0
+    assert json.loads(out)["query"]["matchingGroupRows"] == 1000
+
+    q = json.dumps({"query": {"conditions": [
+        {"filter": ["event_type", "==", "purchase"],
+         "target": ["count", ">=", 3]}]}})
+    rc, out = _run(capsys, "--catalog", catalog, "run", "ev", "--string", q)
+    assert rc == 0
+    assert json.loads(out)["query"]["matchingGroups"] == 15
+
+    rc, out = _run(capsys, "--catalog", catalog, "unregister", "ev", "--force")
+    assert rc == 0
+    assert json.loads(out) == {"success": True, "dataset": "ev",
+                               "removed": True, "force": True}
+
+    rc, out = _run(capsys, "--catalog", catalog, "list")
+    assert rc == 0 and out == ""
+
+    # idempotent-but-signalled: unregistering a missing dataset exits 2
+    rc, out = _run(capsys, "--catalog", catalog, "unregister", "ev")
+    assert rc == 2 and json.loads(out)["removed"] is False
+
+
+def test_cli_config(capsys):
+    rc, out = _run(capsys, "config")
+    assert rc == 0
+    conf = json.loads(out)
+    assert conf["spark.sql.adaptive.enabled"] is True
+    assert "catalog.dir" in conf
