@@ -89,12 +89,17 @@ def _coltype(dtype: T.DataType) -> Optional[str]:
 
 
 def _numeric(col_name: str, dtype: T.DataType):
-    """Column as double for profiling: timestamp/date become epoch seconds
-    (TIMESTAMP_NTZ/DATE can't cast to double directly — go via TIMESTAMP,
-    value-preserving under a UTC session timezone)."""
+    """Column as a number for profiling. Timestamp/date columns become
+    exact epoch NANOS as int64 — the SAME unit the engine's timeframe
+    literals use (planner/compiler ts_numeric) — so a client can build a
+    valid timeframe straight from the profiled min/max_timestamp. (Nanos
+    exceed double's 2^53 integer range, hence long, not double.
+    TIMESTAMP_NTZ/DATE can't cast to a number directly — go via TIMESTAMP,
+    value-preserving under a UTC session timezone.)"""
     col = F.col(f"`{col_name}`")
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        return F.unix_micros(col.cast(T.TimestampType())) / F.lit(1_000_000.0)
+        return (F.unix_micros(col.cast(T.TimestampType())) * F.lit(1000)
+                ).cast("long")
     return col.cast("double")
 
 
@@ -225,14 +230,31 @@ def register_dataset(
                 if info["coltype"] == "STRING" and nuniq / total <= CATEGORICAL_RATIO:
                     info["categorical"] = True
                     categorical_strings.append(col_name)
-            # Top values for categorical strings, one small job per column
-            # (reference keeps approximate merged top-Ns; ours are exact).
-            for col_name in categorical_strings:
-                top = (df.groupBy(col_name).count()
-                       .orderBy(F.desc("count"), F.asc(col_name))
-                       .limit(TOP_VALUES_COUNT).collect())
-                columns[col_name]["top_values"] = {
-                    str(r[col_name]): r["count"] for r in top if r[col_name] is not None}
+            # Top values for ALL categorical strings in ONE job (reference
+            # keeps approximate merged top-Ns; ours are exact): melt the
+            # categorical columns to (col, value) rows via stack, count, and
+            # rank within each column. A per-column groupBy loop would run
+            # one Spark job per column — slow to register a wide table.
+            if categorical_strings:
+                stack_expr = "stack({}, {}) as (__col, __val)".format(
+                    len(categorical_strings),
+                    ", ".join(f"'{c}', `{c}`" for c in categorical_strings))
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("__col").orderBy(
+                    F.desc("__cnt"), F.asc("__val"))
+                top = (
+                    df.selectExpr(stack_expr)
+                    .where(F.col("__val").isNotNull())
+                    .groupBy("__col", "__val").agg(F.count("*").alias("__cnt"))
+                    .withColumn("__rk", F.row_number().over(w))
+                    .where(F.col("__rk") <= TOP_VALUES_COUNT)
+                    .collect()
+                )
+                for col_name in categorical_strings:
+                    columns[col_name]["top_values"] = {}
+                for r in sorted(top, key=lambda r: (r["__col"], r["__rk"])):
+                    columns[r["__col"]]["top_values"][str(r["__val"])] = r["__cnt"]
 
     if catalog_dir:
         os.makedirs(catalog_dir, exist_ok=True)

@@ -55,6 +55,52 @@ def test_catalog_roundtrip(spark, tmp_path):
     assert loaded.columns["price"]["max"] == pytest.approx(148.5)
 
 
+def test_catalog_profile_job_count_and_ts_unit(spark, tmp_path):
+    """Registration of a wide table must run a BOUNDED number of Spark jobs
+    (one profile aggregate + one batched top-values pass — not one job per
+    categorical column), and timestamp-typed columns must be profiled in
+    epoch NANOS, the engine's timeframe-literal unit."""
+    from funnel_rocket_spark.catalog import register_dataset
+
+    src = tmp_path / "wide"
+    cats = [F.concat(F.lit(f"c{i}_"), (F.col("id") % 3).cast("string")
+                     ).alias(f"cat{i}") for i in range(8)]
+    spark.range(300).select(
+        (F.col("id") % 10).alias("uid"),
+        F.timestamp_micros(F.col("id") * 1_000_000 +
+                           F.lit(1_700_000_000_000_000)).alias("ts"),
+        *cats,
+    ).write.parquet(str(src))
+
+    # AQE submits one Spark job per shuffle stage, so raw job count is not
+    # a stable seam — count driver ACTIONS instead: profiling must run one
+    # profile aggregate + one batched top-values pass, never a collect per
+    # categorical column.
+    from pyspark.sql import DataFrame as _DF
+
+    calls = []
+    orig_collect = _DF.collect
+
+    def counting_collect(self):
+        calls.append(1)
+        return orig_collect(self)
+
+    _DF.collect = counting_collect
+    try:
+        ds = register_dataset(spark, "wide", str(src), "uid", "ts")
+    finally:
+        _DF.collect = orig_collect
+    assert len(calls) <= 2, f"registration ran {len(calls)} collect() actions"
+
+    # 1.7e18 epoch-nanos: exactly the unit a timeframe literal uses
+    assert ds.min_timestamp == 1_700_000_000_000_000_000
+    assert ds.max_timestamp == 1_700_000_299_000_000_000
+    for i in range(8):
+        tv = ds.columns[f"cat{i}"]["top_values"]
+        assert set(tv) == {f"c{i}_0", f"c{i}_1", f"c{i}_2"}
+        assert tv[f"c{i}_0"] == 100
+
+
 def test_cli_end_to_end(tmp_path):
     env = {**os.environ, "SPARK_GRAFT_CPUS": "2"}
     datadir = str(tmp_path / "ds")
