@@ -78,9 +78,14 @@ def top_paths(df: DataFrame, group_col: str, ts_col: str, step_col: str,
     named = df.select(
         F.col(group_col),
         *[s.alias(f"__s{i}") for i, s in enumerate(steps)])
-    complete = named.filter(
-        F.lit(True) & F.lit(True) if length == 1
-        else F.col(f"__s{length - 1}").isNotNull())
+    # ALL steps must be non-null: checking only the lead-horizon column
+    # would let a null step value vanish inside concat_ws ("a > c" from
+    # (a, NULL, c)), diverging from SQL `||` semantics where a null step
+    # nulls the whole path.
+    non_null = F.lit(True)
+    for i in range(length):
+        non_null = non_null & F.col(f"__s{i}").isNotNull()
+    complete = named.filter(non_null)
     path = F.concat_ws(sep, *[F.col(f"__s{i}") for i in range(length)])
     return (
         complete.select(F.col(group_col), path.alias("path"))

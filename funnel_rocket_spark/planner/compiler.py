@@ -290,8 +290,21 @@ class QueryPlan:
                 # pruning — the difference between touching one day and one
                 # petabyte). cast(timestamp_micros(lit)) is constant-folded
                 # by Catalyst into a plain literal.
+                #
+                # The literal is rounded UP to the column's granularity g
+                # (µs for timestamps, a day for dates). Column values are
+                # multiples of g, so ts >= from ⇔ ts >= ceil(from/g)·g and
+                # ts < to ⇔ ts < ceil(to/g)·g — ceiling keeps BOTH bounds
+                # exact for sub-granularity literals, where flooring would
+                # wrongly include rows below `from` and exclude the boundary
+                # row at `to` (e.g. to=mid-day D on a date column must keep
+                # all of day D).
+                gran_ns = (86_400 * 10**9 if isinstance(dtype, T.DateType)
+                           else 1000)
+
                 def _ts_lit(v):
-                    return (F.timestamp_micros(F.lit(int(v) // 1000))
+                    ceiled = -(-int(v) // gran_ns) * gran_ns
+                    return (F.timestamp_micros(F.lit(ceiled // 1000))
                             .cast(dtype))
                 if "from" in tf:
                     df = df.filter(F.col(ts_col) >= _ts_lit(tf["from"]))

@@ -12,6 +12,7 @@ the reference's every-group-in-one-file invariant (``README.md:123-124``).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -150,10 +151,55 @@ def write_sharded_jsonl(
     way); without it, round-robin gives the evenest sizes. Gzip/zstd
     compression keeps lines splittable at the file level (one shard =
     one stream), which is how loaders consume them anyway.
+
+    Exactly-N guarantee: hash routing uses an IDENTITY partitioner (shard
+    id == partition id), not ``repartition(shards, col)`` — that re-hashes
+    the hash, so two shard ids can collide into one partition and leave
+    another empty, and Spark writes no file for an empty task. A shard
+    left genuinely empty by a tiny/skewed keyspace is padded with an empty
+    part file (local paths, uncompressed) so loaders addressing file i of
+    N always find N files; for remote/compressed outputs the pad is
+    skipped — address shards positionally only when the keyspace covers
+    them. The identity partitioner routes rows through the Python
+    serializer; export jobs are write-I/O-bound, so this is not the
+    bottleneck, but at very large scale prefer ``partitionBy`` directory
+    layouts over fixed file counts.
     """
-    out = (df.repartition(shards, F.col(shard_col)) if shard_col
-           else df.repartition(shards))
+    if shard_col is None:
+        out = df.repartition(shards)
+    else:
+        import hashlib
+
+        schema = df.schema
+        idx = schema.fieldNames().index(shard_col)
+
+        def _shard(value, _n=shards) -> int:
+            digest = hashlib.md5(repr(value).encode("utf-8")).digest()
+            return int.from_bytes(digest[:4], "big") % _n
+
+        rdd = (
+            df.rdd.map(lambda r, _i=idx: (_shard(r[_i]), r))
+            .partitionBy(shards, lambda k: k)
+            .values()
+        )
+        out = df.sparkSession.createDataFrame(rdd, schema)
     writer = out.write.mode(mode)
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+    if shard_col is not None and not compression:
+        _pad_missing_shards(path, shards)
+
+
+def _pad_missing_shards(path: str, shards: int) -> None:
+    """Create empty part files for shards that got no rows (local paths
+    only) so the produced file count equals ``shards``."""
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if "://" in local or not os.path.isdir(local):
+        return
+    parts = sorted(f for f in os.listdir(local) if f.startswith("part-"))
+    have = {int(f.split("-")[1]) for f in parts}
+    for i in range(shards):
+        if i not in have:
+            open(os.path.join(local, f"part-{i:05d}-empty.json"), "w").close()

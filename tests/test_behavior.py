@@ -51,6 +51,21 @@ def test_top_paths_orders_and_ties(spark):
     assert got == {"a > b > c": (2, 2), "b > c > d": (1, 1)}
 
 
+def test_top_paths_null_step_drops_whole_path(spark):
+    """A null step value must null out the whole path (SQL || semantics),
+    not silently vanish inside the separator join: (a, NULL, c) is NOT the
+    path 'a > c'."""
+    rows = [
+        (1, 10, "a", 0.0, 1), (1, 20, None, 0.0, 2), (1, 30, "c", 0.0, 3),
+        (2, 10, "a", 0.0, 4), (2, 20, "b", 0.0, 5), (2, 30, "c", 0.0, 6),
+    ]
+    out = behavior.top_paths(
+        _events(spark, rows), "user_id", "ts", "event_type",
+        order_cols=["ts", "event_id"], length=3, top=10)
+    got = {r["path"] for r in out.collect()}
+    assert got == {"a > b > c"}
+
+
 def test_last_touch_attribution_latest_wins(spark):
     rows = [
         # view then click then purchase → credited to click (latest)

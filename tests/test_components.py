@@ -321,6 +321,18 @@ def test_jsonl_roundtrip(spark, tmp_path):
 
     assert shard_map(path) == shard_map(path2)
 
+    # exactly-N even for a keyspace smaller than the shard count: the
+    # identity partitioner puts each id in its hashed shard and empty
+    # shards are padded with empty part files
+    tiny = docs.limit(2)
+    path3 = str(tmp_path / "docs_tiny")
+    ingest.write_sharded_jsonl(tiny, path3, shards=8, shard_col="doc_id")
+    files3 = [f for f in __import__("os").listdir(path3)
+              if f.startswith("part-")]
+    assert len(files3) == 8
+    back3 = ingest.ingest_jsonl(spark, path3, schema=schema)
+    assert back3.count() == 2
+
     # corrupt-line capture: malformed JSON lands in the side column
     bad = tmp_path / "bad.jsonl"
     bad.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n')

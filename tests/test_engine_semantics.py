@@ -380,6 +380,57 @@ def test_timeframe(sdf):
     assert res["query"]["matchingGroups"] == 4
 
 
+def test_timeframe_sub_granularity_literals(spark):
+    """Nanos literals finer than the column's physical granularity must keep
+    exact from-inclusive / to-exclusive semantics: the pushed-down literal is
+    CEILED to the column granularity, never floored (flooring would drop the
+    boundary row for `to` and leak sub-bound rows for `from`)."""
+    from pyspark.sql import functions as F
+
+    from funnel_rocket_spark import QueryEngine
+
+    k_us = 1_700_000_000_000_000  # µs; row granularity = 1 µs
+    df = spark.range(3).select(
+        F.lit("u").alias("id"),
+        F.timestamp_micros(F.col("id") + F.lit(k_us)).alias("ts"),
+        F.lit("e").alias("type"),
+    )
+    eng = QueryEngine("id", "ts")
+    k_ns = k_us * 1000
+
+    # to = k·1000+1 ns: the row at exactly k µs satisfies ts < to → 1 row
+    res = eng.run(df, {"timeframe": {"from": k_ns - 1000, "to": k_ns + 1},
+                       "query": {"conditions": []}})
+    assert res["query"]["matchingGroupRows"] == 1
+    # from = k·1000+1 ns: the row at k µs is BELOW the bound → 2 rows remain
+    res = eng.run(df, {"timeframe": {"from": k_ns + 1, "to": k_ns + 3000},
+                       "query": {"conditions": []}})
+    assert res["query"]["matchingGroupRows"] == 2
+    # aligned literals unchanged: [k, k+2µs) → 2 rows
+    res = eng.run(df, {"timeframe": {"from": k_ns, "to": k_ns + 2000},
+                       "query": {"conditions": []}})
+    assert res["query"]["matchingGroupRows"] == 2
+
+    # DateType column, day granularity: to = midday of day D keeps day D
+    day_ns = 86_400 * 10**9
+    ddf = spark.range(3).select(
+        F.lit("u").alias("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+        F.lit("e").alias("type"),
+    )
+    deng = QueryEngine("id", "d")
+    d0 = 19723 * day_ns  # 2024-01-01
+    res = deng.run(ddf, {"timeframe": {"from": d0, "to": d0 + day_ns // 2},
+                         "query": {"conditions": []}})
+    assert res["query"]["matchingGroupRows"] == 1
+    # from = midday of day D excludes day D itself
+    res = deng.run(ddf, {"timeframe": {"from": d0 + day_ns // 2,
+                                       "to": d0 + 3 * day_ns},
+                         "query": {"conditions": []}})
+    assert res["query"]["matchingGroupRows"] == 2
+
+
 def test_sequence_max_duration_extension(spark):
     rows = [
         {"id": "a", "timestamp": 1, "type": "view"},
