@@ -646,6 +646,21 @@ def _session_funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap=NANOS_2H)
 
 
+NANOS_30M = 30 * 60 * 10**9
+
+
+def _session_funnel_bounded_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_funnel with the engine's sequence extensions: maxDuration
+    bounds steps ≥1 to 30min after the session's first view, and the
+    rowFound:false middle step requires NO error after the view (within
+    the same session and duration window)."""
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    return behavior.session_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", {"type": "error", "rowFound": False}, "purchase"],
+        gap=NANOS_2H, max_duration=NANOS_30M)
+
+
 def _promo_share_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style promo revenue share per ship month: one broadcast
     dim join (part never shuffles the fact), conditional integer-cents
@@ -2023,6 +2038,37 @@ UNION ALL
 SELECT 1, 'purchase', (SELECT count(*) FROM a1)::BIGINT
 """,
     ),
+    "behavior_session_funnel_bounded": (
+        _session_funnel_bounded_fn,
+        f"""
+WITH s AS (SELECT user_id, ts, event_type,
+  CASE WHEN lag(ts) OVER w IS NULL
+       OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > {NANOS_2H} THEN 1 ELSE 0
+  END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s2 AS (SELECT user_id, ts, event_type,
+  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+    AS sidx FROM s),
+a0 AS (SELECT user_id, sidx, min(ts) t FROM s2
+       WHERE event_type = 'view' GROUP BY 1, 2),
+-- rowFound:false step: sessions whose first view is followed by NO error
+-- inside the maxDuration window; the anchor passes through unchanged
+a1 AS (SELECT a0.user_id, a0.sidx, a0.t FROM a0 WHERE NOT EXISTS (
+       SELECT 1 FROM s2 e WHERE e.user_id = a0.user_id AND e.sidx = a0.sidx
+         AND e.event_type = 'error' AND e.ts > a0.t
+         AND epoch_ns(e.ts) - epoch_ns(a0.t) <= {NANOS_30M})),
+a2 AS (SELECT e.user_id, e.sidx, min(e.ts) t FROM s2 e JOIN a1
+       ON e.user_id = a1.user_id AND e.sidx = a1.sidx AND e.ts > a1.t
+       WHERE e.event_type = 'purchase'
+         AND epoch_ns(e.ts) - epoch_ns(a1.t) <= {NANOS_30M} GROUP BY 1, 2)
+SELECT 0 AS step, 'view' AS step_type,
+       (SELECT count(*) FROM a0)::BIGINT AS n_sessions
+UNION ALL
+SELECT 1, 'error', (SELECT count(*) FROM a1)::BIGINT
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM a2)::BIGINT
+""",
+    ),
     # ---- OLAP breadth (windowed series / share / co-occurrence) ----------- #
     "olap_rolling_revenue": (
         _rolling_revenue_fn,
@@ -2102,6 +2148,7 @@ _DRIVER_PRIORITY = [
     "behavior_retention_weekly", "behavior_top_paths", "behavior_attribution",
     "behavior_conversion_delay", "behavior_retention_rates",
     "behavior_funnel_step_timing", "behavior_session_funnel",
+    "behavior_session_funnel_bounded",
     "text_chunks", "text_vocab", "text_pack_blocks", "text_repetition",
     "text_langid", "text_fingerprint", "text_tfidf", "text_entropy",
     "top_docs_per_lang",
@@ -2117,7 +2164,7 @@ _DRIVER_PRIORITY = [
     "fr_empty_query", "fr_count_target", "fr_sum_target", "fr_multi_filter",
     "fr_relation_expr", "fr_timeframe", "fr_regex_filter",
     "fr_agg_count_per_value", "fr_agg_groups_per_value", "fr_sequence",
-    "fr_funnel_steps", "fr_funnel_step_agg", "fr_seq_max_duration",
+    "fr_funnel_steps", "fr_funnel_step_agg",
 ]
 
 

@@ -179,12 +179,22 @@ def conversion_delay(df: DataFrame, group_col: str, ts_col: str,
 
 
 def session_funnel(df: DataFrame, group_col: str, ts_col: str,
-                  type_col: str, steps: list[str], gap: int,
-                  session_col: str = "__session_idx") -> DataFrame:
+                  type_col: str, steps: list, gap: int,
+                  session_col: str = "__session_idx",
+                  max_duration: Optional[int] = None) -> DataFrame:
     """Funnel scoped to sessions: (step, step_type, n_sessions) — how many
     SESSIONS (gap-delimited, like temporal.sessionize) complete each
     prefix of ``steps``, each step strictly later than the previous one
     and inside the same session.
+
+    ``steps`` entries are event-type strings, or dicts
+    ``{"type": ..., "rowFound": False}`` for negative steps. The step
+    semantics — strict ``>`` chaining, ``max_duration`` bounding every
+    step ≥ 1 to within the duration of the FIRST step's anchor, and
+    ``rowFound: False`` ("the step must NOT have happened after the
+    previous anchor") — are the main engine's, verbatim: the anchors come
+    from the same ``with_sequence_anchors`` compiler routine, windowed by
+    (group, session) instead of group.
 
     The whole-history funnel (planner/compiler.py) answers "did the user
     ever convert"; this answers "does a single visit convert" — the
@@ -195,25 +205,33 @@ def session_funnel(df: DataFrame, group_col: str, ts_col: str,
     crosses a second (single-partition) exchange.
     """
     from funnel_rocket_spark.operators.temporal import sessionize_idx
+    from funnel_rocket_spark.planner.compiler import (
+        compile_sequence, with_sequence_anchors)
+
+    norm = [{"type": s} if isinstance(s, str) else dict(s) for s in steps]
+    seq = []
+    for st in norm:
+        # expanded filter form, as the validator would emit
+        step = {"filter": {"column": type_col, "op": "==",
+                           "value": st["type"]}}
+        if st.get("rowFound", True) is False:
+            step["rowFound"] = False
+        seq.append(step)
+    spec = compile_sequence(seq, prefix="__sf_", max_duration=max_duration)
 
     sess = sessionize_idx(df, group_col, ts_col, gap, idx_col=session_col)
-    w = Window.partitionBy(group_col, session_col)
-    anchors = []
-    for i, step in enumerate(steps):
-        pred = F.col(type_col) == step
-        if i > 0:
-            pred = pred & (F.col(ts_col) > F.col(f"__a{i - 1}"))
-        sess = sess.withColumn(
-            f"__a{i}", F.min(F.when(pred, F.col(ts_col))).over(w))
-        anchors.append(f"__a{i}")
-    per_session = sess.groupBy(group_col, session_col).agg(
+    anchored = with_sequence_anchors(sess, spec, [group_col, session_col],
+                                     ts_col)
+    anchors = [spec.anchor(i) for i in range(len(seq))]
+    per_session = anchored.groupBy(group_col, session_col).agg(
         *[F.first(a).alias(a) for a in anchors])
     counts = per_session.agg(
         *[F.count(a).alias(f"__n{i}") for i, a in enumerate(anchors)])
     steps_arr = F.array(*[
-        F.struct(F.lit(i).alias("step"), F.lit(s).alias("step_type"),
+        F.struct(F.lit(i).alias("step"),
+                 F.lit(st["type"]).alias("step_type"),
                  F.col(f"__n{i}").alias("n_sessions"))
-        for i, s in enumerate(steps)])
+        for i, st in enumerate(norm)])
     return counts.select(F.inline(steps_arr))
 
 

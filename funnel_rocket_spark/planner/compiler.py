@@ -181,8 +181,13 @@ def with_sequence_anchors(df: DataFrame, spec: SequenceSpec, group_col: str,
       previous anchor; the anchor carries over unchanged.
 
     A ``-inf`` sentinel anchors step 0 ("no time constraint yet").
+
+    ``group_col`` may be a list of columns — e.g. ``(group, session_idx)``
+    for per-session funnels (operators/behavior.session_funnel), which get
+    the exact engine step semantics scoped to each session.
     """
-    w = Window.partitionBy(group_col)
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*group_cols)
     ts, sentinel = ts_numeric(df, ts_col)
     prev: Column = sentinel
     first_anchor: Optional[Column] = None

@@ -195,3 +195,40 @@ def test_session_funnel_resets_across_sessions(spark):
     # sessions with a view: u1s0, u1s1, u2s0, u3s0 = 4; completing
     # view->purchase within the session: only u1s0
     assert out == {(0, "view"): 4, (1, "purchase"): 1}
+
+
+def test_session_funnel_max_duration(spark):
+    GAP = 1000
+    rows = [
+        # u1: purchase 30 after view → inside maxDuration 50
+        (1, 10, "view", 0.0, 1), (1, 40, "purchase", 0.0, 2),
+        # u2: purchase 200 after view — same session (gap 1000) but beyond
+        # maxDuration 50 → step not completed
+        (2, 10, "view", 0.0, 3), (2, 210, "purchase", 0.0, 4),
+    ]
+    out = {(r["step"], r["step_type"]): r["n_sessions"]
+           for r in behavior.session_funnel(
+               _events(spark, rows), "user_id", "ts", "event_type",
+               ["view", "purchase"], gap=GAP, max_duration=50).collect()}
+    assert out == {(0, "view"): 2, (1, "purchase"): 1}
+
+
+def test_session_funnel_row_found_false(spark):
+    GAP = 1000
+    rows = [
+        # u1: view, no error, purchase → passes all three
+        (1, 10, "view", 0.0, 1), (1, 30, "purchase", 0.0, 2),
+        # u2: error between view and purchase → negative step fails, and
+        # the purchase step can't anchor past a failed step
+        (2, 10, "view", 0.0, 3), (2, 20, "error", 0.0, 4),
+        (2, 30, "purchase", 0.0, 5),
+        # u3: error BEFORE the view doesn't count (strict ts > anchor)
+        (3, 5, "error", 0.0, 6), (3, 10, "view", 0.0, 7),
+        (3, 30, "purchase", 0.0, 8),
+    ]
+    steps = ["view", {"type": "error", "rowFound": False}, "purchase"]
+    out = {(r["step"], r["step_type"]): r["n_sessions"]
+           for r in behavior.session_funnel(
+               _events(spark, rows), "user_id", "ts", "event_type",
+               steps, gap=GAP).collect()}
+    assert out == {(0, "view"): 3, (1, "error"): 2, (2, "purchase"): 2}
