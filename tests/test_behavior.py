@@ -175,6 +175,66 @@ def test_attribution_single_window_exchange(spark):
     assert "Join" not in plan
 
 
+def test_session_funnel_single_data_exchange(spark):
+    """Plan gate: sessionization window, per-(group, session) anchor
+    windows, and the per-session collapse all ride ONE exchange on the
+    group column — HashPartitioning(group) satisfies the (group, session)
+    clustering, so only the tiny final count crosses a second
+    (single-partition) exchange. Join-free."""
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.plans import count_exchanges, formatted_plan
+
+    ev = bq.ts_ns(bq.load_table(spark, "/root/testdata/sf0.001", "events"))
+    for steps, dur in ([["view", "purchase"], None],
+                       [["view", {"type": "error", "rowFound": False},
+                         "purchase"], 1800 * 10**9]):
+        out = behavior.session_funnel(
+            ev, "user_id", "ts", "event_type", steps,
+            gap=2 * 3600 * 10**9, max_duration=dur)
+        plan = formatted_plan(out)
+        assert count_exchanges(out) <= 2, plan
+        assert "Join" not in plan
+
+
+def test_retention_rates_join_free(spark):
+    """Plan gate: DN retention = one distinct-activity exchange + cohort
+    window + per-cohort agg, all on the group column, join-free."""
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.plans import count_exchanges, formatted_plan
+
+    ev = bq.ts_ns(bq.load_table(spark, "/root/testdata/sf0.001", "events"))
+    out = behavior.retention_rates(ev.select("user_id", "ts"),
+                                   "user_id", "ts")
+    plan = formatted_plan(out)
+    assert count_exchanges(out) <= 4, plan
+    assert "Join" not in plan
+
+
+def test_conversion_delay_and_step_timing_shapes(spark):
+    """Plan gate: conversion delay and funnel step timing are each a
+    single group-keyed window/aggregate pass plus the tiny bucket/step
+    aggregate — join-free."""
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.plans import count_exchanges, formatted_plan
+
+    ev = bq.ts_ns(bq.load_table(spark, "/root/testdata/sf0.001", "events"))
+    delay = behavior.conversion_delay(
+        ev, "user_id", "ts", "event_type", start="view", end="purchase")
+    plan = formatted_plan(delay)
+    assert count_exchanges(delay) <= 3, plan
+    assert "Join" not in plan
+
+    # step timing unions one window branch per transition and joins the
+    # TINY per-transition aggregates — the gate is that those joins stay
+    # broadcast (never sort-merge on the full frame) and the exchange
+    # count stays bounded at one data exchange per transition branch +
+    # final reduces.
+    timing = bq._funnel_step_timing_fn(spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(timing)
+    assert "SortMergeJoin" not in plan, plan
+    assert count_exchanges(timing) <= 8, plan
+
+
 def test_session_funnel_resets_across_sessions(spark):
     GAP = 100
     rows = [
