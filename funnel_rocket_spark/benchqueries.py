@@ -485,6 +485,26 @@ def _olap_distinct_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _olap_grouping_sets_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    hand-picked combinations ((flag, status), (flag), ()) — e.g. "by flag
+    with and without status, plus a grand total" — in ONE pass/exchange.
+    The DataFrame groupingSets API (Spark 4) expands map-side exactly like
+    cube/rollup; NULL markers coalesced for oracle-stable values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows", "sum_price")
+    )
+
+
 def _olap_cube_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE (absent from the reference, like all grouping sets):
     all 4 grouping combinations in one pass. Spark expands the cube
@@ -1807,6 +1827,16 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*)::BIGINT AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    ),
+    "olap_grouping_sets": (
+        _olap_grouping_sets_fn,
+        """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
     ),
     "olap_customer_deciles": (

