@@ -431,6 +431,42 @@ def test_timeframe_sub_granularity_literals(spark):
     assert res["query"]["matchingGroupRows"] == 2
 
 
+def test_timeframe_random_bounds_match_integer_semantics(spark):
+    """Randomized differential check of the ceiling pushdown: for a
+    µs-granularity timestamp column, engine counts under arbitrary nanos
+    bounds must equal the pure-integer semantics
+    |{ts : from <= ts_ns < to}| computed in Python."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from funnel_rocket_spark import QueryEngine
+
+    rng = random.Random(20240814)
+    base_us = 1_700_000_000_000_000
+    offsets = sorted(rng.sample(range(0, 5_000), 60))
+    ts_us = [base_us + o for o in offsets]
+    df = spark.createDataFrame(
+        [("u", t, "e") for t in ts_us], "id string, ts_us long, type string",
+    ).select("id", F.timestamp_micros(F.col("ts_us")).alias("ts"), "type")
+    eng = QueryEngine("id", "ts")
+
+    lo_ns, hi_ns = base_us * 1000 - 5000, (base_us + 5_000) * 1000 + 5000
+    cases = [(rng.randint(lo_ns, hi_ns), rng.randint(lo_ns, hi_ns))
+             for _ in range(15)]
+    # adversarial: bounds straddling exact row positions by ±1 ns
+    for t in ts_us[:5]:
+        cases.append((t * 1000, t * 1000 + 1))
+        cases.append((t * 1000 - 1, t * 1000 + 2001))
+    for a, b in cases:
+        frm, to = min(a, b), max(a, b)
+        want = sum(1 for t in ts_us if frm <= t * 1000 < to)
+        res = eng.run(df, {"timeframe": {"from": frm, "to": to},
+                           "query": {"conditions": []}})
+        got = res["query"]["matchingGroupRows"]
+        assert got == want, (frm, to, got, want)
+
+
 def test_sequence_max_duration_extension(spark):
     rows = [
         {"id": "a", "timestamp": 1, "type": "view"},
