@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "group_id long, steps_completed int, anchor_ts double"
-STATE_SCHEMA = "steps_completed int, anchor_ts double"
+STATE_SCHEMA = "steps_completed int, anchor_ts double, first_ts double"
 
 
 def _pandas_filter(pdf: pd.DataFrame, f: dict) -> pd.Series:
@@ -67,11 +67,17 @@ def incremental_funnel(
     group_col: str,
     ts_col: str,
     timeout: str = "NoTimeout",
+    max_duration: float | None = None,
 ) -> DataFrame:
     """events (streaming DF) → per-group funnel progress updates.
 
     Returns a streaming DataFrame (group_id, steps_completed, anchor_ts)
     in update mode — one row per group per batch in which its state changed.
+
+    ``max_duration`` mirrors the batch engine option: steps ≥ 1 only
+    advance within ``max_duration`` of the FIRST step's anchor (the
+    per-group state carries that anchor, so the bound holds across
+    micro-batches).
     """
     for step in sequence:
         if step.get("rowFound", True) is False:
@@ -85,9 +91,9 @@ def incremental_funnel(
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         if state.exists:
-            steps_done, anchor = state.get
+            steps_done, anchor, first = state.get
         else:
-            steps_done, anchor = 0, float("-inf")
+            steps_done, anchor, first = 0, float("-inf"), float("-inf")
 
         advanced = False
         for pdf in batches:
@@ -100,13 +106,19 @@ def incremental_funnel(
                 # also prevents same-timestamp chaining, like the batch path)
                 if preds[steps_done].loc[idx]:
                     ts_val = float(pdf.at[idx, ts_col])
-                    if ts_val > anchor:
-                        anchor = ts_val
-                        steps_done += 1
-                        advanced = True
+                    if ts_val <= anchor:
+                        continue
+                    if (max_duration is not None and steps_done > 0
+                            and ts_val > first + max_duration):
+                        continue
+                    anchor = ts_val
+                    if steps_done == 0:
+                        first = ts_val
+                    steps_done += 1
+                    advanced = True
 
         if advanced:
-            state.update((steps_done, anchor))
+            state.update((steps_done, anchor, first))
             yield pd.DataFrame(
                 {"group_id": [key[0]], "steps_completed": [steps_done],
                  "anchor_ts": [anchor]}

@@ -172,6 +172,39 @@ def test_incremental_funnel_stream(spark, tmp_path):
     assert 3 not in final  # never matched step 0 → no update emitted
 
 
+def test_incremental_funnel_max_duration(spark, tmp_path):
+    """max_duration parity with the batch engine, enforced ACROSS
+    micro-batches: user 1 converts within the window, user 2's purchase
+    lands beyond first_anchor + max_duration and must not advance."""
+    indir = tmp_path / "in_dur"
+    ckpt = tmp_path / "ckpt_dur"
+    indir.mkdir()
+    pd.DataFrame([
+        {"user_id": 1, "ts": 1.0, "etype": "view"},
+        {"user_id": 2, "ts": 1.0, "etype": "view"},
+    ]).to_parquet(indir / "b1.parquet")
+    pd.DataFrame([
+        {"user_id": 1, "ts": 5.0, "etype": "purchase"},   # within 10
+        {"user_id": 2, "ts": 50.0, "etype": "purchase"},  # beyond 10
+    ]).to_parquet(indir / "b2.parquet")
+
+    stream = (spark.readStream.schema("user_id long, ts double, etype string")
+              .option("maxFilesPerTrigger", "1").parquet(str(indir)))
+    seq = [{"filter": {"column": "etype", "op": "==", "value": "view"}},
+           {"filter": {"column": "etype", "op": "==", "value": "purchase"}}]
+    out = incremental_funnel(stream, seq, "user_id", "ts", max_duration=10.0)
+    q = (out.writeStream.format("memory").queryName("funnel_dur")
+         .outputMode("update").option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = {r["group_id"]: r["steps_completed"]
+             for r in spark.sql(
+                 "SELECT group_id, max(steps_completed) AS steps_completed "
+                 "FROM funnel_dur GROUP BY group_id").collect()}
+    assert final[1] == 2
+    assert final[2] == 1
+
+
 def test_streaming_time_rollup(spark, tmp_path):
     from funnel_rocket_spark.streaming import streaming_time_rollup
 
