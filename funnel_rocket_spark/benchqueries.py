@@ -2186,7 +2186,8 @@ _DRIVER_PRIORITY = [
     "dedup_embedding_cosine", "dedup_pipeline_embedding",
     "embedding_centroids", "sample_group_cap", "multimodal_features",
     "s5_denorm_join", "time_rollup_daily", "asof_join_tolerance",
-    "olap_cube", "olap_customer_deciles", "olap_promo_share",
+    "olap_cube", "olap_grouping_sets", "olap_customer_deciles",
+    "olap_promo_share",
     "olap_part_avg_filter", "olap_winsorized_mean", "olap_rolling_revenue",
     "olap_nation_share", "olap_basket_pairs", "olap_percentiles_approx",
     "fr_agg_groups_per_value_approx",
@@ -2194,7 +2195,7 @@ _DRIVER_PRIORITY = [
     "fr_empty_query", "fr_count_target", "fr_sum_target", "fr_multi_filter",
     "fr_relation_expr", "fr_timeframe", "fr_regex_filter",
     "fr_agg_count_per_value", "fr_agg_groups_per_value", "fr_sequence",
-    "fr_funnel_steps", "fr_funnel_step_agg",
+    "fr_funnel_steps",
 ]
 
 
