@@ -67,7 +67,9 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
             _spark, body["name"], body.get("basepath"),
             body["group_id_column"], body["timestamp_column"],
             catalog_dir=app.config["CATALOG_DIR"],
-            table=body.get("table"))
+            table=body.get("table"),
+            pattern=body.get("pattern", "*.parquet"),
+            validation_mode=body.get("validation", "full"))
         return jsonify({"success": True, "dataset": {
             "name": ds.name, "totalRows": ds.total_rows,
             "totalGroups": ds.total_groups,

@@ -74,6 +74,13 @@ class Dataset:
     table: Optional[str] = None
     layout: Optional[dict] = None  # {"buckets": n, "bucket_columns": [...],
     #                                 "sort_columns": [...]} when declared
+    # How much of the dataset the validation/profile scan read (reference
+    # DatasetValidationMode: single/first_last/sample; "full" = everything,
+    # the Spark default). total_rows is always exact (parquet metadata
+    # count); per-column stats cover only the validated files.
+    validation_mode: str = "full"
+    files_validated: Optional[int] = None
+    files_total: Optional[int] = None
 
     def schema_map(self) -> dict[str, str]:
         return {name: info["dtype"] for name, info in self.columns.items()}
@@ -120,6 +127,40 @@ def _table_layout(spark: SparkSession, table: str) -> Optional[dict]:
             "sort_columns": _cols("Sort Columns")}
 
 
+def _discover_files(basepath: str, pattern: str) -> Optional[list[str]]:
+    """Parquet part files under a local directory matching ``pattern``
+    (reference ``--pattern``, default ``*.parquet`` — skips ``_SUCCESS``
+    and friends). None when basepath is a single file or a remote URI
+    (Spark's own listing handles those)."""
+    import glob as globmod
+
+    local = basepath[len("file://"):] if basepath.startswith("file://") \
+        else basepath
+    if "://" in local or not os.path.isdir(local):
+        return None
+    files = sorted(globmod.glob(os.path.join(local, pattern)))
+    return files or None
+
+
+def _validation_subset(files: list[str], mode: str,
+                       sample_max: int = 10) -> list[str]:
+    """Which files the validation/profile scan reads — the reference's
+    DatasetValidationMode semantics (registration.py:26-29): SINGLE = one
+    file (no cross-file checks), FIRST_LAST = lexicographic ends, SAMPLE =
+    ends + evenly spaced middles up to a cap, full = everything."""
+    if mode == "full" or len(files) <= 1:
+        return files
+    if mode == "single":
+        return files[:1]
+    if mode == "first_last":
+        return [files[0], files[-1]]
+    if mode == "sample":
+        n = min(sample_max, len(files))
+        idx = sorted({round(i * (len(files) - 1) / (n - 1)) for i in range(n)})
+        return [files[i] for i in idx]
+    raise DatasetValidationError(f"unknown validation mode: {mode!r}")
+
+
 def register_dataset(
     spark: SparkSession,
     name: str,
@@ -130,6 +171,8 @@ def register_dataset(
     profile: bool = True,
     catalog_dir: Optional[str] = None,
     table: Optional[str] = None,
+    pattern: str = "*.parquet",
+    validation_mode: str = "full",
 ) -> Dataset:
     """Validate + profile a dataset; optionally persist to a catalog dir.
     Source is either a Parquet ``basepath`` or a saved ``table`` (e.g.
@@ -151,7 +194,20 @@ def register_dataset(
     if (basepath is None) == (table is None):
         raise DatasetValidationError(
             "exactly one of basepath or table must be given")
-    df = spark.table(table) if table else spark.read.parquet(basepath)
+    files = None
+    if table:
+        df = spark.table(table)
+    else:
+        files = _discover_files(basepath, pattern)
+        df = (spark.read.parquet(*files) if files
+              else spark.read.parquet(basepath))
+    # Partial-validation modes scan only a file subset (cheap registration
+    # of a huge dataset — the reference's per-file sampling design); the
+    # full-dataset row count stays exact via a parquet metadata-only count.
+    val_files = (_validation_subset(files, validation_mode)
+                 if files is not None else files)
+    partial = val_files is not None and val_files != files
+    df_val = spark.read.parquet(*val_files) if partial else df
     fields = {f.name: f.dataType for f in df.schema.fields}
 
     if group_id_column not in fields:
@@ -182,7 +238,10 @@ def register_dataset(
         group_id_column=group_id_column, timestamp_column=timestamp_column,
         registered_at=time.time(), columns=columns,
         unsupported_columns=unsupported, table=table,
-        layout=_table_layout(spark, table) if table else None)
+        layout=_table_layout(spark, table) if table else None,
+        validation_mode=validation_mode if files is not None else "full",
+        files_validated=len(val_files) if val_files is not None else None,
+        files_total=len(files) if files is not None else None)
 
     if validate or profile:
         ts_num = _numeric(timestamp_column, fields[timestamp_column])
@@ -201,7 +260,7 @@ def register_dataset(
                     aggs.append(F.min(num).alias(f"__min__{col_name}"))
                     aggs.append(F.max(num).alias(f"__max__{col_name}"))
                 aggs.append(F.approx_count_distinct(col_name).alias(f"__nuniq__{col_name}"))
-        row = df.agg(*aggs).collect()[0]
+        row = df_val.agg(*aggs).collect()[0]
 
         if validate:
             if row["__null_groups"] > 0:
@@ -213,7 +272,9 @@ def register_dataset(
                     f"Timestamp column '{timestamp_column}' has "
                     f"{row['__null_ts']} null values")
 
-        ds.total_rows = row["__rows"]
+        # Exact regardless of mode: for partial validation the metadata-only
+        # parquet count covers every file; stats below cover the subset.
+        ds.total_rows = df.count() if partial else row["__rows"]
         ds.total_groups = row["__groups"]
         ds.min_timestamp = row["__min_ts"]
         ds.max_timestamp = row["__max_ts"]
@@ -244,7 +305,7 @@ def register_dataset(
                 w = Window.partitionBy("__col").orderBy(
                     F.desc("__cnt"), F.asc("__val"))
                 top = (
-                    df.selectExpr(stack_expr)
+                    df_val.selectExpr(stack_expr)
                     .where(F.col("__val").isNotNull())
                     .groupBy("__col", "__val").agg(F.count("*").alias("__cnt"))
                     .withColumn("__rk", F.row_number().over(w))

@@ -33,10 +33,22 @@ def cmd_register(args) -> int:
     spark = get_spark()
     ds = register_dataset(
         spark, args.name, args.basepath, args.group_id_column,
-        args.timestamp_column, catalog_dir=args.catalog)
-    print(json.dumps({
+        args.timestamp_column, catalog_dir=args.catalog,
+        pattern=args.pattern, validation_mode=args.validation)
+    out = {
         "dataset": ds.name, "rows": ds.total_rows, "groups": ds.total_groups,
-        "unsupportedColumns": ds.unsupported_columns}, indent=2))
+        "unsupportedColumns": ds.unsupported_columns,
+        "validationMode": ds.validation_mode}
+    if ds.files_total is not None:
+        out["filesValidated"] = ds.files_validated
+        out["filesTotal"] = ds.files_total
+    if args.skip_uniques:
+        # Reference flag: skips the cross-file group-uniqueness check. The
+        # Spark engine shuffles by group wherever needed, so there is no
+        # disjointness requirement to skip (catalog.py registration notes) —
+        # accepted for script compatibility.
+        out["skipUniques"] = True
+    print(json.dumps(out, indent=2))
     return 0
 
 
@@ -151,6 +163,14 @@ def main(argv=None) -> int:
     p.add_argument("basepath")
     p.add_argument("group_id_column")
     p.add_argument("timestamp_column")
+    p.add_argument("--pattern", default="*.parquet",
+                   help="filename pattern for discovery (default *.parquet)")
+    p.add_argument("--validation", default="full", type=str.lower,
+                   choices=["single", "first_last", "sample", "full"],
+                   help="file subset the validation/profile scan reads")
+    p.add_argument("--skip-uniques", action="store_true",
+                   help="accepted for reference-script compatibility "
+                        "(no disjointness requirement on Spark)")
     p.set_defaults(func=cmd_register)
 
     p = sub.add_parser("list", help="list registered datasets")
