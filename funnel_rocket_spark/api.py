@@ -99,11 +99,43 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
 
     @app.route("/datasets/<name>/schema")
     def schema(name):
+        # ?full=true includes the per-column profile (min/max/top values),
+        # matching the reference's short vs full schema forms
+        # (apiserver.py:200-205).
         ds = _dataset(name)
-        return jsonify({"columns": ds.columns,
+        full = request.args.get("full", "false").lower() == "true"
+        cols = ds.columns if full else {
+            c: {"name": i["name"], "dtype": i["dtype"],
+                "coltype": i["coltype"]} for c, i in ds.columns.items()}
+        return jsonify({"columns": cols,
                         "unsupportedColumns": ds.unsupported_columns,
                         "groupIdColumn": ds.group_id_column,
                         "timestampColumn": ds.timestamp_column})
+
+    @app.route("/datasets/<name>/parts")
+    def parts(name):
+        # Reference admin route (apiserver.py:208-213): the dataset's part
+        # files + sizes. Local filesystem basepaths list their parquet
+        # parts; table-backed datasets report the table name only.
+        ds = _dataset(name)
+        if ds.table:
+            return jsonify({"table": ds.table, "totalParts": None,
+                            "parts": []})
+        base = ds.basepath
+        local = base[len("file://"):] if base.startswith("file://") else base
+        out = []
+        if os.path.isdir(local):
+            for fn in sorted(os.listdir(local)):
+                if fn.endswith(".parquet"):
+                    out.append({
+                        "name": fn,
+                        "size": os.path.getsize(os.path.join(local, fn))})
+        elif os.path.isfile(local):
+            out.append({"name": os.path.basename(local),
+                        "size": os.path.getsize(local)})
+        return jsonify({"basepath": base, "totalParts": len(out),
+                        "totalSize": sum(p["size"] for p in out),
+                        "parts": out})
 
     def _run(name: str, query: dict, should_stream: bool):
         ds = _dataset(name)

@@ -33,6 +33,15 @@ def test_register_and_list(client):
     r = client.get("/datasets/ev/schema")
     assert r.get_json()["groupIdColumn"] == "user_id"
     assert "event_type" in r.get_json()["columns"]
+    # short form omits the profile; ?full=true includes it
+    assert "top_values" not in r.get_json()["columns"]["event_type"]
+    r = client.get("/datasets/ev/schema?full=true")
+    assert "top_values" in r.get_json()["columns"]["event_type"]
+
+    r = client.get("/datasets/ev/parts")
+    body = r.get_json()
+    assert body["totalParts"] >= 1 and body["totalSize"] > 0
+    assert all(p["name"].endswith(".parquet") for p in body["parts"])
 
 
 def test_query_routes(client):
