@@ -137,13 +137,21 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                         "totalSize": sum(p["size"] for p in out),
                         "parts": out})
 
+    def _request_id() -> str:
+        # reference request-id shape: "<unix-seconds>-<8 hex>" (api.md:69)
+        import uuid
+
+        return f"{int(time.time())}-{uuid.uuid4().hex[:8]}"
+
     def _run(name: str, query: dict, should_stream: bool):
         ds = _dataset(name)
         check_timeframe_scale(query, ds.min_timestamp, ds.max_timestamp)
         engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
         df = ds.load(_spark)
         if not should_stream:
-            return jsonify(engine.run(df, query, with_stats=True))
+            result = engine.run(df, query, with_stats=True)
+            result.update({"success": True, "requestId": _request_id()})
+            return jsonify(result)
 
         def generate():
             holder: dict = {}
@@ -166,7 +174,9 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                 yield json.dumps({"success": False,
                                   "errorMessage": holder["error"]}) + "\n"
             else:
-                yield json.dumps(holder["result"]) + "\n"
+                final = dict(holder["result"])
+                final.update({"success": True, "requestId": _request_id()})
+                yield json.dumps(final) + "\n"
 
         return Response(stream_with_context(generate()),
                         mimetype="application/x-ndjson")

@@ -52,6 +52,10 @@ def test_query_routes(client):
     body = r.get_json()
     assert body["query"]["matchingGroups"] == 15
     assert body["stats"]["engine"] == "spark"
+    # reference envelope: success + "<unix-seconds>-<hex8>" request id
+    assert body["success"] is True
+    secs, _, tail = body["requestId"].partition("-")
+    assert secs.isdigit() and len(tail) == 8
 
     r = client.get("/datasets/ev/empty-query")
     assert r.get_json()["query"]["matchingGroupRows"] == 1000
