@@ -27,9 +27,12 @@ from typing import Optional
 from flask import Flask, Response, jsonify, request, stream_with_context
 
 from funnel_rocket_spark.catalog import (
+    DatasetInUseError,
     DatasetValidationError,
     load_dataset,
     register_dataset,
+    touch_last_used,
+    unregister_dataset,
 )
 from funnel_rocket_spark.engine import QueryEngine
 from funnel_rocket_spark.session import get_spark
@@ -77,11 +80,17 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
 
     @app.route("/datasets/<name>/unregister", methods=["POST"])
     def unregister(name):
-        path = os.path.join(app.config["CATALOG_DIR"], f"{name}.json")
-        existed = os.path.exists(path)
-        if existed:
-            os.remove(path)
-        return jsonify({"success": True, "removed": existed})
+        # Reference semantics (docs/api.md:618-643): recently-queried
+        # datasets refuse unregistration unless ?force=true; the response
+        # reports datasetFound / datasetLastUsed and never fails on a
+        # missing dataset.
+        force = request.args.get("force", "false").lower() == "true"
+        try:
+            info = unregister_dataset(app.config["CATALOG_DIR"], name,
+                                      force=force)
+        except DatasetInUseError as e:
+            return jsonify({"success": False, "errorMessage": str(e)}), 500
+        return jsonify({"success": True, **info})
 
     @app.route("/datasets")
     def list_datasets():
@@ -145,6 +154,7 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
 
     def _run(name: str, query: dict, should_stream: bool):
         ds = _dataset(name)
+        touch_last_used(app.config["CATALOG_DIR"], name)
         check_timeframe_scale(query, ds.min_timestamp, ds.max_timestamp)
         engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
         df = ds.load(_spark)

@@ -328,3 +328,54 @@ def load_dataset(catalog_dir: str, name: str) -> Dataset:
     with open(os.path.join(catalog_dir, f"{name}.json")) as fh:
         data = json.load(fh)
     return Dataset(**data)
+
+
+class DatasetInUseError(RuntimeError):
+    """Unregister refused: the dataset was queried too recently."""
+
+
+def touch_last_used(catalog_dir: Optional[str], name: str) -> None:
+    """Record query time in a sidecar file (reference keeps last-used in
+    its datastore to guard unregistration, ``docs/api.md:618-643``). A
+    sidecar avoids rewriting the whole metadata JSON per query."""
+    if not catalog_dir:
+        return
+    path = os.path.join(catalog_dir, f"{name}.last_used")
+    try:
+        with open(path, "w") as fh:
+            fh.write(str(time.time()))
+    except OSError:
+        pass  # best-effort; the guard just won't see this use
+
+
+def get_last_used(catalog_dir: str, name: str) -> Optional[float]:
+    try:
+        with open(os.path.join(catalog_dir, f"{name}.last_used")) as fh:
+            return float(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def unregister_dataset(catalog_dir: str, name: str, force: bool = False,
+                       min_age_seconds: float = 10.0) -> dict:
+    """Remove a dataset's catalog entry (files are never touched).
+
+    Reference semantics (``docs/api.md:618-643``): unregistering a dataset
+    queried within the guard interval fails unless ``force`` — ensures
+    in-flight jobs complete. Returns {datasetFound, datasetLastUsed};
+    raises :class:`DatasetInUseError` when the guard trips."""
+    path = os.path.join(catalog_dir, f"{name}.json")
+    found = os.path.exists(path)
+    last_used = get_last_used(catalog_dir, name)
+    if found and not force and last_used is not None:
+        age = time.time() - last_used
+        if age < min_age_seconds:
+            raise DatasetInUseError(
+                f"dataset '{name}' was queried {age:.1f}s ago "
+                f"(< {min_age_seconds}s); retry later or use force")
+    if found:
+        os.remove(path)
+    sidecar = os.path.join(catalog_dir, f"{name}.last_used")
+    if os.path.exists(sidecar):
+        os.remove(sidecar)
+    return {"datasetFound": found, "datasetLastUsed": last_used}

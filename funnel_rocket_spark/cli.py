@@ -78,17 +78,21 @@ def cmd_info(args) -> int:
 
 
 def cmd_unregister(args) -> int:
-    """Reference parity: ``unregister <dataset> [--force]``. The reference's
-    --force bypasses the in-use check on its Redis datastore; with no shared
-    datastore here there is nothing to be in use, so --force is accepted and
-    recorded in the output for script compatibility."""
-    path = os.path.join(args.catalog, f"{args.name}.json")
-    existed = os.path.exists(path)
-    if existed:
-        os.remove(path)
+    """Reference parity: ``unregister <dataset> [--force]`` — a dataset
+    queried within the guard interval refuses unregistration unless
+    forced (reference docs/api.md:618-643)."""
+    from funnel_rocket_spark.catalog import (DatasetInUseError,
+                                             unregister_dataset)
+
+    try:
+        info = unregister_dataset(args.catalog, args.name, force=args.force)
+    except DatasetInUseError as e:
+        print(json.dumps({"success": False, "errorMessage": str(e)}))
+        return 1
     print(json.dumps({"success": True, "dataset": args.name,
-                      "removed": existed, "force": bool(args.force)}))
-    return 0 if existed else 2
+                      "removed": info["datasetFound"],
+                      "force": bool(args.force), **info}))
+    return 0 if info["datasetFound"] else 2
 
 
 def cmd_config(args) -> int:
@@ -125,7 +129,10 @@ def cmd_run(args) -> int:
         print(f"error: dataset '{args.name}' is not registered "
               f"(catalog: {args.catalog})", file=sys.stderr)
         return 2
+    from funnel_rocket_spark.catalog import touch_last_used
     from funnel_rocket_spark.validation import QueryValidationError
+
+    touch_last_used(args.catalog, args.name)
 
     try:
         check_timeframe_scale(query, ds.min_timestamp, ds.max_timestamp)

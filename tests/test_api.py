@@ -61,6 +61,33 @@ def test_query_routes(client):
     assert r.get_json()["query"]["matchingGroupRows"] == 1000
 
 
+def test_unregister_in_use_guard(spark, tmp_path_factory):
+    """A just-queried dataset refuses unregistration (500) unless
+    ?force=true; response reports datasetFound/datasetLastUsed and a
+    missing dataset does not fail."""
+    catalog = str(tmp_path_factory.mktemp("unreg_catalog"))
+    app = create_app(spark=spark, catalog_dir=catalog)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        c.post("/datasets/register", json={
+            "name": "g", "basepath": SF_EVENTS,
+            "group_id_column": "user_id", "timestamp_column": "ts"})
+        assert c.get("/datasets/g/empty-query").status_code == 200
+
+        r = c.post("/datasets/g/unregister")
+        assert r.status_code == 500 and r.get_json()["success"] is False
+
+        r = c.post("/datasets/g/unregister?force=true")
+        body = r.get_json()
+        assert r.status_code == 200 and body["success"]
+        assert body["datasetFound"] is True
+        assert body["datasetLastUsed"] is not None
+
+        r = c.post("/datasets/g/unregister")
+        assert r.status_code == 200
+        assert r.get_json()["datasetFound"] is False
+
+
 def test_query_streaming_progress(client):
     r = client.post("/datasets/ev/query?stream=true", json={})
     lines = [json.loads(ln) for ln in r.get_data(as_text=True).splitlines()]
@@ -85,6 +112,7 @@ def test_error_paths(client):
         "group_id_column": "value", "timestamp_column": "ts"})
     assert r.status_code == 400
 
-    r = client.post("/datasets/ev/unregister")
-    assert r.get_json()["removed"] is True
+    # ev was queried moments ago in this module → force past the guard
+    r = client.post("/datasets/ev/unregister?force=true")
+    assert r.get_json()["datasetFound"] is True
     assert client.get("/datasets").get_json() == []

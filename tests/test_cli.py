@@ -44,10 +44,15 @@ def test_cli_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     assert json.loads(out)["query"]["matchingGroups"] == 15
 
+    # just queried → the in-use guard refuses without --force
+    rc, out = _run(capsys, "--catalog", catalog, "unregister", "ev")
+    assert rc == 1 and json.loads(out)["success"] is False
+
     rc, out = _run(capsys, "--catalog", catalog, "unregister", "ev", "--force")
     assert rc == 0
-    assert json.loads(out) == {"success": True, "dataset": "ev",
-                               "removed": True, "force": True}
+    body = json.loads(out)
+    assert body["success"] and body["removed"] and body["force"]
+    assert body["datasetLastUsed"] is not None
 
     rc, out = _run(capsys, "--catalog", catalog, "list")
     assert rc == 0 and out == ""
