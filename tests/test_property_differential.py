@@ -205,6 +205,63 @@ def test_sequence_matches_reference_loop(spark, engine, rows, steps):
     assert result["query"]["matchingGroups"] == len(survivors), (rows, steps)
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=data_st,
+       steps=st.lists(
+           st.tuples(st.sampled_from(["red", "green", "blue"]),
+                     st.booleans()),
+           min_size=1, max_size=3),
+       max_dur=st.one_of(st.none(), st.integers(min_value=0, max_value=15)))
+def test_sequence_extensions_match_reference_loop(spark, engine, rows,
+                                                  steps, max_dur):
+    """The engine's own extensions (maxDuration, rowFound:false) fuzzed vs
+    a direct transcription of the anchor semantics: step i ≥ 1 must land
+    within max_dur of the FIRST anchor; a rowFound:false step passes iff
+    NO row matches after the previous anchor (anchor carries over)."""
+    pdf = pd.DataFrame(rows)
+    pdf["price"] = pdf["price"].astype("float64")
+    sdf = spark.createDataFrame(
+        pdf, schema="id string, timestamp bigint, price double, cat string")
+    seq = []
+    for cat, found in steps:
+        step: dict = {"filter": ["cat", "==", cat]}
+        if not found:
+            step["rowFound"] = False
+        seq.append(step)
+    cond: dict = {"sequence": seq}
+    if max_dur is not None:
+        cond["maxDuration"] = max_dur
+    result = engine.run(sdf, {"query": {"conditions": [cond]}})
+
+    survivors = set()
+    for g, gdf in pdf.groupby("id"):
+        anchor = -math.inf
+        first = None
+        ok = True
+        for i, (cat, found) in enumerate(steps):
+            m = gdf[(gdf["cat"] == cat) & (gdf["timestamp"] > anchor)]
+            if max_dur is not None and first is not None:
+                m = m[m["timestamp"] <= first + max_dur]
+            if found:
+                if m.empty:
+                    ok = False
+                    break
+                anchor = m["timestamp"].min()
+            else:
+                if not m.empty:
+                    ok = False
+                    break
+                # anchor unchanged
+            if first is None:
+                first = anchor
+        if ok:
+            survivors.add(g)
+    assert result["query"]["matchingGroups"] == len(survivors), (
+        rows, steps, max_dur)
+
+
 # ------------------------------------------------ behavior ops differential
 
 ev_row_st = st.fixed_dictionaries({
