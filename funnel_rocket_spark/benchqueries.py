@@ -681,6 +681,21 @@ def _session_funnel_bounded_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap=NANOS_2H, max_duration=NANOS_30M)
 
 
+def _pii_redact_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub differential: synthetic emails/IPs/phones appended to each
+    doc (identically in the SQL oracle), then text.redact_pii — a pure
+    regexp_replace projection whose patterns run verbatim on both Java
+    regex and RE2, so redacted text AND redaction counts value-match."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"), F.col("doc_id"),
+            F.lit("@example.com ip 10.0.0."), F.col("doc_id") % 256,
+            F.lit(" tel +1-555-0100-1234"),
+        ).alias("text"))
+    return text.redact_pii(docs)
+
+
 def _promo_share_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style promo revenue share per ship month: one broadcast
     dim join (part never shuffles the fact), conditional integer-cents
@@ -1745,6 +1760,26 @@ FROM s
         "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ')) "
         "AS fingerprint FROM documents",
     ),
+    "text_pii_redact": (
+        _pii_redact_fn,
+        r"""
+WITH aug AS (SELECT doc_id,
+  text || ' contact u' || doc_id || '@example.com ip 10.0.0.' ||
+  (doc_id % 256) || ' tel +1-555-0100-1234' AS text FROM documents),
+red AS (SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\+?\d{1,3}[-. ]\d{2,4}[-. ]\d{3,4}[-. ]?\d{0,4}', '<PHONE>', 'g')
+  AS redacted FROM aug)
+SELECT doc_id, redacted,
+  ((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7
+   + (length(redacted) - length(replace(redacted, '<IP>', ''))) / 4
+   + (length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7
+  )::BIGINT AS n_redactions
+FROM red
+""",
+    ),
     "ann_cosine_topk": (
         _ann_topk_fn,
         _BRUTE_TOPK_SQL,
@@ -2181,7 +2216,7 @@ _DRIVER_PRIORITY = [
     "behavior_session_funnel_bounded",
     "text_chunks", "text_vocab", "text_pack_blocks", "text_repetition",
     "text_langid", "text_fingerprint", "text_tfidf", "text_entropy",
-    "top_docs_per_lang",
+    "text_pii_redact", "top_docs_per_lang",
     "ann_cosine_topk", "ann_ivf_fullprobe", "ann_ivf_topk",
     "dedup_embedding_cosine", "dedup_pipeline_embedding",
     "embedding_centroids", "sample_group_cap", "multimodal_features",
@@ -2194,8 +2229,7 @@ _DRIVER_PRIORITY = [
     # 13 representative reference-shaped queries (already driver-green in r2)
     "fr_empty_query", "fr_count_target", "fr_sum_target", "fr_multi_filter",
     "fr_relation_expr", "fr_timeframe", "fr_regex_filter",
-    "fr_agg_count_per_value", "fr_agg_groups_per_value", "fr_sequence",
-    "fr_funnel_steps",
+    "fr_agg_count_per_value", "fr_sequence", "fr_funnel_steps",
 ]
 
 

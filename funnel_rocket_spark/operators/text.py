@@ -291,6 +291,44 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# PII patterns chosen to be valid in BOTH Java regex (Spark) and RE2
+# (DuckDB/Go) so the operator is oracle-checkable: no backrefs, no
+# lookaround. Order matters — emails are redacted before the phone pattern
+# can eat digit runs inside them.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[-. ]\d{2,4}[-. ]\d{3,4}[-. ]?\d{0,4}", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Training-data PII scrub: emails / IPv4s / phone-shaped digit runs
+    replaced with typed placeholder tokens → (id, redacted, n_redactions).
+
+    Pure regexp_replace projection — zero shuffle, whole-stage codegen,
+    linear at any corpus size. ``n_redactions`` (count of placeholder
+    tokens emitted) gives the audit trail a curation pipeline logs; route
+    docs with extreme counts to review rather than silently keeping them.
+    Patterns deliberately avoid lookaround/backrefs so the same strings
+    run on RE2 engines (the DuckDB differential oracle runs them verbatim).
+    """
+    redacted = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    n = sum(
+        (F.length(redacted) - F.length(F.replace(redacted, F.lit(repl), F.lit(""))))
+        / F.lit(len(repl))
+        for _, _, repl in PII_PATTERNS
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        n.cast("long").alias("n_redactions"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", top: int = 5) -> DataFrame:
     """Per-document top-``top`` terms by TF-IDF — the keyword-extraction /

@@ -137,3 +137,27 @@ def test_tfidf_top_terms_hand_computed(spark):
     [d3] = by_doc[3]
     assert d3["token"] == "cherry"
     assert d3["tfidf"] == round(math.log(3 / 2), 6)
+
+
+def test_redact_pii_hand_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@sub.example.co.uk today"),
+            (2, "server 192.168.1.255 and backup 10.0.0.1"),
+            (3, "call +1-555-0100-1234 or 44 20 7946-0958"),
+            (4, "clean text with no pii at all"),
+            (5, "a@b.io twice a@b.io and ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert rows[1]["redacted"] == "mail me at <EMAIL> today"
+    assert rows[1]["n_redactions"] == 1
+    assert rows[2]["redacted"] == "server <IP> and backup <IP>"
+    assert rows[2]["n_redactions"] == 2
+    assert "<PHONE>" in rows[3]["redacted"]
+    assert rows[3]["n_redactions"] == 2
+    assert rows[4]["redacted"] == "clean text with no pii at all"
+    assert rows[4]["n_redactions"] == 0
+    assert rows[5]["redacted"] == "<EMAIL> twice <EMAIL> and ip <IP>"
+    assert rows[5]["n_redactions"] == 3
