@@ -26,19 +26,36 @@ def norm(a):
 
 
 def cosine(a, b):
-    return dot(a, b) / (norm(a) * norm(b))
+    # nullif guards the zero-norm vector: under ANSI mode a plain divide
+    # HARD-FAILS the whole job on one degenerate row. cosine with a zero
+    # vector is undefined — emit 0.0 (never above a threshold, never
+    # outranks a genuine match).
+    return F.coalesce(
+        dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0)), F.lit(0.0))
+
+
+def drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Rows with NULL embeddings carry no similarity information and crash
+    Arrow/numpy stages — every public entry point filters them first (the
+    count of dropped rows is the caller's audit concern; a curation
+    pipeline should surface it via text/quality checks upstream)."""
+    return df.where(F.col(vec_col).isNotNull())
 
 
 def unit_normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, vec/|vec|) — normalize ONCE so every subsequent pair comparison
     is a single dot product instead of dot + two norms (3× less HOF work in
     the quadratic stage, the part that matters at scale). Two-step select so
-    the norm is evaluated once per row, not once per element."""
+    the norm is evaluated once per row, not once per element. Zero vectors
+    stay zero (nullif/coalesce — ANSI divide would fail the job)."""
     staged = df.select(F.col(id_col), F.col(vec_col),
-                       norm(F.col(vec_col)).alias("__norm"))
+                       F.nullif(norm(F.col(vec_col)), F.lit(0.0))
+                       .alias("__norm"))
     return staged.select(
         F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x / F.col("__norm")).alias(vec_col),
+        F.transform(F.col(vec_col),
+                    lambda x: F.coalesce(x / F.col("__norm"), F.lit(0.0))
+                    ).alias(vec_col),
     )
 
 
@@ -52,6 +69,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Excludes self-matches when ids collide. Ties break by vec_id for
     determinism.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     q = queries.select(F.col(id_col).alias(query_id_col),
                        F.col(vec_col).alias("__qvec"))
     joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
@@ -102,6 +121,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
     ``method="expr"``: pure Column expressions (no driver collect, exact at
     any corpus size — but quadratic HOF evaluation; verification-only).
     """
+    df = drop_null_vectors(df, vec_col)
     if method == "auto":
         n = df.select(id_col).limit(max_index_rows + 1).count()
         method = "numpy" if n <= max_index_rows else "lsh"
@@ -172,8 +192,8 @@ def ivf_index(corpus: DataFrame, n_clusters: int = 16, seed: int = 42,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    corpus = corpus.select(F.col(id_col),
-                           F.col(vec_col).cast("array<double>").alias(vec_col))
+    corpus = drop_null_vectors(corpus, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
     ml_corpus = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
     # A coarse quantizer doesn't need converged Lloyd iterations — cell
     # boundaries just need to be stable enough to route probes.
@@ -200,8 +220,8 @@ def ivf_search(assigned: DataFrame, centers, queries: DataFrame, k: int = 10,
     """
     import numpy as np
 
-    queries = queries.select(F.col(id_col),
-                             F.col(vec_col).cast("array<double>").alias(vec_col))
+    queries = drop_null_vectors(queries, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
     cmat = np.array(centers, dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
     n_probe = min(n_probe, len(cmat))
@@ -337,7 +357,8 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
                 }))
             yield pd.concat(frames, ignore_index=True)
 
-    bucketed = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    bucketed = drop_null_vectors(df, vec_col).select(
+        F.col(id_col), F.col(vec_col)).mapInPandas(
         assign_buckets, schema="id long, vec array<double>, tbl int, bucket long")
 
     def bucket_pairs(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -386,7 +407,7 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
     tiny aggregate over #labels × dim rows. Returns (label, n_vectors,
     centroid array<double>).
     """
-    pos = df.select(
+    pos = drop_null_vectors(df, vec_col).select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("pos", "val"))
     per_dim = (pos.groupBy("label", "pos")

@@ -111,6 +111,36 @@ def test_embedding_dup_auto_small_uses_index(spark):
     assert auto == exact and len(auto) > 0
 
 
+def test_null_and_zero_vectors_are_safe(spark):
+    """Degenerate corpora must not fail the job: NULL embeddings are
+    dropped at every entry point; zero vectors get cosine 0 (ANSI divide
+    would otherwise hard-fail on one bad row)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.01]), (4, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+
+    pairs = {(r["id_a"], r["id_b"])
+             for r in similarity.embedding_dup_pairs(
+                 df, 0.9, method="numpy").collect()}
+    assert pairs == {(1, 3)}
+    pairs_expr = {(r["id_a"], r["id_b"])
+                  for r in similarity.embedding_dup_pairs(
+                      df, 0.9, method="expr").collect()}
+    assert pairs_expr == {(1, 3)}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_dup_pairs(
+               df, 0.9, method="lsh").collect()}
+    assert lsh <= {(1, 3)}  # recall may miss; must not crash or add junk
+
+    top = similarity.cosine_topk(df, df.filter("vec_id = 1"), k=3).collect()
+    got = {r["vec_id"]: r["cosine_sim"] for r in top}
+    assert got[3] > 0.99 and got[4] == 0.0 and 2 not in got
+
+    rows = similarity.ivf_topk(df, df.filter("vec_id = 1"), k=2,
+                               n_clusters=2, n_probe=2).collect()
+    assert all(r["vec_id"] != 2 for r in rows)
+
+
 def test_label_centroids_hand_computed(spark):
     from funnel_rocket_spark.operators import similarity
 
