@@ -306,3 +306,23 @@ def test_group_cap_single_window_exchange(spark):
     the cap BEFORE they cross the exchange where supported."""
     out = bq.QUERIES["sample_group_cap"][0](spark, SF)
     assert count_exchanges(out) == 1
+
+
+def test_pii_redact_shuffle_free(spark):
+    """text_pii_redact: a pure regexp_replace projection — zero exchanges,
+    one whole-stage-codegen span over the scan."""
+    out = bq.QUERIES["text_pii_redact"][0](spark, SF)
+    plan = formatted_plan(out)
+    assert count_exchanges(out) == 0, plan
+    # '*' marks whole-stage-codegen nodes in formatted plans
+    assert "* Project" in plan, plan
+
+
+def test_grouping_sets_single_exchange(spark):
+    """olap_grouping_sets: the grouping-set expansion happens map-side
+    (Expand before the partial aggregate) — one exchange, like cube and
+    rollup."""
+    out = bq.QUERIES["olap_grouping_sets"][0](spark, SF)
+    plan = formatted_plan(out)
+    assert count_exchanges(out) == 1, plan
+    assert "Expand" in plan
