@@ -142,6 +142,16 @@ def _discover_files(basepath: str, pattern: str) -> Optional[list[str]]:
     return files or None
 
 
+def _footer_row_count(files: list[str]) -> Optional[int]:
+    """Exact total rows from parquet footer metadata — no Spark job."""
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:  # noqa: BLE001 — any unreadable footer → count job
+        return None
+
+
 def _validation_subset(files: list[str], mode: str,
                        sample_max: int = 10) -> list[str]:
     """Which files the validation/profile scan reads — the reference's
@@ -272,9 +282,17 @@ def register_dataset(
                     f"Timestamp column '{timestamp_column}' has "
                     f"{row['__null_ts']} null values")
 
-        # Exact regardless of mode: for partial validation the metadata-only
-        # parquet count covers every file; stats below cover the subset.
-        ds.total_rows = df.count() if partial else row["__rows"]
+        # Exact regardless of mode: for partial validation the full-dataset
+        # row count comes straight from parquet FOOTERS (driver-side
+        # metadata reads — no Spark job, no data scan; the same trick the
+        # reference's registration uses), falling back to a count job if a
+        # footer is unreadable. Stats below cover the validated subset.
+        if partial:
+            ds.total_rows = _footer_row_count(files)
+            if ds.total_rows is None:
+                ds.total_rows = df.count()
+        else:
+            ds.total_rows = row["__rows"]
         ds.total_groups = row["__groups"]
         ds.min_timestamp = row["__min_ts"]
         ds.max_timestamp = row["__max_ts"]
