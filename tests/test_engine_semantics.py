@@ -380,6 +380,34 @@ def test_timeframe(sdf):
     assert res["query"]["matchingGroups"] == 4
 
 
+def test_empty_dataset_all_query_shapes(spark):
+    """Zero-row input must yield 0/0 for every query shape — no crashes
+    from empty aggregates, windows, or semi joins."""
+    from funnel_rocket_spark import QueryEngine
+
+    df = spark.createDataFrame([], "id string, ts long, type string, "
+                                   "value double")
+    eng = QueryEngine("id", "ts")
+    shapes = [
+        {},
+        {"query": {"conditions": [{"filter": ["type", "==", "x"],
+                                   "target": ["count", ">=", 1]}]}},
+        {"query": {"conditions": [],
+                   "aggregations": [{"column": "type",
+                                     "type": "countPerValue", "top": 5}]}},
+        {"query": {"conditions": [{"sequence": [
+            {"filter": ["type", "==", "a"]},
+            {"filter": ["type", "==", "b"]}]}]}},
+        {"funnel": {"sequence": [{"filter": ["type", "==", "a"]}]}},
+        {"query": {"conditions": [{"filter": ["type", "==", "x"],
+                                   "target": ["count", "==", 0]}]}},
+    ]
+    for q in shapes:
+        res = eng.run(df, q)
+        assert res["query"]["matchingGroups"] == 0, q
+        assert res["query"]["matchingGroupRows"] == 0, q
+
+
 def test_timeframe_sub_granularity_literals(spark):
     """Nanos literals finer than the column's physical granularity must keep
     exact from-inclusive / to-exclusive semantics: the pushed-down literal is
