@@ -12,7 +12,7 @@ reproducible run-to-run without a random seed exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -323,7 +323,8 @@ def hyperplane_matrix(n_bits: int, dim: int):
 
 def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
                        tables: int = 4, dim: int = 64, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_bucket: int | None = None) -> DataFrame:
     """Approximate near-dup pairs: compare only within sign-LSH buckets,
     ``tables`` independent hash tables of ``n_bits`` bits each (standard
     multi-probe trade-off: P(candidate) = 1-(1-p^bits)^tables with
@@ -336,6 +337,21 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
     then a shuffle on (table, bucket), per-bucket numpy GEMM via
     ``applyInPandas``, then pair dedup. Every stage is distributed; nothing
     is collected.
+
+    Hot-bucket skew (``max_bucket``, opt-in): clustered corpora concentrate
+    whole clusters into one sign pattern, and a bucket's quadratic
+    verification then runs in ONE task while the rest of the cluster
+    idles. With ``max_bucket`` set, buckets above it are split into
+    ⌈n/max_bucket⌉ hash-chunks and every chunk PAIR becomes its own task —
+    recall-LOSSLESS (each doc pair still meets in exactly one chunk-pair
+    group, unlike salting which drops cross-salt pairs). The split costs a
+    bucket-size window pass (partition sort + a second shuffle of the
+    banded rows), so it's OFF by default: measured on 1M clustered
+    vectors it was wall-time-neutral-to-negative when bits already keep
+    buckets ≤ a few thousand rows (tables=8/bits=12: 203 s → 266 s), and
+    it pays only when a FEW mega-buckets dominate (low bit counts,
+    pathological cluster skew — the regime where one task would otherwise
+    run minutes while the cluster idles).
     """
     import numpy as np
     import pandas as pd
@@ -361,36 +377,81 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
         F.col(id_col), F.col(vec_col)).mapInPandas(
         assign_buckets, schema="id long, vec array<double>, tbl int, bucket long")
 
-    def bucket_pairs(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    if max_bucket is None:
+        tagged = bucketed.select(
+            "id", "vec", "tbl", "bucket",
+            F.lit(0).alias("chunk"), F.lit(0).alias("ca"),
+            F.lit(0).alias("cb"))
+    else:
+        # chunk assignment: one window count on the same (tbl, bucket) key
+        # the verification groups by. The window count materializes in its
+        # own projection first — window expressions can't sit inside
+        # explode/transform lambdas.
+        w = Window.partitionBy("tbl", "bucket")
+        sized = bucketed.withColumn(
+            "__nch",
+            F.greatest(F.lit(1), F.ceil(F.count(F.lit(1)).over(w)
+                                        / F.lit(max_bucket))).cast("int")
+        ).withColumn("chunk",
+                     F.pmod(F.xxhash64("id"), F.col("__nch")).cast("int"))
+        # a row in chunk c participates in every unordered chunk pair
+        # (c, j): normalize with least/greatest so each pair group is
+        # named once
+        memberships = F.transform(
+            F.sequence(F.lit(0), F.col("__nch") - 1),
+            lambda j: F.struct(
+                F.least(F.col("chunk"), j).alias("ca"),
+                F.greatest(F.col("chunk"), j).alias("cb")))
+        tagged = sized.select(
+            "id", "vec", "tbl", "bucket", "chunk",
+            F.explode(memberships).alias("cp")
+        ).select("id", "vec", "tbl", "bucket", "chunk", "cp.ca", "cp.cb")
+
+    def chunk_pairs(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ca, cb = key[2], key[3]
         ids = pdf["id"].to_numpy(dtype=np.int64)
         v = np.array(list(pdf["vec"]), dtype=np.float64)
         norms = np.linalg.norm(v, axis=1)
         norms[norms == 0.0] = 1.0
         vn = v / norms[:, None]
-        n = len(ids)
-        # BLOCKED GEMM: a hot bucket (clustered corpora concentrate whole
-        # clusters into one sign pattern) would otherwise materialize an
-        # n×n float64 similarity matrix — 1.8 GB for a 15k-vector bucket,
-        # and 32 concurrent tasks of that OOM/GC-thrash the executor.
-        # Row-blocks bound the live matrix to ~64 MB regardless of bucket
-        # size; the flops are the same, the allocations are not
-        # (measured 477 s → 60 s for the tables=4/bits=12 pass on 1M
-        # clustered vectors, tools/scale_check.py embeddings).
-        block = max(64, min(4096, 8_000_000 // max(n, 1)))
+        if ca == cb:
+            a_idx = b_idx = np.arange(len(ids))
+        else:
+            chunks = pdf["chunk"].to_numpy()
+            a_idx = np.nonzero(chunks == ca)[0]
+            b_idx = np.nonzero(chunks == cb)[0]
+        a_ids, b_ids = ids[a_idx], ids[b_idx]
+        a_vn, b_vn = vn[a_idx], vn[b_idx]
+        # BLOCKED GEMM: bound the live similarity matrix to ~64 MB — a
+        # full n×n float64 for a 15k-row group is 1.8 GB, and 32
+        # concurrent tasks of that GC-thrash the executor (measured
+        # 477 s → 60 s for tables=4/bits=12 on 1M clustered vectors).
+        block = max(64, min(4096, 8_000_000 // max(len(b_ids), 1)))
         frames = []
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            sims = np.round(vn[s:e] @ vn.T, 6)  # (block, n)
+        for s in range(0, len(a_ids), block):
+            e = min(s + block, len(a_ids))
+            sims = np.round(a_vn[s:e] @ b_vn.T, 6)  # (block, |b|)
             ai, bi = np.nonzero(
-                (sims >= threshold) & (ids[s:e, None] < ids[None, :]))
+                (sims >= threshold) & (a_ids[s:e, None] < b_ids[None, :]))
             frames.append(pd.DataFrame({
-                "id_a": ids[s:e][ai], "id_b": ids[bi],
+                "id_a": a_ids[s:e][ai], "id_b": b_ids[bi],
                 "cosine_sim": sims[ai, bi]}))
+        if ca != cb:
+            # cross pairs can orient either way; emit both directions'
+            # matches normalized by the id< filter above plus its mirror
+            for s in range(0, len(b_ids), block):
+                e = min(s + block, len(b_ids))
+                sims = np.round(b_vn[s:e] @ a_vn.T, 6)
+                bi2, ai2 = np.nonzero(
+                    (sims >= threshold) & (b_ids[s:e, None] < a_ids[None, :]))
+                frames.append(pd.DataFrame({
+                    "id_a": b_ids[s:e][bi2], "id_b": a_ids[ai2],
+                    "cosine_sim": sims[bi2, ai2]}))
         return pd.concat(frames, ignore_index=True) if frames else \
             pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
 
-    pairs = bucketed.groupBy("tbl", "bucket").applyInPandas(
-        bucket_pairs, schema="id_a long, id_b long, cosine_sim double")
+    pairs = tagged.groupBy("tbl", "bucket", "ca", "cb").applyInPandas(
+        chunk_pairs, schema="id_a long, id_b long, cosine_sim double")
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 

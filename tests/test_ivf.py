@@ -111,6 +111,21 @@ def test_embedding_dup_auto_small_uses_index(spark):
     assert auto == exact and len(auto) > 0
 
 
+def test_lsh_hot_bucket_chunk_split_lossless(spark):
+    """Splitting oversized buckets into chunk-pair tasks must be
+    recall-LOSSLESS: forcing tiny max_bucket on the same corpus yields the
+    exact same verified pair set (every doc pair still meets in exactly
+    one chunk-pair group — unlike salting, which drops cross-salt pairs)."""
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    base = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in similarity.lsh_bucketed_pairs(emb, 0.45).collect()}
+    split = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in similarity.lsh_bucketed_pairs(
+                 emb, 0.45, max_bucket=4).collect()}
+    assert base == split and len(base) > 0
+
+
 def test_null_and_zero_vectors_are_safe(spark):
     """Degenerate corpora must not fail the job: NULL embeddings are
     dropped at every entry point; zero vectors get cosine 0 (ANSI divide
