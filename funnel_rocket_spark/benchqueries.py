@@ -1129,6 +1129,170 @@ SELECT query_id, vec_id, cosine_sim FROM (
 WHERE rn <= 10
 """
 
+# --------------------------------------------------------------------------- #
+# round-3 additions: temperature resampling, deterministic k-means /
+# SemDeDup, bloom decontamination, and three TPC-H subquery shapes
+
+
+def _temperature_resample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mix after alpha=0.5 temperature downsampling — the
+    head-language rebalance every multilingual corpus build applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.temperature_resample(docs, "lang", alpha=0.5)
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (before.join(after, "lang", "left")
+            .select("lang", "n_before",
+                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")))
+
+
+def _kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-round Lloyd's k-means over the embeddings table:
+    (cluster, n_members, centroid_norm). Every step — seeded init,
+    max-cosine assignment, rounded per-dim means — is reproduced by the
+    chained-CTE oracle, so the ITERATION is differential-tested, not just
+    the final shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = similarity.kmeans_lloyd(emb, k=8, rounds=2)
+    norms = [(i, similarity._round6(sum(x * x for x in c) ** 0.5))
+             for i, c in enumerate(centers)]
+    ndf = spark.createDataFrame(norms, "cluster int, centroid_norm double")
+    return (assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .join(F.broadcast(ndf), "cluster")
+            .select(F.col("cluster").cast("int").alias("cluster"),
+                    "n_members", "centroid_norm"))
+
+
+def _semantic_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pairs(emb, k=8, rounds=2, threshold=0.45)
+
+
+def _bloom_decontaminate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as decontaminate_ngram (the bloom prefilter admits no
+    false negatives; the exact join removes its false positives) — the
+    oracle is therefore the exact-contamination SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.bloom_contamination(corpus, evalset, n=3)
+
+
+def _kmeans_cte_sql(k: int = 8, rounds: int = 2) -> str:
+    """WITH-clause body reproducing similarity.kmeans_lloyd exactly:
+    seeds = embeddings of the k lowest vec_ids; each round assigns every
+    vector to its max-cosine center (ties to the lowest center index) and
+    recomputes 6-decimal-rounded per-dim means. Exposes ``af`` (final
+    assignment: vec_id, v, ci) and ``c{rounds}`` (final centers)."""
+    def assign(name: str, centers: str) -> str:
+        return f"""{name} AS (SELECT vec_id, v, ci FROM (
+  SELECT e.vec_id, e.v, c.ci,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      list_dot_product(e.v, c.v) /
+      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+      c.ci ASC) AS rk
+  FROM e CROSS JOIN {centers} c) WHERE rk = 1)"""
+
+    def means(name: str, src: str) -> str:
+        return f"""{name} AS (SELECT ci, list(m ORDER BY dim) AS v FROM (
+  SELECT ci, dim, round(avg(val), 6) AS m FROM (
+    SELECT ci, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM {src})
+  GROUP BY ci, dim) GROUP BY ci)"""
+
+    parts = [
+        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)""",
+        f"""c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS ci, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(assign(f"a{r}", f"c{r - 1}"))
+        parts.append(means(f"c{r}", f"a{r}"))
+    parts.append(assign("af", f"c{rounds}"))
+    return ",\n".join(parts)
+
+
+def _top_supplier_per_part_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-flavored correlated max: for each (filtered) part, the supplier
+    that shipped the most units. The part-key filter is applied BEFORE the
+    aggregate so it pushes to the lineitem scan; the correlated subquery
+    becomes one rank window over the (partkey, suppkey) partial aggregate —
+    no re-join against lineitem. Dimension joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 100)
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("top_qty")))
+    w = Window.partitionBy("l_partkey").orderBy(F.desc("top_qty"),
+                                                F.asc("l_suppkey"))
+    top = ps.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") == 1)
+    return (top.join(F.broadcast(part),
+                     top.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+            .select("p_partkey", "p_name", "s_name", "top_qty"))
+
+
+def _pending_supply_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-flavored nested semi-join chain: suppliers that shipped > 100
+    units of red parts in 1996-97. The part subset broadcasts into the
+    lineitem scan (semi shape), the per-supplier aggregate is the only
+    exchange, and both dimension lookups broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    gp = part.where(F.col("p_name").like("red%")).select("p_partkey")
+    sq = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                   & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+          .join(F.broadcast(gp), F.col("l_partkey") == F.col("p_partkey"))
+          .groupBy("l_suppkey").agg(F.sum("l_quantity").alias("red_qty"))
+          .where(F.col("red_qty") > 100))
+    return (sq.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", "n_name", "red_qty"))
+
+
+_LATE_NS = 31_536_000 * 10**9  # 365 days
+
+
+def _late_orders_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-flavored exists / not-exists: suppliers who were the ONLY late
+    shipper on a multi-supplier order. The textbook formulation is two
+    correlated subqueries (EXISTS other-supplier line, NOT EXISTS
+    other-supplier LATE line) — each a re-join against lineitem. Here both
+    collapse into per-order counters over the (orderkey, suppkey) flag
+    aggregate — computed as a WINDOW on the aggregate, not a groupBy +
+    self-join, so the flag frame is built once (a groupBy formulation
+    duplicates the whole lineitem⨝orders subtree into both join sides and
+    adds a sort-merge join; the window reuses the aggregate's own
+    exchange). Late-supplier rows qualify iff n_supp > 1 AND n_late = 1.
+    Per-order windows are bounded by suppliers-per-order — no skew risk."""
+    from pyspark.sql import Window
+
+    li = ts_ns(load_table(spark, sf_dir, "lineitem"), "l_shipdate")
+    orders = ts_ns(load_table(spark, sf_dir, "orders"), "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = (li.select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey")))
+    flag = (lo.groupBy("l_orderkey", "l_suppkey")
+            .agg(F.max(F.when(F.col("l_shipdate") - F.col("o_orderdate")
+                              > F.lit(_LATE_NS), 1).otherwise(0)).alias("late")))
+    w = Window.partitionBy("l_orderkey")
+    per_order = (flag.withColumn("n_supp", F.count(F.lit(1)).over(w))
+                 .withColumn("n_late", F.sum("late").over(w)))
+    return (per_order
+            .where((F.col("late") == 1) & (F.col("n_supp") > 1)
+                   & (F.col("n_late") == 1))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name")).limit(20))
+
+
 QUERIES: dict[str, tuple] = {
     # ---- reference query shapes (SURVEY §2) ------------------------------- #
     "fr_empty_query": (
@@ -2176,6 +2340,95 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 ORDER BY n_baskets DESC, item_a ASC, item_b ASC LIMIT 50
 """,
     ),
+    "resample_temperature": (
+        _temperature_resample_fn,
+        # same md5 gate as sample_deterministic; rate = sqrt(nmin/n) —
+        # pow/sqrt/floor are correctly-rounded IEEE, so the kept set is
+        # bit-identical across engines
+        """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_before FROM documents GROUP BY 1),
+m AS (SELECT min(n_before) AS nmin FROM c),
+k AS (SELECT d.lang, count(*)::BIGINT AS n_kept
+      FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 11))::BIGINT <
+            floor(pow(nmin::DOUBLE / n_before::DOUBLE, 0.5) * 17592186044416)
+      GROUP BY 1)
+SELECT lang, n_before, coalesce(n_kept, 0)::BIGINT AS n_kept
+FROM c LEFT JOIN k USING (lang)
+""",
+    ),
+    "embedding_kmeans": (
+        _kmeans_fn,
+        "WITH " + _kmeans_cte_sql(8, 2) + """
+SELECT g.ci::INT AS cluster, g.n_members::BIGINT AS n_members,
+       round(sqrt(list_dot_product(c2.v, c2.v)), 6) AS centroid_norm
+FROM (SELECT ci, count(*) AS n_members FROM af GROUP BY ci) g
+JOIN c2 ON g.ci = c2.ci
+""",
+    ),
+    "dedup_semantic": (
+        _semantic_dedup_fn,
+        "WITH " + _kmeans_cte_sql(8, 2) + """,
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+  FROM af a JOIN af b ON a.ci = b.ci AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.45
+""",
+    ),
+    "decontaminate_bloom": (
+        _bloom_decontaminate_fn,
+        # identical result to decontaminate_ngram: bloom = prefilter only
+        "WITH g AS (" + _GRAMS_SQL + """),
+eg AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 97 = 0),
+cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 97 <> 0)
+SELECT cg.doc_id, count(*)::BIGINT AS n_shared
+FROM cg JOIN eg ON cg.gram = eg.gram GROUP BY cg.doc_id
+""",
+    ),
+    "olap_top_supplier_per_part": (
+        _top_supplier_per_part_fn,
+        """
+WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS top_qty
+            FROM lineitem WHERE l_partkey <= 100 GROUP BY 1, 2),
+top AS (SELECT l_partkey, l_suppkey, top_qty FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+            ORDER BY top_qty DESC, l_suppkey) AS rk FROM ps) WHERE rk = 1)
+SELECT p_partkey, p_name, s_name, top_qty
+FROM top JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+""",
+    ),
+    "olap_pending_supply": (
+        _pending_supply_fn,
+        """
+WITH gp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+sq AS (SELECT l_suppkey, sum(l_quantity) AS red_qty
+       FROM lineitem JOIN gp ON l_partkey = p_partkey
+       WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+       GROUP BY 1 HAVING sum(l_quantity) > 100)
+SELECT s_name, n_name, red_qty
+FROM sq JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+""",
+    ),
+    "olap_late_orders": (
+        _late_orders_fn,
+        """
+WITH lo AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+flag AS (SELECT l_orderkey, l_suppkey,
+  max(CASE WHEN epoch_ns(l_shipdate) - epoch_ns(o_orderdate) > 31536000000000000
+      THEN 1 ELSE 0 END) AS late FROM lo GROUP BY 1, 2),
+agg AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+        FROM flag GROUP BY 1)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM flag JOIN agg USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+""",
+    ),
 }
 
 # Queries with no SQL-expressible oracle (driver records rows-only check):
@@ -2226,10 +2479,12 @@ _DRIVER_PRIORITY = [
     "olap_part_avg_filter", "olap_winsorized_mean", "olap_rolling_revenue",
     "olap_nation_share", "olap_basket_pairs", "olap_percentiles_approx",
     "fr_agg_groups_per_value_approx",
-    # 13 representative reference-shaped queries (already driver-green in r2)
-    "fr_empty_query", "fr_count_target", "fr_sum_target", "fr_multi_filter",
-    "fr_relation_expr", "fr_timeframe", "fr_regex_filter",
-    "fr_agg_count_per_value", "fr_sequence", "fr_funnel_steps",
+    # the 7 round-3 additions (never driver-audited)
+    "resample_temperature", "embedding_kmeans", "dedup_semantic",
+    "decontaminate_bloom", "olap_top_supplier_per_part",
+    "olap_pending_supply", "olap_late_orders",
+    # 3 representative reference-shaped queries (already driver-green in r2)
+    "fr_empty_query", "fr_sequence", "fr_funnel_steps",
 ]
 
 

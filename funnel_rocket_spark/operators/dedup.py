@@ -21,6 +21,7 @@ Scale notes are on each function.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -579,3 +580,69 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def bloom_contamination(corpus: DataFrame, evalset: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, m_bits: int = 1 << 20,
+                        k_hashes: int = 4) -> DataFrame:
+    """:func:`ngram_contamination` with a broadcast Bloom-filter prefilter —
+    same exact result (the bloom admits no false negatives and a final
+    exact join removes its false positives), different 100 TB cost model.
+
+    Plain decontamination broadcasts the eval grams as a hash-join table:
+    fine while the eval set is thousands of benchmark documents, but a
+    large contamination radius (13-grams over dozens of eval suites) makes
+    that table gigabytes of strings per executor. The bloom variant
+    broadcasts a fixed ``m_bits/8``-byte bitset instead (128 KiB at the
+    default) regardless of gram count, and drops non-matching corpus grams
+    BEFORE they reach the exact join — so the join probe side shrinks to
+    ~(true matches + m·FP-rate), and the only corpus-wide exchange left is
+    the final per-doc count of true matches.
+
+    Hashing: two independent xxhash64 values per gram feed
+    Kirsch–Mitzenmacher double hashing (bit_j = (h1 + j·h2) mod m) — k
+    probes from 2 hashes, vectorized in one Arrow-batched numpy pass.
+    Eval-gram hashes are collected once to build the bitset (the eval set
+    is small by the same contract the broadcast join already relies on).
+    """
+    import numpy as np
+
+    eval_grams = (shingle_frame(evalset, text_col, id_col, n)
+                  .select(F.explode("grams").alias("gram")).distinct())
+    h1c = F.xxhash64(F.col("gram"))
+    h2c = F.xxhash64(F.col("gram"), F.lit("bloom2"))
+    hrows = eval_grams.select(h1c.alias("h1"), h2c.alias("h2")).collect()
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if hrows:
+        # xxhash64 is signed int64; reinterpret the bits as uint64 (a
+        # direct uint64 array of negative Python ints raises OverflowError)
+        h1 = np.array([r["h1"] for r in hrows], dtype=np.int64).view(np.uint64)
+        h2 = np.array([r["h2"] for r in hrows], dtype=np.int64).view(np.uint64)
+        for j in range(k_hashes):
+            idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    bc = corpus.sparkSession.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def maybe_member(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        b = bc.value
+        a = h1s.to_numpy(dtype=np.int64).view(np.uint64)
+        c = h2s.to_numpy(dtype=np.int64).view(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for j in range(k_hashes):
+            idx = (a + np.uint64(j) * c) % np.uint64(m_bits)
+            ok &= (b[(idx >> np.uint64(3)).astype(np.int64)]
+                   & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+                   ).astype(bool)
+        return pd.Series(ok)
+
+    exploded = (shingle_frame(corpus, text_col, id_col, n)
+                .select("id", F.explode("grams").alias("gram"))
+                .withColumn("__h1", F.xxhash64(F.col("gram")))
+                .withColumn("__h2", F.xxhash64(F.col("gram"), F.lit("bloom2")))
+                .where(maybe_member(F.col("__h1"), F.col("__h2"))))
+    return (exploded.join(F.broadcast(eval_grams), "gram")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_shared"))
+            .select(F.col("id").alias(id_col), "n_shared"))

@@ -109,3 +109,40 @@ def per_group_cap(df: DataFrame, group_cols: list[str], n: int,
         key.asc(), F.col(id_col).asc())
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= n).drop("__rk"))
+
+
+def temperature_resample(df: DataFrame, strata_col: str, alpha: float = 0.5,
+                         id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """UniMax/XLM-R-style temperature downsampling: keep each stratum
+    (language, source domain, ...) at rate ``(n_min / n_s)^(1-alpha)`` so
+    the kept mix is ∝ n_s^alpha — the standard fix for head-language
+    dominance in multilingual corpus construction (alpha=1 keeps the
+    natural mix, alpha→0 flattens toward uniform). The rarest stratum is
+    never downsampled.
+
+    The rates are computed IN-PLAN: one tiny groupBy(strata) count, a
+    1-row global min, and a broadcast join back — no driver collect, so the
+    operator composes lazily and the corpus itself is touched by exactly
+    one scan + one broadcast-hash-join + filter (no corpus shuffle). Row
+    selection reuses the deterministic md5 gate of :func:`sample_gate`.
+
+    ``alpha=0.5`` keeps the rate arithmetic to sqrt/divide/multiply/floor —
+    all correctly-rounded IEEE ops — so the kept set is bit-reproducible on
+    any engine (the differential oracle runs the same formula in SQL).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    rates = (counts.crossJoin(F.broadcast(nmin))
+             .select(strata_col,
+                     F.pow(F.col("__nmin").cast("double")
+                           / F.col("__n").cast("double"),
+                           F.lit(1.0 - alpha)).alias("__rate")))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    return (df.join(F.broadcast(rates), strata_col)
+            .where(bucket < F.floor(F.col("__rate") * F.lit(float(_BUCKETS)))
+                   .cast("long"))
+            .drop("__rate"))

@@ -479,3 +479,120 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
         lambda s: s["c"])
     return (per_dim.groupBy("label")
             .agg(F.max("n").alias("n_vectors"), ordered.alias("centroid")))
+
+
+# --------------------------------------------------------------------------- #
+# Deterministic Lloyd's k-means + SemDeDup-style semantic dedup
+
+
+def _round6(v: float) -> float:
+    """round(x, 6) with SQL semantics (half away from zero) — Python's
+    built-in round is banker's rounding, which would diverge from the
+    DuckDB/Spark ``round`` the differential oracle uses."""
+    import math
+
+    return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+
+def _assign_expr(vec_col, centers):
+    """Column: index of the max-cosine center, ties to the lowest index.
+
+    Centers are driver-side Python lists (k of them — k-means k, not corpus
+    size), so the whole assignment is a codegen'd expression: k dot products
+    per row, no UDF, no shuffle. array_sort on (−sim, idx) structs gives
+    argmax-with-deterministic-ties in one pass.
+    """
+    cnorms = [sum(x * x for x in c) ** 0.5 for c in centers]
+    scored = []
+    for i, (c, cn) in enumerate(zip(centers, cnorms)):
+        center = F.array(*[F.lit(float(x)) for x in c])
+        sim = F.coalesce(
+            dot(F.col(vec_col), center)
+            / F.nullif(norm(F.col(vec_col)) * F.lit(cn), F.lit(0.0)),
+            F.lit(0.0))
+        scored.append(F.struct((-sim).alias("negsim"),
+                               F.lit(i).alias("i")))
+    return F.array_sort(F.array(*scored))[0]["i"]
+
+
+def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic distributed Lloyd's k-means: returns (assigned, centers).
+
+    Unlike Spark-ML KMeans (random init, engine-specific centroids), every
+    step here is reproducible on any engine — which makes the whole iteration
+    differential-testable against a SQL oracle:
+
+    * init = the embeddings of the ``k`` lowest ids (no RNG);
+    * assignment = max-cosine over broadcast centers, ties to lowest index
+      (pure codegen expression, zero shuffle);
+    * update = per-dim mean via posexplode + groupBy(cluster, pos) — ONE
+      map-side-combinable exchange of #clusters × dim keys per round, then a
+      k×dim collect to the driver;
+    * centers are rounded to 6 decimals each round, so double-accumulation
+      order (Spark partial aggs vs anything else) cannot leak into the next
+      round's assignment.
+
+    The per-round driver collect is k×dim floats — independent of corpus
+    size. At 100 TB the cost per round is one scan + one tiny exchange;
+    ``rounds`` is typically small (coarse quantizers don't need convergence).
+    Returns the corpus with a ``cluster`` column (lazy; recomputed by
+    consumers unless persisted) and the final rounded centers list.
+    """
+    e = drop_null_vectors(corpus, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+    e = e.where(F.aggregate(F.col(vec_col), F.lit(0.0),
+                            lambda a, x: a + x * x) > 0)
+    seeds = (e.orderBy(id_col).limit(k)
+             .select(vec_col).collect())
+    centers = [list(r[0]) for r in seeds]
+    for _ in range(rounds):
+        assigned = e.withColumn("cluster", _assign_expr(vec_col, centers))
+        pos = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        rows = (pos.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+                .collect())
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centers = [
+            [_round6(by_cluster[ci][p]) for p in sorted(by_cluster[ci])]
+            if ci in by_cluster else centers[ci]
+            for ci in range(len(centers))
+        ]
+    return e.withColumn("cluster", _assign_expr(vec_col, centers)), centers
+
+
+def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
+                         threshold: float = 0.985, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style near-duplicate pairs: cluster first, compare only
+    within clusters — (id_a, id_b, cosine_sim ≥ threshold).
+
+    The scale idea (Abbas et al., SemDeDup, 2023): embedding near-dups are
+    overwhelmingly semantic neighbors, so k-means cells confine the
+    quadratic comparison the same way LSH buckets do, but with cells that
+    follow the data distribution instead of random hyperplanes. The
+    self-join shuffles each side once on ``cluster``; per-cell cost is
+    |cell|², tuned by ``k``. Complementary to
+    :func:`lsh_bucketed_pairs` — k-means cells never split a dense
+    neighborhood across buckets, at the price of the clustering rounds.
+
+    Deterministic (see :func:`kmeans_lloyd`) and exactly reproducible in
+    SQL, so the full pipeline is oracle-checked, not just sanity-checked.
+    """
+    assigned, _ = kmeans_lloyd(corpus, k=k, rounds=rounds,
+                               id_col=id_col, vec_col=vec_col)
+    # The self-join consumes the assignment twice; persist or each side
+    # re-runs the final assignment expression (cheap) AND the upstream scan.
+    assigned = assigned.persist()
+    a = assigned.select(F.col("cluster"), F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va"))
+    b = assigned.select(F.col("cluster"), F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"))
+    return (a.join(b, on="cluster")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine_sim",
+                        F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+            .where(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim"))

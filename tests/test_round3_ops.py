@@ -1,0 +1,236 @@
+"""Round-3 operator tests: deterministic k-means / SemDeDup, temperature
+resampling, bloom decontamination, and the TPC-H subquery shapes.
+
+The catalog oracles already differential-test these against DuckDB
+(tests/test_oracle_parity.py picks up the new entries automatically); the
+tests here pin the properties an SQL oracle can't express — numpy ground
+truth for the clustering iteration, bloom no-false-negatives, sampling-rate
+statistics, and the physical-plan shapes.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark import benchqueries as bq
+from funnel_rocket_spark.operators import dedup, sampling, similarity
+from funnel_rocket_spark.plans import count_exchanges, formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return bq.load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return bq.load_table(spark, SF, "documents")
+
+
+# --------------------------------------------------------------------------- #
+# k-means: numpy ground truth for the full iteration
+
+
+def _numpy_kmeans(ids, vecs, k=8, rounds=2):
+    """Transcription of similarity.kmeans_lloyd's spec: seeds = k lowest
+    ids, max-cosine assignment with ties to the lowest center index,
+    6-decimal half-away-from-zero rounded per-dim means."""
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    centers = vecs[:k].copy()
+
+    def assign(cs):
+        sims = (vecs @ cs.T) / (
+            np.linalg.norm(vecs, axis=1)[:, None]
+            * np.linalg.norm(cs, axis=1)[None, :])
+        # argmax with ties to the lowest index — np.argmax already does that
+        return np.argmax(sims, axis=1)
+
+    def round6(x):
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    for _ in range(rounds):
+        a = assign(centers)
+        centers = np.stack([
+            round6(vecs[a == ci].mean(axis=0)) if (a == ci).any() else centers[ci]
+            for ci in range(k)])
+    return ids, assign(centers), centers
+
+
+def test_kmeans_matches_numpy(spark, emb):
+    assigned, centers = similarity.kmeans_lloyd(emb, k=8, rounds=2)
+    got = {r["vec_id"]: r["cluster"]
+           for r in assigned.select("vec_id", "cluster").collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ref_ids, ref_assign, ref_centers = _numpy_kmeans(ids, vecs)
+    assert got == dict(zip(ref_ids.tolist(), ref_assign.tolist()))
+    assert np.allclose(np.array(centers), ref_centers, atol=1e-6)
+
+
+def test_kmeans_assignment_covers_corpus(spark, emb):
+    assigned, _ = similarity.kmeans_lloyd(emb, k=8, rounds=1)
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    assert assigned.count() == n
+    assert assigned.where(F.col("cluster").isNull()).count() == 0
+
+
+def test_semantic_pairs_subset_of_brute_force(spark, emb):
+    """Cell partitioning may LOSE cross-cell pairs (the SemDeDup recall
+    trade) but must never invent pairs or change a cosine value."""
+    brute = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in similarity.embedding_dup_pairs(
+                 emb, threshold=0.45, method="expr").collect()}
+    sem = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+           for r in similarity.semantic_dedup_pairs(
+               emb, k=8, rounds=2, threshold=0.45).collect()}
+    assert set(sem) <= set(brute)
+    for pair, sim in sem.items():
+        assert math.isclose(sim, brute[pair], abs_tol=1e-9)
+
+
+# --------------------------------------------------------------------------- #
+# bloom decontamination
+
+
+def test_bloom_equals_exact_contamination(spark, docs):
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = sorted(map(tuple, dedup.ngram_contamination(
+        corpus, evalset, n=3).collect()))
+    bloom = sorted(map(tuple, dedup.bloom_contamination(
+        corpus, evalset, n=3).collect()))
+    assert bloom == exact
+    assert len(exact) > 0  # the fixture actually plants contamination
+
+
+def test_bloom_tiny_filter_still_exact(spark, docs):
+    """An undersized bitset saturates with false positives — the exact
+    verify join must still produce the exact answer (bloom = prefilter
+    ONLY, never the decision)."""
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).limit(50)
+    exact = sorted(map(tuple, dedup.ngram_contamination(
+        corpus, evalset, n=3).collect()))
+    bloom = sorted(map(tuple, dedup.bloom_contamination(
+        corpus, evalset, n=3, m_bits=256, k_hashes=2).collect()))
+    assert bloom == exact
+
+
+def test_bloom_empty_evalset(spark, docs):
+    empty = docs.filter(F.lit(False))
+    out = dedup.bloom_contamination(docs.limit(20), empty, n=3)
+    assert out.count() == 0
+
+
+# --------------------------------------------------------------------------- #
+# temperature resampling
+
+
+def test_temperature_keeps_rarest_stratum_fully(spark, docs):
+    kept = sampling.temperature_resample(docs, "lang", alpha=0.5)
+    before = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    after = {r["lang"]: r["count"]
+             for r in kept.groupBy("lang").count().collect()}
+    rarest = min(before, key=before.get)
+    assert after[rarest] == before[rarest]
+
+
+def test_temperature_rates_follow_power_law(spark, docs):
+    kept = sampling.temperature_resample(docs, "lang", alpha=0.5)
+    before = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    after = {r["lang"]: r["count"]
+             for r in kept.groupBy("lang").count().collect()}
+    nmin = min(before.values())
+    for lang, n in before.items():
+        expected = n * math.sqrt(nmin / n)
+        # binomial tolerance: 4 sigma
+        sigma = math.sqrt(max(expected * (1 - expected / n), 1.0))
+        assert abs(after.get(lang, 0) - expected) <= 4 * sigma + 1, (
+            lang, n, expected, after.get(lang, 0))
+
+
+def test_temperature_alpha_one_keeps_everything(spark, docs):
+    kept = sampling.temperature_resample(docs, "lang", alpha=1.0)
+    assert kept.count() == docs.count()
+
+
+def test_temperature_deterministic(spark, docs):
+    a = sorted(r["doc_id"] for r in sampling.temperature_resample(
+        docs, "lang", alpha=0.5).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in sampling.temperature_resample(
+        docs, "lang", alpha=0.5).select("doc_id").collect())
+    assert a == b
+
+
+def test_temperature_rejects_bad_alpha(spark, docs):
+    with pytest.raises(ValueError):
+        sampling.temperature_resample(docs, "lang", alpha=0.0)
+
+
+# --------------------------------------------------------------------------- #
+# plan gates for the new shapes
+
+
+def test_temperature_corpus_joins_broadcast(spark, docs):
+    """The corpus side must reach the rate join via broadcast — its only
+    exchanges belong to the tiny per-stratum count aggregate."""
+    kept = sampling.temperature_resample(docs, "lang", alpha=0.5)
+    plan = formatted_plan(kept)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def _scan_count(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_top_supplier_no_lineitem_rejoin(spark):
+    """Q2 shape: the correlated max is ONE window over the partial
+    aggregate; lineitem is scanned exactly once and the dimension joins
+    broadcast. The second exchange (aggregate keys → l_partkey for the
+    window) moves only aggregated rows — acceptable; a lineitem re-join
+    would not be."""
+    out = bq.QUERIES["olap_top_supplier_per_part"][0](spark, SF)
+    plan = formatted_plan(out)
+    assert _scan_count(plan) == 3, plan  # lineitem, part, supplier
+    assert "SortMergeJoin" not in plan, plan
+    assert count_exchanges(out) <= 2, plan
+
+
+def test_pending_supply_part_filter_broadcasts(spark):
+    out = bq.QUERIES["olap_pending_supply"][0](spark, SF)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_late_orders_no_self_join_of_lineitem(spark):
+    """Q21 shape: the EXISTS / NOT EXISTS pair is folded into per-order
+    window counters — lineitem and orders are each scanned ONCE (a
+    groupBy + re-join formulation duplicates both scans) and no
+    sort-merge join appears."""
+    out = bq.QUERIES["olap_late_orders"][0](spark, SF)
+    plan = formatted_plan(out)
+    # one scan of lineitem + one of orders + broadcast supplier
+    assert _scan_count(plan) == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semantic_dedup_single_cluster_exchange(spark, emb):
+    """The pair join shuffles each side once on `cluster` — no all-pairs
+    cartesian."""
+    pairs = similarity.semantic_dedup_pairs(emb, k=4, rounds=1,
+                                            threshold=0.45)
+    plan = formatted_plan(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
