@@ -1293,6 +1293,36 @@ def _late_orders_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("numwait"), F.asc("s_name")).limit(20))
 
 
+def _exact_substring_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.exact_substring_spans(docs, window=20)
+
+
+def _sales_opportunity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-flavored anti-join + scalar subquery: per nation, the customers
+    with above-average balance and no RECENT order (none since 2000 — the
+    synthetic data gives every customer some order, like real tenured
+    books). The average is a 1-row broadcast; the NOT EXISTS is a shuffle
+    anti-join on custkey whose orders side is date-pruned AT THE SCAN;
+    nation broadcasts. Balance totals are summed in exact integer cents so
+    partial-agg order can't move the rounded sum."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    avg_bal = (cust.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    idle = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    return (idle.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("ab"))
+            .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                 .alias("total_bal_cents")))
+
+
 QUERIES: dict[str, tuple] = {
     # ---- reference query shapes (SURVEY §2) ------------------------------- #
     "fr_empty_query": (
@@ -2427,6 +2457,38 @@ FROM flag JOIN agg USING (l_orderkey)
 JOIN supplier ON s_suppkey = l_suppkey
 WHERE late = 1 AND n_supp > 1 AND n_late = 1
 GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+""",
+    ),
+    "text_exact_substrings": (
+        _exact_substring_fn,
+        """
+WITH toks AS (""" + _TOKS_SQL + """),
+w AS (SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+19], ' ')) AS h
+      FROM toks, unnest(range(1, greatest(len(tk)-18, 1))) AS t(i)),
+d AS (SELECT doc_id, start FROM (
+        SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS c FROM w)
+      WHERE c > 1),
+m AS (SELECT doc_id, start,
+        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 20
+             THEN 1 ELSE 0 END AS brk FROM d),
+i AS (SELECT doc_id, start,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM m)
+SELECT doc_id, min(start)::INT AS span_start, (max(start) + 19)::INT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM i GROUP BY doc_id, island
+""",
+    ),
+    "olap_sales_opportunity": (
+        _sales_opportunity_fn,
+        """
+WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+SELECT n_name, count(*)::BIGINT AS n_custs,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey CROSS JOIN ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= '2000-01-01')
+GROUP BY 1
 """,
     ),
 }

@@ -393,3 +393,56 @@ def token_entropy(df: DataFrame, text_col: str = "text",
     return per_doc.select(
         "doc_id", F.col("n").cast("long").alias("n_tokens"),
         F.round(F.log("n") - F.col("s") / F.col("n"), 6).alias("entropy"))
+
+
+def exact_substring_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          window: int = 20) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", 2021):
+    fingerprint every ``window``-token sliding window; a window whose
+    fingerprint occurs ≥ 2 times ANYWHERE in the corpus is duplicated
+    material; overlapping/adjacent duplicate windows merge into maximal
+    per-doc token spans → (id, span_start, span_end, n_windows), 1-based
+    inclusive token indexes.
+
+    The reference implementation builds a corpus-wide suffix array — a
+    global sort. Here the global structure is ONE exchange on the window
+    fingerprint (count-over-hash window function: no self-join, no
+    groupBy + rejoin), followed by a per-doc exchange for span merging.
+    Window texts are md5-fingerprinted via slice+concat (O(n·window) —
+    the portable cross-engine choice; a Karp–Rabin rolling hash would be
+    O(n) but not bit-reproducible in ANSI SQL). Collisions: md5 over up
+    to ~2^64 windows is collision-free in practice; a colliding pair
+    would only add a spurious span, never drop one.
+    """
+    from pyspark.sql import Window as W
+
+    toks_df = df.select(F.col(id_col).alias("id"),
+                        tokens(F.col(text_col)).alias("tk"))
+    # sequence(1, size-window+1); guarded — sequence(1, 0) would count DOWN
+    starts = F.when(
+        F.size("tk") >= window,
+        F.sequence(F.lit(1), F.size("tk") - F.lit(window - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (toks_df.select("id", "tk", F.explode(starts).alias("start"))
+            .select("id", "start",
+                    F.md5(F.concat_ws(
+                        " ", F.slice(F.col("tk"), F.col("start"), window))
+                        .cast("binary")).alias("h")))
+    dup = (wins.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("h")))
+           .where(F.col("c") > 1))
+    per_doc = W.partitionBy("id").orderBy("start")
+    brk = F.when(
+        F.col("start") - F.lag("start", 1).over(per_doc) > window,
+        1).otherwise(0)
+    return (dup.withColumn("brk", brk)
+            .withColumn("island", F.sum("brk").over(per_doc))
+            .groupBy("id", "island")
+            .agg(F.min("start").alias("span_start"),
+                 (F.max("start") + F.lit(window - 1)).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select(F.col("id").alias(id_col),
+                    F.col("span_start").cast("int").alias("span_start"),
+                    F.col("span_end").cast("int").alias("span_end"),
+                    "n_windows"))

@@ -234,3 +234,82 @@ def test_semantic_dedup_single_cluster_exchange(spark, emb):
     plan = formatted_plan(pairs)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# --------------------------------------------------------------------------- #
+# ExactSubstr span dedup
+
+
+def test_exact_substring_finds_planted_span(spark):
+    boiler = " ".join(f"tok{i}" for i in range(25))
+    rows = [
+        (1, boiler + " unique one after"),
+        (2, "prefix words here " + boiler),
+        (3, "completely different text with no duplication at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from funnel_rocket_spark.operators.text import exact_substring_spans
+
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+             for r in exact_substring_spans(df, window=20).collect()}
+    # doc 1: boilerplate at tokens 1..25 → 6 dup windows (starts 1..6)
+    assert spans[1] == (1, 25, 6)
+    # doc 2: 3 prefix tokens shift the span to 4..28
+    assert spans[2] == (4, 28, 6)
+    assert 3 not in spans
+
+
+def test_exact_substring_merges_adjacent_islands(spark):
+    """Two duplicate regions separated by > window unique tokens must stay
+    separate spans."""
+    a = " ".join(f"a{i}" for i in range(20))
+    b = " ".join(f"b{i}" for i in range(20))
+    gap = " ".join(f"u{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, a + " " + gap + " " + b), (2, a), (3, b)],
+        "doc_id long, text string")
+    from funnel_rocket_spark.operators.text import exact_substring_spans
+
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in exact_substring_spans(df, window=20)
+        .where(F.col("doc_id") == 1).collect())
+    assert spans == [(1, 20), (51, 70)]
+
+
+def test_exact_substring_short_docs_no_windows(spark):
+    df = spark.createDataFrame([(1, "too short"), (2, "too short")],
+                               "doc_id long, text string")
+    from funnel_rocket_spark.operators.text import exact_substring_spans
+
+    assert exact_substring_spans(df, window=20).count() == 0
+
+
+def test_exact_substring_single_hash_exchange(spark, docs):
+    """The corpus-wide match is a count-over-hash window — no self-join of
+    the exploded window frame."""
+    from funnel_rocket_spark.operators.text import exact_substring_spans
+
+    out = exact_substring_spans(docs, window=20)
+    plan = formatted_plan(out)
+    assert _scan_count(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_sales_opportunity_anti_join_shape(spark):
+    """Q22 shape: NOT EXISTS is a hash anti-join; dimensions broadcast."""
+    out = bq.QUERIES["olap_sales_opportunity"][0](spark, SF)
+    plan = formatted_plan(out)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""), plan
+
+
+def test_semantic_dedup_gemm_expr_agree(spark, emb):
+    gemm = sorted(map(tuple, similarity.semantic_dedup_pairs(
+        emb, k=8, rounds=2, threshold=0.45, method="gemm").collect()))
+    expr = sorted(map(tuple, similarity.semantic_dedup_pairs(
+        emb, k=8, rounds=2, threshold=0.45, method="expr").collect()))
+    assert [p[:2] for p in gemm] == [p[:2] for p in expr]
+    for g, x in zip(gemm, expr):
+        assert math.isclose(g[2], x[2], abs_tol=1e-6)
