@@ -1323,6 +1323,21 @@ def _sales_opportunity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_bal_cents")))
 
 
+def _incremental_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup shape: the doc_id %% 5 == 0 slice arrives as a new
+    batch; everything else is the already-indexed corpus. Produces exactly
+    the full run's pairs that touch >= 1 new doc — the corpus x corpus work
+    is never recomputed, and corpus text is re-shingled only for matched
+    candidate ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    index = dedup.minhash_band_table(old, num_hashes=32, bands=8, n=3)
+    return dedup.incremental_lsh_pairs(new, old, index=index,
+                                       num_hashes=32, bands=8, n=3,
+                                       threshold=0.5)
+
+
 QUERIES: dict[str, tuple] = {
     # ---- reference query shapes (SURVEY §2) ------------------------------- #
     "fr_empty_query": (
@@ -2489,6 +2504,14 @@ WHERE c_acctbal > ab
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= '2000-01-01')
 GROUP BY 1
+""",
+    ),
+    "dedup_incremental_lsh": (
+        _incremental_lsh_fn,
+        # the full-corpus pair oracle restricted to pairs touching the
+        # "new batch" slice — the defining property of the incremental run
+        "SELECT * FROM (" + _MINHASH_PAIRS_SQL + """)
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
 """,
     ),
 }

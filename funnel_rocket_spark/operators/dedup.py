@@ -206,31 +206,12 @@ def minhash_signature(col, num_hashes: int = 32, n: int = 3):
     ])
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      num_hashes: int = 32, bands: int = 8, n: int = 3,
-                      threshold: float = 0.5, verify: bool = True) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs: (id_a, id_b[, jaccard]).
-
-    Pipeline: signature → split into ``bands`` bands of ``num_hashes/bands``
-    rows → bucket key = md5(band_idx || band slice) → self-join per bucket →
-    distinct candidate pairs → (optionally) verify with true n-gram Jaccard.
-
-    Scale: the expensive all-pairs join happens only WITHIN tiny buckets;
-    shuffle keys are (band, bucket-hash) — well distributed by construction.
-    This is the 100 TB dedup path (band/row tuning trades recall vs cost:
-    P(candidate) = 1-(1-j^r)^b).
-    """
-    rows_per_band = num_hashes // bands
-    assert bands * rows_per_band == num_hashes
-    # Signature computation stays FLAT: explode shingles, compute the k salted
-    # md5s as plain projected columns (whole-stage codegen — nested
-    # higher-order-function lambdas fall back to interpreted evaluation, ~3×
-    # slower measured), then groupBy(id) with k min() aggregates. The persisted
-    # frames are the materialized signature table a production 100 TB dedup
-    # keeps anyway; band explode, candidate join, and verification all reuse
-    # them instead of re-hashing the corpus per branch.
-    grams_df = shingle_frame(df, text_col, id_col, n).filter(F.size("grams") > 0)
-    grams_df.persist()
+def _minhash_sigs(grams_df: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig array<long>) from a shingle frame. Signature computation
+    stays FLAT: explode shingles, compute the k universal hashes as plain
+    projected columns (whole-stage codegen — nested higher-order-function
+    lambdas fall back to interpreted evaluation, ~3× slower measured), then
+    groupBy(id) with k min() aggregates."""
     params = minhash_params(num_hashes)
     exploded = grams_df.select("id", F.explode("grams").alias("g"))
     based = exploded.select("id", minhash_base(F.col("g")).alias("base"))
@@ -239,19 +220,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         *[((F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"h{i}")
           for i, (a, b) in enumerate(params)],
     )
-    sigs = (
+    return (
         hashed.groupBy("id")
         .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
         .select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
     )
-    # Lazy persist: the first consuming job materializes the cache. The band
-    # self-join references sigs twice in one job, but BlockManager computes
-    # each cached partition once (concurrent readers block on the loading
-    # partition), so an eager count() would only serialize an extra job —
-    # measured +31% on standalone pair queries in round 2.
-    sigs.persist()
 
-    banded = sigs.select(
+
+def _band_rows(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) LSH band-bucket rows from a signature frame."""
+    return sigs.select(
         "id",
         F.explode(
             F.transform(
@@ -268,6 +246,130 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_band_table(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       bands: int = 8, n: int = 3) -> DataFrame:
+    """The persistable LSH index of a corpus: (id, band, bucket) rows.
+
+    A production 100 TB dedup doesn't re-hash its historical corpus per
+    increment — it writes this table once per snapshot (ideally partitioned
+    or bucketed by (band, bucket)) and each new batch joins against it; see
+    :func:`incremental_lsh_pairs`. Append a new batch's band rows after
+    deduplicating it to roll the index forward incrementally.
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes
+    grams_df = shingle_frame(df, text_col, id_col, n).filter(F.size("grams") > 0)
+    return _band_rows(_minhash_sigs(grams_df, num_hashes), bands, rows_per_band)
+
+
+def incremental_lsh_pairs(new_docs: DataFrame, corpus: DataFrame,
+                          index: DataFrame | None = None,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_hashes: int = 32, bands: int = 8, n: int = 3,
+                          threshold: float = 0.5,
+                          verify: bool = True) -> DataFrame:
+    """Near-duplicate pairs for an INCREMENT: new×corpus and new×new —
+    exactly the pairs a full run would report that touch ≥ 1 new doc,
+    without recomputing any corpus×corpus work.
+
+    This is the shape a daily 100 TB ingest actually runs: the historical
+    corpus is represented by its persisted band table (``index``; built
+    with :func:`minhash_band_table` — passed in, it is never recomputed,
+    and only its matching (band, bucket) rows are touched by the join).
+    Corpus TEXT is needed solely to verify candidates, so the corpus side
+    is semi-joined down to the matched ids BEFORE shingling — the
+    increment pays for its own hashing plus |candidates| old documents,
+    not for the corpus.
+
+    New and old id spaces must be disjoint (they are different batches of
+    the same dataset; the reference's registration makes the same
+    assumption about group ids). Pair output is oriented id_a < id_b like
+    every other pair operator here, so survivors/cluster tooling composes.
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes
+    new_grams = shingle_frame(new_docs, text_col, id_col, n).filter(
+        F.size("grams") > 0)
+    new_grams.persist()
+    new_banded = _band_rows(_minhash_sigs(new_grams, num_hashes),
+                            bands, rows_per_band)
+    new_banded.persist()
+    if index is None:
+        index = minhash_band_table(corpus, text_col, id_col,
+                                   num_hashes, bands, n)
+    cross = (
+        new_banded.alias("nb").join(index.alias("ob"), on=["band", "bucket"])
+        .where(F.col("nb.id") != F.col("ob.id"))
+        .select(F.least("nb.id", "ob.id").alias("id_a"),
+                F.greatest("nb.id", "ob.id").alias("id_b"))
+    )
+    a, b = new_banded.alias("a"), new_banded.alias("b")
+    fresh = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    candidates = cross.unionByName(fresh).distinct()
+    if not verify:
+        return candidates
+
+    cand_ids = (candidates.select(F.col("id_a").alias("cid"))
+                .unionByName(candidates.select(F.col("id_b").alias("cid")))
+                .distinct())
+    matched_old = corpus.join(
+        cand_ids, corpus[id_col] == cand_ids["cid"], "left_semi")
+    old_grams = shingle_frame(matched_old, text_col, id_col, n).filter(
+        F.size("grams") > 0)
+    grams = (new_grams.select("id", "grams")
+             .unionByName(old_grams.select("id", "grams"))
+             .withColumn("n_grams", F.size("grams")))
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    joined = (
+        candidates.join(ga, candidates.id_a == F.col("ga.id"))
+        .join(gb, candidates.id_b == F.col("gb.id"))
+    )
+    inter = F.size(F.array_intersect("ga.grams", "gb.grams"))
+    jac = inter / (F.col("ga.n_grams") + F.col("gb.n_grams") - inter)
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 32, bands: int = 8, n: int = 3,
+                      threshold: float = 0.5, verify: bool = True) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs: (id_a, id_b[, jaccard]).
+
+    Pipeline: signature → split into ``bands`` bands of ``num_hashes/bands``
+    rows → bucket key = md5(band_idx || band slice) → self-join per bucket →
+    distinct candidate pairs → (optionally) verify with true n-gram Jaccard.
+
+    Scale: the expensive all-pairs join happens only WITHIN tiny buckets;
+    shuffle keys are (band, bucket-hash) — well distributed by construction.
+    This is the 100 TB dedup path (band/row tuning trades recall vs cost:
+    P(candidate) = 1-(1-j^r)^b).
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes
+    # The persisted frames are the materialized signature table a production
+    # 100 TB dedup keeps anyway (see minhash_band_table); band explode,
+    # candidate join, and verification all reuse them instead of re-hashing
+    # the corpus per branch.
+    grams_df = shingle_frame(df, text_col, id_col, n).filter(F.size("grams") > 0)
+    grams_df.persist()
+    sigs = _minhash_sigs(grams_df, num_hashes)
+    # Lazy persist: the first consuming job materializes the cache. The band
+    # self-join references sigs twice in one job, but BlockManager computes
+    # each cached partition once (concurrent readers block on the loading
+    # partition), so an eager count() would only serialize an extra job —
+    # measured +31% on standalone pair queries in round 2.
+    sigs.persist()
+
+    banded = _band_rows(sigs, bands, rows_per_band)
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (

@@ -406,3 +406,58 @@ def test_kmeans_gemm_expr_agree(spark, emb):
     got_e = dict(a_e.select("vec_id", "cluster").collect())
     got_g = dict(a_g.select("vec_id", "cluster").collect())
     assert got_e == got_g
+
+
+# --------------------------------------------------------------------------- #
+# incremental LSH dedup
+
+
+def test_incremental_equals_full_restricted(spark, docs):
+    """The defining contract: incremental(new, old) == full-corpus pairs
+    restricted to pairs touching >= 1 new id, exactly (same candidates,
+    same jaccard values)."""
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = sorted(map(tuple, dedup.incremental_lsh_pairs(
+        new, old, threshold=0.5).collect()))
+    full = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0)
+    assert inc == full
+    assert len(inc) > 0  # fixture plants near-dups across the split
+
+
+def test_incremental_prebuilt_index_same_result(spark, docs):
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    index = dedup.minhash_band_table(old)
+    with_idx = sorted(map(tuple, dedup.incremental_lsh_pairs(
+        new, old, index=index).collect()))
+    without = sorted(map(tuple, dedup.incremental_lsh_pairs(
+        new, old).collect()))
+    assert with_idx == without
+
+
+def test_incremental_index_roundtrips_parquet(spark, docs, tmp_path):
+    """The index is a plain table: write, read back, join — the artifact a
+    production pipeline persists between ingests."""
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    p = str(tmp_path / "band_index.parquet")
+    dedup.minhash_band_table(old).write.parquet(p)
+    reread = spark.read.parquet(p)
+    via_disk = sorted(map(tuple, dedup.incremental_lsh_pairs(
+        new, old, index=reread).collect()))
+    direct = sorted(map(tuple, dedup.incremental_lsh_pairs(
+        new, old).collect()))
+    assert via_disk == direct
+
+
+def test_incremental_candidates_skip_old_old(spark, docs):
+    """verify=False output never contains an old×old pair."""
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    cands = dedup.incremental_lsh_pairs(new, old, verify=False)
+    assert cands.where((F.col("id_a") % 5 != 0)
+                       & (F.col("id_b") % 5 != 0)).count() == 0
