@@ -316,6 +316,9 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus: DataFrame,
     if not verify:
         return candidates
 
+    # Verification reads candidates twice (id set + the pair join); persist
+    # or the index join re-executes per consumer.
+    candidates = candidates.persist()
     cand_ids = (candidates.select(F.col("id_a").alias("cid"))
                 .unionByName(candidates.select(F.col("id_b").alias("cid")))
                 .distinct())

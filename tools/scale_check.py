@@ -213,6 +213,22 @@ def docs_main(n_docs: int) -> None:
     survivors = dedup.apply_dedup(docs, pairs, id_col="doc_id").count()
     out["timings"]["apply_dedup"] = round(time.perf_counter() - t0, 2)
     out["n_survivors"] = survivors
+
+    # incremental ingest shape: 10% of docs arrive as a new batch, the rest
+    # is an already-indexed corpus (band table persisted, as in production)
+    from pyspark.sql import functions as F2
+    new_docs = docs.filter(F2.col("doc_id") % 10 == 0)
+    old_docs = docs.filter(F2.col("doc_id") % 10 != 0)
+    index = dedup.minhash_band_table(old_docs).persist()
+    t0 = time.perf_counter()
+    index.count()
+    out["timings"]["band_index_build"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["n_incremental_pairs"] = dedup.incremental_lsh_pairs(
+        new_docs, old_docs, index=index).count()
+    out["timings"]["incremental_pairs_10pct"] = round(
+        time.perf_counter() - t0, 2)
+    index.unpersist()
     # planted dups: ids 20, 40, ... (n_docs // 20 of them, minus id 0's
     # non-existent predecessor handled by base clamp at id -1? id 0 is not
     # a dup since 0 % 20 == 0 maps to base -1 → range() has no -1, but
