@@ -1376,6 +1376,38 @@ def _curation_report_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_near_dup", "n_contaminated"))
 
 
+def _interval_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency analysis: which sessions of the 20 most active users
+    overlap in wall-clock time. Exercises the interval-overlap join's
+    bucketed (big x big) strategy: both session sets explode to day-grid
+    cells, equi-join on the cell, and each overlapping pair is attributed
+    to exactly ONE cell (the overlap-start cell) so no distinct pass is
+    needed. End bounds are exclusive (last event + 1 ns)."""
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    top = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("__n"))
+           .orderBy(F.desc("__n"), F.asc("user_id")).limit(20)
+           .select("user_id"))
+    sess = temporal.session_stats(
+        ev.join(F.broadcast(top), "user_id").select("user_id", "ts"),
+        "user_id", "ts", gap=NANOS_2H)
+    s = sess.select("user_id", "session_id",
+                    F.col("start_ts").alias("sa"),
+                    (F.col("end_ts") + F.lit(1)).alias("ea"))
+    left = s.select(F.col("user_id").alias("user_a"),
+                    F.col("session_id").alias("session_a"),
+                    "sa", "ea")
+    right = s.select(F.col("user_id").alias("user_b"),
+                     F.col("session_id").alias("session_b"),
+                     F.col("sa").alias("sb"), F.col("ea").alias("eb"))
+    j = temporal.interval_join(left, right, "sa", "ea", "sb", "eb",
+                               bucket_size=float(NANOS_DAY),
+                               strategy="bucketed")
+    return (j.where(F.col("user_a") < F.col("user_b"))
+            .select("user_a", "session_a", "user_b", "session_b",
+                    F.expr("(least(ea, eb) - greatest(sa, sb)) DIV 1000")
+                    .alias("overlap_us")))
+
+
 QUERIES: dict[str, tuple] = {
     # ---- reference query shapes (SURVEY §2) ------------------------------- #
     "fr_empty_query": (
@@ -2573,6 +2605,31 @@ SELECT source, count(*)::BIGINT AS n_docs,
 FROM documents d JOIN qual USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 GROUP BY source
+""",
+    ),
+    "interval_join_concurrent": (
+        _interval_join_fn,
+        f"""
+WITH top AS (SELECT user_id FROM events
+             GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 20),
+e AS (SELECT user_id, ts FROM events
+      WHERE user_id IN (SELECT user_id FROM top)),
+s AS (SELECT user_id, ts,
+  CASE WHEN lag(ts) OVER w IS NULL
+       OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > {NANOS_2H} THEN 1 ELSE 0
+  END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s2 AS (SELECT user_id, ts,
+  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+  AS idx FROM s),
+sess AS (SELECT user_id, user_id || '#' || idx AS session_id,
+         min(epoch_ns(ts)) AS sa, max(epoch_ns(ts)) + 1 AS ea
+         FROM s2 GROUP BY 1, 2)
+SELECT a.user_id AS user_a, a.session_id AS session_a,
+       b.user_id AS user_b, b.session_id AS session_b,
+       ((least(a.ea, b.ea) - greatest(a.sa, b.sa)) // 1000)::BIGINT
+       AS overlap_us
+FROM sess a JOIN sess b
+ON a.user_id < b.user_id AND a.sa < b.ea AND b.sa < a.ea
 """,
     ),
 }

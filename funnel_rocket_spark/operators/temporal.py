@@ -224,3 +224,66 @@ def range_join(points: DataFrame, ranges: DataFrame, point_col: str,
         .filter(on)
         .drop("__bucket")
     )
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  l_start: str, l_end: str, r_start: str, r_end: str,
+                  bucket_size: float, strategy: str = "auto",
+                  max_buckets_per_interval: int = 100_000) -> DataFrame:
+    """Interval-overlap join: pairs where ``[l_start, l_end)`` intersects
+    ``[r_start, r_end)`` (i.e. ``l_start < r_end AND r_start < l_end``) —
+    the op behind concurrency analysis, campaign/session attribution, and
+    shift/booking conflicts, which Spark would otherwise plan as a
+    nested-loop join.
+
+    ``broadcast`` — broadcast the right side; BroadcastNestedLoopJoin on
+    the inequality pair. Right whenever one side is dimension-sized.
+
+    ``bucketed`` — the big×big path: BOTH sides explode to the
+    ``bucket_size``-wide grid cells they cover and equi-join on the cell.
+    A pair that overlaps may meet in MANY shared cells, so each pair is
+    attributed to exactly ONE cell — the cell containing the overlap's
+    start, ``max(l_start, r_start)`` — making the output exact with no
+    ``distinct`` pass at all (the usual dedup shuffle disappears). Each
+    side shuffles ~width/bucket_size rows per interval; the guard raises on
+    intervals spanning more than ``max_buckets_per_interval`` cells rather
+    than silently exploding.
+
+    ``auto`` — broadcast if a bounded peek shows the right side at most
+    ``_BROADCAST_RANGES_MAX`` rows, else bucketed.
+    """
+    if strategy == "auto":
+        small = (right.limit(_BROADCAST_RANGES_MAX + 1).count()
+                 <= _BROADCAST_RANGES_MAX)
+        strategy = "broadcast" if small else "bucketed"
+
+    on = ((F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end)))
+    if strategy == "broadcast":
+        return left.join(F.broadcast(right), on=on)
+    if strategy != "bucketed":
+        raise ValueError(
+            f"strategy must be auto|broadcast|bucketed: {strategy!r}")
+
+    b = F.lit(bucket_size)
+
+    def grid(df, start, end):
+        lo_b = F.floor(F.col(start) / b)
+        hi_b = F.floor((F.col(end) - F.lit(1e-9)) / b)
+        n = hi_b - lo_b + 1
+        guard = F.when(
+            n <= F.lit(max_buckets_per_interval), hi_b
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"interval_join: an interval spans more than "
+                  f"{max_buckets_per_interval} buckets of size "
+                  f"{bucket_size} (["),
+            F.col(start).cast("string"), F.lit(", "),
+            F.col(end).cast("string"),
+            F.lit(")); increase bucket_size or use strategy='broadcast'"))))
+        return df.withColumn("__cell", F.explode(F.sequence(lo_b, guard)))
+
+    joined = grid(left, l_start, l_end).join(
+        grid(right, r_start, r_end), on="__cell")
+    overlap_start = F.greatest(F.col(l_start), F.col(r_start))
+    return (joined
+            .filter(on & (F.floor(overlap_start / b) == F.col("__cell")))
+            .drop("__cell"))

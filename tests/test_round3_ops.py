@@ -461,3 +461,79 @@ def test_incremental_candidates_skip_old_old(spark, docs):
     cands = dedup.incremental_lsh_pairs(new, old, verify=False)
     assert cands.where((F.col("id_a") % 5 != 0)
                        & (F.col("id_b") % 5 != 0)).count() == 0
+
+
+# --------------------------------------------------------------------------- #
+# interval-overlap join
+
+
+def _mk_intervals(spark, rows, a="s", b="e"):
+    return spark.createDataFrame(rows, f"id long, {a} long, {b} long")
+
+
+def test_interval_join_strategies_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    left = [(i, s := rng.randrange(0, 1000), s + rng.randrange(1, 120))
+            for i in range(120)]
+    right = [(i, s := rng.randrange(0, 1000), s + rng.randrange(1, 120))
+             for i in range(90)]
+    ldf = _mk_intervals(spark, left, "ls", "le")
+    rdf = _mk_intervals(spark, right, "rs", "re").withColumnRenamed(
+        "id", "rid")
+    from funnel_rocket_spark.operators import temporal
+
+    bc = sorted((r["id"], r["rid"]) for r in temporal.interval_join(
+        ldf, rdf, "ls", "le", "rs", "re", bucket_size=50.0,
+        strategy="broadcast").collect())
+    bk = sorted((r["id"], r["rid"]) for r in temporal.interval_join(
+        ldf, rdf, "ls", "le", "rs", "re", bucket_size=50.0,
+        strategy="bucketed").collect())
+    py = sorted((i, j) for i, ls, le in left for j, rs, re_ in right
+                if ls < re_ and rs < le)
+    assert bc == py
+    assert bk == py
+
+
+def test_interval_join_bucketed_no_duplicate_pairs(spark):
+    """A pair overlapping across MANY shared grid cells must appear once —
+    the one-cell attribution replaces the usual distinct."""
+    ldf = _mk_intervals(spark, [(1, 0, 1000)], "ls", "le")
+    rdf = _mk_intervals(spark, [(2, 5, 995)], "rs", "re").withColumnRenamed(
+        "id", "rid")
+    from funnel_rocket_spark.operators import temporal
+
+    out = temporal.interval_join(ldf, rdf, "ls", "le", "rs", "re",
+                                 bucket_size=10.0, strategy="bucketed")
+    assert out.count() == 1
+
+
+def test_interval_join_half_open_boundaries(spark):
+    """Touching intervals ([0,10) and [10,20)) do NOT overlap."""
+    ldf = _mk_intervals(spark, [(1, 0, 10)], "ls", "le")
+    rdf = _mk_intervals(spark, [(2, 10, 20), (3, 9, 20)],
+                        "rs", "re").withColumnRenamed("id", "rid")
+    from funnel_rocket_spark.operators import temporal
+
+    for strat in ("broadcast", "bucketed"):
+        got = sorted(r["rid"] for r in temporal.interval_join(
+            ldf, rdf, "ls", "le", "rs", "re", bucket_size=7.0,
+            strategy=strat).collect())
+        assert got == [3], strat
+
+
+def test_interval_join_bucketed_plan_is_hash_join(spark):
+    """The bucketed strategy's whole point: the inequality pair becomes an
+    equi-join — no nested-loop, no cartesian, no distinct aggregation."""
+    from funnel_rocket_spark.operators import temporal
+
+    ldf = _mk_intervals(spark, [(1, 0, 10)], "ls", "le")
+    rdf = _mk_intervals(spark, [(2, 5, 15)], "rs", "re").withColumnRenamed(
+        "id", "rid")
+    out = temporal.interval_join(ldf, rdf, "ls", "le", "rs", "re",
+                                 bucket_size=10.0, strategy="bucketed")
+    plan = formatted_plan(out)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "__cell" in plan  # the grid equi-join key
