@@ -584,7 +584,11 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
     seeds = (e.orderBy(id_col).limit(k)
              .select(vec_col).collect())
     centers = [list(r[0]) for r in seeds]
-    dim = len(centers[0]) if centers else 0
+    if not centers:
+        # empty corpus: zero assignments, zero centers — composable, not a
+        # crash (an argmax over zero centers can't even be expressed)
+        return e.withColumn("cluster", F.lit(None).cast("int")), []
+    dim = len(centers[0])
     if method == "auto":
         method = "expr" if k * dim <= 1024 else "gemm"
 

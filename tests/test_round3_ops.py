@@ -537,3 +537,24 @@ def test_interval_join_bucketed_plan_is_hash_join(spark):
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "__cell" in plan  # the grid equi-join key
+
+
+def test_new_operators_empty_inputs(spark):
+    """Zero-row inputs compose (return empty frames), never crash."""
+    from funnel_rocket_spark.operators import temporal
+    from funnel_rocket_spark.operators.text import exact_substring_spans
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert exact_substring_spans(empty_docs).count() == 0
+    assert sampling.temperature_resample(empty_docs, "lang").count() == 0
+    assigned, centers = similarity.kmeans_lloyd(empty_emb, k=4, rounds=1)
+    assert assigned.count() == 0 and centers == []
+    assert similarity.semantic_dedup_pairs(empty_emb, k=4, rounds=1).count() == 0
+    assert dedup.incremental_lsh_pairs(empty_docs, empty_docs).count() == 0
+    assert dedup.bloom_contamination(empty_docs, empty_docs).count() == 0
+    assert temporal.interval_join(
+        spark.createDataFrame([], "id long, s long, e long"),
+        spark.createDataFrame([], "rid long, rs long, re long"),
+        "s", "e", "rs", "re", bucket_size=10.0,
+        strategy="bucketed").count() == 0
