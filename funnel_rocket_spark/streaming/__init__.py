@@ -4,6 +4,9 @@ from funnel_rocket_spark.streaming.dedup_stream import (
     streaming_exact_dedup,
 )
 from funnel_rocket_spark.streaming.funnel_stream import incremental_funnel
+from funnel_rocket_spark.streaming.incremental_dedup import (
+    streaming_incremental_dedup,
+)
 from funnel_rocket_spark.streaming.rollup import (
     nanos_to_timestamp,
     streaming_time_rollup,

@@ -1,0 +1,73 @@
+"""Streaming near-duplicate detection against a rolling LSH index.
+
+EXTENSION beyond the reference (funnel-rocket is strictly batch). The
+continuous twin of ``operators.dedup.incremental_lsh_pairs``: each
+micro-batch of documents is deduplicated against (a) everything that
+arrived before it — represented by the persisted band-table index, never
+re-hashed — and (b) itself; then the batch's own band rows and text roll
+the index forward for the batches after it.
+
+Contrast with ``streaming_exact_dedup``: that one holds digest state in
+the streaming state store and is bounded by a watermark window. This one
+keeps NO streaming state at all — the "state" is the parquet index, which
+is unbounded, exact over the whole stream history, and shared with the
+batch pipeline (a nightly batch job and this stream can roll the SAME
+index forward).
+
+Write layout: every sink is written as a ``batch=N`` subdirectory with
+overwrite semantics, so a foreachBatch retry after a crash rewrites the
+same directory instead of double-appending — the standard idempotence
+recipe for non-transactional parquet sinks. (Spark's partition discovery
+surfaces the ``batch`` directory as an extra column on read; the join
+logic keys only on (band, bucket) and ids, so it rides along harmlessly
+and doubles as lineage.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from funnel_rocket_spark.operators import dedup
+
+
+def streaming_incremental_dedup(docs: DataFrame, corpus_path: str,
+                                index_path: str, pairs_path: str,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                num_hashes: int = 32, bands: int = 8,
+                                n: int = 3, threshold: float = 0.5):
+    """Wire a streaming docs frame into the rolling-index dedup.
+
+    Returns a ``DataStreamWriter`` (caller adds checkpoint/trigger and
+    ``.start()``). Per micro-batch: near-dup pairs touching the batch are
+    written to ``pairs_path/batch=N``; the batch's band rows and raw docs
+    are written to ``index_path/batch=N`` / ``corpus_path/batch=N``.
+    Document ids must be globally unique across the stream (same contract
+    as the batch operator).
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception:  # first batch: nothing indexed yet
+            index = dedup.minhash_band_table(
+                batch.limit(0), text_col, id_col, num_hashes, bands, n)
+        try:
+            corpus = spark.read.parquet(corpus_path)
+        except Exception:
+            corpus = batch.limit(0)
+        batch = batch.persist()
+        pairs = dedup.incremental_lsh_pairs(
+            batch, corpus, index=index, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, n=n, threshold=threshold)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch={batch_id}")
+        dedup.minhash_band_table(
+            batch, text_col, id_col, num_hashes, bands, n
+        ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+        (batch.write.mode("overwrite")
+         .parquet(f"{corpus_path}/batch={batch_id}"))
+        batch.unpersist()
+
+    return docs.writeStream.foreachBatch(process)

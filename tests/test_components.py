@@ -504,3 +504,48 @@ def test_catalog_bucketed_table_dataset(spark, tmp_path):
         assert count_exchanges(eng.plan(df, bq.Q_PURCHASE3).counts()) == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Rolling-index streaming dedup: batch 2's near-dups are caught both
+    against batch 1 (via the persisted band index) and within batch 2 —
+    and the index/corpus roll forward per batch."""
+    from funnel_rocket_spark.streaming import streaming_incremental_dedup
+
+    indir = tmp_path / "inc_in"
+    indir.mkdir()
+    boiler = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    pd.DataFrame([
+        {"doc_id": 1, "text": boiler},
+        {"doc_id": 2, "text": other},
+    ]).to_parquet(indir / "b1.parquet")
+    pd.DataFrame([
+        {"doc_id": 10, "text": boiler + " tail"},   # near-dup of batch-1 doc
+        {"doc_id": 11, "text": other},              # exact dup of batch-1 doc
+        {"doc_id": 12, "text": other + " variant"}, # near-dup of 11 AND 2
+        {"doc_id": 13, "text": " ".join(f"z{i}" for i in range(30))},
+    ]).to_parquet(indir / "b2.parquet")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(indir)))
+    q = (streaming_incremental_dedup(
+            stream,
+            corpus_path=str(tmp_path / "corpus"),
+            index_path=str(tmp_path / "index"),
+            pairs_path=str(tmp_path / "pairs"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    pairs = {(r["id_a"], r["id_b"])
+             for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    assert (1, 10) in pairs   # cross-batch via the index
+    assert (2, 11) in pairs   # cross-batch exact dup
+    assert (11, 12) in pairs  # within-batch
+    assert not any(a == 13 or b == 13 for a, b in pairs)
+    # the index rolled forward: both batches' band rows are present
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert set(r["batch"] for r in idx.select("batch").distinct().collect()) \
+        == {0, 1}
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == 6
