@@ -564,9 +564,12 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
     * ``method="gemm"`` — Arrow-batched numpy: per-partition partial sums
       (cluster, count, Σvec) flow back as k rows per partition — update
       needs NO exchange at all, and assignment is one normalized GEMM per
-      batch. ~7× faster at 1M×64 with k=122, and the gap grows with k.
-    * ``method="auto"`` (default) — "expr" when k·dim ≤ 1024 (catalog /
-      oracle scale), else "gemm".
+      batch. 9× faster at 1M×64 with k=122, and still ~4× at 5k×64 with
+      k=8 (the expr path recompiles k·dim codegen per round — a fixed cost
+      the GEMM path never pays).
+    * ``method="auto"`` (default) — "gemm"; measured faster at every
+      tested (n, k, dim). "expr" remains for Arrow-less environments and
+      as the expression-level twin the strategy-agreement test pins.
 
     The per-round driver traffic is k×dim floats (gemm: per input
     partition) — independent of corpus size; ``rounds`` is typically small
@@ -590,7 +593,7 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
         return e.withColumn("cluster", F.lit(None).cast("int")), []
     dim = len(centers[0])
     if method == "auto":
-        method = "expr" if k * dim <= 1024 else "gemm"
+        method = "gemm"
 
     if method == "gemm":
         import numpy as np
