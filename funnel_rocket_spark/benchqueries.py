@@ -1408,6 +1408,11 @@ def _interval_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("overlap_us")))
 
 
+def _remove_dup_spans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.remove_duplicate_spans(docs, window=20)
+
+
 QUERIES: dict[str, tuple] = {
     # ---- reference query shapes (SURVEY §2) ------------------------------- #
     "fr_empty_query": (
@@ -2630,6 +2635,36 @@ SELECT a.user_id AS user_a, a.session_id AS session_a,
        AS overlap_us
 FROM sess a JOIN sess b
 ON a.user_id < b.user_id AND a.sa < b.ea AND b.sa < a.ea
+""",
+    ),
+    "text_remove_dup_spans": (
+        _remove_dup_spans_fn,
+        """
+WITH toks AS (""" + _TOKS_SQL + """),
+w AS (SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+19], ' ')) AS h
+      FROM toks, unnest(range(1, greatest(len(tk)-18, 1))) AS t(i)),
+d AS (SELECT doc_id, start FROM (
+        SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS c FROM w)
+      WHERE c > 1),
+m AS (SELECT doc_id, start,
+        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 20
+             THEN 1 ELSE 0 END AS brk FROM d),
+isl AS (SELECT doc_id, start,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM m),
+sp AS (SELECT doc_id, min(start) AS s, max(start) + 19 AS e
+       FROM isl GROUP BY doc_id, island),
+idx AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+        FROM toks),
+kept AS (SELECT idx.doc_id, idx.tok, idx.i
+         FROM idx LEFT JOIN sp ON idx.doc_id = sp.doc_id
+                              AND idx.i >= sp.s AND idx.i <= sp.e
+         WHERE sp.doc_id IS NULL),
+agg AS (SELECT doc_id,
+        array_to_string(list(tok ORDER BY i), ' ') AS clean_text,
+        count(*) AS n_kept FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       (len(t.tk) - coalesce(agg.n_kept, 0))::INT AS n_removed_tokens
+FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
 """,
     ),
 }

@@ -446,3 +446,50 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
                     F.col("span_start").cast("int").alias("span_start"),
                     F.col("span_end").cast("int").alias("span_end"),
                     "n_windows"))
+
+
+def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           window: int = 20) -> DataFrame:
+    """The ExactSubstr dedup ACTION: drop every corpus-duplicated token
+    span (as found by :func:`exact_substring_spans`) from each document →
+    (id, clean_text, n_removed_tokens). Lee et al. 2021 delete the
+    duplicated substring from all-but-one occurrence; dropping it from
+    every occurrence (as here and in several reproductions) additionally
+    de-weights boilerplate — document the choice, it changes corpus
+    statistics.
+
+    Plan shape: spans aggregate to one array per doc (small — spans are
+    merged maximal islands), broadcast-join back to the corpus, then a
+    pure HOF projection filters tokens whose 1-based index falls inside
+    any span. Docs with no duplicated span pass through the left join
+    untouched. Token-joined text normalizes whitespace (same contract as
+    the tokenizer everything else in this module uses).
+    """
+    spans = (exact_substring_spans(df, text_col, id_col, window)
+             .groupBy(id_col)
+             .agg(F.collect_list(F.struct("span_start", "span_end"))
+                  .alias("__spans")))
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    joined = toks_df.join(spans, id_col, "left")
+    # guarded: sequence(1, 0) would count DOWN, and zip_with pads the
+    # shorter side with nulls — an empty doc must index to an empty array
+    idx_seq = F.when(F.size("__tk") > 0,
+                     F.sequence(F.lit(1), F.size("__tk"))
+                     ).otherwise(F.array().cast("array<int>"))
+    indexed = F.zip_with(
+        F.col("__tk"), idx_seq,
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    keep = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.coalesce(F.col("__spans"),
+                       F.array().cast(
+                           "array<struct<span_start:int,span_end:int>>")),
+            lambda s: (x["i"] >= s["span_start"])
+            & (x["i"] <= s["span_end"])))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(keep, lambda x: x["t"]))
+        .alias("clean_text"),
+        (F.size("__tk") - F.size(keep)).alias("n_removed_tokens"))

@@ -558,3 +558,30 @@ def test_new_operators_empty_inputs(spark):
         spark.createDataFrame([], "rid long, rs long, re long"),
         "s", "e", "rs", "re", bucket_size=10.0,
         strategy="bucketed").count() == 0
+
+
+def test_remove_duplicate_spans_planted(spark):
+    boiler = " ".join(f"tok{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, boiler + " keep these words"),
+         (2, "front matter stays " + boiler),
+         (3, "untouched document entirely")],
+        "doc_id long, text string")
+    from funnel_rocket_spark.operators.text import remove_duplicate_spans
+
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+           for r in remove_duplicate_spans(df, window=20).collect()}
+    assert out[1] == ("keep these words", 25)
+    assert out[2] == ("front matter stays", 25)
+    assert out[3] == ("untouched document entirely", 0)
+
+
+def test_remove_duplicate_spans_whole_doc_removed(spark):
+    dup = " ".join(f"d{i}" for i in range(20))
+    df = spark.createDataFrame([(1, dup), (2, dup)],
+                               "doc_id long, text string")
+    from funnel_rocket_spark.operators.text import remove_duplicate_spans
+
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+           for r in remove_duplicate_spans(df, window=20).collect()}
+    assert out == {1: ("", 20), 2: ("", 20)}
