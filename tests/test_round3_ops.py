@@ -585,3 +585,18 @@ def test_remove_duplicate_spans_whole_doc_removed(spark):
     out = {r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
            for r in remove_duplicate_spans(df, window=20).collect()}
     assert out == {1: ("", 20), 2: ("", 20)}
+
+
+def test_interval_join_negative_coordinates(spark):
+    """floor() grid cells are correct below zero (floor-toward-minus-inf,
+    not truncate-toward-zero)."""
+    from funnel_rocket_spark.operators import temporal
+
+    ldf = _mk_intervals(spark, [(1, -25, -5), (2, -100, -80)], "ls", "le")
+    rdf = _mk_intervals(spark, [(3, -10, 10), (4, -90, -85)],
+                        "rs", "re").withColumnRenamed("id", "rid")
+    for strat in ("broadcast", "bucketed"):
+        got = sorted((r["id"], r["rid"]) for r in temporal.interval_join(
+            ldf, rdf, "ls", "le", "rs", "re", bucket_size=7.0,
+            strategy=strat).collect())
+        assert got == [(1, 3), (2, 4)], strat
