@@ -536,8 +536,9 @@ def _gemm_assign(e: DataFrame, centers, id_col: str, vec_col: str):
             out["cluster"] = np.argmax((m / norms[:, None]) @ cnorm, axis=1)
             yield out
 
+    id_type = e.schema[id_col].dataType.simpleString()
     return e.mapInPandas(
-        run, schema=f"{id_col} long, {vec_col} array<double>, cluster int")
+        run, schema=f"{id_col} {id_type}, {vec_col} array<double>, cluster int")
 
 
 def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
