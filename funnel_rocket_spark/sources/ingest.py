@@ -203,3 +203,59 @@ def _pad_missing_shards(path: str, shards: int) -> None:
     for i in range(shards):
         if i not in have:
             open(os.path.join(local, f"part-{i:05d}-empty.json"), "w").close()
+
+
+def zorder_key(df, cols: list[str], bits: int = 8,
+               out_col: str = "__zkey"):
+    """Add a Z-order (Morton) interleave key over ``cols`` → (df + key).
+
+    Each column is first bucketed into ``2^bits`` EXACT global quantile
+    buckets (``olap.exact_ntile`` — distributed, no single-partition
+    window), so the interleave is rank-based and immune to value skew and
+    arbitrary types, exactly like Delta Lake's OPTIMIZE ZORDER. The bucket
+    indexes are then bit-interleaved into one integer key: sorting by it
+    places rows so that ANY prefix of the key fixes a hypercube of the
+    bucket grid — parquet min/max stats of files sorted this way prune on
+    EVERY participating column, not just the leading one of a
+    lexicographic sort.
+
+    Cost: one range exchange + per-partition window per column (the
+    exact_ntile machinery), then the caller's range sort on the key.
+    """
+    from funnel_rocket_spark.operators.olap import exact_ntile
+
+    n = 1 << bits
+    out = df
+    bucket_cols = []
+    for c in cols:
+        bc = f"__zb_{c}"
+        out = exact_ntile(out, n, [F.col(c)], out_col=bc)
+        bucket_cols.append(bc)
+    # interleave: bit j of column i lands at position j*len(cols)+i
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, bc in enumerate(bucket_cols):
+            # ntile buckets are 1-based; shift to 0-based before slicing bits
+            bit = F.shiftright(F.col(bc) - F.lit(1), j).bitwiseAND(F.lit(1))
+            key = key + (bit.cast("long")
+                         * F.lit(1 << (j * len(cols) + i)).cast("long"))
+    return out.withColumn(out_col, key).drop(*bucket_cols)
+
+
+def write_zordered(df, path: str, cols: list[str], bits: int = 8,
+                   partitions: int | None = None) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``.
+
+    ``repartitionByRange`` on the interleave key (files = key ranges =
+    grid hypercubes) + ``sortWithinPartitions`` (row groups within a file
+    cluster too). The payoff is at scan time, with zero reader changes:
+    a filter on ANY of ``cols`` prunes most files/row-groups via plain
+    parquet min/max stats — where a lexicographic sort only prunes on its
+    leading column. See ``tests/test_round3_ops.py`` for the measured
+    per-file range-width contrast.
+    """
+    keyed = zorder_key(df, cols, bits)
+    out = (keyed.repartitionByRange(partitions, F.col("__zkey"))
+           if partitions else keyed.repartitionByRange(F.col("__zkey")))
+    (out.sortWithinPartitions("__zkey").drop("__zkey")
+     .write.mode("overwrite").parquet(path))
