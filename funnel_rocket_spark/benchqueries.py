@@ -1413,6 +1413,11 @@ def _remove_dup_spans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.remove_duplicate_spans(docs, window=20)
 
 
+def _heavy_hitters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return skew.heavy_hitters(ev, "props", k=10, counters=512)
+
+
 QUERIES: dict[str, tuple] = {
     # ---- reference query shapes (SURVEY §2) ------------------------------- #
     "fr_empty_query": (
@@ -2665,6 +2670,14 @@ agg AS (SELECT doc_id,
 SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
        (len(t.tk) - coalesce(agg.n_kept, 0))::INT AS n_removed_tokens
 FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
+""",
+    ),
+    "heavy_hitters_props": (
+        _heavy_hitters_fn,
+        """
+SELECT props AS value, count(*)::BIGINT AS cnt FROM events
+WHERE props IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, value LIMIT 10
 """,
     ),
 }

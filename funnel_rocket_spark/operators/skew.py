@@ -63,3 +63,82 @@ def salted_count_per_value(df: DataFrame, value_col: str,
     )
     return partial.groupBy("value").agg(
         F.sum("__partial").cast("long").alias("count"))
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 10,
+                  counters: int = 4096) -> DataFrame:
+    """EXACT top-k most frequent values in two bounded-memory passes:
+    (value, cnt), ordered by cnt desc then value — without ever shuffling
+    the full (value → count) keyspace.
+
+    Pass 1 runs Misra–Gries with ``counters`` counters per partition
+    (Arrow-batched; memory is O(counters), not O(distinct values)) and
+    unions the per-partition candidate values — a superset of every value
+    with global frequency > N/(counters+1). Pass 2 recounts ONLY the
+    candidates exactly (broadcast semi filter, then a tiny aggregation of
+    ≤ partitions×counters keys).
+
+    Exactness condition (checked, not assumed): the result is provably the
+    true top-k iff the k-th recounted frequency exceeds N/(counters+1) —
+    below that bound a non-candidate could hide in the long tail. A result
+    that fails the check raises, telling the caller to raise ``counters``
+    (or accept ``spark.stat.freqItems``-style approximation elsewhere).
+    This is the 100 TB alternative to ``groupBy(col).count().orderBy``
+    when the column has billions of distinct values but the question is
+    only about the head.
+    """
+    import pandas as pd
+
+    def mg_partition(batches):
+        # weighted Misra–Gries: merge each batch's value_counts into the
+        # counter dict (C-speed, no per-row python), then prune back to
+        # ``counters`` entries by subtracting the (counters+1)-th largest
+        # count from all and dropping non-positives. Any value with
+        # partition frequency > n_p/(counters+1) provably survives.
+        counts: dict = {}
+        n = 0
+        pruned = False
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            n += int(vc.sum())
+            for v, c in vc.items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > counters:
+                pruned = True
+                cut = sorted(counts.values(), reverse=True)[counters]
+                counts = {v: c - cut for v, c in counts.items() if c > cut}
+        # a NULL-value marker row carries the pruned flag even when pruning
+        # emptied the counters (uniform data can zero every counter at
+        # once); NULL never matches the semi-join, so it can't pollute the
+        # recount
+        yield pd.DataFrame({"value": list(counts.keys()) + [None],
+                            "pruned": [pruned] * len(counts) + [pruned]})
+
+    field = df.schema[col].dataType.simpleString()
+    cands = df.select(col).mapInPandas(
+        mg_partition, schema=f"value {field}, pruned boolean")
+    cands = cands.persist()
+    candidates = cands.select("value").distinct()
+    any_pruned = bool(cands.agg(F.max("pruned")).collect()[0][0])
+    total = df.where(F.col(col).isNotNull()).count()
+
+    exact = (df.join(F.broadcast(candidates),
+                     df[col] == candidates["value"], "left_semi")
+             .groupBy(F.col(col).alias("value"))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("value")).limit(k))
+    rows = exact.collect()
+    # if no partition ever pruned, the candidate set is ALL values and the
+    # recount is trivially the exact answer; otherwise certify via the
+    # sketch bound
+    bound = total / (counters + 1)
+    if any_pruned and (len(rows) < k or
+                       (rows and rows[-1]["cnt"] <= bound)):
+        kth = rows[-1]["cnt"] if rows else 0
+        raise ValueError(
+            f"heavy_hitters: k-th frequency {kth} is not above the "
+            f"Misra-Gries bound N/(counters+1) = {bound:.1f}; raise "
+            f"`counters` for a provably exact top-{k}")
+    cands.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows, schema=f"value {field}, cnt long")

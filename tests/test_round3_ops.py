@@ -15,7 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from funnel_rocket_spark import benchqueries as bq
-from funnel_rocket_spark.operators import dedup, sampling, similarity
+from funnel_rocket_spark.operators import dedup, sampling, similarity, skew
 from funnel_rocket_spark.plans import count_exchanges, formatted_plan
 
 SF = "/root/testdata/sf0.001"
@@ -656,3 +656,38 @@ def test_zorder_key_is_deterministic(spark):
     b = sorted(map(tuple, zorder_key(
         li, ["l_partkey", "l_suppkey"], bits=4).collect()))
     assert a == b
+
+
+# --------------------------------------------------------------------------- #
+# exact heavy hitters
+
+
+def test_heavy_hitters_exact_on_skewed_data(spark):
+    """Zipf-ish synthetic column with FAR more distinct values than
+    counters: the two-pass result must equal the full groupBy top-k."""
+    df = spark.range(20_000).select(
+        (F.floor(F.pow(F.rand(seed=5), 4) * 2000)).cast("long")
+        .alias("v"))
+    df = df.persist()
+    got = [(r["value"], r["cnt"]) for r in skew.heavy_hitters(
+        df, "v", k=10, counters=256).collect()]
+    want = [(r["v"], r["cnt"]) for r in
+            df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("v")).limit(10).collect()]
+    assert got == want
+
+
+def test_heavy_hitters_raises_below_bound(spark):
+    """Uniform data with tiny counters cannot certify a top-k — the
+    operator must refuse rather than return a plausible-but-unproven list."""
+    df = spark.range(8_000).select((F.col("id") % 4000).alias("v"))
+    with pytest.raises(ValueError, match="Misra-Gries bound"):
+        skew.heavy_hitters(df, "v", k=10, counters=8)
+
+
+def test_heavy_hitters_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("a",), ("b",)], "v string")
+    got = [(r["value"], r["cnt"]) for r in skew.heavy_hitters(
+        df, "v", k=2, counters=16).collect()]
+    assert got == [("a", 2), ("b", 1)]
