@@ -2738,6 +2738,10 @@ _DRIVER_PRIORITY = [
     # representative reference-shaped query (already driver-green in r2)
     "fr_empty_query",
 ]
+# Round-4 rotation TODO: still never driver-audited after round 3 —
+# olap_sales_opportunity, curation_report, interval_join_concurrent,
+# heavy_hitters_props, text_remove_dup_spans (added after the window
+# filled). Swap them in for five already-green entries next round.
 
 
 def queries() -> dict:

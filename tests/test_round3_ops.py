@@ -691,3 +691,25 @@ def test_heavy_hitters_nulls_ignored(spark):
     got = [(r["value"], r["cnt"]) for r in skew.heavy_hitters(
         df, "v", k=2, counters=16).collect()]
     assert got == [("a", 2), ("b", 1)]
+
+
+from hypothesis import assume  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(weights=st.lists(st.integers(1, 60), min_size=3, max_size=25))
+def test_heavy_hitters_matches_groupby_or_refuses(spark, weights):
+    """For ANY frequency profile: heavy_hitters either returns exactly the
+    groupBy top-k or raises the certification error — never a wrong list."""
+    rows = [(f"v{i}",) for i, w in enumerate(weights) for _ in range(w)]
+    df = spark.createDataFrame(rows, "v string")
+    want = [(r["v"], r["cnt"]) for r in
+            df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("v")).limit(5).collect()]
+    try:
+        got = [(r["value"], r["cnt"]) for r in skew.heavy_hitters(
+            df, "v", k=5, counters=8).collect()]
+    except ValueError:
+        return  # refusal is always acceptable; wrong output is not
+    assert got == want
