@@ -159,3 +159,46 @@ def frame_sample_plan(df: DataFrame, n_frames: int = 4,
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
     )
+
+
+FRAME_SCHEMA = "id bigint, frame_idx int, frame_ms bigint, frame binary"
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32,
+                  payload_col: str = "payload",
+                  duration_col: str = "duration_ms",
+                  id_col: str = "id") -> DataFrame:
+    """Video frame sampling: one output row per sampled frame —
+    (id, frame_idx, frame_ms, frame binary).
+
+    The 1-to-MANY decode shape (each input row explodes into a bounded
+    number of frame rows inside the Arrow batch) — structurally different
+    from the 1-to-1 feature/resize stages and the shape a real pyav
+    keyframe sampler uses. Frame payloads are deterministic byte slices
+    (codecs unavailable here); ``max_frames`` bounds the explosion so one
+    10-hour video can't balloon a task's output.
+
+    At 100 TB: sample BEFORE any shuffle (this is a mapInPandas over the
+    scan) and write frames out partitioned by frame_ms bucket if the
+    downstream is time-aligned training.
+    """
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "frame_idx": [], "frame_ms": [], "frame": []}
+            for _, row in pdf.iterrows():
+                payload = row[payload_col] or b""
+                duration = int(row[duration_col] or 0)
+                n = min(max(duration // every_ms, 1 if payload else 0),
+                        max_frames)
+                for i in range(n):
+                    lo = len(payload) * i // max(n, 1)
+                    hi = len(payload) * (i + 1) // max(n, 1)
+                    out["id"].append(row[id_col])
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(i * every_ms)
+                    out["frame"].append(payload[lo:hi])
+            yield pd.DataFrame(out)
+
+    cols = [F.col(id_col), F.col(payload_col), F.col(duration_col)]
+    return df.select(*cols).mapInPandas(explode_frames, schema=FRAME_SCHEMA)

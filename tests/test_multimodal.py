@@ -61,3 +61,24 @@ def test_resize_stage(payloads):
         assert r["width"] == 64 and r["height"] == 64
         assert isinstance(r["thumb"], (bytes, bytearray))
         assert 0 < len(r["thumb"]) <= 64 * 64 // 8
+
+
+def test_sample_frames_bounded_explosion(spark, payloads):
+    """The byte-carrying 1-to-many stage: frame count tracks duration_ms
+    (capped at max_frames), frames partition the payload bytes, and the
+    concatenation of frames reconstructs the payload (deterministic
+    slicing, no bytes lost)."""
+    meta = multimodal.with_media_metadata(payloads.limit(20)).select(
+        "id", "payload", F.col("meta.duration_ms").alias("duration_ms"))
+    frames = multimodal.sample_frames(meta, every_ms=5000, max_frames=8)
+    rows = frames.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    src = {r["id"]: (r["payload"], r["duration_ms"]) for r in meta.collect()}
+    for vid, (payload, duration) in src.items():
+        fs = sorted(by_id.get(vid, []), key=lambda r: r["frame_idx"])
+        expected_n = min(max(duration // 5000, 1 if payload else 0), 8)
+        assert len(fs) == expected_n, vid
+        assert b"".join(f["frame"] for f in fs) == payload
+        assert [f["frame_ms"] for f in fs] == [i * 5000 for i in range(len(fs))]
