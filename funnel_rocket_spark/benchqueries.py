@@ -1418,6 +1418,16 @@ def _heavy_hitters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.heavy_hitters(ev, "props", k=10, counters=512)
 
 
+def _sample_splits_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test mix per language after deterministic 90/5/5 split
+    assignment — the artifact audit every dataset release runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.assign_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (split.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 QUERIES: dict[str, tuple] = {
     # ---- reference query shapes (SURVEY §2) ------------------------------- #
     "fr_empty_query": (
@@ -2678,6 +2688,21 @@ FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
 SELECT props AS value, count(*)::BIGINT AS cnt FROM events
 WHERE props IS NOT NULL
 GROUP BY 1 ORDER BY cnt DESC, value LIMIT 10
+""",
+    ),
+    "sample_splits": (
+        _sample_splits_fn,
+        # interval layout sorted by split name: test < train < val
+        """
+WITH b AS (SELECT lang,
+  ('0x' || substr(md5(doc_id::VARCHAR), 1, 11))::BIGINT AS bucket
+  FROM documents)
+SELECT lang,
+  CASE WHEN bucket < floor(0.05 * 17592186044416) THEN 'test'
+       WHEN bucket < floor(0.95 * 17592186044416) THEN 'train'
+       ELSE 'val' END AS split,
+  count(*)::BIGINT AS n_docs
+FROM b GROUP BY 1, 2
 """,
     ),
 }

@@ -713,3 +713,34 @@ def test_heavy_hitters_matches_groupby_or_refuses(spark, weights):
     except ValueError:
         return  # refusal is always acceptable; wrong output is not
     assert got == want
+
+
+def test_assign_split_disjoint_exhaustive(spark, docs):
+    out = sampling.assign_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == docs.count()  # exhaustive by construction
+    n = docs.count()
+    assert abs(counts.get("train", 0) - 0.8 * n) < 4 * (0.8 * 0.2 * n) ** 0.5 + 1
+    # deterministic: second run identical assignment
+    a = sorted(map(tuple, out.select("doc_id", "split").collect()))
+    b = sorted(map(tuple, sampling.assign_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split").collect()))
+    assert a == b
+
+
+def test_assign_split_weights_must_sum(spark, docs):
+    with pytest.raises(ValueError):
+        sampling.assign_split(docs, {"train": 0.8, "val": 0.1})
+
+
+def test_assign_split_independent_of_dict_order(spark, docs):
+    a = sorted(map(tuple, sampling.assign_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+        .select("doc_id", "split").collect()))
+    b = sorted(map(tuple, sampling.assign_split(
+        docs, {"test": 0.05, "val": 0.05, "train": 0.9})
+        .select("doc_id", "split").collect()))
+    assert a == b
