@@ -1428,6 +1428,20 @@ def _sample_splits_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+# ExactSubstr: duplicate 20-token windows merged into maximal per-doc
+# spans — shared by the span-listing and span-removal oracles.
+_SUBSTR_SPANS_SQL = """w AS (SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+19], ' ')) AS h
+      FROM toks, unnest(range(1, greatest(len(tk)-18, 1))) AS t(i)),
+d AS (SELECT doc_id, start FROM (
+        SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS c FROM w)
+      WHERE c > 1),
+m AS (SELECT doc_id, start,
+        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 20
+             THEN 1 ELSE 0 END AS brk FROM d),
+isl AS (SELECT doc_id, start,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM m)"""
+
+
 QUERIES: dict[str, tuple] = {
     # ---- reference query shapes (SURVEY §2) ------------------------------- #
     "fr_empty_query": (
@@ -2566,21 +2580,10 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
     ),
     "text_exact_substrings": (
         _exact_substring_fn,
-        """
-WITH toks AS (""" + _TOKS_SQL + """),
-w AS (SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+19], ' ')) AS h
-      FROM toks, unnest(range(1, greatest(len(tk)-18, 1))) AS t(i)),
-d AS (SELECT doc_id, start FROM (
-        SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS c FROM w)
-      WHERE c > 1),
-m AS (SELECT doc_id, start,
-        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 20
-             THEN 1 ELSE 0 END AS brk FROM d),
-i AS (SELECT doc_id, start,
-        sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM m)
+        "WITH toks AS (" + _TOKS_SQL + "),\n" + _SUBSTR_SPANS_SQL + """
 SELECT doc_id, min(start)::INT AS span_start, (max(start) + 19)::INT AS span_end,
        count(*)::BIGINT AS n_windows
-FROM i GROUP BY doc_id, island
+FROM isl GROUP BY doc_id, island
 """,
     ),
     "olap_sales_opportunity": (
@@ -2654,18 +2657,7 @@ ON a.user_id < b.user_id AND a.sa < b.ea AND b.sa < a.ea
     ),
     "text_remove_dup_spans": (
         _remove_dup_spans_fn,
-        """
-WITH toks AS (""" + _TOKS_SQL + """),
-w AS (SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+19], ' ')) AS h
-      FROM toks, unnest(range(1, greatest(len(tk)-18, 1))) AS t(i)),
-d AS (SELECT doc_id, start FROM (
-        SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS c FROM w)
-      WHERE c > 1),
-m AS (SELECT doc_id, start,
-        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 20
-             THEN 1 ELSE 0 END AS brk FROM d),
-isl AS (SELECT doc_id, start,
-        sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM m),
+        "WITH toks AS (" + _TOKS_SQL + "),\n" + _SUBSTR_SPANS_SQL + """,
 sp AS (SELECT doc_id, min(start) AS s, max(start) + 19 AS e
        FROM isl GROUP BY doc_id, island),
 idx AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
