@@ -90,29 +90,35 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
     import pandas as pd
 
     def mg_partition(batches):
-        # weighted Misra–Gries: merge each batch's value_counts into the
-        # counter dict (C-speed, no per-row python), then prune back to
-        # ``counters`` entries by subtracting the (counters+1)-th largest
-        # count from all and dropping non-positives. Any value with
-        # partition frequency > n_p/(counters+1) provably survives.
-        counts: dict = {}
-        n = 0
+        # weighted Misra–Gries, fully vectorized: merge each batch's
+        # value_counts into a pandas Series (C-speed index-aligned add),
+        # and prune back to ``counters`` entries by subtracting the
+        # (counters+1)-th largest count from all and dropping
+        # non-positives. Pruning is amortized (only when the series grows
+        # past 4× counters) — the bound proof only needs each subtraction
+        # charged against ≥ counters+1 entries, which a larger series
+        # satisfies a fortiori. Any value with partition frequency >
+        # n_p/(counters+1) provably survives.
+        acc = None
         pruned = False
         for pdf in batches:
             vc = pdf[col].dropna().value_counts()
-            n += int(vc.sum())
-            for v, c in vc.items():
-                counts[v] = counts.get(v, 0) + int(c)
-            if len(counts) > counters:
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > 4 * counters:
                 pruned = True
-                cut = sorted(counts.values(), reverse=True)[counters]
-                counts = {v: c - cut for v, c in counts.items() if c > cut}
+                cut = acc.nlargest(counters + 1).iloc[-1]
+                acc = acc[acc > cut] - cut
+        if acc is not None and len(acc) > counters:
+            pruned = True
+            cut = acc.nlargest(counters + 1).iloc[-1]
+            acc = acc[acc > cut] - cut
+        values = list(acc.index) if acc is not None else []
         # a NULL-value marker row carries the pruned flag even when pruning
         # emptied the counters (uniform data can zero every counter at
         # once); NULL never matches the semi-join, so it can't pollute the
         # recount
-        yield pd.DataFrame({"value": list(counts.keys()) + [None],
-                            "pruned": [pruned] * len(counts) + [pruned]})
+        yield pd.DataFrame({"value": values + [None],
+                            "pruned": [pruned] * (len(values) + 1)})
 
     field = df.schema[col].dataType.simpleString()
     cands = df.select(col).mapInPandas(

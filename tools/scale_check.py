@@ -283,6 +283,40 @@ def kmeans_main(n_vecs: int, dim: int = 64) -> None:
     print(json.dumps(out))
 
 
+
+def hitters_main(n_rows: int) -> None:
+    """Exact-heavy-hitters evidence: a zipf-ish high-cardinality column at
+    n_rows (deterministic hash-power synthesis, ~n_rows/5 distinct values)
+    — certified two-pass top-k vs the full groupBy+orderBy, timing and
+    equality."""
+    from funnel_rocket_spark.operators import skew
+
+    spark = get_spark(app_name="scale-check-hitters")
+    spark.sparkContext.setLogLevel("ERROR")
+    # zipf-ish: u^4 concentrates mass on low values; u from a hash so the
+    # dataset is deterministic
+    u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1_000_000.0)
+    df = (spark.range(n_rows)
+          .select(F.floor(F.pow(u, 8) * (n_rows / 5)).cast("long")
+                  .alias("v"))
+          .persist())
+    df.count()
+
+    out = {"n_rows": n_rows, "timings": {}}
+    out["n_distinct"] = df.select("v").distinct().count()
+    t0 = time.perf_counter()
+    full = [(r["v"], r["cnt"]) for r in
+            df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("v")).limit(20).collect()]
+    out["timings"]["full_groupby_top20"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    mg = [(r["value"], r["cnt"]) for r in
+          skew.heavy_hitters(df, "v", k=20, counters=4096).collect()]
+    out["timings"]["heavy_hitters_top20"] = round(time.perf_counter() - t0, 2)
+    out["exact_match"] = mg == full
+    print(json.dumps(out))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_main(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
@@ -292,6 +326,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
         kmeans_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "hitters":
+        hitters_main(int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000)
         return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_groups = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
