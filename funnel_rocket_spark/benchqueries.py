@@ -1428,6 +1428,11 @@ def _sample_splits_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def _classifier_score_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.classifier_score(docs)
+
+
 # ExactSubstr: duplicate 20-token windows merged into maximal per-doc
 # spans — shared by the span-listing and span-removal oracles.
 _SUBSTR_SPANS_SQL = """w AS (SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+19], ' ')) AS h
@@ -2695,6 +2700,19 @@ SELECT lang,
        ELSE 'val' END AS split,
   count(*)::BIGINT AS n_docs
 FROM b GROUP BY 1, 2
+""",
+    ),
+    "text_classifier_score": (
+        _classifier_score_fn,
+        # same md5-derived pseudo-weights: w(tok) in [-1, 1] / 1000 steps
+        """
+WITH toks AS (""" + _TOKS_SQL + """)
+SELECT doc_id, round(1.0 / (1.0 + exp(-(
+  coalesce(list_sum(list_transform(tk, t ->
+    ((('0x' || substr(md5('w' || t), 1, 8))::BIGINT % 2001) - 1000) / 1000.0)),
+    0.0)
+  / greatest(len(tk), 1)))), 6) AS clf_score
+FROM toks
 """,
     ),
 }

@@ -493,3 +493,39 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
         F.concat_ws(" ", F.transform(keep, lambda x: x["t"]))
         .alias("clean_text"),
         (F.size("__tk") - F.size(keep)).alias("n_removed_tokens"))
+
+
+def classifier_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", salt: str = "w",
+                     out_col: str = "clf_score") -> DataFrame:
+    """Hashing-trick linear classifier inference: (id, clf_score in (0,1)).
+
+    The SHAPE of fasttext/logreg quality-classifier scoring (the
+    GPT-3/LLaMA-style "looks like reference text" gate): each token hashes
+    to a weight, the document logit is the mean token weight, the score is
+    its sigmoid. Pure codegen projection — zero shuffle, linear scan, the
+    same plan a real linear model produces when its weight table is a
+    broadcast lookup.
+
+    Weights here are md5-derived pseudo-weights (deterministic,
+    engine-portable, differential-testable) — in deployment, replace
+    ``_token_weight`` with a lookup into trained weights (broadcast join
+    on token hash, or a literal array for hashed feature spaces). The
+    scoring plumbing, null handling, and score normalization are what the
+    swap inherits.
+    """
+
+    def _token_weight(tok):
+        # md5 prefix → integer in [-1000, 1000] / 1000 — the stand-in for a
+        # trained weight table, bit-identical in any engine with md5
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), tok).cast("binary")), 1, 8),
+            16, 10).cast("long")
+        return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+
+    tk = tokens(F.col(text_col))
+    logit = F.aggregate(
+        tk, F.lit(0.0), lambda acc, t: acc + _token_weight(t)
+    ) / F.greatest(F.size(tk), F.lit(1))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return df.select(F.col(id_col), F.round(score, 6).alias(out_col))

@@ -161,3 +161,22 @@ def test_redact_pii_hand_cases(spark):
     assert rows[4]["n_redactions"] == 0
     assert rows[5]["redacted"] == "<EMAIL> twice <EMAIL> and ip <IP>"
     assert rows[5]["n_redactions"] == 3
+
+
+def test_classifier_score_shape_and_determinism(spark):
+    from funnel_rocket_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "completely different words here"), (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["clf_score"]
+           for r in classifier_score(df).collect()}
+    assert out[1] == out[2]            # same text → same score
+    assert out[1] != out[3]            # different text → different score
+    assert all(0.0 < s < 1.0 for s in out.values())
+    assert out[4] == 0.5               # empty doc → sigmoid(0)
+    # different salt = different model
+    other = {r["doc_id"]: r["clf_score"]
+             for r in classifier_score(df, salt="w2").collect()}
+    assert other[1] != out[1]
