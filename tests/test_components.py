@@ -549,3 +549,38 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert set(r["batch"] for r in idx.select("batch").distinct().collect()) \
         == {0, 1}
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == 6
+
+
+def test_stateless_text_operators_stream_unchanged(spark, tmp_path):
+    """quality_score / redact_pii / classifier_score are pure projections,
+    so the SAME operator call runs on a readStream frame with no changes —
+    and produces the batch path's exact values."""
+    from funnel_rocket_spark.operators import text as text_ops
+
+    indir = tmp_path / "txt_in"
+    indir.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox mail me a@b.co today"},
+        {"doc_id": 2, "text": "und now für etwas completely different"},
+    ]
+    pd.DataFrame(rows).to_parquet(indir / "b1.parquet")
+
+    batch_df = spark.read.parquet(str(indir))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(indir)))
+
+    def run_stream(df, name):
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        return {r["doc_id"]: tuple(r)[1:]
+                for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    for name, op in [("q_score", text_ops.quality_score),
+                     ("q_pii", text_ops.redact_pii),
+                     ("q_clf", text_ops.classifier_score)]:
+        got = run_stream(op(stream), name)
+        want = {r["doc_id"]: tuple(r)[1:] for r in op(batch_df).collect()}
+        assert got == want, name
