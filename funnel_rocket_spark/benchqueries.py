@@ -1433,6 +1433,34 @@ def _classifier_score_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.classifier_score(docs)
 
 
+def _funnel_trend_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily funnel conversion trend: cohort = users whose FIRST view falls
+    on day D; converted = a purchase strictly after that first view. Two
+    chained windows on ONE user-keyed exchange (first-view, then
+    converted-after) — no self-join of events against events."""
+    from pyspark.sql import Window
+
+    ev = ts_ns(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_fv = ev.withColumn("__fv", fv)
+    cv = F.max(F.when((F.col("event_type") == "purchase")
+                      & (F.col("ts") > F.col("__fv")), 1)
+               .otherwise(0)).over(w)
+    per_user = (with_fv.withColumn("__cv", cv)
+                .groupBy("user_id")
+                .agg(F.first("__fv").alias("__fv"),
+                     F.max("__cv").alias("__conv"))
+                .where(F.col("__fv").isNotNull()))
+    return (per_user
+            .groupBy(F.expr(f"__fv DIV {NANOS_DAY}").alias("day_idx"))
+            .agg(F.count(F.lit(1)).alias("n_started"),
+                 F.sum("__conv").alias("n_converted"))
+            .withColumn("conv_rate",
+                        F.round(F.col("n_converted")
+                                / F.col("n_started"), 6)))
+
+
 # ExactSubstr: duplicate 20-token windows merged into maximal per-doc
 # spans — shared by the span-listing and span-removal oracles.
 _SUBSTR_SPANS_SQL = """w AS (SELECT doc_id, i AS start, md5(array_to_string(tk[i:i+19], ' ')) AS h
@@ -2713,6 +2741,23 @@ SELECT doc_id, round(1.0 / (1.0 + exp(-(
     0.0)
   / greatest(len(tk), 1)))), 6) AS clf_score
 FROM toks
+""",
+    ),
+    "behavior_funnel_trend": (
+        _funnel_trend_fn,
+        f"""
+WITH u AS (SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS fv
+  FROM events GROUP BY 1),
+c AS (SELECT u.user_id, u.fv,
+    max(CASE WHEN e.event_type = 'purchase' AND epoch_ns(e.ts) > u.fv
+        THEN 1 ELSE 0 END) AS cv
+  FROM u JOIN events e USING (user_id)
+  WHERE u.fv IS NOT NULL GROUP BY 1, 2)
+SELECT (fv // {NANOS_DAY})::BIGINT AS day_idx,
+  count(*)::BIGINT AS n_started, sum(cv)::BIGINT AS n_converted,
+  round(sum(cv)::DOUBLE / count(*), 6) AS conv_rate
+FROM c GROUP BY 1
 """,
     ),
 }
