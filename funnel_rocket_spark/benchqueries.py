@@ -2818,10 +2818,12 @@ _DRIVER_PRIORITY = [
     # representative reference-shaped query (already driver-green in r2)
     "fr_empty_query",
 ]
-# Round-4 rotation TODO: still never driver-audited after round 3 —
-# olap_sales_opportunity, curation_report, interval_join_concurrent,
-# heavy_hitters_props, text_remove_dup_spans (added after the window
-# filled). Swap them in for five already-green entries next round.
+# Round-4 rotation TODO: still never driver-audited after round 3 (added
+# after the 50-slot window filled) — olap_sales_opportunity,
+# curation_report, interval_join_concurrent, heavy_hitters_props,
+# text_remove_dup_spans, sample_splits, text_classifier_score,
+# behavior_funnel_trend. Swap them in for eight already-green entries
+# next round; all have sf0.001/0.01/0.1 local parity greens meanwhile.
 
 
 def queries() -> dict:

@@ -744,3 +744,12 @@ def test_assign_split_independent_of_dict_order(spark, docs):
         docs, {"test": 0.05, "val": 0.05, "train": 0.9})
         .select("doc_id", "split").collect()))
     assert a == b
+
+
+def test_funnel_trend_single_user_exchange(spark):
+    """Both windows and the per-user aggregate ride ONE user-keyed
+    exchange; the day rollup is the only other shuffle; no join at all."""
+    out = bq.QUERIES["behavior_funnel_trend"][0](spark, SF)
+    plan = formatted_plan(out)
+    assert "Join" not in plan, plan
+    assert count_exchanges(out) <= 2, plan
