@@ -37,6 +37,15 @@ def get_spark(
         # shuffle, AQE right-sizes the rest at runtime.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
                 str(max(256, 8 * int(shuffle_partitions or int(cpus)))))
+        # ...but don't let the coalescer re-create the spill: AQE sizes
+        # merged partitions by COMPRESSED shuffle bytes, and a sort-based
+        # window inflates those ~5-10× in memory. At the 64m default a
+        # 100M-row sequence query coalesced 256 → 34 partitions (~3M rows
+        # each) and spilled: 28.8 s; at 16m it kept 128 partitions and ran
+        # 10.2 s — back on the linear scaling line from 50M. Small
+        # aggregates still coalesce to few tasks (their byte totals are
+        # tiny either way).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Testdata events.parquet uses TIMESTAMP(NANOS), which Spark 4 only
