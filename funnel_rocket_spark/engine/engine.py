@@ -32,9 +32,14 @@ class QueryEngine:
     tiny aggregates.
     """
 
-    def __init__(self, group_id_column: str, timestamp_column: str):
+    def __init__(self, group_id_column: str, timestamp_column: str,
+                 universe_window_threshold: int = 4_000_000):
         self.group_id_column = group_id_column
         self.timestamp_column = timestamp_column
+        # matched-group count above which the row universe switches from
+        # the semi join (broadcastable below this) to window flags — see
+        # QueryPlan.rows_of_matching_groups
+        self.universe_window_threshold = universe_window_threshold
 
     def expand(self, query: dict, df: Optional[DataFrame] = None) -> ExpandedQuery:
         schema = (
@@ -73,12 +78,24 @@ class QueryEngine:
         needs_rows = bool(query_aggs) or funnel is not None
 
         rows = None
-        if needs_rows:
-            rows = plan.rows_of_matching_groups()
-            rows.persist(StorageLevel.MEMORY_AND_DISK)
-
         try:
             counts = plan.counts().collect()[0]
+            if needs_rows:
+                # adaptive universe: the matched-group count is already in
+                # hand. A small set → semi join (AQE broadcasts it); a set
+                # too big to broadcast would sort-merge the whole table, so
+                # evaluate the same conditions as window flags instead —
+                # join-free, measured 2.9× at 100M rows with 71% of groups
+                # matching. Fold-strategy sequences stay on the join path
+                # (their flags aren't window-expressible).
+                use_window = (
+                    counts["matching_groups"] > self.universe_window_threshold
+                    and not (plan._seq_specs
+                             and plan.sequence_strategy == "fold")
+                )
+                rows = plan.rows_of_matching_groups(
+                    strategy="window" if use_window else "join")
+                rows.persist(StorageLevel.MEMORY_AND_DISK)
             result: dict = {
                 "query": {
                     "matchingGroups": counts["matching_groups"],

@@ -756,3 +756,88 @@ def test_funnel_trend_single_user_exchange(spark):
     plan = formatted_plan(out)
     assert "Join" not in plan, plan
     assert count_exchanges(out) <= 2, plan
+
+
+# --------------------------------------------------------------------------- #
+# windowed row universe (adaptive aggregation path)
+
+
+UNIVERSE_QUERIES = [
+    {"query": {"conditions": [{"filter": ["event_type", "==", "purchase"],
+                               "target": ["count", ">=", 1]}]}},
+    {"query": {"conditions": [{"filter": ["event_type", "==", "purchase"],
+                               "target": ["count", ">=", 3]}]}},
+    {"query": {"conditions": [{"filter": ["event_type", "==", "error"],
+                               "target": ["count", "==", 0],
+                               "includeZero": True}]}},
+    {"query": {"conditions": [
+        {"filter": ["event_type", "==", "purchase"],
+         "target": ["sum", "value", ">", 900.37]}]}},
+    {"query": {"conditions": [
+        {"filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 1]},
+        {"filter": ["event_type", "==", "click"], "target": ["count", ">=", 5]}],
+        "relation": "$0 or $1"}},
+    {"query": {"conditions": [{"sequence": [
+        {"filter": ["event_type", "==", "view"]},
+        {"filter": ["event_type", "==", "purchase"]}]}]}},
+]
+
+
+@pytest.mark.parametrize("q", UNIVERSE_QUERIES,
+                         ids=[f"shape{i}" for i in range(len(UNIVERSE_QUERIES))])
+def test_windowed_universe_equals_join(spark, q):
+    from funnel_rocket_spark.engine import QueryEngine
+
+    ev = bq.ts_ns(bq.load_table(spark, SF, "events"))
+    eng = QueryEngine("user_id", "ts")
+    plan = eng.plan(ev, q)
+    # the universe is projected to used columns — compare full-row multisets
+    join_df = plan.rows_of_matching_groups(strategy="join")
+    win_df = plan.rows_of_matching_groups(strategy="window")
+    cols = sorted(join_df.columns)
+    assert cols == sorted(win_df.columns)
+    join_rows = sorted(map(tuple, join_df.select(*cols).collect()))
+    win_rows = sorted(map(tuple, win_df.select(*cols).collect()))
+    assert join_rows == win_rows
+    if "includeZero" not in str(q):  # zero-error groups may not exist at sf0.001
+        assert len(join_rows) > 0
+
+
+def test_windowed_universe_plan_is_join_free(spark):
+    from funnel_rocket_spark.engine import QueryEngine
+
+    ev = bq.ts_ns(bq.load_table(spark, SF, "events"))
+    eng = QueryEngine("user_id", "ts")
+    plan = eng.plan(ev, UNIVERSE_QUERIES[0])
+    out = plan.rows_of_matching_groups(strategy="window")
+    p = formatted_plan(out)
+    assert "Join" not in p, p
+    assert count_exchanges(out) == 1, p  # one group-keyed window exchange
+
+
+def test_engine_adaptive_universe_matches_join_results(spark):
+    """Force the window path (threshold 0) and compare the full engine
+    result JSON against the join path (threshold huge)."""
+    from funnel_rocket_spark.engine import QueryEngine
+
+    ev = bq.ts_ns(bq.load_table(spark, SF, "events"))
+    q = {"query": {"conditions": [
+        {"filter": ["event_type", "==", "purchase"], "target": ["count", ">=", 1]}],
+        "aggregations": [{"column": "event_type", "type": "countPerValue",
+                          "top": 10}]}}
+    low = QueryEngine("user_id", "ts", universe_window_threshold=0).run(ev, q)
+    high = QueryEngine("user_id", "ts",
+                       universe_window_threshold=10**12).run(ev, q)
+    assert low == high
+
+
+def test_windowed_universe_rejects_fold_sequences(spark):
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    ev = bq.ts_ns(bq.load_table(spark, SF, "events"))
+    eng = QueryEngine("user_id", "ts")
+    expanded = eng.expand(UNIVERSE_QUERIES[5], ev)
+    plan = QueryPlan(ev, expanded, "user_id", "ts", sequence_strategy="fold")
+    with pytest.raises(ValueError, match="anchor"):
+        plan.rows_of_matching_groups(strategy="window").collect()
