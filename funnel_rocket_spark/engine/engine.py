@@ -75,12 +75,12 @@ class QueryEngine:
 
         query_aggs = q.get("query", {}).get("aggregations") or []
         funnel = q.get("funnel")
-        needs_rows = bool(query_aggs) or funnel is not None
-
         rows = None
+        rows_persisted = False
         try:
             counts = plan.counts().collect()[0]
-            if needs_rows:
+            if query_aggs:  # the universe feeds query aggregations only;
+                # the funnel branch derives its own per-group frame
                 # adaptive universe: the matched-group count is already in
                 # hand. A small set → semi join (AQE broadcasts it); a set
                 # too big to broadcast would sort-merge the whole table, so
@@ -95,7 +95,13 @@ class QueryEngine:
                 )
                 rows = plan.rows_of_matching_groups(
                     strategy="window" if use_window else "join")
-                rows.persist(StorageLevel.MEMORY_AND_DISK)
+                if len(query_aggs) > 1:
+                    # caching the universe pays only when several
+                    # aggregations read it; for one consumer the
+                    # materialization is pure overhead (measured 35 s vs
+                    # 13 s at 100M rows on the window path)
+                    rows.persist(StorageLevel.MEMORY_AND_DISK)
+                    rows_persisted = True
             result: dict = {
                 "query": {
                     "matchingGroups": counts["matching_groups"],
@@ -150,7 +156,7 @@ class QueryEngine:
                 }
             return result
         finally:
-            if rows is not None:
+            if rows_persisted:
                 rows.unpersist()
 
     @staticmethod
