@@ -111,18 +111,40 @@ class QueryEngine:
             }
 
             if funnel is not None:
+                # the funnel universe reuses the adaptive policy: windowed
+                # condition flags when the matched-group set is beyond
+                # broadcast scale (fold sequences stay on joins)
+                anchors_ok = not (
+                    (plan._seq_specs or plan._funnel_spec is not None)
+                    and plan.sequence_strategy == "fold")
+                has_conditions = bool(
+                    q.get("query", {}).get("conditions") or [])
+                uni = ("window" if counts["matching_groups"]
+                       > self.universe_window_threshold and anchors_ok
+                       and has_conditions else "join")
                 # One row per group; step counts and every step-rows semi
                 # join derive from it (plan-equal rebuilds hit this cache).
-                frows = plan.funnel_per_group()
+                frows = plan.funnel_per_group(uni)
                 frows.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     step_counts = {
                         r["step"]: r
-                        for r in plan.funnel_step_counts().collect()
+                        for r in plan.funnel_step_counts(uni).collect()
                     }
                     step_aggs = funnel.get("stepAggregations") or []
                     end_aggs = funnel.get("endAggregations") or []
                     n_steps = len(funnel["sequence"])
+
+                    def step_rows(i: int):
+                        # per-step adaptive: many groups pass → anchor
+                        # filter (join-free); few → semi join against the
+                        # cached per-group frame
+                        many = (step_counts[i]["matching_groups"]
+                                > self.universe_window_threshold)
+                        strat = "window" if many and anchors_ok else "join"
+                        return plan.funnel_step_rows(
+                            i, universe_strategy=uni, step_strategy=strat)
+
                     sequence = []
                     for i in range(n_steps):
                         sc = step_counts[i]
@@ -130,14 +152,14 @@ class QueryEngine:
                             "matchingGroups": sc["matching_groups"],
                             "matchingGroupRows": sc["matching_group_rows"],
                             "aggregations": self._collect_aggregations(
-                                plan, step_aggs, plan.funnel_step_rows(i))
+                                plan, step_aggs, step_rows(i))
                             if step_aggs else None,
                         }
                         sequence.append(entry)
                     result["funnel"] = {
                         "sequence": sequence,
                         "endAggregations": self._collect_aggregations(
-                            plan, end_aggs, plan.funnel_step_rows(n_steps - 1))
+                            plan, end_aggs, step_rows(n_steps - 1))
                         if end_aggs else None,
                     }
                 finally:

@@ -531,9 +531,10 @@ class QueryPlan:
             self.rows_of_matching_groups(), self._funnel_spec,
             self.group_col, self.ts_col)
 
-    def funnel_per_group(self) -> Optional[DataFrame]:
+    def funnel_per_group(self, strategy: str = "join") -> Optional[DataFrame]:
         """(group, __fr_rows, __fr_done): row count + completed-step count
-        per group of the funnel universe.
+        per group of the funnel universe. ``strategy`` picks the universe
+        construction (see ``rows_of_matching_groups``).
 
         Funnel anchors are per-group CONSTANTS, so this tiny frame carries
         everything any funnel output needs: group passed step i ⇔ done > i.
@@ -545,7 +546,7 @@ class QueryPlan:
         spec = self._funnel_spec
         if spec is None:
             return None
-        rows = self.rows_of_matching_groups()
+        rows = self.rows_of_matching_groups(strategy)
         if self._use_fold(spec):
             return rows.groupBy(self.group_col).agg(
                 F.count(F.lit(1)).alias(ROWS_COL),
@@ -562,7 +563,7 @@ class QueryPlan:
                        for i in range(len(spec.step_preds))])
         return pg.select(self.group_col, ROWS_COL, done.alias(DONE_COL))
 
-    def funnel_step_counts(self) -> Optional[DataFrame]:
+    def funnel_step_counts(self, strategy: str = "join") -> Optional[DataFrame]:
         """Per-step (step, matching_groups, matching_group_rows).
 
         ONE aggregate over the per-group frame producing all steps' counts
@@ -580,21 +581,42 @@ class QueryPlan:
                         .alias(f"__g{i}"))
             aggs.append(F.coalesce(F.sum(F.when(passed, F.col(ROWS_COL))),
                                    F.lit(0)).alias(f"__r{i}"))
-        one = self.funnel_per_group().agg(*aggs)
+        one = self.funnel_per_group(strategy).agg(*aggs)
         return one.select(F.inline(F.array(*[
             F.struct(F.lit(i).alias("step"),
                      F.col(f"__g{i}").alias("matching_groups"),
                      F.col(f"__r{i}").alias("matching_group_rows"))
             for i in range(n)])))
 
-    def funnel_step_rows(self, step: int) -> Optional[DataFrame]:
-        """All rows of groups that passed funnel step ``step`` — a semi join
-        against the per-group frame (AQE broadcasts the small side)."""
+    def funnel_step_rows(self, step: int, universe_strategy: str = "join",
+                         step_strategy: str = "join") -> Optional[DataFrame]:
+        """All rows of groups that passed funnel step ``step``.
+
+        ``step_strategy="join"``: semi join against the per-group frame
+        (AQE broadcasts it — right when few groups pass the step; pass the
+        SAME ``universe_strategy`` the cached per-group frame was built
+        with so the plan-equality cache hits).
+
+        ``step_strategy="window"`` (anchors only): funnel anchors are
+        per-group constants carried on every row, so "passed step i" is
+        simply ``anchor(i) IS NOT NULL`` — a pure filter, no join, for the
+        many-groups-pass case where the semi join would sort-merge the
+        whole universe.
+        """
         spec = self._funnel_spec
         if spec is None:
             return None
-        passed = (self.funnel_per_group()
+        rows = self.rows_of_matching_groups(universe_strategy)
+        if step_strategy == "window":
+            if self._use_fold(spec):
+                raise ValueError(
+                    "step_strategy='window' requires anchor-strategy funnels")
+            anchored = with_sequence_anchors(rows, spec, self.group_col,
+                                             self.ts_col)
+            return (anchored
+                    .filter(F.col(spec.anchor(step)).isNotNull())
+                    .select(*rows.columns))
+        passed = (self.funnel_per_group(universe_strategy)
                   .filter(F.col(DONE_COL) > F.lit(step))
                   .select(self.group_col))
-        return self.rows_of_matching_groups().join(
-            passed, on=self.group_col, how="left_semi")
+        return rows.join(passed, on=self.group_col, how="left_semi")

@@ -841,3 +841,44 @@ def test_windowed_universe_rejects_fold_sequences(spark):
     plan = QueryPlan(ev, expanded, "user_id", "ts", sequence_strategy="fold")
     with pytest.raises(ValueError, match="anchor"):
         plan.rows_of_matching_groups(strategy="window").collect()
+
+
+def test_funnel_step_rows_filter_equals_join(spark):
+    from funnel_rocket_spark.engine import QueryEngine
+
+    ev = bq.ts_ns(bq.load_table(spark, SF, "events"))
+    eng = QueryEngine("user_id", "ts")
+    q = {"funnel": {"sequence": [
+        {"filter": ["event_type", "==", "view"]},
+        {"filter": ["event_type", "==", "click"]},
+        {"filter": ["event_type", "==", "purchase"]}]}}
+    plan = eng.plan(ev, q)
+    for step in range(3):
+        j = plan.funnel_step_rows(step, step_strategy="join")
+        w = plan.funnel_step_rows(step, step_strategy="window")
+        cols = sorted(j.columns)
+        assert cols == sorted(w.columns)
+        assert (sorted(map(tuple, j.select(*cols).collect()))
+                == sorted(map(tuple, w.select(*cols).collect()))), step
+    # the window path is join-free
+    plan_str = formatted_plan(plan.funnel_step_rows(1, step_strategy="window"))
+    assert "Join" not in plan_str, plan_str
+
+
+def test_engine_funnel_adaptive_matches_join(spark):
+    from funnel_rocket_spark.engine import QueryEngine
+
+    ev = bq.ts_ns(bq.load_table(spark, SF, "events"))
+    q = {"query": {"conditions": [
+        {"filter": ["event_type", "==", "view"], "target": ["count", ">=", 1]}]},
+        "funnel": {"sequence": [
+            {"filter": ["event_type", "==", "view"]},
+            {"filter": ["event_type", "==", "purchase"]}],
+            "stepAggregations": [{"column": "event_type",
+                                  "type": "countPerValue", "top": 5}],
+            "endAggregations": [{"column": "event_type",
+                                 "type": "countPerValue", "top": 5}]}}
+    low = QueryEngine("user_id", "ts", universe_window_threshold=0).run(ev, q)
+    high = QueryEngine("user_id", "ts",
+                       universe_window_threshold=10**12).run(ev, q)
+    assert low == high
