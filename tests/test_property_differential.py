@@ -326,3 +326,28 @@ def test_top_paths_matches_pandas(spark, data, length):
             want[p] = (n + 1, users)
     want = {p: (n, len(users)) for p, (n, users) in want.items()}
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=data_st, query=query_st())
+def test_universe_strategies_agree_on_random_queries(spark, engine, rows,
+                                                     query):
+    """For ARBITRARY generated condition sets (random filters, targets,
+    includeZero, relations), the windowed row universe must be row-for-row
+    identical to the semi-join universe."""
+    pdf = pd.DataFrame(rows)
+    pdf["price"] = pdf["price"].astype("float64")
+    sdf = spark.createDataFrame(
+        pdf, schema="id string, timestamp bigint, price double, cat string")
+    plan = engine.plan(sdf, query)
+    join_df = plan.rows_of_matching_groups(strategy="join")
+    win_df = plan.rows_of_matching_groups(strategy="window")
+    cols = sorted(join_df.columns)
+    assert cols == sorted(win_df.columns)
+
+    def norm(df):  # None-safe multiset compare
+        return sorted((repr(t) for t in map(tuple, df.select(*cols).collect())))
+
+    assert norm(join_df) == norm(win_df), query
