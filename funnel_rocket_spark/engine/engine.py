@@ -77,6 +77,7 @@ class QueryEngine:
         funnel = q.get("funnel")
         rows = None
         rows_persisted = False
+        rows_strategy = None
         try:
             counts = plan.counts().collect()[0]
             if query_aggs:  # the universe feeds query aggregations only;
@@ -93,8 +94,8 @@ class QueryEngine:
                     and not (plan._seq_specs
                              and plan.sequence_strategy == "fold")
                 )
-                rows = plan.rows_of_matching_groups(
-                    strategy="window" if use_window else "join")
+                rows_strategy = "window" if use_window else "join"
+                rows = plan.rows_of_matching_groups(strategy=rows_strategy)
                 if len(query_aggs) > 1:
                     # caching the universe pays only when several
                     # aggregations read it; for one consumer the
@@ -126,14 +127,27 @@ class QueryEngine:
                 # join derive from it (plan-equal rebuilds hit this cache).
                 frows = plan.funnel_per_group(uni)
                 frows.persist(StorageLevel.MEMORY_AND_DISK)
+                step_aggs = funnel.get("stepAggregations") or []
+                end_aggs = funnel.get("endAggregations") or []
+                n_steps = len(funnel["sequence"])
+                # funnel_step_rows re-derives rows_of_matching_groups once
+                # per step-rows job; with step aggregations over several
+                # steps (or step+end aggs) that's several executions of the
+                # same semi-join/window universe. Persist it once — the
+                # plan-equal rebuilds inside funnel_step_rows hit this
+                # cache — mirroring the multi-aggregation rule above.
+                funnel_universe = None
+                universe_consumers = ((n_steps if step_aggs else 0)
+                                      + (1 if end_aggs else 0))
+                if universe_consumers > 1 and not (
+                        rows_persisted and rows_strategy == uni):
+                    funnel_universe = plan.rows_of_matching_groups(uni)
+                    funnel_universe.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     step_counts = {
                         r["step"]: r
                         for r in plan.funnel_step_counts(uni).collect()
                     }
-                    step_aggs = funnel.get("stepAggregations") or []
-                    end_aggs = funnel.get("endAggregations") or []
-                    n_steps = len(funnel["sequence"])
 
                     def step_rows(i: int):
                         # per-step adaptive: many groups pass → anchor
@@ -164,6 +178,8 @@ class QueryEngine:
                     }
                 finally:
                     frows.unpersist()
+                    if funnel_universe is not None:
+                        funnel_universe.unpersist()
             else:
                 result["funnel"] = None
             if with_stats:

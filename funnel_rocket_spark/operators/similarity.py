@@ -16,6 +16,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _np_round6(sims):
+    """numpy twin of ``_round6``: round-half-away-from-zero to 6 places.
+    ``np.round`` is banker's rounding; the expr twins and the DuckDB
+    oracles use SQL ``round`` (half away from zero), and a cosine landing
+    exactly on a half in the 6th decimal would flip a ``>= threshold``
+    verdict between the gemm and expr strategies."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+
+
 def dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -166,7 +177,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             a_mat = _unit_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
-            sims = np.round(a_mat @ b_mat.T, 6)
+            sims = _np_round6(a_mat @ b_mat.T)
             ai, bi = np.nonzero(
                 (sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
             yield pd.DataFrame({
@@ -431,7 +442,7 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
         frames = []
         for s in range(0, len(a_ids), block):
             e = min(s + block, len(a_ids))
-            sims = np.round(a_vn[s:e] @ b_vn.T, 6)  # (block, |b|)
+            sims = _np_round6(a_vn[s:e] @ b_vn.T)  # (block, |b|)
             ai, bi = np.nonzero(
                 (sims >= threshold) & (a_ids[s:e, None] < b_ids[None, :]))
             frames.append(pd.DataFrame({
@@ -442,7 +453,7 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
             # matches normalized by the id< filter above plus its mirror
             for s in range(0, len(b_ids), block):
                 e = min(s + block, len(b_ids))
-                sims = np.round(b_vn[s:e] @ a_vn.T, 6)
+                sims = _np_round6(b_vn[s:e] @ a_vn.T)
                 bi2, ai2 = np.nonzero(
                     (sims >= threshold) & (b_ids[s:e, None] < a_ids[None, :]))
                 frames.append(pd.DataFrame({
@@ -699,7 +710,7 @@ def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
             block = 2048  # bounds the sims buffer to ~block × |cell| doubles
             for s in range(0, len(ids), block):
                 e = min(s + block, len(ids))
-                sims = np.round(mn[s:e] @ mn.T, 6)
+                sims = _np_round6(mn[s:e] @ mn.T)
                 bi, bj = np.nonzero((sims >= threshold)
                                     & (ids[s:e, None] < ids[None, :]))
                 frames.append(pd.DataFrame({

@@ -265,10 +265,35 @@ def interval_join(left: DataFrame, right: DataFrame,
             f"strategy must be auto|broadcast|bucketed: {strategy!r}")
 
     b = F.lit(bucket_size)
+    # For integer coordinates (e.g. int64 epoch-nanos ~1e18) the double
+    # epsilon is a no-op past ~2^53 and double division itself rounds, so
+    # bucket math runs in pure long arithmetic: exclusive end becomes
+    # (end - 1) and floor-division uses SQL `div` (truncating) with a
+    # negative-operand adjustment. Floats keep the epsilon path.
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType)
+
+    _integral = (ByteType, ShortType, IntegerType, LongType)
+    long_coords = (float(bucket_size).is_integer() and bucket_size >= 1 and
+                   all(isinstance(df.schema[c].dataType, _integral)
+                       for df, c in ((left, l_start), (left, l_end),
+                                     (right, r_start), (right, r_end))))
+    bs = int(bucket_size)
+
+    def fdiv(col_sql: str) -> Column:
+        """floor(col / bs) in long space: `div` truncates toward zero, so
+        negatives take the -ceil(-x / bs) form."""
+        return F.expr(f"(CASE WHEN ({col_sql}) >= 0 "
+                      f"THEN ({col_sql}) div {bs} "
+                      f"ELSE -(((-({col_sql})) + {bs} - 1) div {bs}) END)")
 
     def grid(df, start, end):
-        lo_b = F.floor(F.col(start) / b)
-        hi_b = F.floor((F.col(end) - F.lit(1e-9)) / b)
+        if long_coords:
+            lo_b = fdiv(f"`{start}`")
+            hi_b = fdiv(f"`{end}` - 1")
+        else:
+            lo_b = F.floor(F.col(start) / b)
+            hi_b = F.floor((F.col(end) - F.lit(1e-9)) / b)
         n = hi_b - lo_b + 1
         guard = F.when(
             n <= F.lit(max_buckets_per_interval), hi_b
@@ -283,7 +308,13 @@ def interval_join(left: DataFrame, right: DataFrame,
 
     joined = grid(left, l_start, l_end).join(
         grid(right, r_start, r_end), on="__cell")
-    overlap_start = F.greatest(F.col(l_start), F.col(r_start))
+    # Single-cell attribution must use the SAME bucket arithmetic as grid()
+    # or a boundary overlap-start could attribute to no surviving cell.
+    if long_coords:
+        ov_cell = fdiv(f"greatest(`{l_start}`, `{r_start}`)")
+    else:
+        overlap_start = F.greatest(F.col(l_start), F.col(r_start))
+        ov_cell = F.floor(overlap_start / b)
     return (joined
-            .filter(on & (F.floor(overlap_start / b) == F.col("__cell")))
+            .filter(on & (ov_cell == F.col("__cell")))
             .drop("__cell"))

@@ -25,7 +25,7 @@ and doubles as lineage.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from funnel_rocket_spark.operators import dedup
 
@@ -48,13 +48,22 @@ def streaming_incremental_dedup(docs: DataFrame, corpus_path: str,
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # On a foreachBatch RETRY after this batch's index/corpus writes
+        # already succeeded, the parent-dir read would include batch N's own
+        # rows — violating incremental_lsh_pairs' disjoint-id contract and
+        # emitting every verified pair twice. The partition column the
+        # overwrite layout exists for (see module docstring) is also the
+        # retry filter: exclude batch == batch_id on read.
         try:
-            index = spark.read.parquet(index_path)
+            index = (spark.read.parquet(index_path)
+                     .where(F.col("batch") != F.lit(batch_id)))
         except Exception:  # first batch: nothing indexed yet
             index = dedup.minhash_band_table(
                 batch.limit(0), text_col, id_col, num_hashes, bands, n)
         try:
-            corpus = spark.read.parquet(corpus_path)
+            corpus = (spark.read.parquet(corpus_path)
+                      .where(F.col("batch") != F.lit(batch_id))
+                      .drop("batch"))
         except Exception:
             corpus = batch.limit(0)
         batch = batch.persist()

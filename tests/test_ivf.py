@@ -168,3 +168,20 @@ def test_label_centroids_hand_computed(spark):
     assert rows[0]["centroid"] == [2.0, 3.0]
     assert rows[1]["n_vectors"] == 1
     assert rows[1]["centroid"] == [10.0, 20.0]
+
+
+def test_np_round6_matches_sql_round_semantics():
+    """gemm paths round with numpy; expr twins and the DuckDB oracles use
+    SQL round (half away from zero). np.round is banker's rounding — a
+    cosine exactly on a half in the 6th decimal must not flip a >=
+    threshold verdict between strategies."""
+    import numpy as np
+
+    from funnel_rocket_spark.operators.similarity import (_np_round6,
+                                                          _round6)
+
+    vals = [0.1234565, -0.1234565, 0.1234575, -0.1234575, 0.9999995,
+            -0.9999995, 0.5e-6, -0.5e-6, 0.0, 1.0, -1.0, 0.123456789]
+    got = _np_round6(np.array(vals))
+    want = [_round6(v) for v in vals]
+    assert got.tolist() == want

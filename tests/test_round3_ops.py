@@ -523,6 +523,66 @@ def test_interval_join_half_open_boundaries(spark):
         assert got == [3], strat
 
 
+def test_interval_join_int64_nanos_boundary(spark):
+    """int64 epoch-nano coordinates (~1e18, past double's 2^53): the
+    exclusive end must come from long arithmetic — the old double epsilon
+    was a no-op there, exploding one extra grid cell for intervals ending
+    exactly on a bucket boundary and firing the span guard one bucket
+    early. An interval spanning EXACTLY max_buckets_per_interval cells
+    with a boundary end must succeed and stay exact."""
+    from funnel_rocket_spark.operators import temporal
+
+    hour = 3_600_000_000_000  # nanos
+    # cell-aligned start so [base, base+5h) covers exactly 5 grid cells
+    base = (1_600_000_000_000_000_000 // hour + 1) * hour
+    # [base, base + 5h): exactly 5 cells of size 1h; old path computed 6
+    ldf = _mk_intervals(spark, [(1, base, base + 5 * hour)], "ls", "le")
+    rdf = _mk_intervals(
+        spark,
+        [(2, base + 5 * hour, base + 6 * hour),   # touches: no overlap
+         (3, base + 5 * hour - 1, base + 6 * hour),  # 1ns overlap
+         (4, base - hour, base + hour)],
+        "rs", "re").withColumnRenamed("id", "rid")
+    out = temporal.interval_join(ldf, rdf, "ls", "le", "rs", "re",
+                                 bucket_size=float(hour),
+                                 strategy="bucketed",
+                                 max_buckets_per_interval=5)
+    assert sorted(r["rid"] for r in out.collect()) == [3, 4]
+
+
+def test_interval_join_negative_integer_coords(spark):
+    """Long-space floor division must round toward -inf (div truncates),
+    and results must agree with the broadcast strategy on negatives."""
+    from funnel_rocket_spark.operators import temporal
+
+    left = [(1, -25, -3), (2, -10, 4), (3, 3, 9)]
+    right = [(10, -30, -24), (11, -5, 1), (12, -4, 3), (13, 8, 12)]
+    ldf = _mk_intervals(spark, left, "ls", "le")
+    rdf = _mk_intervals(spark, right, "rs", "re").withColumnRenamed(
+        "id", "rid")
+    py = sorted((i, j) for i, ls, le in left for j, rs, re_ in right
+                if ls < re_ and rs < le)
+    for strat in ("broadcast", "bucketed"):
+        got = sorted((r["id"], r["rid"]) for r in temporal.interval_join(
+            ldf, rdf, "ls", "le", "rs", "re", bucket_size=7.0,
+            strategy=strat).collect())
+        assert got == py, strat
+
+
+def test_interval_join_float_coords_keep_epsilon_path(spark):
+    """Fractional coordinates (or fractional bucket sizes) stay on the
+    double path and remain exact."""
+    from funnel_rocket_spark.operators import temporal
+
+    ldf = spark.createDataFrame([(1, 0.0, 2.5)], "id long, ls double, le double")
+    rdf = spark.createDataFrame([(2, 2.5, 4.0), (3, 2.4, 4.0)],
+                                "rid long, rs double, re double")
+    got = sorted(r["rid"] for r in temporal.interval_join(
+        ldf, rdf, "ls", "le", "rs", "re", bucket_size=1.0,
+        strategy="bucketed").collect())
+    assert got == [3]
+
+
 def test_interval_join_bucketed_plan_is_hash_join(spark):
     """The bucketed strategy's whole point: the inequality pair becomes an
     equi-join — no nested-loop, no cartesian, no distinct aggregation."""
