@@ -106,17 +106,50 @@ def _collect_corpus(raw: DataFrame):
     return raw.collect()
 
 
+def _scan_rowcount_upper_bound(df: DataFrame):
+    """Upper bound on a frame's row count from parquet footers — no Spark
+    job. ``inputFiles()`` lists the scan's files regardless of pushed
+    filters, so the summed footer ``num_rows`` bounds the post-filter count
+    from above. Returns None when the frame isn't locally-readable
+    parquet (in-memory frames, remote object stores, post-shuffle plans) —
+    callers fall back to the bounded count probe."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            parsed = urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                return None
+            total += pq.ParquetFile(unquote(parsed.path)).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         method: str = "auto",
-                        max_index_rows: int = 500_000) -> DataFrame:
+                        max_index_rows: int = 500_000,
+                        row_hint: int | None = None) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold: (id_a, id_b, cosine_sim).
 
-    ``method="auto"`` (default): a bounded size probe (scans at most
-    ``max_index_rows + 1`` ids) picks the physical strategy — the exact
-    brute-force index below the bound, sign-LSH bucketing above it. The
-    probe runs one cheap job at call time; pass an explicit method to stay
-    fully lazy.
+    ``method="auto"`` (default) picks the physical strategy — the exact
+    brute-force index below ``max_index_rows``, sign-LSH bucketing above
+    it — sizing the corpus in cost order: a caller-supplied ``row_hint``
+    (free), the parquet-footer upper bound (no job; an upper bound on the
+    filtered count is sufficient to prove the safe side), and only then a
+    bounded count probe (scans at most ``max_index_rows + 1`` ids — the
+    one case that runs a job at call time). Pass an explicit method to
+    skip sizing entirely.
 
     ``method="numpy"``: the unit-normalized corpus is broadcast to
     executors as a dense matrix (the in-memory-index assumption every
@@ -134,7 +167,14 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
     """
     df = drop_null_vectors(df, vec_col)
     if method == "auto":
-        n = df.select(id_col).limit(max_index_rows + 1).count()
+        if row_hint is not None:
+            n = row_hint
+        else:
+            n = _scan_rowcount_upper_bound(df)
+            if n is None or n > max_index_rows:
+                # bound unavailable or inconclusive (filters may still put
+                # the real count under the line): one bounded probe job
+                n = df.select(id_col).limit(max_index_rows + 1).count()
         method = "numpy" if n <= max_index_rows else "lsh"
     if method == "lsh":
         dim = df.select(F.size(F.col(vec_col))).first()[0]

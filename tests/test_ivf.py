@@ -185,3 +185,39 @@ def test_np_round6_matches_sql_round_semantics():
     got = _np_round6(np.array(vals))
     want = [_round6(v) for v in vals]
     assert got.tolist() == want
+
+
+def test_embedding_dup_auto_sizes_without_probe_job(spark, monkeypatch):
+    """For locally-readable parquet scans under the bound, auto sizes the
+    corpus from parquet footers — no probe job. limit() is the probe's
+    first call; poisoning it proves the lazy path."""
+    from pyspark.sql import DataFrame
+
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    assert similarity._scan_rowcount_upper_bound(emb) == 500
+
+    def _boom(self, n):
+        raise AssertionError("probe job ran despite a usable footer bound")
+
+    monkeypatch.setattr(DataFrame, "limit", _boom)
+    pairs = similarity.embedding_dup_pairs(emb, 0.45, method="auto").collect()
+    assert len(pairs) > 0
+
+
+def test_embedding_dup_row_hint_overrides_sizing(spark, monkeypatch):
+    """A caller row_hint wins over both the footer bound and the probe —
+    and a large hint routes to LSH without touching the driver index."""
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+    def _no_collect(raw):
+        raise AssertionError("driver collect despite a large row_hint")
+
+    monkeypatch.setattr(similarity, "_collect_corpus", _no_collect)
+    pairs = similarity.embedding_dup_pairs(
+        emb, 0.45, method="auto", row_hint=10_000_000).collect()
+    brute = {(r["id_a"], r["id_b"]) for r in similarity.embedding_dup_pairs(
+        emb, 0.45, method="expr").collect()}
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got <= brute and len(got) > 0

@@ -818,6 +818,24 @@ def test_funnel_trend_single_user_exchange(spark):
     assert count_exchanges(out) <= 2, plan
 
 
+@pytest.mark.parametrize("name", ["behavior_session_funnel",
+                                  "behavior_session_funnel_bounded"])
+def test_session_funnel_single_group_exchange(spark, name):
+    """session_funnel gained the engine's anchor compiler in round 3 —
+    gate that the sessionization window, the per-(group, session) anchor
+    windows, and the per-session collapse still all ride ONE group-keyed
+    exchange (prefix-compatible partitioning/sort), with only the tiny
+    final step-count reduce as the second (single-partition) exchange.
+    No join anywhere."""
+    out = bq.QUERIES[name][0](spark, SF)
+    plan = formatted_plan(out)
+    assert "Join" not in plan, plan
+    assert count_exchanges(out) <= 2, plan
+    # exactly one of them is the group-keyed hash exchange; the other is
+    # the SinglePartition final reduce, never a second data-sized shuffle
+    assert plan.count("hashpartitioning") <= 1, plan
+
+
 # --------------------------------------------------------------------------- #
 # windowed row universe (adaptive aggregation path)
 
