@@ -416,6 +416,30 @@ def _olap_percentiles_approx_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ok.alias("within_bound"))
 
 
+def _fr_groups_approx_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx=true swaps groupsPerValue's exact countDistinct for HLL
+    approx_count_distinct — the 100 TB path when a per-value
+    distinct-group expand stops being worth it. Sketch values are
+    engine-specific (DuckDB's HLL differs bit-wise), so the contract is
+    SELF-CERTIFYING like ann_ivf_topk: per value, emit whether the HLL
+    estimate's relative error vs the exact twin clears 3x the default
+    rsd (0.05) — measured 0.0/0.0067/0.067 across sf0.001/0.01/0.1,
+    deterministic per dataset (Spark's HLL++ has no run-to-run seed)."""
+    q = {"query": {"aggregations": [
+        {"column": "event_type", "type": "groupsPerValue",
+         "approx": True, "top": 10}]}}
+    df = load_table(spark, sf_dir, "events")
+    plan = _engine().plan(df, q)
+    ((_agg, out),) = plan.aggregations()
+    approx_col = out.columns[1]  # (value, groups) per the exact twin
+    exact = (df.groupBy(F.col("event_type").alias("value"))
+             .agg(F.countDistinct("user_id").alias("__exact")))
+    return (out.join(F.broadcast(exact), "value")
+            .select("value",
+                    (F.abs(F.col(approx_col) - F.col("__exact"))
+                     / F.col("__exact") <= 0.15).alias("within_tol")))
+
+
 def _olap_pricing_summary_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: wide grouped aggregation with
     arithmetic expressions — exercises multi-aggregate partial/final plans."""
@@ -2866,18 +2890,19 @@ SELECT vec_id AS query_id, 10::BIGINT AS n_returned, true AS recall_ok
 FROM embeddings WHERE vec_id < 5
 """,
     ),
+    "fr_agg_groups_per_value_approx": (
+        _fr_groups_approx_fn,
+        """
+SELECT event_type AS value, true AS within_tol
+FROM events GROUP BY 1
+""",
+    ),
 }
 
 # Queries with no SQL-expressible oracle (driver records rows-only check):
-NO_ORACLE: dict = {
-    # approx=true swaps groupsPerValue's exact countDistinct for HLL
-    # approx_count_distinct — the 100 TB path when a per-value distinct-group
-    # expand stops being worth it. Sketch values are engine-specific, so the
-    # driver's check is rows-only (DuckDB's HLL would differ bit-wise).
-    "fr_agg_groups_per_value_approx": _fr_aggregation(
-        Q_EMPTY, {"column": "event_type", "type": "groupsPerValue",
-                  "approx": True, "top": 10}),
-}
+# empty since round 4 — the last two entries (ann_ivf_topk, this one)
+# gained self-certifying contracts.
+NO_ORACLE: dict = {}
 
 
 # The driver's correctness gate audits the FIRST 50 entries of queries().
@@ -2898,6 +2923,7 @@ _DRIVER_PRIORITY = [
     "text_classifier_score", "behavior_funnel_trend",
     # contracts changed in r4 — need fresh greens
     "ann_ivf_topk", "olap_percentiles_approx",
+    "fr_agg_groups_per_value_approx",
     # code paths changed in r4
     "dedup_embedding_cosine", "dedup_semantic", "embedding_kmeans",
     "dedup_incremental_lsh", "fr_funnel_step_agg",
@@ -2914,7 +2940,7 @@ _DRIVER_PRIORITY = [
     "curation_pipeline", "decontaminate_ngram", "dedup_simhash",
     "sessionize_events", "asof_join_clicks", "range_join_value_bands",
     "olap_pricing_summary", "olap_percentiles", "olap_top_orders",
-    "audience_segments", "text_exact_substrings",
+    "audience_segments",
 ]
 # Audit ledger after this rotation: every oracle-able catalog query has at
 # least one independent driver CORRECTNESS green (r02, r03, or r04).

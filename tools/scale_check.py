@@ -238,6 +238,91 @@ def docs_main(n_docs: int) -> None:
 
 
 
+def pipeline_main(n_docs: int) -> None:
+    """Round-4 rung: the heaviest PIPELINE operators at proportional
+    document scale (sf0.1's table is 5k docs; the engine rung is 250M
+    event rows, so >=2M docs is the matching corpus scale). Times
+    exact-substring span detection (the token-window blowup operator),
+    the curation-report rollup (LSH pairs + quality projection +
+    contamination join + one groupBy(source)), and the 10%%-batch
+    incremental ingest against a persisted band index — each the shape a
+    daily 100 TB curation run executes."""
+    from funnel_rocket_spark.operators import dedup, text
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, ".scratch", f"docs_{n_docs}.parquet")
+    spark = get_spark(app_name="scale-check-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        synthesize_docs(spark, n_docs, path)
+        print(f"# synthesized {n_docs} docs in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    docs = spark.read.parquet(path).withColumn(
+        "source", F.concat(F.lit("src_"),
+                           F.pmod(F.xxhash64("doc_id", F.lit(23)),
+                                  F.lit(10)).cast("string")))
+
+    out = {"n_docs": n_docs, "timings": {}}
+
+    # 1. ExactSubstr spans: every 20th doc is its predecessor + 1 token,
+    # so ~2 * n_docs/20 docs carry near-full-length duplicate spans.
+    t0 = time.perf_counter()
+    out["n_span_docs"] = (text.exact_substring_spans(docs)
+                          .select("doc_id").distinct().count())
+    out["timings"]["exact_substring_spans"] = round(
+        time.perf_counter() - t0, 2)
+    print(f"# exact_substring_spans: "
+          f"{out['timings']['exact_substring_spans']}s "
+          f"({out['n_span_docs']} docs with spans)", file=sys.stderr)
+
+    # 2. curation report: same composition as the catalog query
+    t0 = time.perf_counter()
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
+                                    threshold=0.5)
+    dup_ids = (pairs.select(F.col("id_a").alias("doc_id"))
+               .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+               .distinct().withColumn("__dup", F.lit(1)))
+    cont_ids = (dedup.ngram_contamination(corpus, evalset, n=5)
+                .select("doc_id").withColumn("__cont", F.lit(1)))
+    report = (corpus.select("doc_id", "source")
+              .join(text.quality_score(corpus), "doc_id")
+              .join(dup_ids, "doc_id", "left")
+              .join(cont_ids, "doc_id", "left")
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("quality").alias("mean_quality"),
+                   F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+                   .alias("n_near_dup"),
+                   F.sum(F.coalesce(F.col("__cont"), F.lit(0)))
+                   .alias("n_contaminated")))
+    out["n_report_rows"] = report.count()
+    out["timings"]["curation_report"] = round(time.perf_counter() - t0, 2)
+    print(f"# curation_report: {out['timings']['curation_report']}s",
+          file=sys.stderr)
+
+    # 3. incremental ingest: 10% batch vs persisted band index
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    old_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    index = dedup.minhash_band_table(old_docs).persist()
+    t0 = time.perf_counter()
+    index.count()
+    out["timings"]["band_index_build"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["n_incremental_pairs"] = dedup.incremental_lsh_pairs(
+        new_docs, old_docs, index=index).count()
+    out["timings"]["incremental_pairs_10pct"] = round(
+        time.perf_counter() - t0, 2)
+    index.unpersist()
+    print(f"# incremental 10%: "
+          f"{out['timings']['incremental_pairs_10pct']}s "
+          f"(index build {out['timings']['band_index_build']}s)",
+          file=sys.stderr)
+    print(json.dumps(out))
+
+
 def kmeans_main(n_vecs: int, dim: int = 64) -> None:
     """Semantic-dedup-at-scale evidence: deterministic Lloyd's k-means
     timing per round, then SemDeDup within-cell pair recall on the planted
@@ -326,6 +411,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
         kmeans_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
+        pipeline_main(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "hitters":
         hitters_main(int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000)
