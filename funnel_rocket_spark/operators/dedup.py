@@ -134,9 +134,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+_CONTAMINATION_BROADCAST_MAX = 1_000_000  # distinct eval grams
+
+
 def ngram_contamination(corpus: DataFrame, evalset: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3) -> DataFrame:
+                        n: int = 3,
+                        strategy: str = "auto") -> DataFrame:
     """Benchmark decontamination: corpus docs sharing word n-grams with an
     eval set — ``(id_col, n_shared)`` for every corpus doc with ≥1 shared
     distinct n-gram.
@@ -146,12 +150,35 @@ def ngram_contamination(corpus: DataFrame, evalset: DataFrame,
     map-side hash join with zero shuffle of corpus grams; the only exchange
     is the final per-doc count. Raise ``n`` (13-grams are the common
     contamination radius) to sharpen precision; the plan is unchanged.
+
+    ``strategy="auto"`` guards the broadcast the same way the embedding
+    auto mode guards its driver index: a bounded probe caps the eval gram
+    set at ~1M distinct grams (the 2M-doc scale rung pushed ~2M grams
+    through this forced broadcast into a heap-starved JVM and OOM'd it);
+    beyond the cap the hint is dropped and the PLANNER sizes the join
+    from its own statistics — a multi-GB gram set then sort-merge-joins
+    instead of being forced driver-side. ``"broadcast"``/``"planner"``
+    pin the choice (and skip the probe job).
+    For corpus-scale eval sets prefer :func:`bloom_contamination`: its
+    128 KiB bitset prefilter never ships the gram set at all.
     """
     corpus_grams = shingle_frame(corpus, text_col, id_col, n)
     eval_grams = (shingle_frame(evalset, text_col, id_col, n)
                   .select(F.explode("grams").alias("gram")).distinct())
+    if strategy == "auto":
+        # persist so the sizing count and the join share ONE shingling
+        # pass over the eval set (the probe would otherwise redo it)
+        eval_grams.persist()
+        cap = _CONTAMINATION_BROADCAST_MAX
+        small = eval_grams.limit(cap + 1).count() <= cap
+        strategy = "broadcast" if small else "planner"
+    if strategy not in ("broadcast", "planner"):
+        raise ValueError(
+            f"strategy must be auto|broadcast|planner: {strategy!r}")
+    right = (F.broadcast(eval_grams) if strategy == "broadcast"
+             else eval_grams)
     exploded = corpus_grams.select("id", F.explode("grams").alias("gram"))
-    return (exploded.join(F.broadcast(eval_grams), "gram")
+    return (exploded.join(right, "gram")
             # grams are distinct per doc (array_distinct upstream), so a
             # plain count is the distinct shared-gram count
             .groupBy("id").agg(F.count(F.lit(1)).alias("n_shared"))

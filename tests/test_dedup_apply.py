@@ -103,3 +103,29 @@ def test_ngram_contamination_semantics_and_broadcast(spark):
     assert out == {1: 5, 3: 2}
     plan = formatted_plan(dedup.ngram_contamination(corpus, evalset, n=3))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ngram_contamination_planner_fallback_equal(spark, monkeypatch):
+    """The auto guard's fallback (eval gram set beyond the broadcast cap —
+    found by the 2M-doc rung OOMing a heap-starved JVM) drops the forced
+    hint and lets the planner size the join; results are identical, and
+    auto actually routes there when the cap is exceeded. (On a toy eval
+    set the planner still broadcasts by its own stats — the point is that
+    nothing FORCES a multi-GB broadcast.)"""
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat today"),
+         (2, "dogs bark loudly at night"),
+         (3, "on the mat today we rest")],
+        "doc_id long, text string")
+    evalset = spark.createDataFrame(
+        [(100, "the cat sat on the mat today")], "doc_id long, text string")
+    want = {1: 5, 3: 2}
+    unhinted = {r["doc_id"]: r["n_shared"]
+                for r in dedup.ngram_contamination(
+                    corpus, evalset, n=3, strategy="planner").collect()}
+    assert unhinted == want
+    monkeypatch.setattr(dedup, "_CONTAMINATION_BROADCAST_MAX", 2)
+    auto = {r["doc_id"]: r["n_shared"]
+            for r in dedup.ngram_contamination(
+                corpus, evalset, n=3).collect()}
+    assert auto == want  # routed through the fallback, same answer
