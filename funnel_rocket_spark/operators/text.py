@@ -397,7 +397,8 @@ def token_entropy(df: DataFrame, text_col: str = "text",
 
 def exact_substring_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
-                          window: int = 20) -> DataFrame:
+                          window: int = 20,
+                          fingerprint: str = "xxhash64") -> DataFrame:
     """ExactSubstr-style duplicate-span detection (Lee et al.,
     "Deduplicating Training Data Makes Language Models Better", 2021):
     fingerprint every ``window``-token sliding window; a window whose
@@ -410,14 +411,22 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
     global sort. Here the global structure is ONE exchange on the window
     fingerprint (count-over-hash window function: no self-join, no
     groupBy + rejoin), followed by a per-doc exchange for span merging.
-    Window texts are md5-fingerprinted via slice+concat (O(n·window) —
-    the portable cross-engine choice; a Karp–Rabin rolling hash would be
-    O(n) but not bit-reproducible in ANSI SQL). Collisions: md5 over up
-    to ~2^64 windows is collision-free in practice; a colliding pair
-    would only add a spurious span, never drop one.
+    Window texts are fingerprinted via slice+concat (O(n·window); a
+    Karp–Rabin rolling hash would be O(n) but not bit-reproducible in
+    ANSI SQL). Collisions only ever ADD a spurious span, never drop one.
+
+    ``fingerprint`` picks the hash. ``"xxhash64"`` (default) keys the
+    exchange with 8-byte longs — the production choice: at the 2M-doc
+    scale rung the 32-char md5 HEX keys made the fingerprint window's
+    sort spill (212 s; same plan on long keys: 35 s, back on the linear
+    slope). ``"md5"`` stays bit-reproducible in any SQL engine — the
+    differential-oracle twin.
     """
     from pyspark.sql import Window as W
 
+    if fingerprint not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"fingerprint must be xxhash64|md5: {fingerprint!r}")
     toks_df = df.select(F.col(id_col).alias("id"),
                         tokens(F.col(text_col)).alias("tk"))
     # sequence(1, size-window+1); guarded — sequence(1, 0) would count DOWN
@@ -425,11 +434,12 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
         F.size("tk") >= window,
         F.sequence(F.lit(1), F.size("tk") - F.lit(window - 1))
     ).otherwise(F.array().cast("array<int>"))
+    win_text = F.concat_ws(
+        " ", F.slice(F.col("tk"), F.col("start"), window))
+    fp = (F.xxhash64(win_text) if fingerprint == "xxhash64"
+          else F.md5(win_text.cast("binary")))
     wins = (toks_df.select("id", "tk", F.explode(starts).alias("start"))
-            .select("id", "start",
-                    F.md5(F.concat_ws(
-                        " ", F.slice(F.col("tk"), F.col("start"), window))
-                        .cast("binary")).alias("h")))
+            .select("id", "start", fp.alias("h")))
     dup = (wins.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("h")))
            .where(F.col("c") > 1))
     per_doc = W.partitionBy("id").orderBy("start")
@@ -450,7 +460,8 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
 
 def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           window: int = 20) -> DataFrame:
+                           window: int = 20,
+                           fingerprint: str = "xxhash64") -> DataFrame:
     """The ExactSubstr dedup ACTION: drop every corpus-duplicated token
     span (as found by :func:`exact_substring_spans`) from each document →
     (id, clean_text, n_removed_tokens). Lee et al. 2021 delete the
@@ -466,7 +477,8 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
     untouched. Token-joined text normalizes whitespace (same contract as
     the tokenizer everything else in this module uses).
     """
-    spans = (exact_substring_spans(df, text_col, id_col, window)
+    spans = (exact_substring_spans(df, text_col, id_col, window,
+                                   fingerprint=fingerprint)
              .groupBy(id_col)
              .agg(F.collect_list(F.struct("span_start", "span_end"))
                   .alias("__spans")))
