@@ -1130,7 +1130,8 @@ def _decontaminate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     evalset = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return dedup.ngram_contamination(corpus, evalset, n=3)
+    return dedup.ngram_contamination(corpus, evalset, n=3,
+                                      strategy="broadcast")
 
 
 def _dedup_pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,7 +1156,8 @@ def _curation_pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = dedup.apply_dedup(docs, pairs).select("doc_id")
     good = text.quality_score(corpus).filter(
         F.col("quality") >= 0.9).select("doc_id")
-    contaminated = dedup.ngram_contamination(corpus, evalset, n=5) \
+    contaminated = dedup.ngram_contamination(corpus, evalset, n=5,
+                                          strategy="broadcast") \
         .select("doc_id")
     return (corpus.select("doc_id")
             .join(survivors, "doc_id", "left_semi")
@@ -1464,7 +1466,8 @@ def _curation_report_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_ids = (pairs.select(F.col("id_a").alias("doc_id"))
                .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
                .distinct().withColumn("__dup", F.lit(1)))
-    cont_ids = (dedup.ngram_contamination(corpus, evalset, n=5)
+    cont_ids = (dedup.ngram_contamination(corpus, evalset, n=5,
+                                          strategy="broadcast")
                 .select("doc_id").withColumn("__cont", F.lit(1)))
     base = (corpus.select("doc_id", "source")
             .join(text.quality_score(corpus), "doc_id")

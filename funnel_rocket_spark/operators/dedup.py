@@ -166,12 +166,22 @@ def ngram_contamination(corpus: DataFrame, evalset: DataFrame,
     eval_grams = (shingle_frame(evalset, text_col, id_col, n)
                   .select(F.explode("grams").alias("gram")).distinct())
     if strategy == "auto":
-        # persist so the sizing count and the join share ONE shingling
-        # pass over the eval set (the probe would otherwise redo it)
-        eval_grams.persist()
         cap = _CONTAMINATION_BROADCAST_MAX
-        small = eval_grams.limit(cap + 1).count() <= cap
-        strategy = "broadcast" if small else "planner"
+        # Tier 1: total eval text bytes bound the gram count from above
+        # (every distinct gram starts at a distinct token and tokens take
+        # >= 2 bytes incl. separator) — one cheap scan, no shingling.
+        # The common case (benchmark suites: KBs-to-MBs of text) resolves
+        # here without the distinct-gram probe job.
+        total_bytes = (evalset.agg(
+            F.sum(F.octet_length(text_col)).alias("b")).first()["b"] or 0)
+        if total_bytes <= 2 * cap:
+            strategy = "broadcast"
+        else:
+            # Gray zone: count distinct grams; persist so the probe and
+            # the join share ONE shingling pass over the eval set.
+            eval_grams.persist()
+            small = eval_grams.limit(cap + 1).count() <= cap
+            strategy = "broadcast" if small else "planner"
     if strategy not in ("broadcast", "planner"):
         raise ValueError(
             f"strategy must be auto|broadcast|planner: {strategy!r}")
