@@ -32,6 +32,30 @@ def tokens(col, lowercase: bool = True):
     return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
 
 
+_PERSISTED_RING: list = []
+_PERSISTED_RING_CAP = 12
+
+
+def bounded_persist(df: DataFrame) -> DataFrame:
+    """persist() with session hygiene: Spark's cacheManager holds cached
+    plans forever (the driver never garbage-collects them), so a
+    long-lived session running many dedup queries — a job server, the
+    107-query bench — accumulates storage until eviction thrash. Keep a
+    ring of the most recent frames and unpersist beyond the cap
+    (sized above any single query composition's persist count);
+    unpersisting early is always CORRECT (consumers recompute), it only
+    trades recompute for memory."""
+    df.persist()
+    _PERSISTED_RING.append(df)
+    while len(_PERSISTED_RING) > _PERSISTED_RING_CAP:
+        old = _PERSISTED_RING.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session may already be stopped
+    return df
+
+
 def word_ngrams(col, n: int = 3):
     """Distinct word n-gram shingles as an array<string> column.
 
@@ -79,7 +103,7 @@ def shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     par = df.sparkSession.sparkContext.defaultParallelism
     toks_df = df.repartition(par).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-    toks_df.persist()
+    bounded_persist(toks_df)
     return toks_df.select("id", _ngrams_over(F.col("toks"), n).alias("grams"))
 
 
@@ -115,7 +139,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # persist each side re-tokenizes + re-shingles the full corpus.
     shingled = shingle_frame(df, text_col, id_col, n).withColumn(
         "n_grams", F.size("grams"))
-    shingled.persist()
+    bounded_persist(shingled)
     exploded = shingled.select("id", "n_grams", F.explode("grams").alias("gram"))
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
@@ -179,7 +203,7 @@ def ngram_contamination(corpus: DataFrame, evalset: DataFrame,
         else:
             # Gray zone: count distinct grams; persist so the probe and
             # the join share ONE shingling pass over the eval set.
-            eval_grams.persist()
+            bounded_persist(eval_grams)
             small = eval_grams.limit(cap + 1).count() <= cap
             strategy = "broadcast" if small else "planner"
     if strategy not in ("broadcast", "planner"):
@@ -330,10 +354,10 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus: DataFrame,
     assert bands * rows_per_band == num_hashes
     new_grams = shingle_frame(new_docs, text_col, id_col, n).filter(
         F.size("grams") > 0)
-    new_grams.persist()
+    bounded_persist(new_grams)
     new_banded = _band_rows(_minhash_sigs(new_grams, num_hashes),
                             bands, rows_per_band)
-    new_banded.persist()
+    bounded_persist(new_banded)
     if index is None:
         index = minhash_band_table(corpus, text_col, id_col,
                                    num_hashes, bands, n)
@@ -355,7 +379,7 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus: DataFrame,
 
     # Verification reads candidates twice (id set + the pair join); persist
     # or the index join re-executes per consumer.
-    candidates = candidates.persist()
+    candidates = bounded_persist(candidates)
     cand_ids = (candidates.select(F.col("id_a").alias("cid"))
                 .unionByName(candidates.select(F.col("id_b").alias("cid")))
                 .distinct())
@@ -400,14 +424,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # candidate join, and verification all reuse them instead of re-hashing
     # the corpus per branch.
     grams_df = shingle_frame(df, text_col, id_col, n).filter(F.size("grams") > 0)
-    grams_df.persist()
+    bounded_persist(grams_df)
     sigs = _minhash_sigs(grams_df, num_hashes)
     # Lazy persist: the first consuming job materializes the cache. The band
     # self-join references sigs twice in one job, but BlockManager computes
     # each cached partition once (concurrent readers block on the loading
     # partition), so an eager count() would only serialize an extra job —
     # measured +31% on standalone pair queries in round 2.
-    sigs.persist()
+    bounded_persist(sigs)
 
     banded = _band_rows(sigs, bands, rows_per_band)
 
@@ -475,7 +499,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10,
         # once: the driver path releases it after collecting, the
         # distributed star rounds read the cached edges instead of
         # recomputing them.
-        pairs.persist()
+        bounded_persist(pairs)
         rows = pairs.select("id_a", "id_b").limit(
             driver_threshold + 1).collect()
         if len(rows) <= driver_threshold:

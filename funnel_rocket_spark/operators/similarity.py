@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from funnel_rocket_spark.operators.dedup import bounded_persist
+
 
 def _np_round6(sims):
     """numpy twin of ``_round6``: round-half-away-from-zero to 6 places.
@@ -182,7 +184,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
                                   vec_col=vec_col, dim=dim)
     if method == "expr":
         unit = unit_normalized(df, id_col, vec_col)
-        unit.persist()  # both join sides reuse the normalized vectors
+        bounded_persist(unit)  # both join sides reuse the normalized vectors
         a = unit.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = unit.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
@@ -635,7 +637,7 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
                             lambda a, x: a + x * x) > 0)
     # Every round (and the returned assignment) re-reads this frame;
     # persist or each of the rounds+1 jobs re-scans + re-casts the corpus.
-    e = e.persist()
+    e = bounded_persist(e)
     seeds = (e.orderBy(id_col).limit(k)
              .select(vec_col).collect())
     centers = [list(r[0]) for r in seeds]
@@ -732,7 +734,7 @@ def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
                                id_col=id_col, vec_col=vec_col)
     # Consumed twice (or grouped) downstream; persist or every consumer
     # re-runs the final assignment expression AND the upstream scan.
-    assigned = assigned.persist()
+    assigned = bounded_persist(assigned)
     if method == "gemm":
         import numpy as np
         import pandas as pd

@@ -123,7 +123,8 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
     field = df.schema[col].dataType.simpleString()
     cands = df.select(col).mapInPandas(
         mg_partition, schema=f"value {field}, pruned boolean")
-    cands = cands.persist()
+    from funnel_rocket_spark.operators.dedup import bounded_persist
+    cands = bounded_persist(cands)
     candidates = cands.select("value").distinct()
     any_pruned = bool(cands.agg(F.max("pruned")).collect()[0][0])
     total = df.where(F.col(col).isNotNull()).count()

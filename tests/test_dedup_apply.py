@@ -129,3 +129,16 @@ def test_ngram_contamination_planner_fallback_equal(spark, monkeypatch):
             for r in dedup.ngram_contamination(
                 corpus, evalset, n=3).collect()}
     assert auto == want  # routed through the fallback, same answer
+
+
+def test_bounded_persist_ring_caps_storage(spark):
+    """The persist ring keeps at most CAP frames cached; older frames are
+    unpersisted so a long-lived session (job server, the 107-query bench)
+    can't accumulate storage without bound."""
+    frames = [spark.range(i + 1) for i in range(dedup._PERSISTED_RING_CAP + 3)]
+    for f in frames:
+        dedup.bounded_persist(f)
+    assert len(dedup._PERSISTED_RING) == dedup._PERSISTED_RING_CAP
+    assert not frames[0].storageLevel.useMemory    # evicted + unpersisted
+    assert not frames[1].storageLevel.useMemory
+    assert frames[-1].storageLevel.useMemory       # recent stays cached
