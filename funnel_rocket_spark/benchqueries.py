@@ -1547,6 +1547,51 @@ def _classifier_score_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.classifier_score(docs)
 
 
+def _trained_weights() -> dict:
+    """Deterministic 'trained' vocabulary over the synthetic corpus's
+    actual word set. Weights are DYADIC rationals (multiples of 2^-10) so
+    every partial sum is exactly representable in a double: the broadcast
+    join's arbitrary aggregation order and DuckDB's both land on the SAME
+    sum bit-for-bit — the float analogue of the integer-cents trick the
+    money oracles use."""
+    import hashlib
+
+    vocab = ["a", "agg", "batch", "big", "column", "customer", "data",
+             "dup", "fast", "filter", "group", "hash", "join", "key",
+             "line", "merge", "order", "part", "query", "row", "scan",
+             "slow", "small", "sort", "spark", "stream", "table", "the",
+             "value", "vector", "window"]
+    return {w: ((int(hashlib.md5(f"tw:{w}".encode()).hexdigest()[:8], 16)
+                 % 2049) - 1024) / 1024.0
+            for w in vocab}
+
+
+def _classifier_trained_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-weight classifier gate on the broadcast-join path (the
+    100k-vocabulary shape; the literal-map twin is equality-pinned in
+    pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.classifier_score_weights(docs, _trained_weights(),
+                                         strategy="join")
+
+
+def _trained_weights_sql() -> str:
+    rows = ", ".join(f"('{t}', CAST({w!r} AS DOUBLE))"
+                     for t, w in sorted(_trained_weights().items()))
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+w(token, weight) AS (VALUES {rows}),
+ex AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS tok FROM toks),
+j AS (SELECT e.doc_id, e.n, coalesce(w.weight, 0.0) AS wt
+      FROM ex e LEFT JOIN w ON e.tok = w.token),
+agg AS (SELECT doc_id, max(n) AS n, sum(wt) AS s FROM j GROUP BY 1)
+SELECT t.doc_id,
+  round(1.0 / (1.0 + exp(-(coalesce(a.s, 0.0)
+        / greatest(coalesce(a.n, 1), 1)))), 6) AS clf_score
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _funnel_trend_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily funnel conversion trend: cohort = users whose FIRST view falls
     on day D; converted = a purchase strictly after that first view. Two
@@ -2857,6 +2902,10 @@ SELECT doc_id, round(1.0 / (1.0 + exp(-(
 FROM toks
 """,
     ),
+    "text_classifier_trained": (
+        _classifier_trained_fn,
+        _trained_weights_sql(),
+    ),
     "behavior_funnel_trend": (
         _funnel_trend_fn,
         f"""
@@ -2918,7 +2967,7 @@ NO_ORACLE: dict = {}
 # embedding auto sizing, GEMM rounding, funnel universe caching,
 # persisted-index incremental LSH), then the full fr_* reference suite
 # plus representative extension re-greens. Everything else follows in
-# catalog order, so all 107 stay runnable by bench.py.
+# catalog order, so all 108 stay runnable by bench.py.
 _DRIVER_PRIORITY = [
     # 8 never-audited (added after r3's window filled)
     "olap_sales_opportunity", "curation_report", "interval_join_concurrent",
@@ -2942,8 +2991,8 @@ _DRIVER_PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_pipeline_minhash",
     "curation_pipeline", "decontaminate_ngram", "dedup_simhash",
     "sessionize_events", "asof_join_clicks", "range_join_value_bands",
-    "olap_pricing_summary", "olap_percentiles", "olap_top_orders",
-    "audience_segments",
+    "olap_pricing_summary", "olap_percentiles", "audience_segments",
+    "text_classifier_trained",
 ]
 # Audit ledger after this rotation: every oracle-able catalog query has at
 # least one independent driver CORRECTNESS green (r02, r03, or r04).

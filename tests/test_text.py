@@ -180,3 +180,59 @@ def test_classifier_score_shape_and_determinism(spark):
     other = {r["doc_id"]: r["clf_score"]
              for r in classifier_score(df, salt="w2").collect()}
     assert other[1] != out[1]
+
+
+def test_classifier_weights_strategies_agree(spark):
+    """Literal-map and broadcast-join scoring are the same function."""
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.operators import text
+
+    docs = bq.load_table(spark, "/root/testdata/sf0.001", "documents")
+    w = bq._trained_weights()
+    m = {r["doc_id"]: r["clf_score"] for r in
+         text.classifier_score_weights(docs, w, strategy="map").collect()}
+    j = {r["doc_id"]: r["clf_score"] for r in
+         text.classifier_score_weights(docs, w, strategy="join").collect()}
+    assert m == j and len(m) == docs.count()
+
+
+def test_classifier_weights_hand_computed(spark):
+    """Mean-over-all-tokens contract: known weights, unknown tokens weigh
+    default, empty doc scores 0.5."""
+    import math
+
+    from funnel_rocket_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unseen words only"), (3, "")],
+        "doc_id long, text string")
+    w = {"good": 0.5, "bad": -1.0}
+    for strategy in ("map", "join"):
+        got = {r["doc_id"]: r["clf_score"] for r in
+               text.classifier_score_weights(
+                   df, w, strategy=strategy).collect()}
+        assert abs(got[1] - round(1 / (1 + math.exp(-(0.5 + 0.5 - 1.0) / 3)), 6)) < 1e-9
+        assert got[2] == 0.5  # three unknown tokens, default 0
+        assert got[3] == 0.5  # empty doc
+        # non-zero default shifts unknown tokens
+        got_d = {r["doc_id"]: r["clf_score"] for r in
+                 text.classifier_score_weights(
+                     df, w, default=1.0, strategy=strategy).collect()}
+        assert got_d[2] == round(1 / (1 + math.exp(-1.0)), 6)
+
+
+def test_classifier_weights_plan_shapes(spark):
+    """map path: zero exchanges (pure projection, like the hashing twin);
+    join path: broadcast only — the vocabulary never sort-merge-joins."""
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.operators import text
+    from funnel_rocket_spark.plans import count_exchanges, formatted_plan
+
+    docs = bq.load_table(spark, "/root/testdata/sf0.001", "documents")
+    w = bq._trained_weights()
+    assert count_exchanges(
+        text.classifier_score_weights(docs, w, strategy="map")) == 0
+    jplan = formatted_plan(
+        text.classifier_score_weights(docs, w, strategy="join"))
+    assert "BroadcastHashJoin" in jplan, jplan
+    assert "SortMergeJoin" not in jplan, jplan
