@@ -378,6 +378,46 @@ def _ann_ivf_full_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_iter=1, init_mode="random")
 
 
+def _ann_ivfpq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (product-quantized residuals, ADC search) with the same
+    self-certifying contract as ``ann_ivf_topk``: per query, result
+    cardinality plus a score-based recall@k verdict against the in-plan
+    brute force. Full probe isolates PQ quantization error from cell
+    routing. The floor is conservative by design: near-uniform random
+    test embeddings are PQ's worst case (nothing for the subspace
+    codebooks to exploit at 85× compression) — measured 0.2-0.7 recall
+    across sf0.001/0.01/0.1 vs a 2% random baseline; the planted-near-dup
+    pytest covers the clustered workload PQ actually exists for."""
+    k, bound = 10, 0.1
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    pq = similarity.ivf_pq_topk(emb, queries, k=k, n_clusters=8, m=8,
+                                n_bits=6, n_probe=8, rounds=4)
+    brute = similarity.cosine_topk(emb, queries, k=k)
+    kth = brute.groupBy("query_id").agg(F.min("cosine_sim").alias("__kth"))
+    qv = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("__qv"))
+    truth = (pq.join(emb.select("vec_id", "embedding"), "vec_id")
+             .join(F.broadcast(qv), "query_id")
+             .select("query_id", "vec_id",
+                     F.round(similarity.cosine(
+                         F.col("embedding").cast("array<double>"),
+                         F.col("__qv").cast("array<double>")), 6)
+                     .alias("__true")))
+    per_q = (truth.join(F.broadcast(kth), "query_id")
+             .groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_returned"),
+                  F.sum(F.when(F.col("__true") >= F.col("__kth"), 1)
+                        .otherwise(0)).alias("__hits")))
+    return (queries.select(F.col("vec_id").alias("query_id"))
+            .join(F.broadcast(per_q), "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_returned"), F.lit(0))
+                    .alias("n_returned"),
+                    (F.coalesce(F.col("__hits"), F.lit(0)) / k >= bound)
+                    .alias("recall_ok")))
+
+
 def _olap_percentiles_approx_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK-sketch percentiles with a SELF-CERTIFYING contract.
 
@@ -2942,6 +2982,13 @@ SELECT vec_id AS query_id, 10::BIGINT AS n_returned, true AS recall_ok
 FROM embeddings WHERE vec_id < 5
 """,
     ),
+    "ann_ivfpq_topk": (
+        _ann_ivfpq_fn,
+        """
+SELECT vec_id AS query_id, 10::BIGINT AS n_returned, true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+""",
+    ),
     "fr_agg_groups_per_value_approx": (
         _fr_groups_approx_fn,
         """
@@ -2967,7 +3014,7 @@ NO_ORACLE: dict = {}
 # embedding auto sizing, GEMM rounding, funnel universe caching,
 # persisted-index incremental LSH), then the full fr_* reference suite
 # plus representative extension re-greens. Everything else follows in
-# catalog order, so all 108 stay runnable by bench.py.
+# catalog order, so all 109 stay runnable by bench.py.
 _DRIVER_PRIORITY = [
     # 8 never-audited (added after r3's window filled)
     "olap_sales_opportunity", "curation_report", "interval_join_concurrent",
@@ -2990,9 +3037,9 @@ _DRIVER_PRIORITY = [
     # representative extension re-greens (one per operator family)
     "dedup_exact", "dedup_minhash_lsh", "dedup_pipeline_minhash",
     "curation_pipeline", "decontaminate_ngram", "dedup_simhash",
-    "sessionize_events", "asof_join_clicks", "range_join_value_bands",
+    "sessionize_events", "asof_join_clicks",
     "olap_pricing_summary", "olap_percentiles", "audience_segments",
-    "text_classifier_trained",
+    "text_classifier_trained", "ann_ivfpq_topk",
 ]
 # Audit ledger after this rotation: every oracle-able catalog query has at
 # least one independent driver CORRECTNESS green (r02, r03, or r04).

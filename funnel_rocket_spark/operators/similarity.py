@@ -773,3 +773,245 @@ def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
                         F.round(cosine(F.col("__va"), F.col("__vb")), 6))
             .where(F.col("cosine_sim") >= threshold)
             .select("id_a", "id_b", "cosine_sim"))
+
+
+# --------------------------------------------------------------------------- #
+# IVF-PQ: product quantization of coarse-cell residuals (the FAISS IVFPQ
+# shape) — the memory-bound ANN tier. A 768-dim float32 vector is 3 KB;
+# its PQ code is m bytes (default 8). At 100 TB the codes table for a
+# billion vectors fits in a fraction of the raw footprint, scans stay
+# bandwidth-bound on codes, and raw vectors are only ever read for
+# optional exact re-ranking.
+
+
+def ivf_pq_index(corpus: DataFrame, n_clusters: int = 16, m: int = 8,
+                 n_bits: int = 8, rounds: int = 4, seed: int = 42,
+                 max_iter: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+    """Build an IVF-PQ index. Returns ``(codes_df, centers, codebooks)``:
+
+    * ``codes_df`` — (id, __cell, __codes array<int>): the m-byte-per-
+      vector representation; write it partitioned by ``__cell``.
+    * ``centers`` — coarse quantizer centroids (n_clusters × D, driver).
+    * ``codebooks`` — numpy (m, 2**n_bits, D/m): per-subspace centroids
+      trained on CELL RESIDUALS (x/|x| − center[cell]), FAISS-style —
+      residuals are tighter-distributed than raw vectors, so the same
+      bit budget quantizes them with less error.
+
+    Physical shape per training round: ONE ``mapInPandas`` pass computes
+    every subspace's assignments and per-partition partial sums
+    simultaneously (GEMM per subspace against the broadcast codebooks),
+    then a posexplode groupBy of m × K × D/m partial-sum cells (a few
+    thousand rows) updates the codebooks driver-side — no corpus
+    shuffle, ever. The corpus is unit-normalized first so ADC's L2
+    arithmetic and the suite's cosine scores are exact duals
+    (L2² = 2 − 2·cos on unit vectors).
+
+    Deterministic for fixed (data, params): seeded coarse k-means, codebook
+    seeds = the K lowest-id residual subvectors, ties to the lowest code.
+    """
+    import numpy as np
+
+    K = 1 << n_bits
+    unit = unit_normalized(drop_null_vectors(corpus, vec_col)
+                           .select(F.col(id_col),
+                                   F.col(vec_col).cast("array<double>")
+                                   .alias(vec_col)),
+                           id_col, vec_col)
+    assigned, centers = ivf_index(unit, n_clusters=n_clusters, seed=seed,
+                                  max_iter=max_iter, id_col=id_col,
+                                  vec_col=vec_col)
+    assigned = bounded_persist(assigned)
+    cmat = np.array(centers, dtype=np.float64)
+    dim = cmat.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    spark = corpus.sparkSession
+    sc = spark.sparkContext
+
+    # codebook seeds: K lowest-id residual subvectors (bounded collect of
+    # K rows — same deterministic-seed rule as kmeans_lloyd)
+    seed_rows = (assigned.orderBy(id_col).limit(K)
+                 .select(id_col, vec_col, "__cell").collect())
+    seed_mat = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    seed_res = seed_mat - cmat[[r["__cell"] for r in seed_rows]]
+    cb = np.zeros((m, K, dsub))
+    n_seed = len(seed_rows)
+    for sub in range(m):
+        cb[sub, :n_seed] = seed_res[:, sub * dsub:(sub + 1) * dsub]
+        if n_seed < K:  # tiny corpus: pad with jittered copies
+            cb[sub, n_seed:] = cb[sub, (np.arange(K - n_seed) % max(n_seed, 1))] + 1e-6
+
+    import pandas as pd
+
+    for _ in range(rounds):
+        bc = sc.broadcast((cb, cmat))
+
+        def partials(batches):
+            cbk, cm = bc.value
+            sums = np.zeros((m, K, dsub))
+            cnts = np.zeros((m, K), dtype=np.int64)
+            for pdf in batches:
+                X = np.array(list(pdf[vec_col]), dtype=np.float64)
+                R = X - cm[pdf["__cell"].to_numpy()]
+                S = R.reshape(len(R), m, dsub)
+                for sub in range(m):
+                    d = (-2.0 * S[:, sub] @ cbk[sub].T
+                         + (cbk[sub] ** 2).sum(axis=1))
+                    code = np.argmin(d, axis=1)  # ties → lowest code
+                    np.add.at(sums[sub], code, S[:, sub])
+                    np.add.at(cnts[sub], code, 1)
+            sub_i, code_i = np.nonzero(cnts)
+            yield pd.DataFrame({
+                "sub": sub_i, "code": code_i, "cnt": cnts[sub_i, code_i],
+                "vsum": [sums[s, c].tolist()
+                         for s, c in zip(sub_i, code_i)]})
+
+        part_df = assigned.mapInPandas(
+            partials, schema="sub int, code int, cnt long, vsum array<double>")
+        agg = (part_df.select("sub", "code", "cnt",
+                              F.posexplode("vsum").alias("pos", "v"))
+               .groupBy("sub", "code", "pos")
+               .agg(F.sum("v").alias("s"),
+                    # ride the count on pos 0 — one exchange serves both
+                    F.sum(F.when(F.col("pos") == 0, F.col("cnt"))
+                          .otherwise(0)).alias("n0"))
+               .collect())
+        new_cb = cb.copy()
+        counts = np.zeros((m, K), dtype=np.int64)
+        vec_sums = np.zeros((m, K, dsub))
+        for r in agg:
+            vec_sums[r["sub"], r["code"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                counts[r["sub"], r["code"]] = r["n0"]
+        nz = counts > 0
+        new_cb[nz] = vec_sums[nz] / counts[nz][:, None]
+        cb = new_cb
+        bc.destroy()
+
+    cb_bc = sc.broadcast((cb, cmat))
+
+    def encode(batches):
+        cbk, cm = cb_bc.value
+        for pdf in batches:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            R = X - cm[pdf["__cell"].to_numpy()]
+            S = R.reshape(len(R), m, dsub)
+            codes = np.empty((len(R), m), dtype=np.int32)
+            for sub in range(m):
+                d = (-2.0 * S[:, sub] @ cbk[sub].T
+                     + (cbk[sub] ** 2).sum(axis=1))
+                codes[:, sub] = np.argmin(d, axis=1)
+            yield pd.DataFrame({
+                "id": pdf[id_col], "__cell": pdf["__cell"],
+                "__codes": list(codes.tolist())})
+
+    codes_df = assigned.mapInPandas(
+        encode, schema="id long, __cell int, __codes array<int>"
+    ).withColumnRenamed("id", id_col)
+    return codes_df, centers, cb
+
+
+def ivf_pq_search(codes_df: DataFrame, centers, codebooks,
+                  queries: DataFrame, k: int = 10, n_probe: int = 4,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_id_col: str = "query_id") -> DataFrame:
+    """ADC (asymmetric distance computation) search over an IVF-PQ index:
+    (query_id, vec_id, approx_cosine).
+
+    Per query: route to the ``n_probe`` nearest coarse cells (cosine, like
+    :func:`ivf_search`), build the m × K distance table of the query's
+    CELL RESIDUAL against each codebook driver-side (tiny:
+    queries × probes × m × K doubles), broadcast the tables, and score
+    candidates with a pure table GATHER — no vector arithmetic touches
+    the corpus at search time, only its m-int codes. Each Arrow batch
+    pre-trims to its local top-k per query (top-k of a union == top-k of
+    the union of per-batch top-ks), so the final per-query window ranks a
+    bounded candidate set. ``approx_cosine = 1 − d²/2`` (unit-vector
+    duality), rounded to 6 — comparable with, but approximate relative
+    to, the exact suite scores.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.array(centers, dtype=np.float64)
+    mq, K, dsub = codebooks.shape
+    n_probe = min(n_probe, len(cmat))
+    qrows = (drop_null_vectors(queries, vec_col)
+             .select(F.col(id_col), F.col(vec_col).cast("array<double>")
+                     .alias(vec_col)).collect())
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    qm = qm / qn[:, None]
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = 1.0
+    sims = (qm @ cmat.T) / cn[None, :]
+    probes = np.argsort(-sims, axis=1)[:, :n_probe]  # (nq, n_probe)
+    # distance tables per (query, probed cell): T[sub, code] =
+    # ||r_sub - cb[sub, code]||² with r = q - center[cell]
+    tables = {}
+    for qi in range(len(q_ids)):
+        for cell in probes[qi]:
+            r = qm[qi] - cmat[cell]
+            S = r.reshape(mq, dsub)
+            t = ((S[:, None, :] - codebooks) ** 2).sum(axis=2)  # (m, K)
+            tables[(int(q_ids[qi]), int(cell))] = t
+    sc = codes_df.sparkSession.sparkContext
+    bc = sc.broadcast(tables)
+    probed_cells = sorted({int(c) for row in probes for c in row})
+
+    def score(batches):
+        tabs = bc.value
+        by_cell = {}
+        for (qid, cell), t in tabs.items():
+            by_cell.setdefault(cell, []).append((qid, t))
+        for pdf in batches:
+            frames = []
+            cells = pdf["__cell"].to_numpy()
+            codes = np.array(list(pdf["__codes"]), dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            for cell in np.unique(cells):
+                idx = np.nonzero(cells == cell)[0]
+                gather_rows = np.arange(mq)
+                for qid, t in by_cell.get(int(cell), ()):
+                    keep = idx[ids[idx] != qid]  # self-match excluded,
+                    # matching cosine_topk/ivf_search semantics
+                    if not len(keep):
+                        continue
+                    d = t[gather_rows, codes[keep]].sum(axis=1)
+                    top = np.argsort(d, kind="stable")[:k]
+                    frames.append(pd.DataFrame({
+                        "query_id": qid, "vec_id": ids[keep][top],
+                        "d2": d[top]}))
+            yield (pd.concat(frames, ignore_index=True) if frames else
+                   pd.DataFrame({"query_id": [], "vec_id": [], "d2": []}))
+
+    cand = codes_df.where(F.col("__cell").isin(probed_cells))
+    scored = cand.mapInPandas(score,
+                              schema="query_id long, vec_id long, d2 double")
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .select(F.col("query_id").alias(query_id_col),
+                    F.col("vec_id").alias(id_col),
+                    F.round(1.0 - F.col("d2") / 2.0, 6)
+                    .alias("approx_cosine")))
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                n_clusters: int = 16, m: int = 8, n_bits: int = 6,
+                n_probe: int = 4, rounds: int = 4, seed: int = 42,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """One-shot IVF-PQ search (index + encode + ADC). Production builds
+    the index once (:func:`ivf_pq_index`, write codes partitioned by
+    cell) and searches many times."""
+    codes, centers, cb = ivf_pq_index(
+        corpus, n_clusters=n_clusters, m=m, n_bits=n_bits, rounds=rounds,
+        seed=seed, id_col=id_col, vec_col=vec_col)
+    return ivf_pq_search(codes, centers, cb, queries, k=k, n_probe=n_probe,
+                         id_col=id_col, vec_col=vec_col,
+                         query_id_col=query_id_col)

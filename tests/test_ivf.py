@@ -221,3 +221,67 @@ def test_embedding_dup_row_hint_overrides_sizing(spark, monkeypatch):
         emb, 0.45, method="expr").collect()}
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got <= brute and len(got) > 0
+
+
+def test_ivf_pq_codes_shape_and_determinism(spark):
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes, centers, cb = similarity.ivf_pq_index(
+        emb, n_clusters=8, m=8, n_bits=4, rounds=2)
+    rows = codes.collect()
+    assert len(rows) == emb.where(F.col("embedding").isNotNull()).count()
+    for r in rows[:50]:
+        assert len(r["__codes"]) == 8
+        assert all(0 <= c < 16 for c in r["__codes"])
+    assert cb.shape == (8, 16, 8)
+    codes2, _, cb2 = similarity.ivf_pq_index(
+        emb, n_clusters=8, m=8, n_bits=4, rounds=2)
+    import numpy as np
+
+    assert np.array_equal(cb, cb2)
+    assert sorted(map(tuple, ((r["vec_id"], tuple(r["__codes"]))
+                              for r in rows))) == \
+        sorted(map(tuple, ((r["vec_id"], tuple(r["__codes"]))
+                           for r in codes2.collect())))
+
+
+def test_ivf_pq_exact_when_codebook_covers_corpus(spark):
+    """With m=1 and K >= corpus size, every residual is its own codebook
+    entry (seeds ARE the residuals), so ADC distance is exact and
+    full-probe IVF-PQ must equal brute force identically."""
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .filter(F.col("vec_id") < 60)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = _result_sets(similarity.cosine_topk(emb, queries, k=5))
+    pq = _result_sets(similarity.ivf_pq_topk(
+        emb, queries, k=5, n_clusters=2, m=1, n_bits=6, n_probe=2,
+        rounds=1))
+    assert pq == exact
+
+
+def test_ivf_pq_finds_planted_near_dup(spark):
+    """Clustered corpus with a planted cosine≈0.999 twin per query: the
+    PQ path must put the twin in top-1 — the realistic (non-uniform)
+    workload PQ exists for."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 64)
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + 0.05 * rng.randn(64)
+        rows.append((i, [float(x) for x in v]))
+    # plant twins: vec 1000+j = vec j + tiny noise, j in 0..2
+    for j in range(3):
+        twin = np.array(rows[j][1]) + 1e-3 * rng.randn(64)
+        rows.append((1000 + j, [float(x) for x in twin]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_pq_topk(emb, queries, k=3, n_clusters=4, m=8,
+                                 n_bits=6, n_probe=2, rounds=3)
+    best = {}
+    for r in out.collect():
+        cur = best.get(r["query_id"])
+        if cur is None or r["approx_cosine"] > cur[1]:
+            best[r["query_id"]] = (r["vec_id"], r["approx_cosine"])
+    for j in range(3):
+        assert best[j][0] == 1000 + j, best
