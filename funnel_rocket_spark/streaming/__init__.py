@@ -5,6 +5,7 @@ from funnel_rocket_spark.streaming.dedup_stream import (
 )
 from funnel_rocket_spark.streaming.funnel_stream import incremental_funnel
 from funnel_rocket_spark.streaming.incremental_dedup import (
+    compact_band_index,
     streaming_incremental_dedup,
 )
 from funnel_rocket_spark.streaming.rollup import (
@@ -14,10 +15,12 @@ from funnel_rocket_spark.streaming.rollup import (
 from funnel_rocket_spark.streaming.sessions import streaming_session_stats
 
 __all__ = [
+    "compact_band_index",
     "content_digest",
     "incremental_funnel",
     "nanos_to_timestamp",
     "streaming_exact_dedup",
+    "streaming_incremental_dedup",
     "streaming_session_stats",
     "streaming_time_rollup",
     "streaming_value_counts",

@@ -80,3 +80,60 @@ def streaming_incremental_dedup(docs: DataFrame, corpus_path: str,
         batch.unpersist()
 
     return docs.writeStream.foreachBatch(process)
+
+
+def compact_band_index(spark, index_path: str,
+                       files_per_compaction: int | None = None) -> int:
+    """Compact the rolling ``batch=N`` band-table index into a single
+    ``batch=-1`` partition, bounding read amplification on long streams
+    (every micro-batch adds a directory; a year of 5-minute batches is
+    ~100k dirs of tiny files). Returns the number of per-batch
+    directories folded in.
+
+    Layout of the compacted partition: hash-repartitioned AND sorted by
+    (band, bucket) within files, so the probe join's bucket lookups read
+    contiguous, min/max-prunable ranges.
+
+    Crash-safe against the stream's retry semantics, in this order:
+
+    1. read EVERYTHING (live batches + any prior ``batch=-1``), distinct;
+    2. write to a dot-prefixed temp dir (hidden from partition discovery);
+    3. delete the old ``batch=-1`` (its rows are in the temp output);
+    4. rename temp → ``batch=-1`` (atomic on HDFS/local);
+    5. delete the ``batch=N`` dirs (their rows are in ``batch=-1``).
+
+    A crash at any point leaves a complete, readable index — at worst with
+    duplicate rows, which the next compaction's distinct removes and which
+    ``incremental_lsh_pairs`` already collapses at its candidate
+    ``distinct``. ``-1`` sits outside foreachBatch's id space, so the
+    ``batch != batch_id`` retry exclusion in ``process()`` keeps working.
+    Single-writer rule: do not run concurrently with the stream's
+    ``process()`` (same contract as any non-transactional parquet sink).
+    """
+    jvm = spark.sparkContext._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(index_path)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return 0
+    batch_dirs = [st.getPath() for st in fs.listStatus(root)
+                  if st.isDirectory()
+                  and st.getPath().getName().startswith("batch=")]
+    live = [p for p in batch_dirs if p.getName() != "batch=-1"]
+    if not live:
+        return 0
+    n_files = files_per_compaction or spark.sparkContext.defaultParallelism
+    tmp = HPath(index_path + "/.compact_tmp")
+    fs.delete(tmp, True)  # leftover from a crashed prior attempt
+    (spark.read.parquet(index_path).drop("batch").distinct()
+     .repartition(n_files, "band", "bucket")
+     .sortWithinPartitions("band", "bucket")
+     .write.mode("overwrite").parquet(str(tmp)))
+    fs.delete(HPath(index_path + "/batch=-1"), True)
+    if not fs.rename(tmp, HPath(index_path + "/batch=-1")):
+        raise IOError(f"compact_band_index: rename failed under {index_path}")
+    removed = 0
+    for p in live:
+        fs.delete(p, True)
+        removed += 1
+    return removed

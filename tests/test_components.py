@@ -584,3 +584,43 @@ def test_stateless_text_operators_stream_unchanged(spark, tmp_path):
         got = run_stream(op(stream), name)
         want = {r["doc_id"]: tuple(r)[1:] for r in op(batch_df).collect()}
         assert got == want, name
+
+
+def test_compact_band_index_preserves_results(spark, tmp_path):
+    """Compaction folds batch=N dirs into one batch=-1 partition: the
+    index answers identically before and after; re-compaction is a no-op;
+    the stream's batch retry filter still applies (-1 != any batch id)."""
+    from pyspark.sql import functions as F
+
+    from funnel_rocket_spark.operators import dedup
+    from funnel_rocket_spark.streaming import compact_band_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    newb = docs.filter(F.col("doc_id") % 3 == 2)
+    idx_path = str(tmp_path / "band_index")
+    dedup.minhash_band_table(b0).write.parquet(f"{idx_path}/batch=0")
+    dedup.minhash_band_table(b1).write.parquet(f"{idx_path}/batch=1")
+    corpus = b0.unionByName(b1)
+
+    def pairs_with_current_index():
+        idx = spark.read.parquet(idx_path).drop("batch")
+        return sorted(map(tuple, dedup.incremental_lsh_pairs(
+            newb, corpus, index=idx).collect()))
+
+    before = pairs_with_current_index()
+    removed = compact_band_index(spark, idx_path)
+    assert removed == 2
+    after = pairs_with_current_index()
+    assert after == before and len(after) > 0
+    # single batch=-1 partition remains; row multiset preserved (distinct)
+    batches = {r["batch"] for r in
+               spark.read.parquet(idx_path).select("batch").distinct().collect()}
+    assert batches == {-1}
+    # idempotent: nothing live to fold
+    assert compact_band_index(spark, idx_path) == 0
+    assert pairs_with_current_index() == before
+    # a retry-style exclusion of a real batch id keeps the compacted rows
+    kept = spark.read.parquet(idx_path).where(F.col("batch") != 7).count()
+    assert kept == spark.read.parquet(idx_path).count()
