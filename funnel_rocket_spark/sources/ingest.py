@@ -259,3 +259,34 @@ def write_zordered(df, path: str, cols: list[str], bits: int = 8,
            if partitions else keyed.repartitionByRange(F.col("__zkey")))
     (out.sortWithinPartitions("__zkey").drop("__zkey")
      .write.mode("overwrite").parquet(path))
+
+
+def write_time_zordered(df: DataFrame, path: str, ts_col: str,
+                        cols: list[str], granularity: str = "day",
+                        bits: int = 8, mode: str = "overwrite") -> None:
+    """Multi-level layout: hive date partitions from ``ts_col`` with
+    Z-order clustering of ``cols`` INSIDE each partition — Delta's
+    ``PARTITIONED BY (date) ... OPTIMIZE ZORDER BY (a, b)`` composed from
+    :func:`write_time_partitioned` and :func:`zorder_key`.
+
+    Pruning then works at two levels with zero reader changes: a query
+    ``timeframe`` drops whole date DIRECTORIES at planning time, and a
+    filter on any of ``cols`` drops most FILES/row-groups inside the
+    surviving dates via parquet min/max stats.
+
+    Bucket boundaries come from ONE global exact-quantile pass (the
+    ``zorder_key`` machinery) rather than per-date passes: global ranks
+    still cluster within every date, per-date re-ranking would add a
+    range exchange per partition value, and the boundary drift only
+    matters if the value distribution shifts radically between dates —
+    re-layout with a narrower input window if it does. The range
+    repartition keys on (date, zkey), so output tasks write contiguous
+    zkey runs into their date directory instead of appending to every
+    one of them.
+    """
+    pdate = F.date_trunc(granularity, F.col(ts_col)).cast("date")
+    keyed = zorder_key(df.withColumn("__pdate", pdate), cols, bits)
+    (keyed.repartitionByRange(F.col("__pdate"), F.col("__zkey"))
+     .sortWithinPartitions("__pdate", "__zkey")
+     .drop("__zkey")
+     .write.mode(mode).partitionBy("__pdate").parquet(path))

@@ -973,3 +973,40 @@ def test_exact_substring_spans_fingerprint_invariant(spark, docs):
     portable = sorted(map(tuple, exact_substring_spans(
         docs, window=20, fingerprint="md5").collect()))
     assert fast == portable and len(fast) > 0
+
+
+def test_time_zorder_two_level_layout(spark, tmp_path):
+    """write_time_zordered composes date partitions (timeframe prunes
+    directories) with intra-partition Z-order (filters on either z-column
+    prune files inside a date). Verify both levels plus the round trip."""
+    from funnel_rocket_spark.sources.ingest import write_time_zordered
+
+    ev = bq.load_table(spark, SF, "events").select(
+        "user_id", "value", "ts", "event_type")
+    path = str(tmp_path / "tz")
+    write_time_zordered(ev, path, "ts", ["user_id", "value"], bits=4)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    # level 1: hive date dirs exist and a date filter prunes partitions
+    import os
+
+    dates = [d for d in os.listdir(path) if d.startswith("__pdate=")]
+    assert len(dates) > 1
+    one = dates[0].split("=", 1)[1]
+    pruned = back.where(F.col("__pdate") == one)
+    files = {r["f"] for r in pruned.withColumn(
+        "f", F.input_file_name()).select("f").distinct().collect()}
+    assert all(f"__pdate={one}" in f for f in files)
+    # level 2: inside one date dir with several files, per-file ranges of
+    # BOTH z-columns sit well below the date's full span
+    day = back.where(F.col("__pdate") == one)
+    per_file = (day.withColumn("f", F.input_file_name())
+                .groupBy("f")
+                .agg((F.max("user_id") - F.min("user_id")).alias("wu"),
+                     (F.max("value") - F.min("value")).alias("wv")))
+    rows = per_file.collect()
+    if len(rows) > 2:  # enough files for clustering to be observable
+        span_u = day.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+        span_v = day.agg(F.max("value") - F.min("value")).collect()[0][0]
+        assert sum(r["wu"] for r in rows) / len(rows) < 0.9 * span_u
+        assert sum(r["wv"] for r in rows) / len(rows) < 0.9 * span_v
