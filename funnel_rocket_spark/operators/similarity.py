@@ -247,6 +247,8 @@ def ivf_index(corpus: DataFrame, n_clusters: int = 16, seed: int = 42,
 
     corpus = drop_null_vectors(corpus, vec_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+    if not corpus.head(1):  # KMeans.fit throws on an empty dataset
+        return corpus.withColumn("__cell", F.lit(0).cast("int")), []
     ml_corpus = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
     # A coarse quantizer doesn't need converged Lloyd iterations — cell
     # boundaries just need to be stable enough to route probes.
@@ -821,6 +823,10 @@ def ivf_pq_index(corpus: DataFrame, n_clusters: int = 16, m: int = 8,
     assigned, centers = ivf_index(unit, n_clusters=n_clusters, seed=seed,
                                   max_iter=max_iter, id_col=id_col,
                                   vec_col=vec_col)
+    if not centers:  # empty corpus: empty index, dimensionless codebooks
+        empty = corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, __cell int, __codes array<int>")
+        return empty, [], np.zeros((m, K, 0))
     assigned = bounded_persist(assigned)
     cmat = np.array(centers, dtype=np.float64)
     dim = cmat.shape[1]
@@ -853,6 +859,8 @@ def ivf_pq_index(corpus: DataFrame, n_clusters: int = 16, m: int = 8,
             sums = np.zeros((m, K, dsub))
             cnts = np.zeros((m, K), dtype=np.int64)
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 X = np.array(list(pdf[vec_col]), dtype=np.float64)
                 R = X - cm[pdf["__cell"].to_numpy()]
                 S = R.reshape(len(R), m, dsub)
@@ -895,6 +903,8 @@ def ivf_pq_index(corpus: DataFrame, n_clusters: int = 16, m: int = 8,
     def encode(batches):
         cbk, cm = cb_bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             X = np.array(list(pdf[vec_col]), dtype=np.float64)
             R = X - cm[pdf["__cell"].to_numpy()]
             S = R.reshape(len(R), m, dsub)
@@ -941,6 +951,9 @@ def ivf_pq_search(codes_df: DataFrame, centers, codebooks,
     qrows = (drop_null_vectors(queries, vec_col)
              .select(F.col(id_col), F.col(vec_col).cast("array<double>")
                      .alias(vec_col)).collect())
+    if not len(cmat) or not qrows:  # empty index or empty query set
+        return codes_df.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, approx_cosine double")
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)

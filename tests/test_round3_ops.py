@@ -612,6 +612,11 @@ def test_new_operators_empty_inputs(spark):
     assert assigned.count() == 0 and centers == []
     assert similarity.semantic_dedup_pairs(empty_emb, k=4, rounds=1).count() == 0
     assert dedup.incremental_lsh_pairs(empty_docs, empty_docs).count() == 0
+    codes, centers, cb = similarity.ivf_pq_index(empty_emb, n_clusters=2,
+                                                 m=8, n_bits=2, rounds=1)
+    assert codes.count() == 0
+    assert similarity.ivf_pq_search(codes, centers, cb,
+                                    empty_emb).count() == 0
     assert dedup.bloom_contamination(empty_docs, empty_docs).count() == 0
     assert temporal.interval_join(
         spark.createDataFrame([], "id long, s long, e long"),

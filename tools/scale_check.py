@@ -159,6 +159,33 @@ def embeddings_main(n_vecs: int, dim: int = 64) -> None:
               file=sys.stderr)
     assigned.unpersist()
 
+    # IVF-PQ: the memory-bound tier — 64-dim float64 becomes 8 int codes.
+    # Build once (coarse + codebooks + encode), search at two probe depths,
+    # recall vs the same exact top-10 sets.
+    t0 = time.perf_counter()
+    codes, pq_centers, pq_cb = similarity.ivf_pq_index(
+        emb, n_clusters=64, m=8, n_bits=8, rounds=4)
+    codes = codes.persist()
+    codes.count()
+    out["timings"]["ivfpq_build_k64_m8b8"] = round(time.perf_counter() - t0, 2)
+    for n_probe in (4, 16):
+        t0 = time.perf_counter()
+        approx = {}
+        for r in similarity.ivf_pq_search(codes, pq_centers, pq_cb, queries,
+                                          k=10, n_probe=n_probe).collect():
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        out["timings"][f"ivfpq_search_p{n_probe}"] = round(
+            time.perf_counter() - t0, 2)
+        recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+                   for q in exact]
+        out["recall"][f"ivfpq_p{n_probe}@10"] = round(
+            sum(recalls) / len(recalls), 3)
+        print(f"# ivfpq n_probe={n_probe}: "
+              f"{out['timings'][f'ivfpq_search_p{n_probe}']}s "
+              f"recall@10={out['recall'][f'ivfpq_p{n_probe}@10']}",
+              file=sys.stderr)
+    codes.unpersist()
+
     # sign-LSH near-dup recall on the planted (i-1, i) pairs. Bucket bits
     # scale with the corpus: per-bucket verification is a GEMM over the
     # bucket's vectors, so bits must keep bucket occupancy bounded
