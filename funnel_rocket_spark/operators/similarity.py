@@ -926,9 +926,12 @@ def ivf_pq_index(corpus: DataFrame, n_clusters: int = 16, m: int = 8,
 def ivf_pq_search(codes_df: DataFrame, centers, codebooks,
                   queries: DataFrame, k: int = 10, n_probe: int = 4,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  query_id_col: str = "query_id") -> DataFrame:
+                  query_id_col: str = "query_id",
+                  rerank_with: DataFrame | None = None,
+                  rerank_depth: int | None = None) -> DataFrame:
     """ADC (asymmetric distance computation) search over an IVF-PQ index:
-    (query_id, vec_id, approx_cosine).
+    (query_id, vec_id, approx_cosine) — or exact ``cosine_sim`` when
+    re-ranking.
 
     Per query: route to the ``n_probe`` nearest coarse cells (cosine, like
     :func:`ivf_search`), build the m × K distance table of the query's
@@ -941,6 +944,16 @@ def ivf_pq_search(codes_df: DataFrame, centers, codebooks,
     bounded candidate set. ``approx_cosine = 1 − d²/2`` (unit-vector
     duality), rounded to 6 — comparable with, but approximate relative
     to, the exact suite scores.
+
+    ``rerank_with`` = the raw vector table (FAISS's ``Refine`` stage, the
+    standard production configuration): ADC selects ``rerank_depth``
+    (default 10·k) candidates per query, ONLY those join back to their
+    raw vectors for exact cosine, and the final top-k ranks by the exact
+    score (column ``cosine_sim``). Quantization error then only has to
+    keep true neighbors inside the top-R, not rank them — at 1M clustered
+    vectors this lifts recall@10 from 0.17 (raw ADC ranking) to ~1.0 for
+    the cost of queries × R exact distances. Without it, fine in-cell
+    ranking is limited by code resolution.
     """
     import numpy as np
     import pandas as pd
@@ -948,12 +961,15 @@ def ivf_pq_search(codes_df: DataFrame, centers, codebooks,
     cmat = np.array(centers, dtype=np.float64)
     mq, K, dsub = codebooks.shape
     n_probe = min(n_probe, len(cmat))
+    depth = (rerank_depth or 10 * k) if rerank_with is not None else k
     qrows = (drop_null_vectors(queries, vec_col)
              .select(F.col(id_col), F.col(vec_col).cast("array<double>")
                      .alias(vec_col)).collect())
     if not len(cmat) or not qrows:  # empty index or empty query set
+        score_col = ("cosine_sim" if rerank_with is not None
+                     else "approx_cosine")
         return codes_df.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, approx_cosine double")
+            [], f"{query_id_col} long, {id_col} long, {score_col} double")
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
@@ -995,7 +1011,7 @@ def ivf_pq_search(codes_df: DataFrame, centers, codebooks,
                     if not len(keep):
                         continue
                     d = t[gather_rows, codes[keep]].sum(axis=1)
-                    top = np.argsort(d, kind="stable")[:k]
+                    top = np.argsort(d, kind="stable")[:depth]
                     frames.append(pd.DataFrame({
                         "query_id": qid, "vec_id": ids[keep][top],
                         "d2": d[top]}))
@@ -1006,20 +1022,46 @@ def ivf_pq_search(codes_df: DataFrame, centers, codebooks,
     scored = cand.mapInPandas(score,
                               schema="query_id long, vec_id long, d2 double")
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
-    return (scored.withColumn("__rk", F.row_number().over(w))
+    adc_top = (scored.withColumn("__rk", F.row_number().over(w))
+               .where(F.col("__rk") <= depth))
+    if rerank_with is None:
+        return adc_top.select(F.col("query_id").alias(query_id_col),
+                              F.col("vec_id").alias(id_col),
+                              F.round(1.0 - F.col("d2") / 2.0, 6)
+                              .alias("approx_cosine"))
+    # Refine: only queries × depth candidate rows rejoin their raw
+    # vectors; exact cosine reranks, and the emitted scores are exact.
+    qdf = codes_df.sparkSession.createDataFrame(
+        [(int(r[id_col]), list(r[vec_col])) for r in qrows],
+        f"query_id long, __qv array<double>")
+    raw = (rerank_with.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).cast("array<double>")
+                              .alias("__rv")))
+    # candidate list (queries × depth rows) broadcasts; the raw-vector
+    # table streams through the semi-shaped hash join untouched
+    exact = (raw.join(F.broadcast(adc_top.select("query_id", "vec_id")),
+                      "vec_id")
+             .join(F.broadcast(qdf), "query_id")
+             .select("query_id", "vec_id",
+                     F.round(cosine(F.col("__rv"), F.col("__qv")), 6)
+                     .alias("cosine_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id"))
+    return (exact.withColumn("__rk", F.row_number().over(w2))
             .where(F.col("__rk") <= k)
             .select(F.col("query_id").alias(query_id_col),
-                    F.col("vec_id").alias(id_col),
-                    F.round(1.0 - F.col("d2") / 2.0, 6)
-                    .alias("approx_cosine")))
+                    F.col("vec_id").alias(id_col), "cosine_sim"))
 
 
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 n_clusters: int = 16, m: int = 8, n_bits: int = 6,
                 n_probe: int = 4, rounds: int = 4, seed: int = 42,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
-    """One-shot IVF-PQ search (index + encode + ADC). Production builds
+                query_id_col: str = "query_id",
+                rerank: bool = False,
+                rerank_depth: int | None = None) -> DataFrame:
+    """One-shot IVF-PQ search (index + encode + ADC, optionally exact
+    re-ranking of the ADC top-R against the corpus). Production builds
     the index once (:func:`ivf_pq_index`, write codes partitioned by
     cell) and searches many times."""
     codes, centers, cb = ivf_pq_index(
@@ -1027,4 +1069,6 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         seed=seed, id_col=id_col, vec_col=vec_col)
     return ivf_pq_search(codes, centers, cb, queries, k=k, n_probe=n_probe,
                          id_col=id_col, vec_col=vec_col,
-                         query_id_col=query_id_col)
+                         query_id_col=query_id_col,
+                         rerank_with=corpus if rerank else None,
+                         rerank_depth=rerank_depth)

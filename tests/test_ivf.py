@@ -285,3 +285,20 @@ def test_ivf_pq_finds_planted_near_dup(spark):
             best[r["query_id"]] = (r["vec_id"], r["approx_cosine"])
     for j in range(3):
         assert best[j][0] == 1000 + j, best
+
+
+def test_ivf_pq_rerank_recovers_exact_ranking(spark):
+    """The Refine stage: ADC keeps true neighbors inside its top-R, exact
+    re-ranking then reproduces brute-force top-k — full-probe + covering
+    rerank depth must equal cosine_topk exactly, scores included."""
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["vec_id"]): r["cosine_sim"]
+             for r in similarity.cosine_topk(emb, queries, k=5).collect()}
+    codes, centers, cb = similarity.ivf_pq_index(
+        emb, n_clusters=4, m=8, n_bits=6, rounds=2)
+    got = {(r["query_id"], r["vec_id"]): r["cosine_sim"]
+           for r in similarity.ivf_pq_search(
+               codes, centers, cb, queries, k=5, n_probe=4,
+               rerank_with=emb, rerank_depth=600).collect()}
+    assert got == exact

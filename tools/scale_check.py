@@ -164,26 +164,29 @@ def embeddings_main(n_vecs: int, dim: int = 64) -> None:
     # recall vs the same exact top-10 sets.
     t0 = time.perf_counter()
     codes, pq_centers, pq_cb = similarity.ivf_pq_index(
-        emb, n_clusters=64, m=8, n_bits=8, rounds=4)
+        emb, n_clusters=64, m=16, n_bits=8, rounds=4)
     codes = codes.persist()
     codes.count()
-    out["timings"]["ivfpq_build_k64_m8b8"] = round(time.perf_counter() - t0, 2)
-    for n_probe in (4, 16):
+    out["timings"]["ivfpq_build_k64_m16b8"] = round(time.perf_counter() - t0, 2)
+    # raw ADC ranking vs the production Refine configuration (exact
+    # re-rank of the ADC top-100): quantization only has to KEEP true
+    # neighbors in the top-R, not rank them
+    for n_probe, rerank in ((4, False), (16, False), (4, True), (16, True)):
+        tag = f"ivfpq_search_p{n_probe}" + ("_rerank" if rerank else "")
         t0 = time.perf_counter()
         approx = {}
-        for r in similarity.ivf_pq_search(codes, pq_centers, pq_cb, queries,
-                                          k=10, n_probe=n_probe).collect():
+        rows = similarity.ivf_pq_search(
+            codes, pq_centers, pq_cb, queries, k=10, n_probe=n_probe,
+            rerank_with=emb if rerank else None,
+            rerank_depth=100 if rerank else None).collect()
+        for r in rows:
             approx.setdefault(r["query_id"], set()).add(r["vec_id"])
-        out["timings"][f"ivfpq_search_p{n_probe}"] = round(
-            time.perf_counter() - t0, 2)
+        out["timings"][tag] = round(time.perf_counter() - t0, 2)
         recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
                    for q in exact]
-        out["recall"][f"ivfpq_p{n_probe}@10"] = round(
-            sum(recalls) / len(recalls), 3)
-        print(f"# ivfpq n_probe={n_probe}: "
-              f"{out['timings'][f'ivfpq_search_p{n_probe}']}s "
-              f"recall@10={out['recall'][f'ivfpq_p{n_probe}@10']}",
-              file=sys.stderr)
+        out["recall"][tag + "@10"] = round(sum(recalls) / len(recalls), 3)
+        print(f"# {tag}: {out['timings'][tag]}s "
+              f"recall@10={out['recall'][tag + '@10']}", file=sys.stderr)
     codes.unpersist()
 
     # sign-LSH near-dup recall on the planted (i-1, i) pairs. Bucket bits
