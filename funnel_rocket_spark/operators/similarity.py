@@ -1056,6 +1056,7 @@ def ivf_pq_search(codes_df: DataFrame, centers, codebooks,
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 n_clusters: int = 16, m: int = 8, n_bits: int = 6,
                 n_probe: int = 4, rounds: int = 4, seed: int = 42,
+                max_iter: int = 8,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id",
                 rerank: bool = False,
@@ -1066,7 +1067,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cell) and searches many times."""
     codes, centers, cb = ivf_pq_index(
         corpus, n_clusters=n_clusters, m=m, n_bits=n_bits, rounds=rounds,
-        seed=seed, id_col=id_col, vec_col=vec_col)
+        seed=seed, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
     return ivf_pq_search(codes, centers, cb, queries, k=k, n_probe=n_probe,
                          id_col=id_col, vec_col=vec_col,
                          query_id_col=query_id_col,
