@@ -108,15 +108,56 @@ def _collect_corpus(raw: DataFrame):
     return raw.collect()
 
 
+_FOOTER_SAFE_NODES = frozenset({
+    # Plan nodes that cannot INCREASE the row count of their child — the
+    # only shapes for which the summed footer num_rows is a true upper
+    # bound. Joins, Generate (explode), Window-with-expansion, etc. are
+    # absent on purpose: inputFiles() still lists the base files there,
+    # but the frame can hold MORE rows than the footers say, and an
+    # undercount would route embedding_dup_pairs(method="auto") onto the
+    # driver-collect index path — the OOM this sizing exists to prevent.
+    "Project", "Filter", "SubqueryAlias", "Sort", "GlobalLimit",
+    "LocalLimit", "Deduplicate", "Sample", "Repartition",
+    "RepartitionByExpression", "ResolvedHint", "UnresolvedHint",
+})
+
+
+def _plan_is_scan_shaped(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan is ONE relation leaf under
+    row-count-non-increasing operators (see _FOOTER_SAFE_NODES). Union is
+    deliberately NOT safe: ``inputFiles()`` DEDUPLICATES file paths, so a
+    self-union lists each file once and the footer sum under-counts 2×."""
+    try:
+        def walk(node) -> bool:
+            name = node.getClass().getSimpleName().replace("$", "")
+            kids = node.children()
+            if kids.size() == 0:
+                # Leaf: any relation/scan node (LogicalRelation,
+                # DataSourceV2[Scan]Relation, HiveTableRelation, ...).
+                return "Relation" in name or name == "LogicalRDD"
+            if name not in _FOOTER_SAFE_NODES:
+                return False
+            return all(walk(kids.apply(i)) for i in range(kids.size()))
+
+        return walk(df._jdf.queryExecution().analyzed())
+    except Exception:
+        return False
+
+
 def _scan_rowcount_upper_bound(df: DataFrame):
     """Upper bound on a frame's row count from parquet footers — no Spark
     job. ``inputFiles()`` lists the scan's files regardless of pushed
-    filters, so the summed footer ``num_rows`` bounds the post-filter count
-    from above. Returns None when the frame isn't locally-readable
-    parquet (in-memory frames, remote object stores, post-shuffle plans) —
-    callers fall back to the bounded count probe."""
+    filters, so for scan-shaped plans (relation + filters/projections —
+    gated by :func:`_plan_is_scan_shaped`) the summed footer ``num_rows``
+    bounds the post-filter count from above. Returns None when the frame
+    isn't locally-readable parquet (in-memory frames, remote object
+    stores, post-shuffle plans) or the plan contains a row-multiplying
+    operator (join, explode) that would make the footer sum an
+    UNDER-count — callers fall back to the bounded count probe."""
     from urllib.parse import unquote, urlparse
 
+    if not _plan_is_scan_shaped(df):
+        return None
     try:
         files = df.inputFiles()
     except Exception:

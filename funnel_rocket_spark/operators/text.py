@@ -535,12 +535,21 @@ def classifier_score(df: DataFrame, text_col: str = "text",
             16, 10).cast("long")
         return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
 
-    tk = tokens(F.col(text_col))
+    tk = _tokens_or_empty(text_col)
     logit = F.aggregate(
         tk, F.lit(0.0), lambda acc, t: acc + _token_weight(t)
     ) / F.greatest(F.size(tk), F.lit(1))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
     return df.select(F.col(id_col), F.round(score, 6).alias(out_col))
+
+
+def _tokens_or_empty(text_col: str):
+    """Token array with NULL text treated as the empty document, so every
+    classifier strategy scores a null-text row sigmoid(0) = 0.5 — without
+    the coalesce, the HOF-aggregate path propagated null (null array →
+    null logit → null score) while the explode_outer join path yielded
+    0.5, breaking the test-pinned strategy-equality contract."""
+    return F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
 
 
 _CLASSIFIER_MAP_MAX = 2_000  # literal-map entries before the join path
@@ -577,7 +586,7 @@ def classifier_score_weights(df: DataFrame, weights: dict,
     """
     if strategy == "auto":
         strategy = "map" if len(weights) <= _CLASSIFIER_MAP_MAX else "join"
-    tk = tokens(F.col(text_col))
+    tk = _tokens_or_empty(text_col)
     if strategy == "map":
         if weights:
             mapping = F.create_map(

@@ -96,16 +96,29 @@ def compact_band_index(spark, index_path: str,
 
     Crash-safe against the stream's retry semantics, in this order:
 
-    1. read EVERYTHING (live batches + any prior ``batch=-1``), distinct;
-    2. write to a dot-prefixed temp dir (hidden from partition discovery);
-    3. delete the old ``batch=-1`` (its rows are in the temp output);
-    4. rename temp → ``batch=-1`` (atomic on HDFS/local);
-    5. delete the ``batch=N`` dirs (their rows are in ``batch=-1``).
+    1. recover: if a prior attempt's temp dir exists AND carries the
+       completion marker AND ``batch=-1`` is absent, the temp dir is the
+       ONLY complete copy of the previously-compacted rows — promote it
+       to ``batch=-1`` (a crash landed between steps 5 and 6 below);
+       otherwise delete any leftover temp/aside dirs (their rows are
+       still readable elsewhere);
+    2. read EVERYTHING (live batches + any prior ``batch=-1``), distinct;
+    3. write to a dot-prefixed temp dir (hidden from partition discovery);
+    4. stamp a completion marker file inside it (committer-config
+       independent — ``_SUCCESS`` can be disabled);
+    5. rename the old ``batch=-1`` aside to a dot-prefixed dir (its rows
+       are in the temp output);
+    6. rename temp → ``batch=-1`` (atomic on HDFS/local);
+    7. delete the aside dir and the ``batch=N`` dirs (their rows are in
+       ``batch=-1``).
 
-    A crash at any point leaves a complete, readable index — at worst with
-    duplicate rows, which the next compaction's distinct removes and which
-    ``incremental_lsh_pairs`` already collapses at its candidate
-    ``distinct``. ``-1`` sits outside foreachBatch's id space, so the
+    A crash at any point leaves a complete, recoverable index: before
+    step 5 the old ``batch=-1`` is untouched; between 5 and 6 step 1's
+    promotion restores the temp output (which supersets the aside rows);
+    after 6 the new ``batch=-1`` is live and the leftovers are
+    duplicates that step 1 deletes and whose rows the next compaction's
+    distinct (and ``incremental_lsh_pairs``'s candidate ``distinct``)
+    collapse. ``-1`` sits outside foreachBatch's id space, so the
     ``batch != batch_id`` retry exclusion in ``process()`` keeps working.
     Single-writer rule: do not run concurrently with the stream's
     ``process()`` (same contract as any non-transactional parquet sink).
@@ -116,6 +129,21 @@ def compact_band_index(spark, index_path: str,
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return 0
+    tmp = HPath(index_path + "/.compact_tmp")
+    aside = HPath(index_path + "/.compact_old")
+    compacted = HPath(index_path + "/batch=-1")
+    marker = HPath(index_path + "/.compact_tmp/_FRS_COMPLETE")
+    # -- step 1: recovery from a crashed prior attempt ------------------
+    if fs.exists(tmp) and fs.exists(marker) and not fs.exists(compacted):
+        # The temp dir is a COMPLETE index (marker proves the write
+        # finished) and batch=-1 is gone (the crash hit after the
+        # rename-aside): promote it — deleting it here would permanently
+        # lose the previously-compacted band rows.
+        if not fs.rename(tmp, compacted):
+            raise IOError(
+                f"compact_band_index: recovery rename failed under {index_path}")
+    fs.delete(tmp, True)    # partial write from a crashed attempt
+    fs.delete(aside, True)  # rows live on in batch=-1 (or the promoted tmp)
     batch_dirs = [st.getPath() for st in fs.listStatus(root)
                   if st.isDirectory()
                   and st.getPath().getName().startswith("batch=")]
@@ -123,15 +151,18 @@ def compact_band_index(spark, index_path: str,
     if not live:
         return 0
     n_files = files_per_compaction or spark.sparkContext.defaultParallelism
-    tmp = HPath(index_path + "/.compact_tmp")
-    fs.delete(tmp, True)  # leftover from a crashed prior attempt
+    # -- steps 2-4: write the merged index to tmp, stamp it complete ----
     (spark.read.parquet(index_path).drop("batch").distinct()
      .repartition(n_files, "band", "bucket")
      .sortWithinPartitions("band", "bucket")
      .write.mode("overwrite").parquet(str(tmp)))
-    fs.delete(HPath(index_path + "/batch=-1"), True)
-    if not fs.rename(tmp, HPath(index_path + "/batch=-1")):
+    fs.create(marker, True).close()
+    # -- steps 5-7: swap into place, then clean up ----------------------
+    if fs.exists(compacted) and not fs.rename(compacted, aside):
+        raise IOError(f"compact_band_index: aside rename failed under {index_path}")
+    if not fs.rename(tmp, compacted):
         raise IOError(f"compact_band_index: rename failed under {index_path}")
+    fs.delete(aside, True)
     removed = 0
     for p in live:
         fs.delete(p, True)

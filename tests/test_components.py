@@ -624,3 +624,50 @@ def test_compact_band_index_preserves_results(spark, tmp_path):
     # a retry-style exclusion of a real batch id keeps the compacted rows
     kept = spark.read.parquet(idx_path).where(F.col("batch") != 7).count()
     assert kept == spark.read.parquet(idx_path).count()
+
+
+def test_compact_band_index_crash_recovery(spark, tmp_path):
+    """ADVICE r4 (high): a crash between the aside-rename and the
+    tmp→batch=-1 promotion leaves .compact_tmp as the ONLY complete copy
+    of the compacted rows. The next invocation must PROMOTE it (the
+    completion marker proves the write finished), never delete it; a
+    markerless tmp (crashed mid-write) must be discarded with batch=-1
+    left intact."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from funnel_rocket_spark.operators import dedup
+    from funnel_rocket_spark.streaming import compact_band_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    idx_path = str(tmp_path / "band_index")
+    dedup.minhash_band_table(b0).write.parquet(f"{idx_path}/batch=0")
+    dedup.minhash_band_table(b1).write.parquet(f"{idx_path}/batch=1")
+    assert compact_band_index(spark, idx_path) == 2
+    want = sorted(map(tuple, spark.read.parquet(idx_path)
+                      .drop("batch").collect()))
+
+    # -- crash window: batch=-1 renamed aside, tmp not yet promoted -----
+    shutil.move(f"{idx_path}/batch=-1", f"{idx_path}/.compact_tmp")
+    open(f"{idx_path}/.compact_tmp/_FRS_COMPLETE", "w").close()
+    assert not os.path.exists(f"{idx_path}/batch=-1")
+    compact_band_index(spark, idx_path)  # recovery path
+    got = sorted(map(tuple, spark.read.parquet(idx_path)
+                     .drop("batch").collect()))
+    assert got == want and len(got) > 0, \
+        "recovery lost the previously-compacted band rows"
+
+    # -- markerless tmp (crashed mid-write) is discarded, not promoted --
+    os.makedirs(f"{idx_path}/.compact_tmp", exist_ok=True)
+    open(f"{idx_path}/.compact_tmp/part-garbage.parquet", "w").close()
+    dedup.minhash_band_table(
+        docs.filter(F.col("doc_id") % 3 == 2)
+    ).write.parquet(f"{idx_path}/batch=2")
+    assert compact_band_index(spark, idx_path) == 1
+    assert not os.path.exists(f"{idx_path}/.compact_tmp")
+    n_after = spark.read.parquet(idx_path).count()
+    assert n_after >= len(want)

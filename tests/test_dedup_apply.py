@@ -133,7 +133,7 @@ def test_ngram_contamination_planner_fallback_equal(spark, monkeypatch):
 
 def test_bounded_persist_ring_caps_storage(spark):
     """The persist ring keeps at most CAP frames cached; older frames are
-    unpersisted so a long-lived session (job server, the 107-query bench)
+    unpersisted so a long-lived session (job server, the 109-query bench)
     can't accumulate storage without bound."""
     frames = [spark.range(i + 1) for i in range(dedup._PERSISTED_RING_CAP + 3)]
     for f in frames:
@@ -142,3 +142,40 @@ def test_bounded_persist_ring_caps_storage(spark):
     assert not frames[0].storageLevel.useMemory    # evicted + unpersisted
     assert not frames[1].storageLevel.useMemory
     assert frames[-1].storageLevel.useMemory       # recent stays cached
+
+
+def test_bounded_persist_plan_identical_frames_share_one_slot(spark):
+    """REGRESSION (round-4 perf defect): Spark's CacheManager dedupes
+    cached entries by canonicalized plan, so unpersisting ANY
+    plan-identical handle drops the shared entry. The old handle-keyed
+    FIFO evicted the entry out from under still-running composed queries
+    (dedup_pipeline_minhash 2.80→1.53 s once fixed). Now plan-identical
+    re-persists refresh ONE ring slot: flooding the ring with copies of
+    the same plan must never evict that plan, and the first handle stays
+    cached throughout."""
+    base = spark.range(0, 1000).selectExpr("id", "id * 2 as v")
+    first = dedup.bounded_persist(base.filter("v % 4 = 0"))
+    assert first.storageLevel.useMemory
+    # Interleave: many plan-identical persists (fresh handles, same plan)
+    # plus a few distinct plans — far more appends than the old cap.
+    for i in range(dedup._PERSISTED_RING_CAP * 2):
+        same_plan = base.filter("v % 4 = 0")          # fresh handle
+        dedup.bounded_persist(same_plan)
+        dedup.bounded_persist(spark.range(10_000 + i))  # distinct plan
+    assert first.storageLevel.useMemory, \
+        "plan-identical re-persist evicted the shared cache entry"
+    # And only ONE ring slot is spent on that plan.
+    same_slots = sum(1 for _, f in dedup._PERSISTED_RING
+                     if f.sameSemantics(first))
+    assert same_slots == 1
+
+
+def test_bounded_persist_recovers_from_external_clear(spark):
+    """bench.py calls spark.catalog.clearCache() between runs; the ring
+    must detect the externally-dropped entry and re-persist rather than
+    trusting its stale handle."""
+    plan = spark.range(0, 500).selectExpr("id % 7 as k")
+    dedup.bounded_persist(plan)
+    spark.catalog.clearCache()
+    again = dedup.bounded_persist(spark.range(0, 500).selectExpr("id % 7 as k"))
+    assert again.storageLevel.useMemory

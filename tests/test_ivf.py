@@ -302,3 +302,31 @@ def test_ivf_pq_rerank_recovers_exact_ranking(spark):
                codes, centers, cb, queries, k=5, n_probe=4,
                rerank_with=emb, rerank_depth=600).collect()}
     assert got == exact
+
+
+def test_footer_bound_refused_for_row_multiplying_plans(spark):
+    """ADVICE r4 (medium): inputFiles() lists the base files even when the
+    plan joins/explodes, so the footer sum would UNDER-count and auto
+    could route an oversized corpus onto the driver-collect index path.
+    The bound must refuse non-scan-shaped plans and keep working for
+    scan/filter/project/union shapes."""
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # scan-shaped: project / filter / limit all keep the bound usable
+    assert similarity._scan_rowcount_upper_bound(emb) == 500
+    assert similarity._scan_rowcount_upper_bound(
+        emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)) == 500
+    assert similarity._scan_rowcount_upper_bound(emb.limit(5)) == 500
+    # union: inputFiles() DEDUPLICATES paths, so a self-union's footer sum
+    # under-counts 2x -> must refuse
+    assert similarity._scan_rowcount_upper_bound(
+        emb.select("vec_id").unionByName(emb.select("vec_id"))) is None
+    # row-multiplying plans: refuse (return None -> caller probes)
+    self_join = emb.select("vec_id").join(
+        emb.select(F.col("vec_id").alias("v2")),
+        F.lit(True), "cross")
+    assert similarity._scan_rowcount_upper_bound(self_join) is None
+    exploded = emb.select("vec_id", F.explode("embedding").alias("x"))
+    assert similarity._scan_rowcount_upper_bound(exploded) is None
+    # aggregate/shuffled plans: not scan-shaped, refuse conservatively
+    assert similarity._scan_rowcount_upper_bound(
+        emb.groupBy("vec_id").count()) is None

@@ -236,3 +236,25 @@ def test_classifier_weights_plan_shapes(spark):
         text.classifier_score_weights(docs, w, strategy="join"))
     assert "BroadcastHashJoin" in jplan, jplan
     assert "SortMergeJoin" not in jplan, jplan
+
+
+def test_classifier_null_text_scores_half_everywhere(spark):
+    """ADVICE r4 (low): null text is the empty document — sigmoid(0)=0.5 —
+    in BOTH classifier_score_weights strategies and the hashing twin; the
+    map path's HOF-aggregate used to propagate null."""
+    from funnel_rocket_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "good stuff"), (3, "")],
+        "doc_id long, text string")
+    w = {"good": 0.5}
+    for strategy in ("map", "join"):
+        got = {r["doc_id"]: r["clf_score"] for r in
+               text.classifier_score_weights(df, w, strategy=strategy).collect()}
+        assert got[1] == 0.5, (strategy, got)
+        assert got[3] == 0.5, (strategy, got)
+        assert got[2] != 0.5
+    hashed = {r["doc_id"]: r["clf_score"]
+              for r in text.classifier_score(df).collect()}
+    assert hashed[1] == 0.5 and hashed[3] == 0.5
+    assert None not in hashed.values()
