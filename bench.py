@@ -34,6 +34,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     all_queries = benchqueries.queries()
+    # Timing-only variants (self-certifying contracts bench their operator
+    # alone; correctness always runs the full catalog version).
+    all_queries.update(getattr(benchqueries, "BENCH_VARIANTS", {}))
     names = [n for n in HEADLINE if n in all_queries]
 
     # Warmup: JVM + codegen + parquet footer caches

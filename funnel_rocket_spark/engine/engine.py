@@ -62,12 +62,17 @@ class QueryEngine:
             with_stats: bool = False) -> dict:
         """Execute and return the reference-shaped result JSON.
 
-        ``with_stats`` adds a ``stats`` block (the reference returns a rich
-        invoker/worker stats object, ``docs/api.md:645-736``; here the
-        fan-out metrics collapse into Spark's own execution, so the block
-        carries wall time + engine identity + the used-column set).
+        ``with_stats`` adds a ``stats`` block shaped after the reference's
+        (``/root/reference/frocket/invoker/stats_builder.py:42-86``, example
+        ``docs/api.md:645-736``): task counts, scanned rows/bytes, shuffle
+        and spill volumes, CPU/GC time, dataset parts/size — here read
+        from Spark's AppStatusStore for the query's own job group instead
+        of a Lambda metrics frame (see ``engine/metrics.py``).
         """
         import time as _time
+
+        from funnel_rocket_spark.engine.metrics import (JobGroupMetrics,
+                                                        dataset_stats)
 
         t0 = _time.perf_counter()
         plan = self.plan(df, query, validate_schema=validate_schema)
@@ -78,6 +83,10 @@ class QueryEngine:
         rows = None
         rows_persisted = False
         rows_strategy = None
+        metrics_mgr = None
+        if with_stats:
+            metrics_mgr = JobGroupMetrics(df.sparkSession)
+            metrics_mgr.__enter__()
         try:
             counts = plan.counts().collect()[0]
             if query_aggs:  # the universe feeds query aggregations only;
@@ -183,7 +192,7 @@ class QueryEngine:
             else:
                 result["funnel"] = None
             if with_stats:
-                result["stats"] = {
+                stats = {
                     "engine": "spark",
                     "success": True,
                     "totalSeconds": round(_time.perf_counter() - t0, 4),
@@ -191,9 +200,14 @@ class QueryEngine:
                     "sparkAppId": df.sparkSession.sparkContext.applicationId,
                     "defaultParallelism":
                         df.sparkSession.sparkContext.defaultParallelism,
+                    "dataset": dataset_stats(df),
                 }
+                stats.update(metrics_mgr.snapshot())
+                result["stats"] = stats
             return result
         finally:
+            if metrics_mgr is not None:
+                metrics_mgr.__exit__(None, None, None)
             if rows_persisted:
                 rows.unpersist()
 

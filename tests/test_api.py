@@ -51,7 +51,21 @@ def test_query_routes(client):
     assert r.status_code == 200
     body = r.get_json()
     assert body["query"]["matchingGroups"] == 15
-    assert body["stats"]["engine"] == "spark"
+    stats = body["stats"]
+    assert stats["engine"] == "spark"
+    # reference-stats parity (stats_builder.py / docs/api.md 645-736):
+    # task counts, scan volume, shuffle volume, dataset parts/size — all
+    # read from the query's own job group in the AppStatusStore
+    assert stats["invoker"]["totalTasks"] > 0
+    assert stats["invoker"]["failedTasks"] == 0
+    assert stats["invoker"]["jobs"] >= 1
+    w = stats["worker"]
+    assert w["scannedRows"] == 1000          # every event row scanned once
+    assert w["scannedBytes"] > 0
+    assert w["shuffleWriteBytes"] > 0        # the groupBy exchange
+    assert w["shuffleReadRecords"] == w["shuffleWriteRecords"]
+    assert w["executorRunSeconds"] > 0
+    assert stats["dataset"]["parts"] >= 1 and stats["dataset"]["totalSize"] > 0
     # reference envelope: success + "<unix-seconds>-<hex8>" request id
     assert body["success"] is True
     secs, _, tail = body["requestId"].partition("-")
