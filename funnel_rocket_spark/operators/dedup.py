@@ -408,19 +408,22 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus: DataFrame,
     if index is None:
         index = minhash_band_table(corpus, text_col, id_col,
                                    num_hashes, bands, n)
-    cross = (
-        new_banded.alias("nb").join(index.alias("ob"), on=["band", "bucket"])
+    # ONE probe join covers both pair classes: the right side is the
+    # corpus index UNION the increment's own band rows, so new×old and
+    # new×new candidates surface in the same (band, bucket) equi-join.
+    # new×new pairs appear in both orientations; least/greatest folds
+    # them and the distinct collapses the duplicates — candidate set
+    # identical to the former two-join shape (equality is test-pinned),
+    # one fewer join + union stage per ingest.
+    right = (index.select("band", "bucket", "id")
+             .unionByName(new_banded.select("band", "bucket", "id")))
+    candidates = (
+        new_banded.alias("nb").join(right.alias("ob"), on=["band", "bucket"])
         .where(F.col("nb.id") != F.col("ob.id"))
         .select(F.least("nb.id", "ob.id").alias("id_a"),
                 F.greatest("nb.id", "ob.id").alias("id_b"))
+        .distinct()
     )
-    a, b = new_banded.alias("a"), new_banded.alias("b")
-    fresh = (
-        a.join(b, on=["band", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-    candidates = cross.unionByName(fresh).distinct()
     if not verify:
         return candidates
 

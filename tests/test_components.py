@@ -671,3 +671,38 @@ def test_compact_band_index_crash_recovery(spark, tmp_path):
     assert not os.path.exists(f"{idx_path}/.compact_tmp")
     n_after = spark.read.parquet(idx_path).count()
     assert n_after >= len(want)
+
+
+def test_object_store_scheme_round_trip(spark):
+    """Non-local filesystem coverage (reference ships S3 handlers with
+    mock-S3 component tests — frocket/common/helpers/storage.py:101-145,
+    tests/utils/mock_s3_utils.py). Hadoop's viewfs:// is a real
+    non-`file` scheme resolved through the Hadoop FileSystem API exactly
+    like s3a:// — mounted here onto local testdata. Registration,
+    engine query, and the footer-sizing fallback must all behave
+    identically to the local path."""
+    from funnel_rocket_spark import QueryEngine, register_dataset
+    from funnel_rocket_spark.operators import similarity
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set("fs.viewfs.mounttable.frstest.link./data",
+           "file:///root/testdata")
+    remote = "viewfs://frstest/data/sf0.001/events.parquet"
+    ds = register_dataset(spark, "ev_remote", remote,
+                          group_id_column="user_id", timestamp_column="ts")
+    assert ds.total_rows == 1000 and ds.total_groups > 0
+    df = ds.load(spark)
+    assert df.inputFiles()[0].startswith("viewfs://")
+
+    q = {"query": {"conditions": [
+        {"filter": ["event_type", "==", "purchase"],
+         "target": ["count", ">=", 3]}]}}
+    eng = QueryEngine("user_id", "ts")
+    got = eng.run(df, q)
+    local = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = eng.run(local, q)
+    assert got == want
+
+    # footer sizing: viewfs is not locally-readable parquet -> refuse the
+    # footer bound (None), never a wrong number
+    assert similarity._scan_rowcount_upper_bound(df) is None
