@@ -152,57 +152,75 @@ def write_sharded_jsonl(
     compression keeps lines splittable at the file level (one shard =
     one stream), which is how loaders consume them anyway.
 
-    Exactly-N guarantee: hash routing uses an IDENTITY partitioner (shard
-    id == partition id), not ``repartition(shards, col)`` — that re-hashes
-    the hash, so two shard ids can collide into one partition and leave
-    another empty, and Spark writes no file for an empty task. A shard
-    left genuinely empty by a tiny/skewed keyspace is padded with an empty
-    part file (local paths, uncompressed) so loaders addressing file i of
-    N always find N files; for remote/compressed outputs the pad is
-    skipped — address shards positionally only when the keyspace covers
-    them. The identity partitioner routes rows through the Python
-    serializer; export jobs are write-I/O-bound, so this is not the
-    bottleneck, but at very large scale prefer ``partitionBy`` directory
-    layouts over fixed file counts.
+    Exactly-N guarantee, entirely JVM-side (no Python-serializer round
+    trip of row data — rounds ≤4 routed every row through an RDD identity
+    partitioner): the shard id is an md5-derived column, the frame is
+    ``repartition(shards, __shard)``-ed (collisions of two shard ids into
+    one partition are fine — ``partitionBy`` still splits them into
+    separate directories, one file each, since all rows of a shard land
+    in one task), written as a ``__shard=i/`` Hive layout, and the driver
+    FLATTENS the directories into ``part-{i:05}`` files with Hadoop-FS
+    renames (scheme-agnostic; on object stores the "rename" is the usual
+    copy-commit, still metadata-cheap next to the write). A shard left
+    genuinely empty by a tiny/skewed keyspace is padded with an empty
+    part file (uncompressed only — an empty .gz would not be a valid
+    stream) so loaders addressing file i of N always find N files.
     """
+    spark = df.sparkSession
     if shard_col is None:
-        out = df.repartition(shards)
-    else:
-        import hashlib
+        writer = df.repartition(shards).write.mode(mode)
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.json(path)
+        return
 
-        schema = df.schema
-        idx = schema.fieldNames().index(shard_col)
-
-        def _shard(value, _n=shards) -> int:
-            digest = hashlib.md5(repr(value).encode("utf-8")).digest()
-            return int.from_bytes(digest[:4], "big") % _n
-
-        rdd = (
-            df.rdd.map(lambda r, _i=idx: (_shard(r[_i]), r))
-            .partitionBy(shards, lambda k: k)
-            .values()
-        )
-        out = df.sparkSession.createDataFrame(rdd, schema)
-    writer = out.write.mode(mode)
+    # md5-derived shard id: deterministic, engine-portable, and stable
+    # across runs/layouts (same contract the sampling operators use).
+    key = F.coalesce(F.col(shard_col).cast("string"), F.lit("__null__"))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10)
+        .cast("long"), F.lit(shards)).cast("int")
+    out = df.withColumn("__shard", shard).repartition(shards, "__shard")
+    writer = out.write.mode(mode).partitionBy("__shard")
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
-
-    if shard_col is not None and not compression:
-        _pad_missing_shards(path, shards)
+    _flatten_shard_dirs(spark, path, shards, pad=not compression)
 
 
-def _pad_missing_shards(path: str, shards: int) -> None:
-    """Create empty part files for shards that got no rows (local paths
-    only) so the produced file count equals ``shards``."""
-    local = path[len("file://"):] if path.startswith("file://") else path
-    if "://" in local or not os.path.isdir(local):
-        return
-    parts = sorted(f for f in os.listdir(local) if f.startswith("part-"))
-    have = {int(f.split("-")[1]) for f in parts}
-    for i in range(shards):
-        if i not in have:
-            open(os.path.join(local, f"part-{i:05d}-empty.json"), "w").close()
+def _flatten_shard_dirs(spark, path: str, shards: int, pad: bool) -> None:
+    """Flatten a ``__shard=i/`` Hive layout into flat ``part-{i:05}-*``
+    files via Hadoop-FS renames (works on any scheme), optionally padding
+    empty shards with empty part files so exactly ``shards`` files exist."""
+    jvm = spark.sparkContext._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(path)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    seen = set()
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("__shard=")):
+            continue
+        try:
+            i = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        seen.add(i)
+        files = [s.getPath() for s in fs.listStatus(st.getPath())
+                 if s.isFile() and not s.getPath().getName().startswith(("_", "."))]
+        for j, p in enumerate(sorted(files, key=lambda p: p.getName())):
+            ext = p.getName().split("part-")[-1]
+            ext = ext[ext.index("."):] if "." in ext else ".json"
+            suffix = f"-{j}" if j else ""
+            dest = HPath(path + f"/part-{i:05d}{suffix}-shard{ext}")
+            if not fs.rename(p, dest):
+                raise IOError(f"shard flatten rename failed: {p} -> {dest}")
+        fs.delete(st.getPath(), True)
+    if pad:
+        for i in range(shards):
+            if i not in seen:
+                fs.create(
+                    HPath(path + f"/part-{i:05d}-empty.json"), True).close()
 
 
 def zorder_key(df, cols: list[str], bits: int = 8,
