@@ -1552,8 +1552,13 @@ def _curation_report_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     evalset = docs.filter(F.col("doc_id") % 97 == 0)
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
-                                    threshold=0.5)
+    # dup_ids consumes `pairs` TWICE (id_a + id_b selects); the differing
+    # pushed projections make the two subtrees non-reusable exchanges, so
+    # without a persist the verify join runs twice. The pairs OUTPUT is
+    # tiny (bounded by true near-dups) — persist it, not the internals.
+    pairs = dedup.bounded_persist(
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
+                                threshold=0.5))
     dup_ids = (pairs.select(F.col("id_a").alias("doc_id"))
                .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
                .distinct().withColumn("__dup", F.lit(1)))

@@ -179,3 +179,31 @@ def test_bounded_persist_recovers_from_external_clear(spark):
     spark.catalog.clearCache()
     again = dedup.bounded_persist(spark.range(0, 500).selectExpr("id % 7 as k"))
     assert again.storageLevel.useMemory
+
+
+def test_ngram_contamination_all_strategies_agree(spark):
+    """broadcast / hash / planner tiers are the same function; the hash
+    tier (broadcast xxhash64 set + map-side semi join + exact verify of
+    survivors) must change the answer by exactly nothing."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 7 != 0")
+    evalset = docs.filter("doc_id % 7 = 0")
+    results = {}
+    for strat in ("broadcast", "hash", "planner"):
+        results[strat] = sorted(map(tuple, dedup.ngram_contamination(
+            corpus, evalset, n=3, strategy=strat).collect()))
+    assert results["broadcast"] == results["hash"] == results["planner"]
+    assert len(results["hash"]) > 0
+
+
+def test_ngram_contamination_hash_tier_plan(spark):
+    """Hash tier plan shape: the corpus grams meet a broadcast LEFT SEMI
+    hash join (zero corpus shuffle) before any string-equality join."""
+    from funnel_rocket_spark.plans import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 7 != 0")
+    evalset = docs.filter("doc_id % 7 = 0")
+    plan = formatted_plan(dedup.ngram_contamination(
+        corpus, evalset, n=3, strategy="hash"))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan

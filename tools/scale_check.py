@@ -311,12 +311,21 @@ def pipeline_main(n_docs: int) -> None:
           f"{out['timings']['exact_substring_spans']}s "
           f"({out['n_span_docs']} docs with spans)", file=sys.stderr)
 
+    # Sections are independent jobs in production; don't let one
+    # section's persisted frames (the ring keeps up to 16 alive) squeeze
+    # the next section's executor memory.
+    spark.catalog.clearCache()
+
     # 2. curation report: same composition as the catalog query
     t0 = time.perf_counter()
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     evalset = docs.filter(F.col("doc_id") % 97 == 0)
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
-                                    threshold=0.5)
+    # persist the tiny pair OUTPUT: dup_ids consumes it twice and the
+    # differing pushed projections defeat exchange reuse (same fix as the
+    # catalog query)
+    pairs = dedup.bounded_persist(
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
+                                threshold=0.5))
     dup_ids = (pairs.select(F.col("id_a").alias("doc_id"))
                .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
                .distinct().withColumn("__dup", F.lit(1)))
@@ -342,6 +351,8 @@ def pipeline_main(n_docs: int) -> None:
     out["timings"]["curation_report"] = round(time.perf_counter() - t0, 2)
     print(f"# curation_report: {out['timings']['curation_report']}s",
           file=sys.stderr)
+
+    spark.catalog.clearCache()
 
     # 3. incremental ingest: 10% batch vs persisted band index
     new_docs = docs.filter(F.col("doc_id") % 10 == 0)
