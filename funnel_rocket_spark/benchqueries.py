@@ -3062,27 +3062,26 @@ NO_ORACLE: dict = {}
 
 # The driver's correctness gate audits the FIRST 50 entries of queries().
 # Round 2 verified the 50 reference-shaped queries; round 3 rotated the 37
-# then-unaudited extension queries. Round 4 closes the audit debt: the 8
-# queries that have NEVER been in a driver window, the two queries whose
-# contracts changed this round (ann_ivf_topk gained a recall oracle;
-# olap_percentiles_approx became a scalar self-certifying check), every
-# query whose code path changed this round (interval grid long math,
-# embedding auto sizing, GEMM rounding, funnel universe caching,
-# persisted-index incremental LSH), then the full fr_* reference suite
-# plus representative extension re-greens. Everything else follows in
-# catalog order, so all 109 stay runnable by bench.py.
+# then-unaudited extension queries; round 4 closed the audit debt (every
+# catalog query now has a green driver row in some round; r4's window was
+# 50/50 green). Round 5's window leads with every query whose CODE PATH
+# changed this round: the contamination hash tier (decontaminate_ngram and
+# both pipeline composites), the fused incremental-LSH candidate join, the
+# sampled/vectorized IVF-PQ build, the persist-ring rewrite (everything
+# that shingles), and the null-text classifier coalesce. Then the fr_*
+# reference suite re-anchors, then extension re-greens in family order.
+# Everything else follows in catalog order, so all 109 stay runnable.
 _DRIVER_PRIORITY = [
-    # 8 never-audited (added after r3's window filled)
-    "olap_sales_opportunity", "curation_report", "interval_join_concurrent",
-    "heavy_hitters_props", "text_remove_dup_spans", "sample_splits",
-    "text_classifier_score", "behavior_funnel_trend",
-    # contracts changed in r4 — need fresh greens
-    "ann_ivf_topk", "olap_percentiles_approx",
-    "fr_agg_groups_per_value_approx",
-    # code paths changed in r4
+    # code paths changed in r5 — need fresh greens
+    "decontaminate_ngram", "curation_pipeline", "curation_report",
+    "dedup_incremental_lsh", "ann_ivfpq_topk",
+    "text_classifier_score", "text_classifier_trained",
+    "dedup_minhash_lsh", "dedup_pipeline_minhash", "dedup_ngram_jaccard",
+    "olap_percentiles_approx", "ann_ivf_topk",
+    # r4-changed paths, one more independent green each
     "dedup_embedding_cosine", "dedup_semantic", "embedding_kmeans",
-    "dedup_incremental_lsh", "fr_funnel_step_agg",
-    # full reference-shaped suite (re-anchor; engine universe logic moved)
+    "fr_funnel_step_agg", "fr_agg_groups_per_value_approx",
+    # full reference-shaped suite (re-anchor every round — the product)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
     "fr_regex_filter", "fr_agg_count_per_value", "fr_agg_groups_per_value",
@@ -3091,14 +3090,13 @@ _DRIVER_PRIORITY = [
     "fr_seq_row_not_found", "fr_registration_profile", "fr_lineitem_engine",
     "fr_agg_groups_skew_path",
     # representative extension re-greens (one per operator family)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_pipeline_minhash",
-    "curation_pipeline", "decontaminate_ngram", "dedup_simhash",
-    "sessionize_events", "asof_join_clicks",
+    "dedup_exact", "dedup_simhash", "sessionize_events", "asof_join_clicks",
     "olap_pricing_summary", "olap_percentiles", "audience_segments",
-    "text_classifier_trained", "ann_ivfpq_topk",
+    "heavy_hitters_props", "sample_splits", "text_remove_dup_spans",
+    "behavior_funnel_trend", "interval_join_concurrent",
 ]
 # Audit ledger after this rotation: every oracle-able catalog query has at
-# least one independent driver CORRECTNESS green (r02, r03, or r04).
+# least one independent driver CORRECTNESS green (r02, r03, r04, or r05).
 
 
 def queries() -> dict:
