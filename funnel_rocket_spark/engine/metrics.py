@@ -101,6 +101,16 @@ class JobGroupMetrics:
             for k in ("executorRunSeconds", "executorCpuSeconds",
                       "jvmGcSeconds"):
                 w[k] = round(w[k], 4)
+            # The reference prices its Lambda compute per query
+            # (docs/api.md:739 — "cost": 0.00175). The Spark analog is
+            # executor-core time at a per-core-hour rate
+            # (FRS_CORE_HOUR_USD, default $0.05 ≈ on-demand general-
+            # purpose vCPU-hour); run time, not CPU time, since that is
+            # what a cluster bills.
+            import os
+
+            rate = float(os.environ.get("FRS_CORE_HOUR_USD", "0.05"))
+            out["cost"] = round(w["executorRunSeconds"] / 3600.0 * rate, 6)
         except Exception:
             out["partial"] = True  # plumbing changed: degrade, don't fail
         return out

@@ -65,6 +65,7 @@ def test_query_routes(client):
     assert w["shuffleWriteBytes"] > 0        # the groupBy exchange
     assert w["shuffleReadRecords"] == w["shuffleWriteRecords"]
     assert w["executorRunSeconds"] > 0
+    assert stats["cost"] >= 0  # reference's priced-compute field
     assert stats["dataset"]["parts"] >= 1 and stats["dataset"]["totalSize"] > 0
     # reference envelope: success + "<unix-seconds>-<hex8>" request id
     assert body["success"] is True
