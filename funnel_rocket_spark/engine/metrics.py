@@ -75,6 +75,7 @@ class JobGroupMetrics:
             defaults = [getattr(store, f"stageAttempt$default${i}")()
                         for i in (3, 4, 5, 6)]
             w = out["worker"]
+            heaviest = (None, -1)  # (stage id, completed tasks)
             for sid in sorted(stage_ids):
                 try:
                     data = store.stageAttempt(int(sid), 0, *defaults)._1()
@@ -83,6 +84,8 @@ class JobGroupMetrics:
                 out["invoker"]["stages"] += 1
                 out["invoker"]["totalTasks"] += data.numCompleteTasks()
                 out["invoker"]["failedTasks"] += data.numFailedTasks()
+                if data.numCompleteTasks() > heaviest[1]:
+                    heaviest = (int(sid), data.numCompleteTasks())
                 w["scannedRows"] += data.inputRecords()
                 w["scannedBytes"] += data.inputBytes()
                 w["outputRows"] += data.outputRecords()
@@ -111,9 +114,39 @@ class JobGroupMetrics:
 
             rate = float(os.environ.get("FRS_CORE_HOUR_USD", "0.05"))
             out["cost"] = round(w["executorRunSeconds"] / 3600.0 * rate, 6)
+            # Task-duration distribution of the heaviest stage — the
+            # Spark analog of the reference worker's per-task totalTime
+            # percentiles (docs/api.md:712-723). Per-stage (tasks within
+            # one stage are the comparable fan-out unit, like the
+            # reference's one-task-per-part fleet).
+            if heaviest[0] is not None:
+                dist = self._task_duration_quantiles(sc, heaviest[0])
+                if dist:
+                    w["taskTime"] = dist
         except Exception:
             out["partial"] = True  # plumbing changed: degrade, don't fail
         return out
+
+    @staticmethod
+    def _task_duration_quantiles(sc, stage_id: int):
+        """``{"min": s, "25%": s, ..., "max": s}`` task durations for one
+        stage via AppStatusStore.taskSummary (a Scala Array[Double] arg —
+        built through the py4j gateway). None on any plumbing mismatch."""
+        try:
+            labels = ["min", "25%", "50%", "75%", "95%", "99%", "max"]
+            qs = [0.0, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0]
+            gw = sc._gateway
+            arr = gw.new_array(gw.jvm.double, len(qs))
+            for i, v in enumerate(qs):
+                arr[i] = v
+            opt = sc._jsc.sc().statusStore().taskSummary(stage_id, 0, arr)
+            if not opt.isDefined():
+                return None
+            dur = opt.get().duration()  # Scala IndexedSeq[Double], ms
+            return {lab: round(dur.apply(i) / 1000.0, 4)
+                    for i, lab in enumerate(labels)}
+        except Exception:
+            return None
 
 
 def dataset_stats(df) -> dict:

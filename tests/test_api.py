@@ -66,6 +66,8 @@ def test_query_routes(client):
     assert w["shuffleReadRecords"] == w["shuffleWriteRecords"]
     assert w["executorRunSeconds"] > 0
     assert stats["cost"] >= 0  # reference's priced-compute field
+    # per-task timing distribution (reference worker totalTime analog)
+    assert stats["worker"]["taskTime"]["max"] >= stats["worker"]["taskTime"]["min"]
     assert stats["dataset"]["parts"] >= 1 and stats["dataset"]["totalSize"] > 0
     # reference envelope: success + "<unix-seconds>-<hex8>" request id
     assert body["success"] is True
