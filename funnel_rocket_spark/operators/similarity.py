@@ -837,11 +837,21 @@ def _pq_assign(S, cbk):
     ``−2·S·cb + |cb|²`` over K is the nearest-centroid rule with the
     query-side ``|S|²`` term dropped (constant per (row, sub)). Ties →
     lowest code (np.argmin contract), keeping builds deterministic.
+
+    Row-chunked: the (n, m, K) distance tensor of a full 10k-row Arrow
+    batch is ~330 MB float64 — times the executor's task slots that's
+    real memory; 2k-row chunks bound it at ~67 MB per task with no
+    measurable throughput cost (the einsum is identical work).
     """
     import numpy as np
 
-    D = -2.0 * np.einsum("nmd,mkd->nmk", S, cbk) + (cbk ** 2).sum(axis=2)[None]
-    return np.argmin(D, axis=2)
+    cb_sq = (cbk ** 2).sum(axis=2)[None]
+    out = np.empty((len(S), cbk.shape[0]), dtype=np.int64)
+    for i in range(0, len(S), 2048):
+        chunk = S[i:i + 2048]
+        D = -2.0 * np.einsum("nmd,mkd->nmk", chunk, cbk) + cb_sq
+        out[i:i + 2048] = np.argmin(D, axis=2)
+    return out
 
 
 def ivf_pq_index(corpus: DataFrame, n_clusters: int = 16, m: int = 8,
