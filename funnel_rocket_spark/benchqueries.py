@@ -3107,14 +3107,16 @@ def queries() -> dict:
     return ordered
 
 
-# Timing-only substitutions for bench.py. A variant times the OPERATOR as a
-# user would run it, when the catalog entry deliberately carries extra
-# in-plan verification work (self-certifying approximation contracts). The
-# correctness gate always runs the full queries() version — a variant here
-# never weakens an oracle, it only stops billing certification overhead as
-# operator cost.
+# Timing-only ADDITIONS for bench.py, reported under their own distinct
+# names. A variant times the OPERATOR as a user would run it, when the
+# catalog entry deliberately carries extra in-plan verification work
+# (self-certifying approximation contracts). The catalog query keeps its
+# own timing row — a variant never replaces it (rounds ≤5 timed the
+# sketch UNDER the catalog name, which made the published number measure
+# a different plan than the one the correctness gate validates), and the
+# correctness gate always runs the full queries() version.
 BENCH_VARIANTS: dict = {
-    "olap_percentiles_approx": _olap_percentiles_sketch_only_fn,
+    "olap_percentiles_approx_sketch": _olap_percentiles_sketch_only_fn,
 }
 
 

@@ -62,6 +62,15 @@ class JobGroupMetrics:
             },
         }
         try:
+            # AppStatusListener is fed by the ASYNC listener bus — a
+            # snapshot taken right after the last collect can miss the
+            # final task/stage events under load. Drain the bus first
+            # (bounded wait) so the store is complete; guarded because
+            # waitUntilEmpty is private[spark] plumbing.
+            try:
+                sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+            except Exception:
+                pass
             tracker = sc.statusTracker()
             job_ids = tracker.getJobIdsForGroup(self.group_id)
             stage_ids = set()
@@ -70,37 +79,17 @@ class JobGroupMetrics:
                 if info is not None:
                     stage_ids.update(info.stageIds)
             out["invoker"]["jobs"] = len(job_ids)
-            store = sc._jsc.sc().statusStore()
-            # Scala default args surface as $default$N helper methods.
-            defaults = [getattr(store, f"stageAttempt$default${i}")()
-                        for i in (3, 4, 5, 6)]
+            try:
+                self._fill_from_status_store(sc, stage_ids, out)
+            except Exception:
+                # statusStore is reached through py4j reflection of
+                # private Spark plumbing; a Spark minor-version bump may
+                # break it. Degrade to the PUBLIC StatusTracker API —
+                # task/stage counts survive, byte/row volumes don't.
+                out["partial"] = True
+                out["statsSource"] = "statusTracker"
+                self._fill_from_tracker(tracker, stage_ids, out)
             w = out["worker"]
-            heaviest = (None, -1)  # (stage id, completed tasks)
-            for sid in sorted(stage_ids):
-                try:
-                    data = store.stageAttempt(int(sid), 0, *defaults)._1()
-                except Exception:
-                    continue  # skipped stage: planned but never run
-                out["invoker"]["stages"] += 1
-                out["invoker"]["totalTasks"] += data.numCompleteTasks()
-                out["invoker"]["failedTasks"] += data.numFailedTasks()
-                if data.numCompleteTasks() > heaviest[1]:
-                    heaviest = (int(sid), data.numCompleteTasks())
-                w["scannedRows"] += data.inputRecords()
-                w["scannedBytes"] += data.inputBytes()
-                w["outputRows"] += data.outputRecords()
-                w["outputBytes"] += data.outputBytes()
-                w["shuffleReadBytes"] += data.shuffleReadBytes()
-                w["shuffleReadRecords"] += data.shuffleReadRecords()
-                w["shuffleWriteBytes"] += data.shuffleWriteBytes()
-                w["shuffleWriteRecords"] += data.shuffleWriteRecords()
-                w["memorySpilledBytes"] += data.memoryBytesSpilled()
-                w["diskSpilledBytes"] += data.diskBytesSpilled()
-                w["executorRunSeconds"] += data.executorRunTime() / 1000.0
-                w["executorCpuSeconds"] += data.executorCpuTime() / 1e9
-                w["jvmGcSeconds"] += data.jvmGcTime() / 1000.0
-                w["peakExecutionMemory"] = max(w["peakExecutionMemory"],
-                                               data.peakExecutionMemory())
             for k in ("executorRunSeconds", "executorCpuSeconds",
                       "jvmGcSeconds"):
                 w[k] = round(w[k], 4)
@@ -114,18 +103,68 @@ class JobGroupMetrics:
 
             rate = float(os.environ.get("FRS_CORE_HOUR_USD", "0.05"))
             out["cost"] = round(w["executorRunSeconds"] / 3600.0 * rate, 6)
-            # Task-duration distribution of the heaviest stage — the
-            # Spark analog of the reference worker's per-task totalTime
-            # percentiles (docs/api.md:712-723). Per-stage (tasks within
-            # one stage are the comparable fan-out unit, like the
-            # reference's one-task-per-part fleet).
-            if heaviest[0] is not None:
-                dist = self._task_duration_quantiles(sc, heaviest[0])
-                if dist:
-                    w["taskTime"] = dist
         except Exception:
             out["partial"] = True  # plumbing changed: degrade, don't fail
         return out
+
+    def _fill_from_status_store(self, sc, stage_ids, out: dict) -> None:
+        """Full metrics via the driver's AppStatusStore (private plumbing,
+        reached by py4j reflection — the caller falls back to
+        :meth:`_fill_from_tracker` if any of it moved)."""
+        store = sc._jsc.sc().statusStore()
+        # Scala default args surface as $default$N helper methods.
+        defaults = [getattr(store, f"stageAttempt$default${i}")()
+                    for i in (3, 4, 5, 6)]
+        w = out["worker"]
+        heaviest = (None, -1)  # (stage id, completed tasks)
+        for sid in sorted(stage_ids):
+            try:
+                data = store.stageAttempt(int(sid), 0, *defaults)._1()
+            except Exception:
+                continue  # skipped stage: planned but never run
+            out["invoker"]["stages"] += 1
+            out["invoker"]["totalTasks"] += data.numCompleteTasks()
+            out["invoker"]["failedTasks"] += data.numFailedTasks()
+            if data.numCompleteTasks() > heaviest[1]:
+                heaviest = (int(sid), data.numCompleteTasks())
+            w["scannedRows"] += data.inputRecords()
+            w["scannedBytes"] += data.inputBytes()
+            w["outputRows"] += data.outputRecords()
+            w["outputBytes"] += data.outputBytes()
+            w["shuffleReadBytes"] += data.shuffleReadBytes()
+            w["shuffleReadRecords"] += data.shuffleReadRecords()
+            w["shuffleWriteBytes"] += data.shuffleWriteBytes()
+            w["shuffleWriteRecords"] += data.shuffleWriteRecords()
+            w["memorySpilledBytes"] += data.memoryBytesSpilled()
+            w["diskSpilledBytes"] += data.diskBytesSpilled()
+            w["executorRunSeconds"] += data.executorRunTime() / 1000.0
+            w["executorCpuSeconds"] += data.executorCpuTime() / 1e9
+            w["jvmGcSeconds"] += data.jvmGcTime() / 1000.0
+            w["peakExecutionMemory"] = max(w["peakExecutionMemory"],
+                                           data.peakExecutionMemory())
+        # Task-duration distribution of the heaviest stage — the Spark
+        # analog of the reference worker's per-task totalTime percentiles
+        # (docs/api.md:712-723). Per-stage (tasks within one stage are
+        # the comparable fan-out unit, like the reference's one-task-
+        # per-part fleet).
+        if heaviest[0] is not None:
+            dist = self._task_duration_quantiles(sc, heaviest[0])
+            if dist:
+                w["taskTime"] = dist
+
+    @staticmethod
+    def _fill_from_tracker(tracker, stage_ids, out: dict) -> None:
+        """Task/stage counts via the public :class:`StatusTracker` Python
+        API — the version-proof floor under the statusStore reflection.
+        ``SparkStageInfo`` carries no byte/row metrics, so volumes stay 0
+        and the snapshot is marked partial by the caller."""
+        for sid in sorted(stage_ids):
+            info = tracker.getStageInfo(sid)
+            if info is None:
+                continue
+            out["invoker"]["stages"] += 1
+            out["invoker"]["totalTasks"] += info.numCompletedTasks
+            out["invoker"]["failedTasks"] += info.numFailedTasks
 
     @staticmethod
     def _task_duration_quantiles(sc, stage_id: int):

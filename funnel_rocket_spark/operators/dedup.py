@@ -206,6 +206,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 _CONTAMINATION_BROADCAST_MAX = 1_000_000  # distinct eval grams
+# Hash-tier cap: the broadcast is an 8-byte xxhash64 per gram on the WIRE,
+# but the in-JVM BroadcastHashRelation costs ~30-50 bytes/row (hash table
+# buckets + object headers), so the real heap bill is ~5x the wire size.
+# 4M grams ≈ 160-200 MB resident — comfortably inside default driver and
+# executor headroom; the earlier 16M bound would have built a several-
+# hundred-MB relation, reintroducing the heap-starved-JVM OOM this tiering
+# exists to prevent. Override via FRS_CONTAMINATION_HASH_MAX for clusters
+# with bigger drivers.
+_CONTAMINATION_HASH_MAX = int(__import__("os").environ.get(
+    "FRS_CONTAMINATION_HASH_MAX", 4_000_000))
 
 
 def ngram_contamination(corpus: DataFrame, evalset: DataFrame,
@@ -229,7 +239,9 @@ def ngram_contamination(corpus: DataFrame, evalset: DataFrame,
 
     * ``"broadcast"`` (≤ ~1M grams) — the gram STRINGS broadcast; the
       corpus streams through a map-side hash join with zero shuffle.
-    * ``"hash"`` (≤ ~16M grams) — the grams' ``xxhash64`` SET broadcasts
+    * ``"hash"`` (≤ ~4M grams — sized by the ~40 B/row in-JVM hash
+      relation, not the 8 B wire size) — the grams' ``xxhash64`` SET
+      broadcasts
       (8 bytes/gram, ~10× smaller than the strings): the corpus
       left-semi joins it map-side — still zero corpus shuffle — and
       only the surviving grams (actual contamination + a ~2^-64-rate
@@ -250,6 +262,7 @@ def ngram_contamination(corpus: DataFrame, evalset: DataFrame,
     eval_grams = (shingle_frame(evalset, text_col, id_col, n)
                   .select(F.explode("grams").alias("gram")).distinct())
     cap = _CONTAMINATION_BROADCAST_MAX
+    hcap = _CONTAMINATION_HASH_MAX
     if strategy == "auto":
         # Tier probe 1: total eval text bytes bound the gram count from
         # above (every distinct gram starts at a distinct token and
@@ -260,7 +273,7 @@ def ngram_contamination(corpus: DataFrame, evalset: DataFrame,
             F.sum(F.octet_length(text_col)).alias("b")).first()["b"] or 0)
         if total_bytes <= 2 * cap:
             strategy = "broadcast"
-        elif total_bytes <= 2 * 16 * cap:
+        elif total_bytes <= 2 * hcap:
             # The byte bound already proves the gram count fits the hash
             # tier — no distinct-count probe job needed.
             strategy = "hash"
@@ -268,13 +281,18 @@ def ngram_contamination(corpus: DataFrame, evalset: DataFrame,
             # Gray zone: count distinct grams; persist so the probe and
             # the join share ONE shingling pass over the eval set.
             bounded_persist(eval_grams)
-            n_grams = eval_grams.limit(16 * cap + 1).count()
-            strategy = "hash" if n_grams <= 16 * cap else "planner"
+            n_grams = eval_grams.limit(hcap + 1).count()
+            strategy = "hash" if n_grams <= hcap else "planner"
     if strategy not in ("broadcast", "hash", "planner"):
         raise ValueError(
             f"strategy must be auto|broadcast|hash|planner: {strategy!r}")
     exploded = corpus_grams.select("id", F.explode("grams").alias("gram"))
     if strategy == "hash":
+        # eval_grams is consumed TWICE on this path (the xxhash64 set
+        # broadcast and the exact string-verify join) — persist so both
+        # share one tokenize+shingle+distinct pass. Idempotent when the
+        # gray-zone probe already persisted it (ring refreshes LRU).
+        bounded_persist(eval_grams)
         ev_hashes = eval_grams.select(F.xxhash64("gram").alias("__h"))
         survivors = exploded.join(
             F.broadcast(ev_hashes),

@@ -191,13 +191,36 @@ def write_sharded_jsonl(
 def _flatten_shard_dirs(spark, path: str, shards: int, pad: bool) -> None:
     """Flatten a ``__shard=i/`` Hive layout into flat ``part-{i:05}-*``
     files via Hadoop-FS renames (works on any scheme), optionally padding
-    empty shards with empty part files so exactly ``shards`` files exist."""
+    empty shards with empty part files so exactly ``shards`` files exist.
+
+    Append-safe: ``mode="append"`` leaves flat ``part-{i:05d}*`` files
+    from prior writes in place; new files continue the ``-{j}`` suffix
+    AFTER the existing count (Hadoop ``rename`` returns false onto an
+    existing destination, so reusing a name would raise). A stale
+    ``-empty`` pad for a shard that just received data is deleted, so a
+    shard never holds both a pad and data."""
     jvm = spark.sparkContext._jvm
     HPath = jvm.org.apache.hadoop.fs.Path
     root = HPath(path)
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    seen = set()
-    for st in fs.listStatus(root):
+    statuses = list(fs.listStatus(root))
+    # Prior flat files per shard id (append mode): data files bump the
+    # suffix base; pad files are remembered for deletion-on-new-data.
+    prior: dict = {}
+    pads: dict = {}
+    for st in statuses:
+        name = st.getPath().getName()
+        if st.isFile() and name.startswith("part-"):
+            try:
+                i = int(name[5:10])
+            except ValueError:
+                continue
+            if name.endswith("-empty.json"):
+                pads[i] = st.getPath()
+            else:
+                prior[i] = prior.get(i, 0) + 1
+    seen = set(prior)
+    for st in statuses:
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith("__shard=")):
             continue
@@ -205,10 +228,15 @@ def _flatten_shard_dirs(spark, path: str, shards: int, pad: bool) -> None:
             i = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        seen.add(i)
         files = [s.getPath() for s in fs.listStatus(st.getPath())
                  if s.isFile() and not s.getPath().getName().startswith(("_", "."))]
-        for j, p in enumerate(sorted(files, key=lambda p: p.getName())):
+        if files:
+            seen.add(i)
+            if i in pads:  # shard has data now: drop the stale pad
+                fs.delete(pads.pop(i), False)
+        base = prior.get(i, 0)
+        for j, p in enumerate(sorted(files, key=lambda p: p.getName()),
+                              start=base):
             ext = p.getName().split("part-")[-1]
             ext = ext[ext.index("."):] if "." in ext else ".json"
             suffix = f"-{j}" if j else ""
@@ -218,7 +246,7 @@ def _flatten_shard_dirs(spark, path: str, shards: int, pad: bool) -> None:
         fs.delete(st.getPath(), True)
     if pad:
         for i in range(shards):
-            if i not in seen:
+            if i not in seen and i not in pads:
                 fs.create(
                     HPath(path + f"/part-{i:05d}-empty.json"), True).close()
 

@@ -133,3 +133,30 @@ def test_error_paths(client):
     r = client.post("/datasets/ev/unregister?force=true")
     assert r.get_json()["datasetFound"] is True
     assert client.get("/datasets").get_json() == []
+
+
+def test_stats_fallback_public_tracker_api(spark, monkeypatch):
+    """Version-proofing: if the statusStore reflection path breaks (a Spark
+    minor bump moving private plumbing), the snapshot must degrade to the
+    PUBLIC StatusTracker API — task/stage counts populated, volumes zeroed,
+    marked partial — not to an empty ``{"partial": true}`` shell."""
+    from pyspark.sql import functions as F
+
+    from funnel_rocket_spark.engine.metrics import JobGroupMetrics
+
+    def boom(self, sc, stage_ids, out):
+        raise RuntimeError("simulated: private statusStore plumbing moved")
+
+    monkeypatch.setattr(JobGroupMetrics, "_fill_from_status_store", boom)
+    with JobGroupMetrics(spark, "fallback test") as jg:
+        spark.range(1000).groupBy((F.col("id") % 7).alias("k")) \
+            .count().collect()
+        snap = jg.snapshot()
+    assert snap["partial"] is True
+    assert snap["statsSource"] == "statusTracker"
+    assert snap["invoker"]["jobs"] >= 1
+    assert snap["invoker"]["stages"] >= 1
+    assert snap["invoker"]["totalTasks"] > 0
+    assert snap["invoker"]["failedTasks"] == 0
+    # volumes are honest zeros on the fallback path, never fabricated
+    assert snap["worker"]["scannedBytes"] == 0

@@ -706,3 +706,35 @@ def test_object_store_scheme_round_trip(spark):
     # footer sizing: viewfs is not locally-readable parquet -> refuse the
     # footer bound (None), never a wrong number
     assert similarity._scan_rowcount_upper_bound(df) is None
+
+
+def test_sharded_jsonl_append_mode(spark, tmp_path):
+    """mode="append" with shard_col: a second write must not collide with
+    the flat part files the first flatten produced (Hadoop rename returns
+    false onto an existing destination). New files continue the -{j}
+    suffix; stale -empty pads are replaced when a shard gains data; total
+    row count is the sum of both writes."""
+    import os
+
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.sources import ingest
+
+    docs = bq.load_table(spark, "/root/testdata/sf0.001", "documents")
+    first, second = docs.limit(40), docs.limit(80).subtract(docs.limit(40))
+    path = str(tmp_path / "docs_append")
+    ingest.write_sharded_jsonl(first, path, shards=4, shard_col="doc_id")
+    ingest.write_sharded_jsonl(second, path, shards=4, shard_col="doc_id",
+                               mode="append")
+
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    # every shard id still present; no __shard= dirs left behind
+    assert {f[5:10] for f in files} == {f"{i:05d}" for i in range(4)}
+    assert not any(f.startswith("__shard=") for f in os.listdir(path))
+    back = ingest.ingest_jsonl(spark, path, schema=docs.schema)
+    assert back.count() == first.count() + second.count()
+    # a shard that holds data must not also hold a stale -empty pad
+    for i in range(4):
+        shard_files = [f for f in files if f.startswith(f"part-{i:05d}")]
+        data = [f for f in shard_files if not f.endswith("-empty.json")]
+        if data:
+            assert not [f for f in shard_files if f.endswith("-empty.json")]
