@@ -68,3 +68,51 @@ def test_cli_config(capsys):
     conf = json.loads(out)
     assert conf["spark.sql.adaptive.enabled"] is True
     assert "catalog.dir" in conf
+
+
+def test_packaging_installed_entry_point(tmp_path):
+    """Installability parity with the reference's pip distribution
+    (/root/reference/setup.py:13): install into a CLEAN venv and drive the
+    console entry point end-to-end — register a dataset, run the empty
+    query, all through the installed `funnel-rocket-spark` script, not the
+    checkout. Uses `setup.py install` because this sandbox lacks the
+    `wheel` package PEP 517 builds require; with wheel present,
+    `pip install .` resolves through pyproject.toml identically."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    venv = tmp_path / "venv"
+    subprocess.run([sys.executable, "-m", "venv", "--system-site-packages",
+                    str(venv)], check=True)
+    py = str(venv / "bin" / "python")
+    subprocess.run([py, "setup.py", "-q", "install"], cwd=repo, check=True,
+                   capture_output=True)
+    exe = str(venv / "bin" / "funnel-rocket-spark")
+    assert os.path.exists(exe)
+    assert os.path.exists(str(venv / "bin" / "funnel-rocket-spark-api"))
+
+    # import resolves from site-packages, not the checkout (cwd=tmp_path)
+    mod = subprocess.run(
+        [py, "-c", "import funnel_rocket_spark as f; print(f.__file__)"],
+        cwd=str(tmp_path), check=True, capture_output=True, text=True)
+    assert str(venv) in mod.stdout
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run([exe, "config"], cwd=str(tmp_path), check=True,
+                         capture_output=True, text=True, env=env)
+    cfg = json.loads(out.stdout)
+    assert cfg["spark.master"] == "local[4]"
+
+    catalog = str(tmp_path / "catalog")
+    subprocess.run(
+        [exe, "--catalog", catalog, "register", "ev",
+         "/root/testdata/sf0.001/events.parquet", "user_id", "ts"],
+        cwd=str(tmp_path), check=True, capture_output=True, env=env,
+        timeout=300)
+    run = subprocess.run(
+        [exe, "--catalog", catalog, "run", "ev", "--empty"],
+        cwd=str(tmp_path), check=True, capture_output=True, text=True,
+        env=env, timeout=300)
+    assert json.loads(run.stdout)["query"]["matchingGroupRows"] == 1000
