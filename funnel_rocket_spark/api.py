@@ -35,6 +35,8 @@ from funnel_rocket_spark.catalog import (
     unregister_dataset,
 )
 from funnel_rocket_spark.engine import QueryEngine
+from funnel_rocket_spark.engine.prom import CONTENT_TYPE as PROM_CONTENT_TYPE
+from funnel_rocket_spark.engine.prom import PromRegistry
 from funnel_rocket_spark.session import get_spark
 from funnel_rocket_spark.validation import QueryValidationError
 from funnel_rocket_spark.validation.validator import check_timeframe_scale
@@ -45,6 +47,9 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
     app.config["CATALOG_DIR"] = catalog_dir or os.environ.get(
         "FUNNEL_ROCKET_CATALOG", os.path.expanduser("~/.funnel_rocket_spark"))
     _spark = spark or get_spark(app_name="funnel-rocket-spark-api")
+    # Prometheus registry, one per server process — the reference's
+    # invoker owns its registry the same way (prom_adapter.py:28-29).
+    _prom = PromRegistry()
 
     def _dataset(name: str):
         return load_dataset(app.config["CATALOG_DIR"], name)
@@ -66,13 +71,21 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
     @app.route("/datasets/register", methods=["POST"])
     def register():
         body = request.get_json(force=True)
-        ds = register_dataset(
-            _spark, body["name"], body.get("basepath"),
-            body["group_id_column"], body["timestamp_column"],
-            catalog_dir=app.config["CATALOG_DIR"],
-            table=body.get("table"),
-            pattern=body.get("pattern", "*.parquet"),
-            validation_mode=body.get("validation", "full"))
+        t0 = time.monotonic()
+        try:
+            ds = register_dataset(
+                _spark, body["name"], body.get("basepath"),
+                body["group_id_column"], body["timestamp_column"],
+                catalog_dir=app.config["CATALOG_DIR"],
+                table=body.get("table"),
+                pattern=body.get("pattern", "*.parquet"),
+                validation_mode=body.get("validation", "full"))
+        except Exception:
+            _prom.record_query(body.get("name", ""), False,
+                               time.monotonic() - t0, job_type="register")
+            raise
+        _prom.record_query(body["name"], True, time.monotonic() - t0,
+                           job_type="register")
         return jsonify({"success": True, "dataset": {
             "name": ds.name, "totalRows": ds.total_rows,
             "totalGroups": ds.total_groups,
@@ -155,19 +168,30 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
     def _run(name: str, query: dict, should_stream: bool):
         ds = _dataset(name)
         touch_last_used(app.config["CATALOG_DIR"], name)
-        check_timeframe_scale(query, ds.min_timestamp, ds.max_timestamp)
         engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
         df = ds.load(_spark)
         if not should_stream:
-            result = engine.run(df, query, with_stats=True)
+            t0 = time.monotonic()
+            try:
+                check_timeframe_scale(query, ds.min_timestamp,
+                                      ds.max_timestamp)
+                result = engine.run(df, query, with_stats=True)
+            except Exception:
+                _prom.record_query(name, False, time.monotonic() - t0)
+                raise
+            _prom.record_query(name, True, time.monotonic() - t0,
+                               result.get("stats"))
             result.update({"success": True, "requestId": _request_id()})
             return jsonify(result)
 
         def generate():
             holder: dict = {}
+            t0 = time.monotonic()
 
             def work():
                 try:
+                    check_timeframe_scale(query, ds.min_timestamp,
+                                          ds.max_timestamp)
                     holder["result"] = engine.run(df, query, with_stats=True)
                 except Exception as e:  # surfaced in the stream tail
                     holder["error"] = str(e)
@@ -181,9 +205,12 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                                   "activeSparkStages": len(stages)}) + "\n"
                 t.join(timeout=0.25)
             if "error" in holder:
+                _prom.record_query(name, False, time.monotonic() - t0)
                 yield json.dumps({"success": False,
                                   "errorMessage": holder["error"]}) + "\n"
             else:
+                _prom.record_query(name, True, time.monotonic() - t0,
+                                   holder["result"].get("stats"))
                 final = dict(holder["result"])
                 final.update({"success": True, "requestId": _request_id()})
                 yield json.dumps(final) + "\n"
@@ -201,6 +228,14 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
     def empty_query(name):
         should_stream = request.args.get("stream", "false").lower() == "true"
         return _run(name, {}, should_stream)
+
+    @app.route("/metrics")
+    def metrics():
+        # Prometheus scrape endpoint — parity with the reference's
+        # metrics.export.prometheus mode (prom_adapter.py + config.py:64):
+        # per-query counters and unit-bucketed histograms, labeled by
+        # dataset / success / job type.
+        return Response(_prom.exposition(), content_type=PROM_CONTENT_TYPE)
 
     return app
 

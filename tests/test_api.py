@@ -160,3 +160,56 @@ def test_stats_fallback_public_tracker_api(spark, monkeypatch):
     assert snap["invoker"]["failedTasks"] == 0
     # volumes are honest zeros on the fallback path, never fabricated
     assert snap["worker"]["scannedBytes"] == 0
+
+
+def test_prom_registry_exposition():
+    """Unit contract of the hand-rolled Prometheus text format: cumulative
+    buckets + +Inf + sum/count for histograms, _total counters, per-unit
+    bucket selection by name suffix (the reference's MeasuredUnit.unitof)."""
+    from funnel_rocket_spark.engine.prom import PromRegistry
+
+    reg = PromRegistry()
+    labels = {"dataset": "ev", "success": "true", "type": "query"}
+    reg.inc("query_requests_total", labels)
+    reg.inc("query_requests_total", labels)
+    reg.observe("invoker_total_seconds", labels, 0.3)
+    reg.observe("invoker_total_seconds", labels, 7.0)
+    text = reg.exposition()
+    assert ('query_requests_total{dataset="ev",success="true",type="query"}'
+            ' 2') in text
+    # seconds buckets: 0.3 lands in le=0.5 and later; 7.0 only in >=10
+    assert 'invoker_total_seconds_bucket{dataset="ev",success="true",' \
+           'type="query",le="0.5"} 1' in text
+    assert 'invoker_total_seconds_bucket{dataset="ev",success="true",' \
+           'type="query",le="10"} 2' in text
+    assert 'le="+Inf"} 2' in text
+    assert 'invoker_total_seconds_sum{dataset="ev",success="true",' \
+           'type="query"} 7.3' in text
+    assert 'invoker_total_seconds_count{dataset="ev",success="true",' \
+           'type="query"} 2' in text
+    # unknown unit suffix falls back to the default buckets
+    reg.observe("things_other", labels, 3)
+    assert 'things_other_bucket{dataset="ev",success="true",' \
+           'type="query",le="5"} 1' in reg.exposition()
+
+
+def test_metrics_endpoint(client):
+    """GET /metrics after this module's earlier register + query traffic:
+    reference prom_adapter parity — counters and unit-bucketed histograms
+    labeled by dataset/success/type."""
+    r = client.get("/metrics")
+    assert r.status_code == 200
+    assert "version=0.0.4" in r.content_type
+    text = r.get_data(as_text=True)
+    # successful queries were recorded with engine stats folded in
+    assert 'query_requests_total{dataset="ev",success="true",type="query"}' \
+        in text
+    assert "invoker_total_seconds_bucket" in text and 'le="+Inf"' in text
+    assert 'scanned_rows_count{dataset="ev",success="true",type="query"}' \
+        in text
+    assert "cost_dollars_sum" in text
+    # registrations carry type="register" (reference JobTypeLabel)
+    assert 'type="register"' in text
+    # the earlier unknown-column query + bad registration landed as
+    # success="false" series
+    assert 'success="false"' in text
