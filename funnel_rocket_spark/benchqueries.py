@@ -3072,31 +3072,35 @@ NO_ORACLE: dict = {}
 # reference suite re-anchors, then extension re-greens in family order.
 # Everything else follows in catalog order, so all 109 stay runnable.
 _DRIVER_PRIORITY = [
-    # code paths changed in r5 — need fresh greens
-    "decontaminate_ngram", "curation_pipeline", "curation_report",
-    "dedup_incremental_lsh", "ann_ivfpq_topk",
-    "text_classifier_score", "text_classifier_trained",
-    "dedup_minhash_lsh", "dedup_pipeline_minhash", "dedup_ngram_jaccard",
-    "olap_percentiles_approx", "ann_ivf_topk",
-    # r4-changed paths, one more independent green each
-    "dedup_embedding_cosine", "dedup_semantic", "embedding_kmeans",
-    "fr_funnel_step_agg", "fr_agg_groups_per_value_approx",
+    # code paths changed in r6 — need fresh greens: the contamination
+    # hash-tier re-sizing + eval-grams persist (decontaminate_* and both
+    # composites that embed it), and the IVF-PQ train_rows default
+    "decontaminate_ngram", "decontaminate_bloom",
+    "curation_report", "curation_pipeline", "ann_ivfpq_topk",
     # full reference-shaped suite (re-anchor every round — the product)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
     "fr_regex_filter", "fr_agg_count_per_value", "fr_agg_groups_per_value",
     "fr_agg_sum_per_value", "fr_agg_mean_per_value", "fr_sequence",
-    "fr_funnel_steps", "fr_seq_multi_filter_step", "fr_seq_max_duration",
-    "fr_seq_row_not_found", "fr_registration_profile", "fr_lineitem_engine",
-    "fr_agg_groups_skew_path",
-    # representative extension re-greens (one per operator family)
-    "dedup_exact", "dedup_simhash", "sessionize_events", "asof_join_clicks",
-    "olap_pricing_summary", "olap_percentiles", "audience_segments",
-    "heavy_hitters_props", "sample_splits", "text_remove_dup_spans",
-    "behavior_funnel_trend", "interval_join_concurrent",
+    "fr_funnel_steps", "fr_funnel_step_agg", "fr_seq_multi_filter_step",
+    "fr_seq_max_duration", "fr_seq_row_not_found", "fr_registration_profile",
+    "fr_lineitem_engine", "fr_agg_groups_skew_path",
+    "fr_agg_groups_per_value_approx",
+    # stalest rotation slice: last green in r02
+    "ann_lsh_bucketed", "asof_join_forward", "event_gap_stats",
+    "olap_distinct", "olap_join_chain", "olap_pivot", "olap_revenue_filter",
+    "olap_rollup", "olap_top_orders", "range_join_value_bands",
+    "sample_deterministic", "sample_stratified", "sample_weighted",
+    "text_quality", "text_stats", "text_tokens",
+    # oldest r03 greens next
+    "ann_cosine_topk", "behavior_session_funnel",
+    "behavior_session_funnel_bounded", "multimodal_features",
+    "s5_denorm_join", "olap_winsorized_mean",
 ]
 # Audit ledger after this rotation: every oracle-able catalog query has at
-# least one independent driver CORRECTNESS green (r02, r03, r04, or r05).
+# least one independent driver CORRECTNESS green within the last three
+# rounds (r6 window = r6-changed paths + full fr_* suite + every query
+# whose newest green was r02, plus the oldest r03 stragglers).
 
 
 def queries() -> dict:

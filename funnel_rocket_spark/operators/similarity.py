@@ -858,7 +858,7 @@ def ivf_pq_index(corpus: DataFrame, n_clusters: int = 16, m: int = 8,
                  n_bits: int = 8, rounds: int = 4, seed: int = 42,
                  max_iter: int = 8, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 train_rows: int = 1 << 18):
+                 train_rows: int = 1 << 20):
     """Build an IVF-PQ index. Returns ``(codes_df, centers, codebooks)``:
 
     * ``codes_df`` — (id, __cell, __codes array<int>): the m-byte-per-
@@ -881,15 +881,17 @@ def ivf_pq_index(corpus: DataFrame, n_clusters: int = 16, m: int = 8,
     Deterministic for fixed (data, params): seeded coarse k-means, codebook
     seeds = the K lowest-id residual subvectors, ties to the lowest code.
 
-    ``train_rows`` caps the codebook TRAINING set FAISS-style (its
-    guideline is 30·K–256·K points; the default 262144 = 1024·K at
-    n_bits=8): above the cap, training reads a deterministic
-    xxhash64(id)-gated sample — scale-stable, layout-independent — while
-    ENCODING still covers every vector. Training cost then stops growing
-    with the corpus (the r4 164 s build at 1M vectors was 4 full-corpus
-    rounds); quantization quality is set by K, not by how many times each
-    centroid sees the same distribution. ``train_rows=0`` disables
-    sampling.
+    ``train_rows`` caps the codebook TRAINING set FAISS-style: above the
+    cap, training reads a deterministic xxhash64(id)-gated sample —
+    scale-stable, layout-independent — while ENCODING still covers every
+    vector. Training cost then stops growing with the corpus (the r4
+    164 s build at 1M vectors was 4 full-corpus rounds). The default is
+    the measured knee of the r6 train_rows sweep at 1M×64 (``tools/
+    scale_check.py pqsweep``): 2^18/2^19 samples cost Refine recall@10
+    (0.94 → 0.89-0.90) while 2^20 holds 0.94 at a ~30 s build — FAISS's
+    30·K-256·K guideline undershoots for these cell-residual codebooks,
+    so the default stays a generous 4096·K at n_bits=8.
+    ``train_rows=0`` disables sampling.
     """
     import numpy as np
 

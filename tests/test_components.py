@@ -738,3 +738,34 @@ def test_sharded_jsonl_append_mode(spark, tmp_path):
         data = [f for f in shard_files if not f.endswith("-empty.json")]
         if data:
             assert not [f for f in shard_files if f.endswith("-empty.json")]
+
+
+def test_sharded_jsonl_flatten_viewfs(spark, tmp_path):
+    """VERDICT r5 #6: _flatten_shard_dirs claims scheme-agnostic Hadoop-FS
+    renames — prove it through a non-`file` scheme. viewfs:// resolves
+    through the Hadoop FileSystem API exactly like s3a://; the write, the
+    __shard= dir flatten, the empty-shard padding, and the read-back must
+    all behave identically to the local path."""
+    import os
+
+    from funnel_rocket_spark import benchqueries as bq
+    from funnel_rocket_spark.sources import ingest
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    # distinct mount table name: Hadoop caches FileSystem instances per
+    # scheme+authority, so reusing another test's table could serve a
+    # stale mount map
+    hc.set("fs.viewfs.mounttable.frsjsonl.link./out", f"file://{tmp_path}")
+    docs = bq.load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .limit(60)
+    remote = "viewfs://frsjsonl/out/docs_jsonl"
+    ingest.write_sharded_jsonl(docs, remote, shards=4, shard_col="doc_id")
+
+    local = tmp_path / "docs_jsonl"
+    files = [f for f in os.listdir(local) if f.startswith("part-")]
+    assert len(files) == 4
+    assert not any(f.startswith("__shard=")
+                   for f in os.listdir(local))
+
+    back = ingest.ingest_jsonl(spark, remote, schema=docs.schema)
+    assert back.count() == 60

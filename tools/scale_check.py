@@ -214,6 +214,61 @@ def embeddings_main(n_vecs: int, dim: int = 64) -> None:
     print(json.dumps(out))
 
 
+def pqsweep_main(n_vecs: int, dim: int = 64) -> None:
+    """train_rows knee-finding for IVF-PQ (VERDICT r5 #4): the sampled
+    codebook training bought the 164→27 s build but dropped Refine
+    recall@10 at 1M vectors 0.94→0.90. Sweep the cap, report build time +
+    Refine recall per point, to pick the default."""
+    from funnel_rocket_spark.operators import similarity
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, ".scratch", f"emb_{n_vecs}.parquet")
+    spark = get_spark(app_name="scale-check-pqsweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(path):
+        synthesize_embeddings(spark, n_vecs, dim, path)
+    emb = spark.read.parquet(path).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+    n_queries = 10
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    exact = {}
+    for r in similarity.cosine_topk(emb, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    out = {"n_vecs": n_vecs, "sweep": {}}
+    for train_rows in (1 << 18, 1 << 19, 1 << 20, 0):
+        tag = str(train_rows) if train_rows else "full"
+        t0 = time.perf_counter()
+        codes, pq_centers, pq_cb = similarity.ivf_pq_index(
+            emb, n_clusters=64, m=16, n_bits=8, rounds=4,
+            train_rows=train_rows)
+        codes = codes.persist()
+        codes.count()
+        build = round(time.perf_counter() - t0, 2)
+        point = {"build_s": build}
+        for n_probe in (4, 16):
+            t0 = time.perf_counter()
+            approx = {}
+            rows = similarity.ivf_pq_search(
+                codes, pq_centers, pq_cb, queries, k=10, n_probe=n_probe,
+                rerank_with=emb, rerank_depth=100).collect()
+            for r in rows:
+                approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+            recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+                       for q in exact]
+            point[f"refine_p{n_probe}_s"] = round(time.perf_counter() - t0, 2)
+            point[f"refine_p{n_probe}_recall@10"] = round(
+                sum(recalls) / len(recalls), 3)
+        codes.unpersist()
+        spark.catalog.clearCache()
+        out["sweep"][tag] = point
+        print(f"# train_rows={tag}: build {build}s, "
+              f"refine p16 recall@10="
+              f"{point['refine_p16_recall@10']}", file=sys.stderr)
+    print(json.dumps(out))
+
+
 def docs_main(n_docs: int) -> None:
     """Corpus-scale dedup check: minhash LSH pairs + end-to-end survivor
     filter on n_docs synthetic documents (sf0.1's table is 5k docs —
@@ -268,6 +323,92 @@ def docs_main(n_docs: int) -> None:
 
 
 
+def _build_curation_report(docs):
+    """The curation-report composition, shared by the pipeline rung and
+    the variance probe — same shape as the catalog query: LSH pairs +
+    quality projection + contamination join + one groupBy(source)."""
+    from funnel_rocket_spark.operators import dedup, text
+
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    # persist the tiny pair OUTPUT: dup_ids consumes it twice and the
+    # differing pushed projections defeat exchange reuse (same fix as the
+    # catalog query)
+    pairs = dedup.bounded_persist(
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
+                                threshold=0.5))
+    dup_ids = (pairs.select(F.col("id_a").alias("doc_id"))
+               .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+               .distinct().withColumn("__dup", F.lit(1)))
+    cont_ids = (dedup.ngram_contamination(corpus, evalset, n=5)
+                .select("doc_id").withColumn("__cont", F.lit(1)))
+    return (corpus.select("doc_id", "source")
+            .join(text.quality_score(corpus), "doc_id")
+            .join(dup_ids, "doc_id", "left")
+            .join(cont_ids, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("quality").alias("mean_quality"),
+                 F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+                 .alias("n_near_dup"),
+                 F.sum(F.coalesce(F.col("__cont"), F.lit(0)))
+                 .alias("n_contaminated")))
+
+
+def _load_docs(spark, n_docs: int):
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, ".scratch", f"docs_{n_docs}.parquet")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        synthesize_docs(spark, n_docs, path)
+        print(f"# synthesized {n_docs} docs in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    return spark.read.parquet(path).withColumn(
+        "source", F.concat(F.lit("src_"),
+                           F.pmod(F.xxhash64("doc_id", F.lit(23)),
+                                  F.lit(10)).cast("string")))
+
+
+def report_variance_main(n_docs: int, runs: int = 5) -> None:
+    """VERDICT r5 #5: chase the curation_report 2M-doc variance (124-167 s
+    spread at identical config). Each run executes inside a
+    JobGroupMetrics scope so GC seconds, spill bytes, and peak execution
+    memory are attributable per run; prints p50/p90 and the per-run
+    decomposition."""
+    from funnel_rocket_spark.engine.metrics import JobGroupMetrics
+
+    spark = get_spark(app_name="scale-check-reportvar")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _load_docs(spark, n_docs)
+
+    samples = []
+    for i in range(runs):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        with JobGroupMetrics(spark, f"curation_report run {i}") as jg:
+            t0 = time.perf_counter()
+            rows = _build_curation_report(docs).collect()
+            wall = round(time.perf_counter() - t0, 2)
+            snap = jg.snapshot()
+        w = snap.get("worker", {})
+        s = {"wall_s": wall,
+             "gc_s": w.get("jvmGcSeconds"),
+             "cpu_s": w.get("executorCpuSeconds"),
+             "run_s": w.get("executorRunSeconds"),
+             "mem_spill_mb": round((w.get("memorySpilledBytes") or 0) / 2**20),
+             "disk_spill_mb": round((w.get("diskSpilledBytes") or 0) / 2**20),
+             "peak_exec_mb": round((w.get("peakExecutionMemory") or 0) / 2**20),
+             "rows": len(rows)}
+        samples.append(s)
+        print(f"# run {i}: {s}", file=sys.stderr)
+    walls = sorted(x["wall_s"] for x in samples)
+    p50 = walls[len(walls) // 2]
+    p90 = walls[min(len(walls) - 1, int(0.9 * (len(walls) - 1) + 0.999))]
+    print(json.dumps({"n_docs": n_docs, "runs": samples,
+                      "p50_s": p50, "p90_s": p90,
+                      "p90_over_p50": round(p90 / p50, 3)}))
+
+
 def pipeline_main(n_docs: int) -> None:
     """Round-4 rung: the heaviest PIPELINE operators at proportional
     document scale (sf0.1's table is 5k docs; the engine rung is 250M
@@ -279,19 +420,9 @@ def pipeline_main(n_docs: int) -> None:
     daily 100 TB curation run executes."""
     from funnel_rocket_spark.operators import dedup, text
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, ".scratch", f"docs_{n_docs}.parquet")
     spark = get_spark(app_name="scale-check-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(path):
-        t0 = time.perf_counter()
-        synthesize_docs(spark, n_docs, path)
-        print(f"# synthesized {n_docs} docs in "
-              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    docs = spark.read.parquet(path).withColumn(
-        "source", F.concat(F.lit("src_"),
-                           F.pmod(F.xxhash64("doc_id", F.lit(23)),
-                                  F.lit(10)).cast("string")))
+    docs = _load_docs(spark, n_docs)
 
     out = {"n_docs": n_docs, "timings": {}}
 
@@ -318,30 +449,7 @@ def pipeline_main(n_docs: int) -> None:
 
     # 2. curation report: same composition as the catalog query
     t0 = time.perf_counter()
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    evalset = docs.filter(F.col("doc_id") % 97 == 0)
-    # persist the tiny pair OUTPUT: dup_ids consumes it twice and the
-    # differing pushed projections defeat exchange reuse (same fix as the
-    # catalog query)
-    pairs = dedup.bounded_persist(
-        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
-                                threshold=0.5))
-    dup_ids = (pairs.select(F.col("id_a").alias("doc_id"))
-               .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-               .distinct().withColumn("__dup", F.lit(1)))
-    cont_ids = (dedup.ngram_contamination(corpus, evalset, n=5)
-                .select("doc_id").withColumn("__cont", F.lit(1)))
-    report = (corpus.select("doc_id", "source")
-              .join(text.quality_score(corpus), "doc_id")
-              .join(dup_ids, "doc_id", "left")
-              .join(cont_ids, "doc_id", "left")
-              .groupBy("source")
-              .agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.avg("quality").alias("mean_quality"),
-                   F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
-                   .alias("n_near_dup"),
-                   F.sum(F.coalesce(F.col("__cont"), F.lit(0)))
-                   .alias("n_contaminated")))
+    report = _build_curation_report(docs)
     # collect(), NOT count(): count() prunes the agg columns, at which
     # point Catalyst ELIMINATES the distinct-keyed left joins — and the
     # "measured" plan no longer contains the LSH pass at all (2.9 s vs
@@ -460,11 +568,19 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "embeddings":
         embeddings_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "pqsweep":
+        pqsweep_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
         kmeans_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
         pipeline_main(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "reportvar":
+        report_variance_main(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000,
+            runs=int(sys.argv[3]) if len(sys.argv) > 3 else 5)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "hitters":
         hitters_main(int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000)
@@ -512,6 +628,12 @@ def main() -> None:
             ev.select("user_id", "ts"), "user_id", "ts",
             gap=2 * 3600 * 10**9)
             .groupBy().agg(F.count(F.lit(1)), F.sum("n_events")).collect(),
+        # the heaviest user-facing composite: sessionize + sequence
+        # anchors windowed by (group, session) + per-session collapse —
+        # one exchange on the group column serves all three
+        "session_funnel": lambda: behavior.session_funnel(
+            ev, "user_id", "ts", "event_type", ["view", "purchase"],
+            gap=2 * 3600 * 10**9).collect(),
     }
 
     out = {"n_rows": n_rows, "n_groups": n_groups, "timings": {}}
