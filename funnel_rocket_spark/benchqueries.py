@@ -610,19 +610,20 @@ def _olap_percentiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact midpoint of two prices, and (a+b)/2 over 2-decimal dollars lands
     # on half-cent boundaries where the engines' fp rounding disagrees by one
     # ulp. Integer inputs make the g=0.5 interpolation exact on both sides.
+    # Both measured columns ride ONE scan + ONE histogram exchange (the
+    # _multi stacked form; the two-call + join shape pays a second full
+    # scan/shuffle — same-session A/B 2.03 → 1.81 s at sf0.1).
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    price_p = olap.grouped_exact_percentiles(
-        li, ["l_returnflag"], cents, {"p50_cents": 0.5, "p95_cents": 0.95})
-    qty_p = olap.grouped_exact_percentiles(
-        li, ["l_returnflag"], F.col("l_quantity"), {"p25_qty": 0.25})
-    return (
-        price_p.join(qty_p, "l_returnflag")
-        .select(
-            "l_returnflag",
-            F.round("p50_cents", 2).alias("p50_cents"),
-            F.round("p95_cents", 2).alias("p95_cents"),
-            F.round("p25_qty", 2).alias("p25_qty"),
-        )
+    p = olap.grouped_exact_percentiles_multi(
+        li, ["l_returnflag"],
+        {"cents": cents, "qty": F.col("l_quantity")},
+        {"p50_cents": ("cents", 0.5), "p95_cents": ("cents", 0.95),
+         "p25_qty": ("qty", 0.25)})
+    return p.select(
+        "l_returnflag",
+        F.round("p50_cents", 2).alias("p50_cents"),
+        F.round("p95_cents", 2).alias("p95_cents"),
+        F.round("p25_qty", 2).alias("p25_qty"),
     )
 
 

@@ -66,6 +66,59 @@ def test_bad_quantile_rejected(spark):
         olap.grouped_exact_percentiles(df, ["k"], "v", {"p": 1.5})
 
 
+def test_multi_matches_single_value_calls(spark):
+    """grouped_exact_percentiles_multi == per-value single calls, on random
+    data with nulls and a group missing one value entirely; plus the plan
+    gate — ONE scan of the input serves every stacked value."""
+    rng = random.Random(11)
+    rows = []
+    for _ in range(1500):
+        k = rng.choice("abc")
+        a = float(rng.randint(0, 99)) if rng.random() < 0.9 else None
+        b = rng.uniform(-5, 5) if rng.random() < 0.8 else None
+        if k == "c":
+            b = None  # group with NO values for b at all
+        rows.append((k, a, b))
+    df = spark.createDataFrame(rows, "k string, a double, b double")
+
+    multi = {r["k"]: (r["a50"], r["a90"], r["b25"]) for r in
+             olap.grouped_exact_percentiles_multi(
+                 df, ["k"],
+                 {"a": "a", "b": "b"},
+                 {"a50": ("a", 0.5), "a90": ("a", 0.9),
+                  "b25": ("b", 0.25)}).collect()}
+    sa = {r["k"]: (r["a50"], r["a90"]) for r in
+          olap.grouped_exact_percentiles(
+              df, ["k"], "a", {"a50": 0.5, "a90": 0.9}).collect()}
+    sb = {r["k"]: r["b25"] for r in
+          olap.grouped_exact_percentiles(
+              df, ["k"], "b", {"b25": 0.25}).collect()}
+    assert set(multi) == set(sa)  # every group with ANY value present
+    for k in multi:
+        assert multi[k][:2] == pytest.approx(sa[k])
+        if k in sb:
+            assert multi[k][2] == pytest.approx(sb[k])
+        else:
+            assert multi[k][2] is None  # missing value -> null, group kept
+
+    # plan gate: the stacked form reads its input ONCE
+    plan = olap.grouped_exact_percentiles_multi(
+        df, ["k"], {"a": "a", "b": "b"},
+        {"a50": ("a", 0.5), "b25": ("b", 0.25)}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
+
+
+def test_multi_rejects_unknown_value_and_bad_q(spark):
+    df = spark.createDataFrame([("x", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="unknown value"):
+        olap.grouped_exact_percentiles_multi(
+            df, ["k"], {"v": "v"}, {"p": ("nope", 0.5)})
+    with pytest.raises(ValueError, match="outside"):
+        olap.grouped_exact_percentiles_multi(
+            df, ["k"], {"v": "v"}, {"p": ("v", 1.5)})
+
+
 def test_exact_ntile_matches_sql_semantics(spark):
     from funnel_rocket_spark.operators import olap
     from pyspark.sql import functions as F
