@@ -39,8 +39,15 @@ def _labels(labels: Dict[str, str]) -> LabelSet:
     return tuple(sorted((k, str(v)) for k, v in labels.items()))
 
 
+def _escape(v: str) -> str:
+    # Prometheus label-value escaping: backslash, double-quote, newline.
+    # Dataset names are user input — an unescaped quote would corrupt the
+    # whole scrape body.
+    return v.replace("\\", r"\\").replace('"', r"\"").replace("\n", r"\n")
+
+
 def _fmt_labels(ls: LabelSet, extra: str = "") -> str:
-    parts = [f'{k}="{v}"' for k, v in ls]
+    parts = [f'{k}="{_escape(v)}"' for k, v in ls]
     if extra:
         parts.append(extra)
     return "{" + ",".join(parts) + "}" if parts else ""

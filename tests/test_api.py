@@ -213,3 +213,13 @@ def test_metrics_endpoint(client):
     # the earlier unknown-column query + bad registration landed as
     # success="false" series
     assert 'success="false"' in text
+
+
+def test_prom_label_escaping():
+    from funnel_rocket_spark.engine.prom import PromRegistry
+
+    reg = PromRegistry()
+    reg.inc("query_requests_total",
+            {"dataset": 'we"ird\\name\nx', "success": "true"})
+    text = reg.exposition()
+    assert r'dataset="we\"ird\\name\nx"' in text
