@@ -1,0 +1,69 @@
+"""Job-server scenario: ONE SparkSession shared by concurrent query
+threads — the deployment shape `api.py` serves (its docstring recommends a
+FAIR pool for multi-tenant use) and the reason `bounded_persist` carries a
+lock and semantics-keyed ring. Nothing here may flake: every query is
+deterministic, so interleaved runs must equal their serial runs exactly.
+"""
+
+import concurrent.futures
+import threading
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_concurrent_queries_one_session(spark):
+    """Interleaved catalog queries from 6 threads × 2 rounds — includes
+    persist-ring users (dedup composites) and engine queries. Results
+    must equal the serial baseline; exercises _RING_LOCK + sameSemantics
+    keying under genuine contention (an unlocked FIFO ring here evicted
+    plan-identical entries mid-query in rounds ≤4)."""
+    import funnel_rocket_spark.benchqueries as bq
+
+    qs = bq.queries()
+    names = ["fr_count_target", "dedup_minhash_lsh", "text_quality",
+             "fr_sequence", "dedup_exact", "olap_percentiles"]
+    serial = {n: sorted(map(tuple, qs[n](spark, SF).collect()))
+              for n in names}
+
+    def run(n):
+        return n, sorted(map(tuple, qs[n](spark, SF).collect()))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        futures = [ex.submit(run, n) for n in names for _ in range(2)]
+        for f in concurrent.futures.as_completed(futures, timeout=600):
+            n, rows = f.result()
+            assert rows == serial[n], f"concurrent result diverged: {n}"
+
+
+def test_job_group_stats_are_thread_scoped(spark):
+    """setJobGroup is thread-local, so two queries running concurrently on
+    one driver must each snapshot ONLY their own scan volume — the
+    property that makes the per-query stats block trustworthy in a job
+    server. Sums (not count()) force real row scans: parquet count()
+    short-circuits to footer row counts and reports zero inputRecords."""
+    from funnel_rocket_spark.engine.metrics import JobGroupMetrics
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n_events = events.count()
+    n_lineitem = lineitem.count()
+    assert n_events != n_lineitem  # distinct volumes, distinguishable
+
+    snaps = {}
+    barrier = threading.Barrier(2, timeout=120)
+
+    def work(name, df, value_col):
+        barrier.wait()  # maximize overlap
+        with JobGroupMetrics(spark, name) as jg:
+            df.agg(F.sum(F.length(value_col))).collect()
+            snaps[name] = jg.snapshot()
+
+    t1 = threading.Thread(target=work, args=("ev", events, "event_type"))
+    t2 = threading.Thread(target=work, args=("li", lineitem, "l_returnflag"))
+    t1.start(); t2.start()
+    t1.join(300); t2.join(300)
+
+    assert snaps["ev"]["worker"]["scannedRows"] == n_events
+    assert snaps["li"]["worker"]["scannedRows"] == n_lineitem
