@@ -3075,9 +3075,11 @@ NO_ORACLE: dict = {}
 _DRIVER_PRIORITY = [
     # code paths changed in r6 — need fresh greens: the contamination
     # hash-tier re-sizing + eval-grams persist (decontaminate_* and both
-    # composites that embed it), and the IVF-PQ train_rows default
+    # composites that embed it), the IVF-PQ train_rows default, and the
+    # stacked multi-value grouped-percentiles rewrite
     "decontaminate_ngram", "decontaminate_bloom",
     "curation_report", "curation_pipeline", "ann_ivfpq_topk",
+    "olap_percentiles",
     # full reference-shaped suite (re-anchor every round — the product)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
@@ -3096,12 +3098,14 @@ _DRIVER_PRIORITY = [
     # oldest r03 greens next
     "ann_cosine_topk", "behavior_session_funnel",
     "behavior_session_funnel_bounded", "multimodal_features",
-    "s5_denorm_join", "olap_winsorized_mean",
+    "s5_denorm_join",
 ]
 # Audit ledger after this rotation: every oracle-able catalog query has at
 # least one independent driver CORRECTNESS green within the last three
 # rounds (r6 window = r6-changed paths + full fr_* suite + every query
 # whose newest green was r02, plus the oldest r03 stragglers).
+# olap_winsorized_mean (last green r03) yields its slot to the r6-changed
+# olap_percentiles; it leads the r7 rotation.
 
 
 def queries() -> dict:
