@@ -1689,6 +1689,95 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _gopher_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set filter (Rae et al. 2021 A1.1) over the corpus —
+    published thresholds except min_words=20 (the synthetic docs run
+    8-110 words) and min_stopword_hits=1 (the synthetic vocabulary carries
+    only 'the' from the required-stopword list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_filter(docs, min_words=20,
+                                      min_stopword_hits=1)
+
+
+def _c4_clean_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning; terminal-punctuation rule off because the
+    synthetic corpus has no punctuation (the rule itself is pinned in
+    pytest on crafted docs) — variance comes from the ≥12-words rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.c4_line_filter(docs, min_words_per_line=12,
+                               require_terminal_punct=False)
+
+
+_PERCEPTRON_VOCAB = ["data", "fast", "join", "query", "scan", "slow",
+                     "spark", "table"]
+_PERCEPTRON_ITERS = 3
+
+
+def _train_perceptron_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE classifier training: 3 batch-perceptron iterations over
+    binary bag-of-words features, label = doc contains 'spark'. Dyadic
+    lr=0.5 keeps the whole trajectory exactly representable, so the
+    chained-CTE oracle replays training bit-for-bit (the kmeans_lloyd
+    pattern applied to supervised learning). Output rows: one (token,
+    weight) per vocab term + __bias__, plus __mistakes_i audit rows —
+    if training converges early the remaining iterations are provably
+    no-ops (zero mistakes, zero updates), so padding with 0 is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.array_contains(
+        F.split(F.lower(F.col("text")), r"\s+"), "spark")
+    w, m = text.train_classifier_perceptron(
+        docs, label, _PERCEPTRON_VOCAB, iterations=_PERCEPTRON_ITERS)
+    m = (m + [0] * _PERCEPTRON_ITERS)[:_PERCEPTRON_ITERS]
+    rows = sorted(w.items()) + [
+        (f"__mistakes_{i + 1}", float(c)) for i, c in enumerate(m)]
+    return spark.createDataFrame(rows, "token string, weight double")
+
+
+def _perceptron_sql() -> str:
+    vocab = ", ".join(f"'{t}'" for t in _PERCEPTRON_VOCAB)
+    vrows = ", ".join(f"('{t}')" for t in ["__bias__"] + _PERCEPTRON_VOCAB)
+    return f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
+    lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS tk FROM documents),
+docs AS (SELECT doc_id,
+    list_append(list_intersect(list_distinct(tk), [{vocab}]),
+                '__bias__') AS ft,
+    CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END AS y FROM toks),
+ex AS (SELECT doc_id, y, unnest(ft) AS tok FROM docs),
+g1 AS (SELECT tok, 0.5 * count(*) AS dw FROM ex WHERE y = 1 GROUP BY tok),
+n1 AS (SELECT count(*) AS m FROM docs WHERE y = 1),
+m2 AS (SELECT e.doc_id, max(e.y) AS y, sum(coalesce(g1.dw, 0)) AS marg
+       FROM ex e LEFT JOIN g1 ON e.tok = g1.tok GROUP BY e.doc_id),
+d2 AS (SELECT doc_id, y, CASE WHEN marg > 0 THEN 1 ELSE 0 END AS yhat
+       FROM m2),
+g2 AS (SELECT e.tok, 0.5 * sum(d.y - d.yhat) AS dw
+       FROM ex e JOIN d2 d ON e.doc_id = d.doc_id
+       WHERE d.y <> d.yhat GROUP BY e.tok),
+n2 AS (SELECT count(*) AS m FROM d2 WHERE y <> yhat),
+m3 AS (SELECT e.doc_id, max(e.y) AS y,
+         sum(coalesce(g1.dw, 0) + coalesce(g2.dw, 0)) AS marg
+       FROM ex e LEFT JOIN g1 ON e.tok = g1.tok
+                 LEFT JOIN g2 ON e.tok = g2.tok GROUP BY e.doc_id),
+d3 AS (SELECT doc_id, y, CASE WHEN marg > 0 THEN 1 ELSE 0 END AS yhat
+       FROM m3),
+g3 AS (SELECT e.tok, 0.5 * sum(d.y - d.yhat) AS dw
+       FROM ex e JOIN d3 d ON e.doc_id = d.doc_id
+       WHERE d.y <> d.yhat GROUP BY e.tok),
+n3 AS (SELECT count(*) AS m FROM d3 WHERE y <> yhat),
+v(token) AS (VALUES {vrows}),
+w AS (SELECT v.token,
+        coalesce(g1.dw, 0) + coalesce(g2.dw, 0) + coalesce(g3.dw, 0)
+          AS weight
+      FROM v LEFT JOIN g1 ON v.token = g1.tok
+             LEFT JOIN g2 ON v.token = g2.tok
+             LEFT JOIN g3 ON v.token = g3.tok)
+SELECT token, weight::DOUBLE AS weight FROM w
+UNION ALL SELECT '__mistakes_1', (SELECT m FROM n1)::DOUBLE
+UNION ALL SELECT '__mistakes_2', (SELECT m FROM n2)::DOUBLE
+UNION ALL SELECT '__mistakes_3', (SELECT m FROM n3)::DOUBLE
+"""
+
+
 def _funnel_trend_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily funnel conversion trend: cohort = users whose FIRST view falls
     on day D; converted = a purchase strictly after that first view. Two
@@ -3003,6 +3092,75 @@ FROM toks
         _classifier_trained_fn,
         _trained_weights_sql(),
     ),
+    "text_gopher_filter": (
+        _gopher_filter_fn,
+        """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+b AS (SELECT doc_id, text,
+  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+  list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM d),
+m AS (SELECT doc_id,
+  len(words)::INT AS n_words,
+  round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+        / greatest(len(words), 1), 6) AS mean_word_len,
+  round(((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) / 3)
+        / greatest(len(words), 1), 6) AS symbol_word_ratio,
+  round(len(list_filter(lines, l ->
+          substr(ltrim(l), 1, 1) = '•' OR substr(ltrim(l), 1, 1) = '-'
+          OR substr(ltrim(l), 1, 1) = '*'))::DOUBLE
+        / greatest(len(lines), 1), 6) AS bullet_line_frac,
+  round(len(list_filter(lines, l ->
+          ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))::DOUBLE
+        / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+  round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+        / greatest(len(words), 1), 6) AS alpha_word_frac,
+  len(list_intersect(tk, ['the','be','to','of','and','that','have','with']
+      ))::INT AS stopword_hits
+  FROM b)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+  ellipsis_line_frac, alpha_word_frac, stopword_hits,
+  (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+  (symbol_word_ratio <= 0.1) AS rule_symbol_ratio,
+  (bullet_line_frac <= 0.9) AS rule_bullet_lines,
+  (ellipsis_line_frac <= 0.3) AS rule_ellipsis_lines,
+  (alpha_word_frac >= 0.8) AS rule_alpha_words,
+  (stopword_hits >= 1) AS rule_stopwords,
+  (n_words >= 20 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+   AND stopword_hits >= 1) AS passes
+FROM m
+""",
+    ),
+    "text_c4_clean": (
+        _c4_clean_fn,
+        """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+b AS (SELECT doc_id,
+  list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+  FROM d),
+k AS (SELECT doc_id, lines,
+  list_filter(lines, l ->
+    len(list_filter(string_split_regex(trim(l), '\\s+'), x -> x <> '')) >= 12
+    AND NOT contains(lower(trim(l)), 'javascript')
+    AND NOT contains(lower(trim(l)), 'lorem ipsum')
+    AND NOT contains(lower(trim(l)), 'cookie')) AS kept
+  FROM b)
+SELECT doc_id,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  len(lines)::INT AS n_lines, len(kept)::INT AS n_kept
+FROM k
+""",
+    ),
+    "text_train_perceptron": (
+        _train_perceptron_fn,
+        _perceptron_sql(),
+    ),
     "behavior_funnel_trend": (
         _funnel_trend_fn,
         f"""
@@ -3080,6 +3238,8 @@ _DRIVER_PRIORITY = [
     "decontaminate_ngram", "decontaminate_bloom",
     "curation_report", "curation_pipeline", "ann_ivfpq_topk",
     "olap_percentiles",
+    # NEW r6 operators — first driver greens required
+    "text_gopher_filter", "text_c4_clean", "text_train_perceptron",
     # full reference-shaped suite (re-anchor every round — the product)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
@@ -3105,7 +3265,9 @@ _DRIVER_PRIORITY = [
 # rounds (r6 window = r6-changed paths + full fr_* suite + every query
 # whose newest green was r02, plus the oldest r03 stragglers).
 # olap_winsorized_mean (last green r03) yields its slot to the r6-changed
-# olap_percentiles; it leads the r7 rotation.
+# olap_percentiles; with the three NEW r6 operators also claiming window
+# slots, the r03 tail (behavior_session_funnel_bounded, multimodal_features,
+# s5_denorm_join) rotates out too — all four lead the r7 window.
 
 
 def queries() -> dict:

@@ -627,3 +627,208 @@ def classifier_score_weights(df: DataFrame, weights: dict,
              / F.greatest(F.col("__n"), F.lit(1)))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
     return scored.select(F.col(id_col), F.round(score, 6).alias(out_col))
+
+
+# Gopher rule-set document filter (Rae et al. 2021, appendix A1.1). The
+# published thresholds are the defaults; every metric is an exact integer
+# ratio (round 6) so a SQL oracle reproduces it bit-for-bit.
+GOPHER_REQUIRED_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_words: int = 50, max_words: int = 100_000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          max_symbol_word_ratio: float = 0.1,
+                          max_bullet_line_frac: float = 0.9,
+                          max_ellipsis_line_frac: float = 0.3,
+                          min_alpha_word_frac: float = 0.8,
+                          min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) as ONE
+    shuffle-free projection: word-count band, mean word length band,
+    symbol-to-word ratio (# and ...), bullet-start / ellipsis-end line
+    fractions, alphabetic-word fraction, and the required-stopword count.
+    Returns every metric plus the per-rule booleans and the overall
+    ``passes`` flag, so downstream can either gate on ``passes`` or
+    re-threshold the metrics without another scan.
+
+    Scale: pure codegen string expressions — no shuffle, no UDF; at 100 TB
+    this is a map-only pass that pushes only (id, text) through the scan.
+    Null text is the empty document (module convention, see
+    ``_tokens_or_empty``): zero metrics, ``passes`` false — a definite
+    verdict, not a NULL one.
+    """
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    n_words = F.size(words)
+    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
+    mean_wl = F.round(nonspace / F.greatest(n_words, F.lit(1)), 6)
+    n_hash = F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
+    n_ellipsis = (F.length(col)
+                  - F.length(F.replace(col, F.lit("..."), F.lit("")))) / 3
+    sym_ratio = F.round((n_hash + n_ellipsis)
+                        / F.greatest(n_words, F.lit(1)), 6)
+    lines = F.filter(F.split(col, r"\n"),
+                     lambda ln: F.trim(ln) != F.lit(""))
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("•", "-", "*")))
+    ellipsis_end = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).endswith("...")
+        | F.rtrim(ln).endswith("…")))
+    bullet_frac = F.round(bullet / F.greatest(n_lines, F.lit(1)), 6)
+    ellipsis_frac = F.round(ellipsis_end / F.greatest(n_lines, F.lit(1)), 6)
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha / F.greatest(n_words, F.lit(1)), 6)
+    stop_hits = F.size(F.array_intersect(
+        tokens(col), F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])))
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    rules = {
+        "rule_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "rule_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "rule_symbol_ratio": F.col("symbol_word_ratio")
+        <= max_symbol_word_ratio,
+        "rule_bullet_lines": F.col("bullet_line_frac")
+        <= max_bullet_line_frac,
+        "rule_ellipsis_lines": F.col("ellipsis_line_frac")
+        <= max_ellipsis_line_frac,
+        "rule_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "rule_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    out = out.select("*", *[c.alias(n) for n, c in rules.items()])
+    passes = None
+    for n in rules:
+        passes = F.col(n) if passes is None else passes & F.col(n)
+    return out.withColumn("passes", passes)
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words_per_line: int = 3,
+                   require_terminal_punct: bool = True,
+                   blacklist: tuple = ("javascript", "lorem ipsum",
+                                       "cookie"),
+                   out_col: str = "clean_text") -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    with ≥ ``min_words_per_line`` words, (optionally) ending in terminal
+    punctuation (``. ! ? "``), and containing no blacklist phrase; drop
+    the rest and re-join survivors. Returns (id, clean_text, n_lines,
+    n_kept) — the kept/total pair is the audit trail C4 reports corpus-wide.
+
+    All work happens inside array HOFs over ``split(text, '\\n')`` — a
+    shuffle-free projection like :func:`gopher_quality_filter`, so the two
+    compose into a single map-only cleaning stage at any scale. Null text
+    is the empty document: empty clean_text, zero counts.
+    """
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(col, r"\n"),
+                     lambda ln: F.trim(ln) != F.lit(""))
+
+    def keep(ln):
+        tl = F.trim(ln)
+        n = F.size(F.filter(F.split(tl, r"\s+"),
+                            lambda t: t != F.lit("")))
+        cond = n >= F.lit(min_words_per_line)
+        if require_terminal_punct:
+            last = F.substring(tl, F.length(tl), 1)
+            cond = cond & last.isin(".", "!", "?", '"')
+        low = F.lower(tl)
+        for phrase in blacklist:
+            cond = cond & ~low.contains(phrase)
+        return cond
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(out_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+    )
+
+
+def train_classifier_perceptron(df: DataFrame, label_col, vocab: list,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                iterations: int = 3,
+                                lr: float = 0.5):
+    """IN-ENGINE classifier training: deterministic batch perceptron over
+    binary bag-of-words features — the trained-weights PRODUCER for
+    :func:`classifier_score_weights` (which until now required weights
+    trained elsewhere). ``label_col`` is a 0/1 Column expression evaluated
+    in-plan; features are presence of each ``vocab`` token plus a constant
+    ``__bias__`` feature.
+
+    Why perceptron and not logistic GD: with ``lr`` a dyadic rational
+    (default 0.5) every weight stays an exactly-representable binary
+    float, so margins, predictions, and the full training trajectory are
+    bit-reproducible across engines — an ANSI-SQL oracle can replay
+    training exactly (chained CTEs, one per iteration), something a
+    sigmoid's ``exp()`` cannot guarantee. Swap in offline logreg/fasttext
+    weights via classifier_score_weights when you need calibrated
+    probabilities; use this when you need a self-contained, auditable
+    in-pipeline gate.
+
+    Plan shape per iteration (the same contract as ``kmeans_lloyd``): one
+    corpus scan computes per-doc margins via a broadcast literal weight
+    map (zero shuffle), mistakes explode to (token, ydiff) and reduce
+    map-side into ≤ ``len(vocab)+1`` rows, which are collected to update
+    the model — the only driver state is the model itself. Scales to any
+    corpus size; vocab is bounded by the literal-map cap.
+
+    Returns ``(weights, mistakes_per_iter)`` where ``weights`` maps vocab
+    tokens (plus ``"__bias__"``) to floats.
+    """
+    if len(vocab) > _CLASSIFIER_MAP_MAX:
+        raise ValueError(
+            f"vocab larger than literal-map cap ({_CLASSIFIER_MAP_MAX}); "
+            "train on a capped vocabulary (see vocabulary(min_count=...))")
+    vocab = sorted(set(vocab))
+    vocab_arr = F.array(*[F.lit(t) for t in vocab])
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    feats = F.concat(F.array(F.lit("__bias__")),
+                     F.array_intersect(tk, vocab_arr))
+    base = df.select(
+        feats.alias("__ft"),
+        F.when(label_col.cast("int") == 1, 1).otherwise(0).alias("__y"))
+    weights = {t: 0.0 for t in vocab}
+    weights["__bias__"] = 0.0
+    mistakes = []
+    for _ in range(iterations):
+        wmap = F.create_map(
+            *[F.lit(x) for kv in sorted(weights.items()) for x in kv])
+        staged = base.withColumn("__wmap", wmap)
+        margin = F.aggregate(
+            F.col("__ft"), F.lit(0.0),
+            lambda acc, t: acc + F.coalesce(
+                F.element_at(F.col("__wmap"), t), F.lit(0.0)))
+        yhat = F.when(margin > 0, 1).otherwise(0)
+        mist = (staged.withColumn("__yhat", yhat)
+                .where(F.col("__y") != F.col("__yhat")))
+        grad = (mist.select(F.explode("__ft").alias("token"),
+                            (F.col("__y") - F.col("__yhat")).alias("__d"))
+                .groupBy("token")
+                .agg(F.sum("__d").alias("g"), F.count(F.lit(1)).alias("n"))
+                .collect())  # bounded: ≤ len(vocab)+1 rows
+        n_mist = 0
+        for row in grad:
+            if row["token"] in weights:
+                weights[row["token"]] += lr * row["g"]
+            if row["token"] == "__bias__":
+                n_mist = row["n"]
+        mistakes.append(int(n_mist))
+        if n_mist == 0:
+            break
+    return weights, mistakes

@@ -258,3 +258,153 @@ def test_classifier_null_text_scores_half_everywhere(spark):
               for r in text.classifier_score(df).collect()}
     assert hashed[1] == 0.5 and hashed[3] == 0.5
     assert None not in hashed.values()
+
+
+def test_gopher_filter_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # clean doc: passes everything at the relaxed test thresholds
+            (1, "The cat and the dog have fun with that ball of yarn to be "
+                "sure and that is all."),
+            # bullet-heavy + ellipsis lines
+            (2, "• one two three\n• four five six\nclosing line here..."),
+            # symbol noise: 4 '#' + one '...' over 4 words
+            (3, "## ## tag soup..."),
+            # numeric words fail the alpha rule
+            (4, "1 2 3 4 5 6 7 8 9 10"),
+            (5, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in text.gopher_quality_filter(
+        df, min_words=4, min_stopword_hits=2).collect()}
+
+    r1 = rows[1]
+    assert r1["n_words"] == 19 and r1["stopword_hits"] >= 5
+    assert r1["passes"] is True
+
+    r2 = rows[2]
+    assert r2["bullet_line_frac"] == round(2 / 3, 6)
+    assert r2["ellipsis_line_frac"] == round(1 / 3, 6)
+    assert r2["rule_ellipsis_lines"] is False  # > 0.3
+
+    r3 = rows[3]
+    # 4 hashes + 1 '...' over 4 words
+    assert r3["symbol_word_ratio"] == round(5 / 4, 6)
+    assert r3["rule_symbol_ratio"] is False
+
+    r4 = rows[4]
+    assert r4["alpha_word_frac"] == 0.0
+    assert r4["rule_alpha_words"] is False
+
+    # null text = empty doc: definite all-zero metrics, definite fail
+    r5 = rows[5]
+    assert r5["n_words"] == 0 and r5["passes"] is False
+
+
+def test_gopher_and_c4_plans_are_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id INT, text STRING")
+    for out in (text.gopher_quality_filter(df), text.c4_line_filter(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_c4_line_filter_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A good long sentence that survives the filter.\n"
+                "too short.\n"
+                "No terminal punctuation on this long line here\n"
+                "Please accept our cookie policy before you continue.\n"
+                "Another fine sentence stays in the document!"),
+            (2, "   \n\n"),
+            (3, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in text.c4_line_filter(
+        df, min_words_per_line=4).collect()}
+
+    r1 = rows[1]
+    assert r1["n_lines"] == 5 and r1["n_kept"] == 2
+    assert r1["clean_text"] == (
+        "A good long sentence that survives the filter.\n"
+        "Another fine sentence stays in the document!")
+
+    # blank-only and null docs: zero lines, empty output
+    for i in (2, 3):
+        assert rows[i]["n_lines"] == 0 and rows[i]["clean_text"] == ""
+
+    # terminal-punct rule off: the unpunctuated line comes back
+    relaxed = {r["doc_id"]: r for r in text.c4_line_filter(
+        df, min_words_per_line=4, require_terminal_punct=False).collect()}
+    assert relaxed[1]["n_kept"] == 3
+
+
+def _reference_perceptron(docs, vocab, iterations, lr=0.5):
+    """Pure-Python batch perceptron with the same contract."""
+    feats = [(sorted({t for t in txt.lower().split() if t in vocab}
+                     | {"__bias__"}), y) for txt, y in docs]
+    w = {t: 0.0 for t in list(vocab) + ["__bias__"]}
+    mistakes = []
+    for _ in range(iterations):
+        grad, n = {}, 0
+        for ft, y in feats:
+            yhat = 1 if sum(w[t] for t in ft) > 0 else 0
+            if yhat != y:
+                n += 1
+                for t in ft:
+                    grad[t] = grad.get(t, 0) + (y - yhat)
+        for t, g in grad.items():
+            w[t] += lr * g
+        mistakes.append(n)
+        if n == 0:
+            break
+    return w, mistakes
+
+
+def test_perceptron_matches_python_reference(spark):
+    import pyspark.sql.functions as F
+
+    vocab = ["apple", "pear", "plum", "kiwi", "fig"]
+    # deterministic, NOT linearly separable corpus
+    docs = [(f"{'apple pear' if i % 3 == 0 else 'plum kiwi'} fig"
+             + (" apple" if i % 5 == 0 else ""),
+             1 if i % 2 == 0 else 0) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in enumerate(docs)],
+        "doc_id INT, text STRING, y INT")
+    got_w, got_m = text.train_classifier_perceptron(
+        df, F.col("y") == 1, vocab, iterations=4)
+    want_w, want_m = _reference_perceptron(docs, vocab, iterations=4)
+    assert got_m == want_m
+    assert got_w == want_w  # dyadic arithmetic: exact equality, no tolerance
+
+
+def test_perceptron_converges_on_separable_data(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, "good spark text" if i % 2 == 0 else "bad slow text")
+         for i in range(20)],
+        "doc_id INT, text STRING")
+    w, m = text.train_classifier_perceptron(
+        df, F.col("text").contains("spark"),
+        ["good", "spark", "bad", "slow", "text"], iterations=10)
+    assert m[-1] == 0 and len(m) < 10  # early-stops once converged
+    # learned weights feed straight into the inference operator
+    scored = text.classifier_score_weights(
+        df, {t: v for t, v in w.items() if t != "__bias__"})
+    assert scored.count() == 20
+
+
+def test_perceptron_vocab_cap(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, "a")], "doc_id INT, text STRING")
+    try:
+        text.train_classifier_perceptron(
+            df, F.lit(True), [f"t{i}" for i in range(3000)])
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        assert "literal-map cap" in str(exc)
