@@ -369,6 +369,42 @@ def _load_docs(spark, n_docs: int):
                                   F.lit(10)).cast("string")))
 
 
+def cleanfilters_main(n_docs: int) -> None:
+    """Scale rung for the r6 cleaning/training operators: Gopher rules,
+    C4 line filter, and 3 perceptron iterations on n_docs synthetic
+    documents (sf0.1's table is 5k — run at 100-400×). All three should
+    be ~linear: the filters are map-only projections, the perceptron is
+    3 × (scan + vocab-bounded exchange)."""
+    from funnel_rocket_spark.operators import text
+
+    spark = get_spark(app_name="scale-check-cleanfilters")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _load_docs(spark, n_docs)
+
+    out = {"n_docs": n_docs, "timings": {}}
+    t0 = time.perf_counter()
+    n_pass = text.gopher_quality_filter(
+        docs, min_words=70, min_stopword_hits=0).where("passes").count()
+    out["timings"]["gopher_filter"] = round(time.perf_counter() - t0, 2)
+    out["n_gopher_pass"] = n_pass
+
+    t0 = time.perf_counter()
+    kept = (text.c4_line_filter(docs, min_words_per_line=70,
+                                require_terminal_punct=False)
+            .agg(F.sum("n_kept")).collect()[0][0])
+    out["timings"]["c4_line_filter"] = round(time.perf_counter() - t0, 2)
+    out["n_c4_kept_lines"] = int(kept)
+
+    vocab = [f"w{i}" for i in range(16)]
+    t0 = time.perf_counter()
+    w, m = text.train_classifier_perceptron(
+        docs, F.array_contains(F.split(F.col("text"), r"\s+"), "w7"),
+        vocab, iterations=3)
+    out["timings"]["perceptron_3iter"] = round(time.perf_counter() - t0, 2)
+    out["perceptron_mistakes"] = m
+    print(json.dumps(out))
+
+
 def report_variance_main(n_docs: int, runs: int = 5) -> None:
     """VERDICT r5 #5: chase the curation_report 2M-doc variance (124-167 s
     spread at identical config). Each run executes inside a
@@ -576,6 +612,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
         pipeline_main(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "cleanfilters":
+        cleanfilters_main(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "reportvar":
         report_variance_main(
