@@ -1323,6 +1323,67 @@ def _temperature_resample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")))
 
 
+# Dyadic mixture weights: wsum and every normalized target are exactly
+# representable, so target/available and the md5-gate threshold are the
+# SAME doubles in Spark and DuckDB — no rounding-boundary risk.
+_MIXTURE_WEIGHTS = {"en": 0.5, "de": 0.25, "es": 0.125,
+                    "fr": 0.0625, "zh": 0.0625}
+_MIXTURE_TOTAL = 20_000
+
+
+def _mixture_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mixing: plan per-language keep rates toward a
+    20k-token corpus at the dyadic target mix, apply the deterministic
+    gate, and report the audit frame (available/target/rate plus achieved
+    docs+tokens per language)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = sampling.mixture_plan(docs, _MIXTURE_WEIGHTS, "lang",
+                                 _MIXTURE_TOTAL)
+    kept = sampling.mixture_sample(docs, _MIXTURE_WEIGHTS, "lang",
+                                   _MIXTURE_TOTAL)
+    toks = F.size(F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: t != F.lit("")))
+    after = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum(toks).cast("long").alias("kept_tokens"))
+    return (plan.join(after, "lang", "left")
+            .select("lang", "available_tokens", "target_tokens", "rate",
+                    F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long")
+                    .alias("kept_docs"),
+                    F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long")
+                    .alias("kept_tokens")))
+
+
+def _mixture_sql() -> str:
+    targets = sampling._mixture_targets(_MIXTURE_WEIGHTS, _MIXTURE_TOTAL)
+    tgt_case = ("CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN CAST({t!r} AS DOUBLE)"
+        for s, t in targets.items()) + " ELSE 0.0 END")
+    langs = ", ".join(f"'{s}'" for s in targets)
+    return f"""
+WITH d AS (SELECT doc_id, lang,
+    len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+        x -> x <> '')) AS nt
+  FROM documents WHERE lang IN ({langs})),
+c AS (SELECT lang, sum(nt)::BIGINT AS available_tokens FROM d GROUP BY 1),
+p AS (SELECT lang, available_tokens,
+    round({tgt_case}, 6) AS target_tokens,
+    least(1.0, ({tgt_case}) / available_tokens::DOUBLE) AS rate
+  FROM c),
+k AS (SELECT d.lang, count(*)::BIGINT AS kept_docs,
+        sum(d.nt)::BIGINT AS kept_tokens
+  FROM d JOIN p ON d.lang = p.lang
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 11))::BIGINT <
+        floor(p.rate * 17592186044416)
+  GROUP BY 1)
+SELECT p.lang, p.available_tokens, p.target_tokens, p.rate,
+  coalesce(k.kept_docs, 0)::BIGINT AS kept_docs,
+  coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens
+FROM p LEFT JOIN k ON p.lang = k.lang
+"""
+
+
 def _kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 2-round Lloyd's k-means over the embeddings table:
     (cluster, n_members, centroid_norm). Every step — seeded init,
@@ -2867,6 +2928,10 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 ORDER BY n_baskets DESC, item_a ASC, item_b ASC LIMIT 50
 """,
     ),
+    "sample_mixture": (
+        _mixture_sample_fn,
+        _mixture_sql(),
+    ),
     "resample_temperature": (
         _temperature_resample_fn,
         # same md5 gate as sample_deterministic; rate = sqrt(nmin/n) —
@@ -3240,6 +3305,7 @@ _DRIVER_PRIORITY = [
     "olap_percentiles",
     # NEW r6 operators — first driver greens required
     "text_gopher_filter", "text_c4_clean", "text_train_perceptron",
+    "sample_mixture",
     # full reference-shaped suite (re-anchor every round — the product)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",

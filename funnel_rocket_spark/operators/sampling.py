@@ -178,3 +178,78 @@ def assign_split(df: DataFrame, weights: dict, id_col: str = "doc_id",
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(names[-1])
     return df.withColumn(out_col, out)
+
+
+def _mixture_targets(target_weights: dict, total_tokens: int) -> dict:
+    """Per-stratum token targets: weights normalized driver-side so both
+    the plan and any SQL oracle can embed the SAME literal constants."""
+    if not target_weights or total_tokens <= 0:
+        raise ValueError("need non-empty target_weights and total_tokens > 0")
+    if any(w < 0 for w in target_weights.values()):
+        raise ValueError("mixture weights must be non-negative")
+    wsum = sum(target_weights.values())
+    if wsum <= 0:
+        raise ValueError("mixture weights must sum to > 0")
+    return {s: (w / wsum) * total_tokens
+            for s, w in sorted(target_weights.items())}
+
+
+def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
+                 total_tokens: int, text_col: str = "text") -> DataFrame:
+    """Domain-mixture planning — the "data mixing" step of training-corpus
+    assembly (the DoReMi/Pile-style recipe: hit a token budget at given
+    per-domain proportions). For each stratum in ``target_weights``:
+    available whitespace tokens in the corpus, the target token count
+    (weight normalized × ``total_tokens``), and the deterministic keep
+    rate ``min(1, target/available)``. Strata at rate 1.0 UNDER-deliver
+    (shortfall = target − available, visible in the output); there is no
+    oversampling — upweighting means duplication, which belongs to an
+    explicit repeat operator, not a sampler.
+
+    One tiny groupBy(strata) exchange over a (strata, n_tokens)
+    projection; everything else is arithmetic on the ≤|domains|-row
+    aggregate. Null text counts 0 tokens.
+    """
+    targets = _mixture_targets(target_weights, total_tokens)
+    toks = F.size(F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit("")))
+    counts = (df.where(F.col(strata_col).isin(*targets.keys()))
+              .groupBy(strata_col)
+              .agg(F.sum(toks).alias("available_tokens")))
+    tgt = F.lit(0.0)
+    for s, t in targets.items():
+        tgt = F.when(F.col(strata_col) == s, F.lit(float(t))).otherwise(tgt)
+    return counts.select(
+        F.col(strata_col),
+        F.col("available_tokens").cast("long").alias("available_tokens"),
+        F.round(tgt, 6).alias("target_tokens"),
+        F.least(F.lit(1.0),
+                tgt / F.col("available_tokens").cast("double"))
+        .alias("rate"))
+
+
+def mixture_sample(df: DataFrame, target_weights: dict, strata_col: str,
+                   total_tokens: int, text_col: str = "text",
+                   id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Apply :func:`mixture_plan`: keep each stratum at its computed rate
+    via the deterministic md5 gate (document-level gating — a kept
+    stratum's token mass tracks the target within doc-length noise).
+    Strata absent from ``target_weights`` are dropped, mirroring
+    :func:`stratified_hash_sample`.
+
+    Plan shape: the ≤|domains|-row rates frame broadcast-joins back into
+    the corpus scan — one tiny exchange for the counts, zero corpus
+    shuffle, and the corpus itself is scanned twice (count pass + gate
+    pass) unless the caller persists it. Bit-reproducible on any layout.
+    """
+    rates = mixture_plan(df, target_weights, strata_col, total_tokens,
+                         text_col)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    return (df.join(F.broadcast(rates.select(strata_col, "rate")),
+                    strata_col)
+            .where(bucket < F.floor(F.col("rate") * F.lit(float(_BUCKETS)))
+                   .cast("long"))
+            .drop("rate"))

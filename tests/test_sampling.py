@@ -84,3 +84,54 @@ def test_weighted_sample_skips_nonpositive_weights(spark):
         "doc_id long, w double")
     got = sampling.weighted_hash_sample(df, 4, "w").collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def _mix_corpus(spark):
+    # 'a': 10 docs x 10 tokens = 100 tokens; 'b': 4 docs x 5 = 20; 'c': 2 docs
+    rows = ([(i, "a", "t " * 10) for i in range(10)]
+            + [(100 + i, "b", "t " * 5) for i in range(4)]
+            + [(200 + i, "c", "t t") for i in range(2)])
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_mixture_plan_hand_computed(spark):
+    df = _mix_corpus(spark)
+    # dyadic weights; budget 80 tokens → a: 40/100=0.4, b: 40/20 → capped 1.0
+    plan = {r["lang"]: r for r in sampling.mixture_plan(
+        df, {"a": 0.5, "b": 0.5}, "lang", 80).collect()}
+    assert set(plan) == {"a", "b"}  # 'c' absent from targets → not planned
+    assert plan["a"]["available_tokens"] == 100
+    assert plan["a"]["target_tokens"] == 40.0 and plan["a"]["rate"] == 0.4
+    # under-supplied stratum: rate capped at 1, shortfall visible
+    assert plan["b"]["available_tokens"] == 20
+    assert plan["b"]["target_tokens"] == 40.0 and plan["b"]["rate"] == 1.0
+
+
+def test_mixture_sample_gate_properties(spark):
+    df = _mix_corpus(spark)
+    kept = sampling.mixture_sample(df, {"a": 0.5, "b": 0.5}, "lang", 80)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # subset of the corpus; 'c' dropped entirely; all of rate-1.0 'b' kept
+    assert set(ids) <= {r["doc_id"] for r in df.collect()}
+    assert not any(200 <= i < 300 for i in ids)
+    assert [i for i in ids if i >= 100] == [100, 101, 102, 103]
+    # layout-independent determinism
+    ids2 = sorted(r["doc_id"] for r in sampling.mixture_sample(
+        df.repartition(7), {"a": 0.5, "b": 0.5}, "lang", 80).collect())
+    assert ids == ids2
+    # agrees with stratified_hash_sample driven by the computed rates
+    rates = {r["lang"]: r["rate"] for r in sampling.mixture_plan(
+        df, {"a": 0.5, "b": 0.5}, "lang", 80).collect()}
+    ids3 = sorted(r["doc_id"] for r in sampling.stratified_hash_sample(
+        df, rates, "lang").collect())
+    assert ids == ids3
+
+
+def test_mixture_validation(spark):
+    df = _mix_corpus(spark)
+    with pytest.raises(ValueError):
+        sampling.mixture_plan(df, {}, "lang", 100)
+    with pytest.raises(ValueError):
+        sampling.mixture_plan(df, {"a": 1.0}, "lang", 0)
+    with pytest.raises(ValueError):
+        sampling.mixture_plan(df, {"a": -0.5, "b": 1.5}, "lang", 100)
