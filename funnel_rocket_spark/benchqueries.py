@@ -1355,6 +1355,73 @@ def _mixture_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("kept_tokens")))
 
 
+_MIXTURE_UP_TOTAL = 60_000
+
+
+def _mixture_upsample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oversampling path: a 60k-token budget exceeds most languages'
+    supply at sf0.01 (rates > 1 → real repetition via the exploded copy
+    index) while staying under the head languages' supply at sf0.1
+    (rates < 1 → plain gate) — both code paths exercised across the
+    driver's scales. The audit aggregates the EXPLODED output, so copy
+    multiplicity itself is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = sampling.mixture_plan(docs, _MIXTURE_WEIGHTS, "lang",
+                                 _MIXTURE_UP_TOTAL, cap_rate=False)
+    kept = sampling.mixture_upsample(docs, _MIXTURE_WEIGHTS, "lang",
+                                     _MIXTURE_UP_TOTAL)
+    toks = F.size(F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: t != F.lit("")))
+    after = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_units"),
+        F.sum(toks).cast("long").alias("kept_tokens"),
+        F.max("copy").cast("long").alias("max_copy"))
+    return (plan.join(after, "lang", "left")
+            .select("lang", "available_tokens",
+                    F.round("rate", 6).alias("rate"),
+                    F.coalesce(F.col("kept_units"), F.lit(0)).cast("long")
+                    .alias("kept_units"),
+                    F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long")
+                    .alias("kept_tokens"),
+                    F.coalesce(F.col("max_copy"), F.lit(0)).cast("long")
+                    .alias("max_copy")))
+
+
+def _mixture_upsample_sql() -> str:
+    targets = sampling._mixture_targets(_MIXTURE_WEIGHTS, _MIXTURE_UP_TOTAL)
+    tgt_case = ("CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN CAST({t!r} AS DOUBLE)"
+        for s, t in targets.items()) + " ELSE 0.0 END")
+    langs = ", ".join(f"'{s}'" for s in targets)
+    # n_copies = floor(rate) + (md5 gate on the fractional part); the
+    # audit needs no unnest — units and tokens scale by n_copies
+    return f"""
+WITH d AS (SELECT doc_id, lang,
+    len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+        x -> x <> '')) AS nt
+  FROM documents WHERE lang IN ({langs})),
+c AS (SELECT lang, sum(nt)::BIGINT AS available_tokens FROM d GROUP BY 1),
+p AS (SELECT lang, available_tokens,
+    ({tgt_case}) / available_tokens::DOUBLE AS rate FROM c),
+n AS (SELECT d.lang, d.nt,
+    (floor(p.rate)::BIGINT + CASE WHEN
+        ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 11))::BIGINT <
+        floor((p.rate - floor(p.rate)) * 17592186044416)
+      THEN 1 ELSE 0 END) AS n_copies
+  FROM d JOIN p ON d.lang = p.lang),
+k AS (SELECT lang, sum(n_copies)::BIGINT AS kept_units,
+        sum(n_copies * nt)::BIGINT AS kept_tokens,
+        max(n_copies)::BIGINT AS max_copy
+  FROM n WHERE n_copies > 0 GROUP BY 1)
+SELECT p.lang, p.available_tokens, round(p.rate, 6) AS rate,
+  coalesce(k.kept_units, 0)::BIGINT AS kept_units,
+  coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens,
+  coalesce(k.max_copy, 0)::BIGINT AS max_copy
+FROM p LEFT JOIN k ON p.lang = k.lang
+"""
+
+
 def _mixture_sql() -> str:
     targets = sampling._mixture_targets(_MIXTURE_WEIGHTS, _MIXTURE_TOTAL)
     tgt_case = ("CASE " + " ".join(
@@ -2932,6 +2999,10 @@ ORDER BY n_baskets DESC, item_a ASC, item_b ASC LIMIT 50
         _mixture_sample_fn,
         _mixture_sql(),
     ),
+    "sample_mixture_upsampled": (
+        _mixture_upsample_fn,
+        _mixture_upsample_sql(),
+    ),
     "resample_temperature": (
         _temperature_resample_fn,
         # same md5 gate as sample_deterministic; rate = sqrt(nmin/n) —
@@ -3305,7 +3376,7 @@ _DRIVER_PRIORITY = [
     "olap_percentiles",
     # NEW r6 operators — first driver greens required
     "text_gopher_filter", "text_c4_clean", "text_train_perceptron",
-    "sample_mixture",
+    "sample_mixture", "sample_mixture_upsampled",
     # full reference-shaped suite (re-anchor every round — the product)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
@@ -3331,9 +3402,10 @@ _DRIVER_PRIORITY = [
 # rounds (r6 window = r6-changed paths + full fr_* suite + every query
 # whose newest green was r02, plus the oldest r03 stragglers).
 # olap_winsorized_mean (last green r03) yields its slot to the r6-changed
-# olap_percentiles; with the three NEW r6 operators also claiming window
-# slots, the r03 tail (behavior_session_funnel_bounded, multimodal_features,
-# s5_denorm_join) rotates out too — all four lead the r7 window.
+# olap_percentiles; with the four NEW r6 operators also claiming window
+# slots, the r03 tail past position 50 (behavior_session_funnel,
+# behavior_session_funnel_bounded, multimodal_features, s5_denorm_join)
+# rotates out too — those five lead the r7 window.
 
 
 def queries() -> dict:

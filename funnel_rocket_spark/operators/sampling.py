@@ -195,7 +195,8 @@ def _mixture_targets(target_weights: dict, total_tokens: int) -> dict:
 
 
 def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
-                 total_tokens: int, text_col: str = "text") -> DataFrame:
+                 total_tokens: int, text_col: str = "text",
+                 cap_rate: bool = True) -> DataFrame:
     """Domain-mixture planning — the "data mixing" step of training-corpus
     assembly (the DoReMi/Pile-style recipe: hit a token budget at given
     per-domain proportions). For each stratum in ``target_weights``:
@@ -203,8 +204,9 @@ def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
     (weight normalized × ``total_tokens``), and the deterministic keep
     rate ``min(1, target/available)``. Strata at rate 1.0 UNDER-deliver
     (shortfall = target − available, visible in the output); there is no
-    oversampling — upweighting means duplication, which belongs to an
-    explicit repeat operator, not a sampler.
+    implicit oversampling — upweighting means duplication, which is the
+    explicit :func:`mixture_upsample` path. ``cap_rate=False`` returns the
+    uncapped ratio (what the upsampler repeats at).
 
     One tiny groupBy(strata) exchange over a (strata, n_tokens)
     projection; everything else is arithmetic on the ≤|domains|-row
@@ -220,13 +222,13 @@ def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
     tgt = F.lit(0.0)
     for s, t in targets.items():
         tgt = F.when(F.col(strata_col) == s, F.lit(float(t))).otherwise(tgt)
+    raw = tgt / F.col("available_tokens").cast("double")
+    rate = F.least(F.lit(1.0), raw) if cap_rate else raw
     return counts.select(
         F.col(strata_col),
         F.col("available_tokens").cast("long").alias("available_tokens"),
         F.round(tgt, 6).alias("target_tokens"),
-        F.least(F.lit(1.0),
-                tgt / F.col("available_tokens").cast("double"))
-        .alias("rate"))
+        rate.alias("rate"))
 
 
 def mixture_sample(df: DataFrame, target_weights: dict, strata_col: str,
@@ -253,3 +255,48 @@ def mixture_sample(df: DataFrame, target_weights: dict, strata_col: str,
             .where(bucket < F.floor(F.col("rate") * F.lit(float(_BUCKETS)))
                    .cast("long"))
             .drop("rate"))
+
+
+def repeat_sample(df: DataFrame, rate_col, id_col: str = "doc_id",
+                  salt: str = "", copy_col: str = "copy") -> DataFrame:
+    """Deterministic FRACTIONAL repetition: each row appears
+    ``floor(rate)`` times, plus once more where the md5 gate admits the
+    fractional remainder — so a stratum at rate 2.25 is duplicated to
+    exactly ~2.25× its token mass, reproducibly. ``rate_col`` is a Column
+    (join a rates frame in first); output gains ``copy_col`` (1-based
+    copy index) so downstream shuffles/splits can keep copies distinct.
+
+    Pure explode-over-sequence projection — no shuffle; at 100 TB the
+    cost is the output volume itself, which is the point of upsampling.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    frac = rate_col - F.floor(rate_col)
+    n_copies = (F.floor(rate_col)
+                + F.when(bucket < F.floor(frac * F.lit(float(_BUCKETS)))
+                         .cast("long"), 1).otherwise(0)).cast("int")
+    # sequence(1, 0) would count DOWN — guard the zero-copy case
+    copies = F.when(n_copies > 0, F.sequence(F.lit(1), n_copies)) \
+        .otherwise(F.array().cast("array<int>"))
+    return (df.withColumn("__copies", copies)
+            .select("*", F.explode("__copies").alias(copy_col))
+            .drop("__copies"))
+
+
+def mixture_upsample(df: DataFrame, target_weights: dict, strata_col: str,
+                     total_tokens: int, text_col: str = "text",
+                     id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """:func:`mixture_sample` without the rate-1.0 cap: under-supplied
+    domains are REPEATED (fractionally, via :func:`repeat_sample`) until
+    every domain delivers its target token mass — the multi-epoch recipe
+    for rare high-value sources (code, books) in LLM corpus mixing.
+    Output = corpus columns + ``copy`` (1-based; rate ≤ 1 strata only
+    ever emit copy=1, making the plain sampler a special case).
+    """
+    rates = mixture_plan(df, target_weights, strata_col, total_tokens,
+                         text_col, cap_rate=False) \
+        .select(strata_col, F.col("rate").alias("__rate"))
+    joined = df.join(F.broadcast(rates), strata_col)
+    return repeat_sample(joined, F.col("__rate"), id_col=id_col,
+                         salt=salt).drop("__rate")

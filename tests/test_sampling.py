@@ -135,3 +135,44 @@ def test_mixture_validation(spark):
         sampling.mixture_plan(df, {"a": 1.0}, "lang", 0)
     with pytest.raises(ValueError):
         sampling.mixture_plan(df, {"a": -0.5, "b": 1.5}, "lang", 100)
+
+
+def test_repeat_sample_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, 1.0), (4, 3.5)],
+        "doc_id long, r double")
+    got = sampling.repeat_sample(df, F.col("r")).collect()
+    by_id = {}
+    for row in got:
+        by_id.setdefault(row["doc_id"], []).append(row["copy"])
+    # integer rates are exact duplication; rate 0 vanishes
+    assert sorted(by_id[1]) == [1, 2]
+    assert 2 not in by_id
+    assert by_id[3] == [1]
+    # fractional part: 3 or 4 copies, contiguous 1-based index
+    assert sorted(by_id[4]) in ([1, 2, 3], [1, 2, 3, 4])
+    # deterministic across layouts
+    again = sampling.repeat_sample(df.repartition(5), F.col("r")).collect()
+    assert sorted((r["doc_id"], r["copy"]) for r in again) == \
+        sorted((r["doc_id"], r["copy"]) for r in got)
+
+
+def test_mixture_upsample_delivers_undersupplied_targets(spark):
+    df = _mix_corpus(spark)
+    # budget 240 at 50/50: a needs 120/100 → rate 1.2 (repeat);
+    # b needs 120/20 → rate 6.0 (hard repeat)
+    kept = sampling.mixture_upsample(df, {"a": 0.5, "b": 0.5}, "lang", 240)
+    rows = kept.collect()
+    units = {}
+    for r in rows:
+        units[r["lang"]] = units.get(r["lang"], 0) + 1
+    # b: rate exactly 6.0 → every doc exactly 6 copies = 24 units
+    assert units["b"] == 24
+    # a: 10 docs at 1.2 → between 10 and 20 units, ≥1 copy each
+    assert 10 <= units["a"] <= 20
+    # rate ≤ 1 strata of the capped sampler == upsample restricted to copy 1
+    capped = sampling.mixture_sample(df, {"a": 0.5, "b": 0.5}, "lang", 80)
+    up = sampling.mixture_upsample(df, {"a": 0.5, "b": 0.5}, "lang", 80)
+    a_ids = sorted(r["doc_id"] for r in capped.collect() if r["lang"] == "a")
+    a_up = sorted(r["doc_id"] for r in up.collect() if r["lang"] == "a")
+    assert a_ids == a_up
