@@ -580,7 +580,9 @@ def test_stateless_text_operators_stream_unchanged(spark, tmp_path):
 
     for name, op in [("q_score", text_ops.quality_score),
                      ("q_pii", text_ops.redact_pii),
-                     ("q_clf", text_ops.classifier_score)]:
+                     ("q_clf", text_ops.classifier_score),
+                     ("q_gopher", text_ops.gopher_quality_filter),
+                     ("q_c4", text_ops.c4_line_filter)]:
         got = run_stream(op(stream), name)
         want = {r["doc_id"]: tuple(r)[1:] for r in op(batch_df).collect()}
         assert got == want, name
