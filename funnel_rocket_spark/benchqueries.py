@@ -1355,6 +1355,44 @@ def _mixture_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("kept_tokens")))
 
 
+def _dsir_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores for every document, target = the English
+    slice: hashed-unigram log likelihood ratios (Laplace-smoothed,
+    dyadically quantized) summed per doc. The quantization makes the
+    per-doc sums exact and order-independent, so the oracle can aggregate
+    in any order and still hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.dsir_importance(docs, docs.where(F.col("lang") == "en"))
+
+
+_DSIR_SQL = """
+WITH toks AS (SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '') AS tk
+  FROM documents),
+ex AS (SELECT doc_id, lang, unnest(tk) AS tok FROM toks),
+bx AS (SELECT doc_id, lang,
+    ('0x' || substr(md5(tok), 1, 11))::BIGINT % 1024 AS b FROM ex),
+rb AS (SELECT b, count(*) AS c FROM bx GROUP BY 1),
+tb AS (SELECT b, count(*) AS c FROM bx WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM bx) AS rt,
+               (SELECT count(*) FROM bx WHERE lang = 'en') AS tt),
+lr AS (SELECT r.range AS b,
+    round(ln(((coalesce(tb.c, 0) + 1.0) * (tot.rt + 1024.0)) /
+             ((coalesce(rb.c, 0) + 1.0) * (tot.tt + 1024.0))) * 1048576)
+      / 1048576 AS v
+  FROM range(0, 1024) r CROSS JOIN tot
+  LEFT JOIN rb ON r.range = rb.b LEFT JOIN tb ON r.range = tb.b),
+sc AS (SELECT bx.doc_id, sum(lr.v) AS s, count(*) AS n
+  FROM bx JOIN lr ON bx.b = lr.b GROUP BY 1)
+SELECT t.doc_id, coalesce(sc.n, 0)::INT AS n_tokens,
+  round(coalesce(sc.s, 0.0), 6) AS logw_sum,
+  round(coalesce(sc.s, 0.0) / greatest(coalesce(sc.n, 1), 1), 6)
+    AS logw_mean
+FROM toks t LEFT JOIN sc ON t.doc_id = sc.doc_id
+"""
+
+
 _MIXTURE_UP_TOTAL = 60_000
 
 
@@ -3003,6 +3041,10 @@ ORDER BY n_baskets DESC, item_a ASC, item_b ASC LIMIT 50
         _mixture_upsample_fn,
         _mixture_upsample_sql(),
     ),
+    "sample_dsir": (
+        _dsir_fn,
+        _DSIR_SQL,
+    ),
     "resample_temperature": (
         _temperature_resample_fn,
         # same md5 gate as sample_deterministic; rate = sqrt(nmin/n) —
@@ -3376,7 +3418,7 @@ _DRIVER_PRIORITY = [
     "olap_percentiles",
     # NEW r6 operators — first driver greens required
     "text_gopher_filter", "text_c4_clean", "text_train_perceptron",
-    "sample_mixture", "sample_mixture_upsampled",
+    "sample_mixture", "sample_mixture_upsampled", "sample_dsir",
     # full reference-shaped suite (re-anchor every round — the product)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
@@ -3402,10 +3444,11 @@ _DRIVER_PRIORITY = [
 # rounds (r6 window = r6-changed paths + full fr_* suite + every query
 # whose newest green was r02, plus the oldest r03 stragglers).
 # olap_winsorized_mean (last green r03) yields its slot to the r6-changed
-# olap_percentiles; with the four NEW r6 operators also claiming window
-# slots, the r03 tail past position 50 (behavior_session_funnel,
-# behavior_session_funnel_bounded, multimodal_features, s5_denorm_join)
-# rotates out too — those five lead the r7 window.
+# olap_percentiles; with the six NEW r6 operators also claiming window
+# slots, the tail past position 50 (text_tokens, ann_cosine_topk,
+# behavior_session_funnel, behavior_session_funnel_bounded,
+# multimodal_features, s5_denorm_join) rotates out — those seven lead
+# the r7 window.
 
 
 def queries() -> dict:

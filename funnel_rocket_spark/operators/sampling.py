@@ -300,3 +300,114 @@ def mixture_upsample(df: DataFrame, target_weights: dict, strata_col: str,
     joined = df.join(F.broadcast(rates), strata_col)
     return repeat_sample(joined, F.col("__rate"), id_col=id_col,
                          salt=salt).drop("__rate")
+
+
+def _md5_bucket(col, n_buckets: int):
+    """Engine-portable feature hash: md5-derived 44-bit int mod n_buckets
+    (same construction as :func:`sample_gate`, so DuckDB reproduces it)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 11), 16, 10)
+        .cast("long"), F.lit(n_buckets))
+
+
+def dsir_importance(df_raw: DataFrame, df_target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 1024,
+                    smoothing: float = 1.0) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-unigram distribution is.
+    Per hash bucket b, the log likelihood ratio
+    ``lr[b] = ln(p_target(b) / p_raw(b))`` (Laplace-smoothed); per doc,
+    the sum and mean of ``lr`` over its token occurrences. High
+    ``logw_sum`` → reads like the target corpus.
+
+    Plan shape: BOTH corpus-wide bucket-count aggregates reduce map-side
+    to ≤ ``n_buckets`` rows and are collected (bounded, like the
+    perceptron's gradient); the ratio table then folds into a broadcast
+    literal map, so SCORING is a zero-shuffle codegen projection over the
+    raw corpus — one scan, nothing else, at any corpus size.
+
+    Cross-engine exactness (the module's dyadic discipline): each
+    ``lr[b]`` is ONE ``ln`` call QUANTIZED to a multiple of 2^-20 — an
+    exactly-representable double — so per-doc sums are exact and
+    ORDER-INDEPENDENT (any engine, any aggregation order, same bits),
+    and sub-ulp libm differences cannot survive the quantization away
+    from measure-zero boundaries. The final round-6 display rounding is
+    boundary-free on dyadic sums (no dyadic rational has a 5·10^-7
+    fractional tail).
+    """
+    import math
+
+    if n_buckets < 2 or n_buckets > _CLASSIFIER_BUCKET_CAP:
+        raise ValueError(
+            f"n_buckets must be in [2, {_CLASSIFIER_BUCKET_CAP}] "
+            "(literal-map scoring)")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0")
+
+    def bucket_counts(df):
+        from funnel_rocket_spark.operators.dedup import tokens
+        ex = df.select(F.explode(tokens(F.col(text_col))).alias("__tok"))
+        rows = (ex.groupBy(_md5_bucket(F.col("__tok"), n_buckets)
+                           .alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect())  # bounded: ≤ n_buckets rows
+        counts = {int(r["b"]): int(r["c"]) for r in rows}
+        return counts, sum(counts.values())
+
+    tc, t_total = bucket_counts(df_target)
+    rc, r_total = bucket_counts(df_raw)
+    s = float(smoothing)
+    t_denom = t_total + s * n_buckets
+    r_denom = r_total + s * n_buckets
+    q = float(_LR_QUANT)
+    lr = {b: round(math.log(((tc.get(b, 0) + s) * r_denom)
+                            / ((rc.get(b, 0) + s) * t_denom)) * q) / q
+          for b in range(n_buckets)}
+
+    from funnel_rocket_spark.operators.dedup import tokens as _tokens
+    tk = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
+    mapping = F.create_map(*[F.lit(x) for b in sorted(lr)
+                             for x in (b, lr[b])])
+    staged = df_raw.withColumn("__lrmap", mapping)
+    logw = F.aggregate(
+        tk, F.lit(0.0),
+        lambda acc, t: acc + F.element_at(
+            F.col("__lrmap"), _md5_bucket(t, n_buckets).cast("int")))
+    n_tok = F.size(tk)
+    return staged.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(logw, 6).alias("logw_sum"),
+        F.round(logw / F.greatest(n_tok, F.lit(1)), 6).alias("logw_mean"))
+
+
+_CLASSIFIER_BUCKET_CAP = 2_000  # literal-map expression-tree bound
+_LR_QUANT = 1 << 20  # log-ratio quantum: dyadic → exact, order-free sums
+
+
+def dsir_resample(df_raw: DataFrame, df_target: DataFrame, n: int,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_buckets: int = 1024, smoothing: float = 1.0,
+                  salt: str = "dsir") -> DataFrame:
+    """DSIR selection: sample ``n`` raw documents WITHOUT replacement with
+    probability ∝ exp(logw_sum) — via the Gumbel-top-k trick, with the
+    Gumbel noise drawn deterministically from each id's md5 bucket
+    (``g = -ln(-ln(u))``), so the selected set is reproducible on any
+    layout. Returns the selected rows joined with their scores.
+
+    Executes as TakeOrderedAndProject over one scored scan: each task
+    keeps its local top-n, the driver merges — no global sort.
+    """
+    scored = dsir_importance(df_raw, df_target, text_col, id_col,
+                             n_buckets, smoothing)
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+              .cast("binary")), 1, 11), 16, 10).cast("long")
+        .cast("double") + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    gumbel = -F.log(-F.log(u))
+    keyed = df_raw.join(scored, id_col).withColumn(
+        "__key", F.col("logw_sum") + gumbel)
+    return (keyed.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+            .limit(n).drop("__key"))

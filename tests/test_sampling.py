@@ -176,3 +176,83 @@ def test_mixture_upsample_delivers_undersupplied_targets(spark):
     a_ids = sorted(r["doc_id"] for r in capped.collect() if r["lang"] == "a")
     a_up = sorted(r["doc_id"] for r in up.collect() if r["lang"] == "a")
     assert a_ids == a_up
+
+
+def _py_dsir(raw_docs, target_docs, n_buckets=1024, s=1.0):
+    """Pure-Python DSIR reference with the same md5 bucketing and dyadic
+    quantization — exact-equality oracle for the operator."""
+    import hashlib
+    import math
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:11], 16) % n_buckets
+
+    def counts(docs):
+        c = {}
+        for txt in docs:
+            for t in (txt or "").lower().split():
+                b = bucket(t)
+                c[b] = c.get(b, 0) + 1
+        return c, sum(c.values())
+
+    tc, tt = counts(target_docs)
+    rc, rt = counts(raw_docs)
+    q = float(1 << 20)
+    lr = {b: round(math.log(((tc.get(b, 0) + s) * (rt + s * n_buckets))
+                            / ((rc.get(b, 0) + s) * (tt + s * n_buckets)))
+                   * q) / q
+          for b in range(n_buckets)}
+    out = []
+    for txt in raw_docs:
+        toks = (txt or "").lower().split()
+        sm = sum(lr[bucket(t)] for t in toks)
+        out.append((len(toks), round(sm, 6),
+                    round(sm / max(len(toks), 1), 6)))
+    return out
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    raw = ["alpha beta gamma", "delta epsilon", "alpha alpha beta",
+           "zeta eta theta iota", "beta gamma delta"]
+    target = ["alpha beta", "alpha gamma beta"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(raw)], "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["logw_sum"], r["logw_mean"])
+           for r in sampling.dsir_importance(df, tgt).collect()}
+    want = _py_dsir(raw, target)
+    for i, w in enumerate(want):
+        assert got[i] == w, i  # dyadic quantization → exact equality
+    # docs made of target tokens outscore docs of unseen tokens
+    assert got[0][2] > got[3][2]
+
+
+def test_dsir_resample_bias_and_determinism(spark):
+    # raw = 40 target-like + 40 junk docs; junk tokens are FREQUENT in raw
+    # and absent from the target, so their likelihood ratio is strongly
+    # negative (unique-token junk would instead sit at the smoothing
+    # floor — DSIR measures relative density, not novelty)
+    rows = ([(i, "alpha beta gamma delta") for i in range(40)]
+            + [(100 + i, "junk noise other spam") for i in range(40)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(500 + i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string")
+    sel = sampling.dsir_resample(df, tgt, 30)
+    ids = sorted(r["doc_id"] for r in sel.collect())
+    assert len(ids) == 30
+    # overwhelming preference for target-like docs
+    assert sum(1 for i in ids if i < 100) >= 25
+    ids2 = sorted(r["doc_id"] for r in sampling.dsir_resample(
+        df.repartition(7), tgt, 30).collect())
+    assert ids == ids2
+
+
+def test_dsir_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        sampling.dsir_importance(df, df, n_buckets=1)
+    with pytest.raises(ValueError):
+        sampling.dsir_importance(df, df, smoothing=0.0)
