@@ -402,6 +402,14 @@ def cleanfilters_main(n_docs: int) -> None:
         vocab, iterations=3)
     out["timings"]["perceptron_3iter"] = round(time.perf_counter() - t0, 2)
     out["perceptron_mistakes"] = m
+
+    from funnel_rocket_spark.operators import sampling
+    target = docs.filter(F.col("doc_id") % 50 == 0)  # 2% "target" slice
+    t0 = time.perf_counter()
+    n_sel = sampling.dsir_resample(docs, target, 10_000).count()
+    out["timings"]["dsir_score_and_select"] = round(
+        time.perf_counter() - t0, 2)
+    out["n_dsir_selected"] = n_sel
     print(json.dumps(out))
 
 
