@@ -71,6 +71,10 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
     @app.route("/datasets/register", methods=["POST"])
     def register():
         body = request.get_json(force=True)
+        if not isinstance(body, dict):
+            return jsonify({"success": False,
+                            "errorMessage": "request body must be a JSON "
+                                            "object"}), 400
         t0 = time.monotonic()
         try:
             ds = register_dataset(
@@ -184,14 +188,18 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
             result.update({"success": True, "requestId": _request_id()})
             return jsonify(result)
 
+        # Validation must run synchronously so an invalid timeframe still
+        # produces the HTTP 400 QueryValidationError contract (with its
+        # "kind" field) rather than an in-band error tail — streaming only
+        # changes how *results* are delivered, not how validation fails.
+        check_timeframe_scale(query, ds.min_timestamp, ds.max_timestamp)
+
         def generate():
             holder: dict = {}
             t0 = time.monotonic()
 
             def work():
                 try:
-                    check_timeframe_scale(query, ds.min_timestamp,
-                                          ds.max_timestamp)
                     holder["result"] = engine.run(df, query, with_stats=True)
                 except Exception as e:  # surfaced in the stream tail
                     holder["error"] = str(e)

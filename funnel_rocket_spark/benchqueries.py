@@ -3284,7 +3284,8 @@ m AS (SELECT doc_id,
   round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
         / greatest(len(words), 1), 6) AS mean_word_len,
   round(((length(text) - length(replace(text, '#', '')))
-         + (length(text) - length(replace(text, '...', ''))) / 3)
+         + (length(text) - length(replace(text, '...', ''))) / 3
+         + (length(text) - length(replace(text, '…', ''))))
         / greatest(len(words), 1), 6) AS symbol_word_ratio,
   round(len(list_filter(lines, l ->
           substr(ltrim(l), 1, 1) = '•' OR substr(ltrim(l), 1, 1) = '-'

@@ -210,7 +210,11 @@ def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
 
     One tiny groupBy(strata) exchange over a (strata, n_tokens)
     projection; everything else is arithmetic on the ≤|domains|-row
-    aggregate. Null text counts 0 tokens.
+    aggregate. Null text counts 0 tokens. A requested stratum with ZERO
+    corpus rows (or zero tokens) still appears in the output — shortfall
+    is always visible, per the contract above: available_tokens=0 and
+    rate 0.0 when capped / NULL when uncapped (there is no finite
+    repetition rate that manufactures tokens from nothing).
     """
     targets = _mixture_targets(target_weights, total_tokens)
     toks = F.size(F.filter(
@@ -219,11 +223,21 @@ def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
     counts = (df.where(F.col(strata_col).isin(*targets.keys()))
               .groupBy(strata_col)
               .agg(F.sum(toks).alias("available_tokens")))
+    # Anchor the plan on the REQUESTED strata (≤|domains| literal rows),
+    # so empty strata can't silently vanish from the aggregate.
+    strata_df = df.sparkSession.createDataFrame(
+        [(s,) for s in targets], [strata_col])
+    counts = (strata_df.join(counts, strata_col, "left")
+              .withColumn("available_tokens",
+                          F.coalesce(F.col("available_tokens"), F.lit(0))))
     tgt = F.lit(0.0)
     for s, t in targets.items():
         tgt = F.when(F.col(strata_col) == s, F.lit(float(t))).otherwise(tgt)
-    raw = tgt / F.col("available_tokens").cast("double")
-    rate = F.least(F.lit(1.0), raw) if cap_rate else raw
+    avail = F.col("available_tokens").cast("double")
+    raw = F.when(F.col("available_tokens") > 0, tgt / avail)  # NULL at 0
+    rate = (F.when(F.col("available_tokens") > 0,
+                   F.least(F.lit(1.0), raw)).otherwise(F.lit(0.0))
+            if cap_rate else raw)
     return counts.select(
         F.col(strata_col),
         F.col("available_tokens").cast("long").alias("available_tokens"),
@@ -399,7 +413,18 @@ def dsir_resample(df_raw: DataFrame, df_target: DataFrame, n: int,
 
     Executes as TakeOrderedAndProject over one scored scan: each task
     keeps its local top-n, the driver merges — no global sort.
+
+    The score columns (``n_tokens``/``logw_sum``/``logw_mean``) join back
+    onto ``df_raw``, so a raw corpus already carrying one of those names
+    is rejected up front rather than failing later with an ambiguous-
+    column error mid-plan.
     """
+    clash = [c for c in df_raw.columns
+             if c in ("n_tokens", "logw_sum", "logw_mean")]
+    if clash:
+        raise ValueError(
+            f"df_raw columns {clash} collide with DSIR score outputs; "
+            "rename them before calling dsir_resample")
     scored = dsir_importance(df_raw, df_target, text_col, id_col,
                              n_buckets, smoothing)
     u = (F.conv(F.substring(

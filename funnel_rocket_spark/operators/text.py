@@ -648,11 +648,36 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
                           min_stopword_hits: int = 2) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021 A1.1) as ONE
     shuffle-free projection: word-count band, mean word length band,
-    symbol-to-word ratio (# and ...), bullet-start / ellipsis-end line
-    fractions, alphabetic-word fraction, and the required-stopword count.
-    Returns every metric plus the per-rule booleans and the overall
-    ``passes`` flag, so downstream can either gate on ``passes`` or
-    re-threshold the metrics without another scan.
+    symbol-to-word ratio (# and ellipsis, both ``...`` and ``…``),
+    bullet-start / ellipsis-end line fractions, alphabetic-word fraction,
+    and the required-stopword count. Returns every metric plus the
+    per-rule booleans and the overall ``passes`` flag, so downstream can
+    either gate on ``passes`` or re-threshold the metrics without
+    another scan.
+
+    Every default threshold is the PUBLISHED Rae et al. 2021 Appendix A
+    (A1.1, MassiveWeb quality filtering) value, verbatim:
+
+    - ``min_words=50`` / ``max_words=100_000`` — "contain between 50 and
+      100,000 words".
+    - ``min_mean_word_len=3.0`` / ``max_mean_word_len=10.0`` — "mean word
+      length between 3 and 10 characters".
+    - ``max_symbol_word_ratio=0.1`` — "symbol-to-word ratio greater than
+      0.1 for either the hash symbol or the ellipsis". Deviation note:
+      the paper applies 0.1 PER symbol class; this implementation tests
+      the SUM of hash+ellipsis counts against 0.1, a strictly more
+      aggressive single-ratio form (documents failing the paper's rule
+      always fail here). Pass per-class thresholds by re-deriving from
+      the returned metric columns if exact per-class gating is needed.
+    - ``max_bullet_line_frac=0.9`` — "more than 90% of lines starting
+      with a bullet point".
+    - ``max_ellipsis_line_frac=0.3`` — "more than 30% ending with an
+      ellipsis".
+    - ``min_alpha_word_frac=0.8`` — "80% of words in a document contain
+      at least one alphabetic character".
+    - ``min_stopword_hits=2`` with :data:`GOPHER_REQUIRED_STOPWORDS` —
+      the paper's '"stop word" filter': at least 2 of {the, be, to, of,
+      and, that, have, with}.
 
     Scale: pure codegen string expressions — no shuffle, no UDF; at 100 TB
     this is a map-only pass that pushes only (id, text) through the scan.
@@ -666,8 +691,11 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     nonspace = F.length(F.regexp_replace(col, r"\s", ""))
     mean_wl = F.round(nonspace / F.greatest(n_words, F.lit(1)), 6)
     n_hash = F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
-    n_ellipsis = (F.length(col)
-                  - F.length(F.replace(col, F.lit("..."), F.lit("")))) / 3
+    # both ellipsis spellings count, matching the line-end rule below
+    n_ellipsis = ((F.length(col)
+                   - F.length(F.replace(col, F.lit("..."), F.lit("")))) / 3
+                  + (F.length(col)
+                     - F.length(F.replace(col, F.lit("…"), F.lit("")))))
     sym_ratio = F.round((n_hash + n_ellipsis)
                         / F.greatest(n_words, F.lit(1)), 6)
     lines = F.filter(F.split(col, r"\n"),
