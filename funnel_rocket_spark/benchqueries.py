@@ -488,13 +488,53 @@ def _olap_percentiles_sketch_only_fn(spark: SparkSession, sf_dir: str) -> DataFr
     gate keeps running the self-certifying version (the certification is a
     CONTRACT, checked at sf0.01 per round); timing it as the operator's
     cost double-charged the sketch (~0.45→0.75 s at sf0.1) for work a
-    production query never does. Registered via :data:`BENCH_VARIANTS`."""
+    production query never does. Registered via :data:`BENCH_VARIANTS`,
+    which overrides the TIMED fn for the catalog name below — the
+    correctness gate runs :func:`_olap_percentiles_sketch_cert_fn`, which
+    certifies the values this exact sketch aggregate produces."""
     pcts, acc = [0.5, 0.95], 10_000
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_returnflag", "l_extendedprice"))
     return (li.groupBy("l_returnflag")
             .agg(F.percentile_approx("l_extendedprice", pcts, acc)
                  .alias("approx_pcts")))
+
+
+def _olap_percentiles_sketch_cert_fn(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Self-certifying contract for the sketch-only bench twin (closes the
+    one bench row that had never had a correctness check in rounds ≤6):
+    the SAME GK sketch aggregate as :func:`_olap_percentiles_sketch_only_fn`
+    joined against the exact per-group percentile, asserting each sketch
+    value lies within a declared relative error of the exact value —
+    the same self-certification pattern as ``fr_agg_groups_per_value_approx``
+    (assert the approximation's own guarantee in-plan; sketch values are
+    engine-specific so a value-level cross-engine oracle can't exist).
+    ``rel_err=0.005`` is ~10× the worst observed deviation across
+    sf0.001/0.01/0.1 (GK at accuracy=10_000 has rank error ≤ N/10_000,
+    which on lineitem's smooth price distribution is ≲5·10⁻⁴ in value).
+    Deterministic per dataset: GK has no run-to-run seed."""
+    pcts, acc, rel_err = [0.5, 0.95], 10_000, 0.005
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice"))
+    sketch = (li.groupBy("l_returnflag")
+              .agg(F.percentile_approx("l_extendedprice", pcts, acc)
+                   .alias("__pa")))
+    exact = (li.groupBy("l_returnflag")
+             .agg(F.percentile("l_extendedprice",
+                               F.array(*[F.lit(p) for p in pcts]))
+                  .alias("__ex")))
+    ex = (sketch.join(exact, "l_returnflag")
+          .select("l_returnflag", "__ex",
+                  F.posexplode("__pa").alias("__pos", "__v"))
+          .withColumn("percentile",
+                      F.element_at(F.array(*[F.lit(p) for p in pcts]),
+                                   F.col("__pos") + 1))
+          .withColumn("__e", F.element_at("__ex", F.col("__pos") + 1)))
+    within = (F.abs(F.col("__v") - F.col("__e"))
+              <= rel_err * F.greatest(F.abs(F.col("__e")), F.lit(1e-9)))
+    return ex.select("l_returnflag", "percentile",
+                     within.alias("within_rel_err"))
 
 
 def _fr_groups_approx_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3369,6 +3409,14 @@ FROM (SELECT DISTINCT l_returnflag FROM lineitem)
 CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) t(p)
 """,
     ),
+    "olap_percentiles_approx_sketch": (
+        _olap_percentiles_sketch_cert_fn,
+        """
+SELECT l_returnflag, p AS percentile, true AS within_rel_err
+FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) t(p)
+""",
+    ),
     "ann_ivf_topk": (
         _ann_ivf_fn,
         """
@@ -3460,14 +3508,16 @@ def queries() -> dict:
     return ordered
 
 
-# Timing-only ADDITIONS for bench.py, reported under their own distinct
-# names. A variant times the OPERATOR as a user would run it, when the
-# catalog entry deliberately carries extra in-plan verification work
-# (self-certifying approximation contracts). The catalog query keeps its
-# own timing row — a variant never replaces it (rounds ≤5 timed the
-# sketch UNDER the catalog name, which made the published number measure
-# a different plan than the one the correctness gate validates), and the
-# correctness gate always runs the full queries() version.
+# Timing-only OVERRIDES for bench.py. A variant times the OPERATOR as a
+# user would run it, when the catalog entry deliberately carries extra
+# in-plan verification work (self-certifying approximation contracts).
+# Since round 7 the sketch twin ALSO lives in QUERIES (same name, with a
+# certification wrapper) so the driver correctness-gates the sketch's
+# values every round — bench.py applies this dict LAST so the published
+# timing still measures the sketch-only plan, and the certified catalog
+# fn documents exactly which aggregate it certifies. The full
+# `olap_percentiles_approx` rank-bracket query keeps its own independent
+# timing + correctness rows as before.
 BENCH_VARIANTS: dict = {
     "olap_percentiles_approx_sketch": _olap_percentiles_sketch_only_fn,
 }
