@@ -1914,6 +1914,51 @@ def _c4_clean_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                require_terminal_punct=False)
 
 
+# Pluggable BPE merge table for text_tokens_bpe: produced ONCE by the
+# in-engine trainer (text.learn_bpe(documents@sf0.001, n_merges=24,
+# min_count=2)) and pinned here so the catalog query and its oracle embed
+# the SAME literal table — the operator contract is "apply THIS table
+# exactly", which is what a user does with a published tokenizer's
+# merges.txt. Greedy ranks reflect the synthetic corpus (scan/column/
+# window/order/sort all fully merge).
+_BPE_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"),
+]
+
+
+def _bpe_tokens_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact merge-table BPE (Sennrich et al. 2016 sequential-replace
+    semantics) over the corpus with the pinned 24-merge table — the
+    expression path: char-split + aggregate() fold over a literal merge
+    array inside transform(), pure whole-stage codegen, zero shuffle.
+    The oracle replays the same table as nested replace() calls."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_tokenize(docs, _BPE_MERGES)
+
+
+def _bpe_oracle_sql(merges: list) -> str:
+    expr = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for a, b in merges:
+        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+    return f"""
+WITH d AS (SELECT doc_id,
+  list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+              x -> x <> '') AS words
+  FROM documents),
+enc AS (SELECT doc_id, list_transform(words, w -> {expr}) AS syms FROM d)
+SELECT doc_id,
+  coalesce(list_sum(list_transform(syms, s -> len(string_split(s, ' ')))),
+           0)::INT AS n_bpe_tokens,
+  array_to_string(syms, ' ') AS bpe_text
+FROM enc
+"""
+
+
 _PERCEPTRON_VOCAB = ["data", "fast", "join", "query", "scan", "slow",
                      "spark", "table"]
 _PERCEPTRON_ITERS = 3
@@ -3379,6 +3424,10 @@ FROM k
     "text_train_perceptron": (
         _train_perceptron_fn,
         _perceptron_sql(),
+    ),
+    "text_tokens_bpe": (
+        _bpe_tokens_fn,
+        _bpe_oracle_sql(_BPE_MERGES),
     ),
     "behavior_funnel_trend": (
         _funnel_trend_fn,

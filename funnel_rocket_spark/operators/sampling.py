@@ -196,7 +196,8 @@ def _mixture_targets(target_weights: dict, total_tokens: int) -> dict:
 
 def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
                  total_tokens: int, text_col: str = "text",
-                 cap_rate: bool = True) -> DataFrame:
+                 cap_rate: bool = True,
+                 token_col: str | None = None) -> DataFrame:
     """Domain-mixture planning — the "data mixing" step of training-corpus
     assembly (the DoReMi/Pile-style recipe: hit a token budget at given
     per-domain proportions). For each stratum in ``target_weights``:
@@ -215,11 +216,21 @@ def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
     is always visible, per the contract above: available_tokens=0 and
     rate 0.0 when capped / NULL when uncapped (there is no finite
     repetition rate that manufactures tokens from nothing).
+
+    ``token_col`` switches the budget currency from the default
+    whitespace count to a PRECOMPUTED per-row token count — pass the
+    ``n_bpe_tokens`` column produced by
+    :func:`funnel_rocket_spark.operators.text.bpe_tokenize` (joined onto
+    the corpus) to plan against TRUE tokenizer counts instead of the
+    whitespace estimate. Null counts are 0.
     """
     targets = _mixture_targets(target_weights, total_tokens)
-    toks = F.size(F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda t: t != F.lit("")))
+    if token_col is not None:
+        toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    else:
+        toks = F.size(F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != F.lit("")))
     counts = (df.where(F.col(strata_col).isin(*targets.keys()))
               .groupBy(strata_col)
               .agg(F.sum(toks).alias("available_tokens")))
@@ -247,7 +258,8 @@ def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
 
 def mixture_sample(df: DataFrame, target_weights: dict, strata_col: str,
                    total_tokens: int, text_col: str = "text",
-                   id_col: str = "doc_id", salt: str = "") -> DataFrame:
+                   id_col: str = "doc_id", salt: str = "",
+                   token_col: str | None = None) -> DataFrame:
     """Apply :func:`mixture_plan`: keep each stratum at its computed rate
     via the deterministic md5 gate (document-level gating — a kept
     stratum's token mass tracks the target within doc-length noise).
@@ -260,7 +272,7 @@ def mixture_sample(df: DataFrame, target_weights: dict, strata_col: str,
     pass) unless the caller persists it. Bit-reproducible on any layout.
     """
     rates = mixture_plan(df, target_weights, strata_col, total_tokens,
-                         text_col)
+                         text_col, token_col=token_col)
     bucket = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
                           .cast("binary")), 1, 11), 16, 10).cast("long")
@@ -300,7 +312,8 @@ def repeat_sample(df: DataFrame, rate_col, id_col: str = "doc_id",
 
 def mixture_upsample(df: DataFrame, target_weights: dict, strata_col: str,
                      total_tokens: int, text_col: str = "text",
-                     id_col: str = "doc_id", salt: str = "") -> DataFrame:
+                     id_col: str = "doc_id", salt: str = "",
+                     token_col: str | None = None) -> DataFrame:
     """:func:`mixture_sample` without the rate-1.0 cap: under-supplied
     domains are REPEATED (fractionally, via :func:`repeat_sample`) until
     every domain delivers its target token mass — the multi-epoch recipe
@@ -309,7 +322,7 @@ def mixture_upsample(df: DataFrame, target_weights: dict, strata_col: str,
     ever emit copy=1, making the plain sampler a special case).
     """
     rates = mixture_plan(df, target_weights, strata_col, total_tokens,
-                         text_col, cap_rate=False) \
+                         text_col, cap_rate=False, token_col=token_col) \
         .select(strata_col, F.col("rate").alias("__rate"))
     joined = df.join(F.broadcast(rates), strata_col)
     return repeat_sample(joined, F.col("__rate"), id_col=id_col,

@@ -860,3 +860,192 @@ def train_classifier_perceptron(df: DataFrame, label_col, vocab: list,
         if n_mist == 0:
             break
     return weights, mistakes
+
+
+# ---------------------------------------------------------------------------
+# Exact pluggable BPE tokenization (merge-table byte-pair encoding)
+# ---------------------------------------------------------------------------
+# bpe_token_estimate above is a regex HEURISTIC; these operators apply a real
+# merge table with exact, engine-portable semantics, so token budgets in
+# mixture_plan / pack_token_blocks can be TRUE tokenizer counts. The spec is
+# the original subword-nmt formulation (Sennrich, Haddow & Birch 2016,
+# "Neural Machine Translation of Rare Words with Subword Units"): per
+# whitespace word, start from the character sequence and apply each merge
+# (a, b) -> ab in TABLE ORDER as a left-to-right non-overlapping literal
+# replacement over the space-delimited symbol string. Sequential-replace
+# semantics are exactly replayable by any engine with a literal replace()
+# (the DuckDB oracle nests one replace per merge), unlike HuggingFace's
+# lowest-rank-pair-first scan whose tie behavior is implementation-defined.
+
+_BPE_EXPR_MERGE_CAP = 4_096  # literal merge-array entries before Arrow path
+
+
+def _bpe_word_expr(word, merges_arr):
+    """Symbol string for one word after all merges: char-split via
+    regexp_replace('(.)' -> '$1 ') then fold the merge array with
+    aggregate() — the whole encode is one codegen expression, no UDF."""
+    sym = F.trim(F.regexp_replace(word, "(.)", "$1 "))
+    return F.aggregate(
+        merges_arr, sym,
+        lambda acc, m: F.replace(acc, m["pat"], m["rep"]))
+
+
+def _check_merges(merges: list) -> list:
+    out = []
+    for pair in merges:
+        a, b = pair
+        if not a or not b or " " in a or " " in b:
+            raise ValueError(f"invalid merge pair {pair!r}: symbols must be "
+                             "non-empty and space-free")
+        out.append((a, b))
+    if not out:
+        raise ValueError("merges must be a non-empty ordered list of "
+                         "(left, right) pairs")
+    return out
+
+
+def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
+                 id_col: str = "doc_id", lowercase: bool = False,
+                 strategy: str = "auto") -> DataFrame:
+    """EXACT merge-table BPE over every document: returns
+    ``(id, n_bpe_tokens, bpe_text)`` where ``bpe_text`` is the encoded
+    token stream joined with single spaces (scalar string — the driver's
+    canonicalizer can sort/hash it; split on ' ' to recover the tokens).
+
+    ``merges`` is the ordered merge table ``[(left, right), ...]`` —
+    supply a published tokenizer's merges.txt rows or the output of
+    :func:`learn_bpe`. Unknown characters pass through as single-char
+    tokens (count 1 each), so the count is total and never null.
+
+    Strategies (``auto`` picks by table size):
+
+    - ``expr`` (≤ ``_BPE_EXPR_MERGE_CAP`` merges): the merge table is a
+      literal array of (pat, rep) structs folded with ``aggregate()``
+      inside ``transform()`` over the word array — pure whole-stage
+      codegen, zero shuffle, zero Python. The 100 TB path for the small
+      tables in-engine training produces.
+    - ``arrow`` (any size, e.g. GPT-2's 50k merges): ``mapInPandas``
+      with the table broadcast in the task closure and a per-batch
+      word→encoding memo (Zipf makes the memo hit rate high). Same
+      semantics bit-for-bit — equality is pinned by a test.
+
+    Scale: both paths are map-only projections; cost is linear in corpus
+    size with no exchange at any corpus size.
+    """
+    merges = _check_merges(merges)
+    if strategy == "auto":
+        strategy = "expr" if len(merges) <= _BPE_EXPR_MERGE_CAP else "arrow"
+    col = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    if lowercase:
+        col = F.lower(col)
+    if strategy == "expr":
+        if len(merges) > _BPE_EXPR_MERGE_CAP:
+            raise ValueError(
+                f"{len(merges)} merges exceeds the literal-expression cap "
+                f"({_BPE_EXPR_MERGE_CAP}); use strategy='arrow'")
+        merges_arr = F.array(*[
+            F.struct(F.lit(f"{a} {b}").alias("pat"),
+                     F.lit(f"{a}{b}").alias("rep")) for a, b in merges])
+        words = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+        staged = df.withColumn("__bpe_merges", merges_arr)
+        enc = F.transform(
+            words,
+            lambda w: F.split(_bpe_word_expr(w, F.col("__bpe_merges")), " "))
+        toks = F.flatten(enc)
+        return staged.select(
+            F.col(id_col),
+            F.coalesce(F.size(toks), F.lit(0)).alias("n_bpe_tokens"),
+            F.coalesce(F.array_join(toks, " "), F.lit(""))
+            .alias("bpe_text"))
+    if strategy != "arrow":
+        raise ValueError(f"strategy must be auto|expr|arrow: {strategy!r}")
+
+    import pandas as pd  # noqa: F401 (Arrow batch path)
+
+    table = list(merges)
+    out_schema = f"{id_col} string, n_bpe_tokens int, bpe_text string"
+    id_dtype = dict(df.dtypes).get(id_col, "string")
+    if id_dtype in ("bigint", "int", "smallint", "tinyint"):
+        out_schema = f"{id_col} {id_dtype}, n_bpe_tokens int, bpe_text string"
+
+    def encode_batches(it):
+        memo: dict = {}
+
+        def enc_word(w: str) -> str:
+            hit = memo.get(w)
+            if hit is None:
+                s = " ".join(w)
+                for a, b in table:
+                    s = s.replace(f"{a} {b}", f"{a}{b}")
+                memo[w] = hit = s
+            return hit
+
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            if lowercase:
+                texts = texts.str.lower()
+            encoded = [" ".join(enc_word(w) for w in t.split())
+                       for t in texts]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bpe_tokens": [len(e.split(" ")) if e else 0
+                                 for e in encoded],
+                "bpe_text": encoded,
+            })
+
+    return (df.select(id_col, text_col)
+            .mapInPandas(encode_batches, schema=out_schema))
+
+
+def learn_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
+              lowercase: bool = False, min_count: int = 2,
+              checkpoint_every: int = 8) -> list:
+    """IN-ENGINE BPE training (the merge-table PRODUCER for
+    :func:`bpe_tokenize`): learn ``n_merges`` merges from the corpus by
+    the classic greedy criterion — repeatedly merge the most frequent
+    adjacent symbol pair, frequencies weighted by word counts (Sennrich
+    et al. 2016 Algorithm 1).
+
+    Plan shape (the kmeans/perceptron bounded-driver contract): ONE
+    corpus pass builds the distinct-word frequency table (the exchange
+    is vocabulary-bounded, not corpus-bounded — classic BPE trains on
+    word frequencies, so a 100 TB corpus reduces to its vocabulary
+    before any iteration runs). Each iteration then computes weighted
+    pair counts over that table (pairs via the shared zip-with n-gram
+    expression) and collects exactly ONE row — the argmax pair, ties
+    broken lexicographically so training is deterministic on any layout
+    — and folds the merge into the symbol column. Lineage is cut with
+    localCheckpoint every ``checkpoint_every`` iterations so the plan
+    doesn't deepen linearly with ``n_merges``.
+
+    Stops early when the best pair's weighted count drops below
+    ``min_count``. Returns the ordered merge list.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    col = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    if lowercase:
+        col = F.lower(col)
+    words = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    wf = (df.select(F.explode(words).alias("__w"))
+          .groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
+          .select(F.trim(F.regexp_replace(F.col("__w"), "(.)", "$1 "))
+                  .alias("__sym"), "__n")
+          .localCheckpoint())
+    merges: list = []
+    for i in range(n_merges):
+        pairs = _contiguous_ngrams(F.split(F.col("__sym"), " "), 2)
+        best = (wf.select(F.explode(pairs).alias("__p"), "__n")
+                .groupBy("__p").agg(F.sum("__n").alias("__c"))
+                .orderBy(F.col("__c").desc(), F.col("__p").asc())
+                .limit(1).collect())  # bounded: exactly one row
+        if not best or best[0]["__c"] < min_count:
+            break
+        pat = best[0]["__p"]
+        a, b = pat.split(" ")
+        merges.append((a, b))
+        wf = wf.withColumn(
+            "__sym", F.replace(F.col("__sym"), F.lit(pat), F.lit(a + b)))
+        if (i + 1) % checkpoint_every == 0:
+            wf = wf.localCheckpoint()
+    return merges

@@ -256,3 +256,82 @@ def test_dsir_validation(spark):
         sampling.dsir_importance(df, df, n_buckets=1)
     with pytest.raises(ValueError):
         sampling.dsir_importance(df, df, smoothing=0.0)
+
+
+def test_mixture_plan_token_col_uses_true_counts(spark):
+    df = _mix_corpus(spark)
+    # precomputed counts disagree with whitespace counts on purpose:
+    # every 'a' doc claims 20 tokens (200 total), 'b' docs 5 (20 total)
+    counted = df.withColumn(
+        "n_bpe_tokens",
+        F.when(F.col("lang") == "a", 20).otherwise(5))
+    plan = {r["lang"]: r for r in sampling.mixture_plan(
+        counted, {"a": 0.5, "b": 0.5}, "lang", 80,
+        token_col="n_bpe_tokens").collect()}
+    assert plan["a"]["available_tokens"] == 200
+    assert plan["a"]["rate"] == 0.2  # 40/200, not 40/100
+    assert plan["b"]["available_tokens"] == 20
+    assert plan["b"]["rate"] == 1.0
+    # the sampler threads the column through
+    kept = sampling.mixture_sample(
+        counted, {"a": 0.5, "b": 0.5}, "lang", 80,
+        token_col="n_bpe_tokens")
+    want = sampling.stratified_hash_sample(
+        df, {"a": 0.2, "b": 1.0}, "lang")
+    assert (sorted(r["doc_id"] for r in kept.collect())
+            == sorted(r["doc_id"] for r in want.collect()))
+
+
+def test_mixture_plan_empty_stratum_stays_visible(spark):
+    df = _mix_corpus(spark)
+    # 'z' has no corpus rows at all; 'e' exists only with empty text
+    df = df.union(spark.createDataFrame(
+        [(300, "e", "")], "doc_id long, lang string, text string"))
+    plan = {r["lang"]: r for r in sampling.mixture_plan(
+        df, {"a": 0.5, "z": 0.25, "e": 0.25}, "lang", 80).collect()}
+    assert set(plan) == {"a", "z", "e"}  # shortfall visible, not dropped
+    for s in ("z", "e"):
+        assert plan[s]["available_tokens"] == 0
+        assert plan[s]["target_tokens"] == 20.0
+        assert plan[s]["rate"] == 0.0  # capped: nothing to keep
+    un = {r["lang"]: r for r in sampling.mixture_plan(
+        df, {"a": 0.5, "z": 0.5}, "lang", 80, cap_rate=False).collect()}
+    assert un["z"]["rate"] is None  # uncapped: no finite repetition rate
+    # and the upsampler over such a plan doesn't blow up (no rows to keep)
+    up = sampling.mixture_upsample(df, {"a": 0.5, "z": 0.5}, "lang", 80)
+    assert all(r["lang"] == "a" for r in up.collect())
+
+
+def test_mixture_batch_union_equals_one_shot(spark):
+    """Streaming/ingest parity (the incremental-LSH guarantee applied to
+    mixing): plan rates ONCE on the full corpus, gate each arbitrary batch
+    independently — the union of per-batch selections must equal the
+    one-shot selection, for ANY batch assignment, because the md5 gate is
+    a pure per-row function of (id, rate)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    df = _mix_corpus(spark).cache()
+    weights = {"a": 0.5, "b": 0.5}
+    rates = {r["lang"]: r["rate"] for r in sampling.mixture_plan(
+        df, weights, "lang", 80).collect()}
+    one_shot = sorted(r["doc_id"] for r in sampling.mixture_sample(
+        df, weights, "lang", 80).collect())
+    all_ids = sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(assign=st.lists(st.integers(min_value=0, max_value=2),
+                           min_size=len(all_ids), max_size=len(all_ids)))
+    def prop(assign):
+        batch_of = dict(zip(all_ids, assign))
+        picked: list = []
+        for b in range(3):
+            batch_ids = [i for i, v in batch_of.items() if v == b]
+            batch = df.where(F.col("doc_id").isin(batch_ids or [-1]))
+            kept = sampling.stratified_hash_sample(batch, rates, "lang")
+            picked.extend(r["doc_id"] for r in kept.collect())
+        assert sorted(picked) == one_shot
+
+    prop()
+    df.unpersist()

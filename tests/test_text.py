@@ -408,3 +408,141 @@ def test_perceptron_vocab_cap(spark):
         raise AssertionError("expected ValueError")
     except ValueError as exc:
         assert "literal-map cap" in str(exc)
+
+
+def _py_bpe(texts, merges, lowercase=False):
+    """Pure-Python reference for the sequential-replace BPE spec."""
+    out = []
+    for t in texts:
+        t = (t or "")
+        if lowercase:
+            t = t.lower()
+        words = []
+        for w in t.split():
+            s = " ".join(w)
+            for a, b in merges:
+                s = s.replace(f"{a} {b}", f"{a}{b}")
+            words.append(s)
+        joined = " ".join(words)
+        out.append((len(joined.split(" ")) if joined else 0, joined))
+    return out
+
+
+def test_bpe_tokenize_matches_python_reference(spark):
+    texts = [
+        "the theater is there and then the thing",
+        "ing sing singing in the rain ...",
+        None, "",
+        "a…b   c\n\nthe the",          # unicode + odd whitespace
+        "overlap: bbb bb b",            # left-to-right non-overlap merges
+    ]
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"),
+              ("b", "b"), ("e", "r"), ("the", "r"), ("s", "ing")]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    want = {i: w for i, w in enumerate(_py_bpe(texts, merges))}
+    for strategy in ("expr", "arrow"):
+        got = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_text"])
+               for r in text.bpe_tokenize(df, merges,
+                                          strategy=strategy).collect()}
+        assert got == want, strategy
+
+
+def test_bpe_expr_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id INT, text STRING")
+    out = text.bpe_tokenize(df, [("a", "b")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bpe_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id INT, text STRING")
+    with pytest.raises(ValueError):
+        text.bpe_tokenize(df, [])
+    with pytest.raises(ValueError):
+        text.bpe_tokenize(df, [("a", "")])
+    with pytest.raises(ValueError):
+        text.bpe_tokenize(df, [("a b", "c")])
+    with pytest.raises(ValueError):
+        text.bpe_tokenize(df, [("a", "b")] * 5000, strategy="expr")
+
+
+def _py_learn_bpe(word_counts, n_merges, min_count=2):
+    """Greedy reference trainer over a word→count table (Sennrich Alg. 1
+    with the engine's deterministic lexicographic tie-break)."""
+    wf = {" ".join(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for sym, c in wf.items():
+            toks = sym.split(" ")
+            for i in range(len(toks) - 1):
+                p = f"{toks[i]} {toks[i + 1]}"
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        pat = best[0]
+        a, b = pat.split(" ")
+        merges.append((a, b))
+        wf = {sym.replace(pat, a + b): c for sym, c in wf.items()}
+    return merges
+
+
+def test_learn_bpe_matches_python_reference(spark):
+    texts = ["the theater hears the heat", "then there the the",
+             "heat hears earth", None, "the"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    counts = {}
+    for t in texts:
+        for w in (t or "").split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _py_learn_bpe(counts, 8)
+    got = text.learn_bpe(df, 8)
+    assert got == want
+    # layout-independent: same merges from a differently-partitioned corpus
+    assert text.learn_bpe(df.repartition(7), 8) == want
+    # learn → apply roundtrip compresses: fewer BPE tokens than chars
+    enc = text.bpe_tokenize(df, got)
+    import pyspark.sql.functions as F
+    n_bpe, n_chars = (df.join(enc, "doc_id")
+                      .agg(F.sum("n_bpe_tokens"),
+                           F.sum(F.length(F.regexp_replace(
+                               F.coalesce("text", F.lit("")), r"\s", ""))))
+                      .collect()[0])
+    assert 0 < n_bpe < n_chars
+
+
+def test_gopher_unicode_ellipsis_counts_in_symbol_ratio(spark):
+    # one '…' over 2 words = ratio 0.5 > 0.1 → rule fails (it previously
+    # escaped the symbol-ratio rule entirely); line-end rule also trips
+    df = spark.createDataFrame([(1, "hello world…")], "doc_id INT, text STRING")
+    r = text.gopher_quality_filter(df, min_words=1,
+                                   min_stopword_hits=0).collect()[0]
+    assert r["symbol_word_ratio"] == 0.5
+    assert r["rule_symbol_ratio"] is False
+    assert r["ellipsis_line_frac"] == 1.0
+
+
+def test_gopher_defaults_pin_published_values(spark):
+    """Rae et al. 2021 Appendix A1.1 constants, pinned verbatim (the
+    mechanism is oracle-verified; the constants are what a user silently
+    trusts). A deviation from these is an API break, not a tweak."""
+    import inspect
+
+    sig = inspect.signature(text.gopher_quality_filter)
+    d = {k: v.default for k, v in sig.parameters.items()}
+    assert d["min_words"] == 50 and d["max_words"] == 100_000
+    assert d["min_mean_word_len"] == 3.0 and d["max_mean_word_len"] == 10.0
+    assert d["max_symbol_word_ratio"] == 0.1
+    assert d["max_bullet_line_frac"] == 0.9
+    assert d["max_ellipsis_line_frac"] == 0.3
+    assert d["min_alpha_word_frac"] == 0.8
+    assert d["min_stopword_hits"] == 2
+    assert text.GOPHER_REQUIRED_STOPWORDS == [
+        "the", "be", "to", "of", "and", "that", "have", "with"]
