@@ -146,6 +146,23 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """One-command curation pipeline: config-driven clean → dedup →
+    decontaminate → mix → pack chain with per-stage parquet checkpoints;
+    a re-run resumes from the first stage whose config changed or whose
+    checkpoint is missing (see funnel_rocket_spark.pipeline)."""
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    with open(args.config) as fh:
+        config = json.load(fh)
+    if args.workdir:
+        config["workdir"] = args.workdir
+    spark = get_spark()
+    report = run_pipeline(spark, config, resume=not args.no_resume)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
 def cmd_repartition(args) -> int:
     """Data-prep parity with the reference's repartition tool
     (``dataprep_example/repartition.py`` CLI)."""
@@ -207,6 +224,17 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("config", help="show effective configuration")
     p.set_defaults(func=cmd_config)
+
+    p = sub.add_parser("curate",
+                       help="run a config-driven curation pipeline with "
+                            "per-stage checkpoints and resume")
+    p.add_argument("--config", required=True, help="pipeline JSON config")
+    p.add_argument("--workdir", default=None,
+                   help="override the config's checkpoint workdir")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore existing checkpoints and recompute all "
+                        "stages")
+    p.set_defaults(func=cmd_curate)
 
     p = sub.add_parser("repartition",
                        help="rewrite Parquet partitioned by group (prep tool)")

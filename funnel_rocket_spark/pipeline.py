@@ -1,0 +1,265 @@
+"""One-command curation pipeline: a config-driven stage chain over the
+curation operators — clean (C4/Gopher) → dedup → decontaminate → PII →
+mix/resample → pack — with per-stage parquet checkpoints and resume.
+
+``docs/pipeline.md`` walks the same chain by hand; this module is that
+walkthrough as a product surface (``funnel-rocket-spark curate --config
+pipeline.json``). Each stage materializes its output as a parquet
+checkpoint under the config's ``workdir`` and records a chain hash in
+``state.json``; a re-run (after a crash, a kill, or an added stage)
+replays the longest prefix whose stage configs are unchanged from the
+checkpoints and recomputes only from the first divergence — the same
+persisted-prefix discipline as the incremental LSH band index.
+
+Scale: the checkpoints ARE the scale story — every stage reads a parquet
+scan and writes a parquet sink, so a 100 TB run is a sequence of bounded
+Spark jobs where a mid-pipeline failure costs one stage, not the chain.
+
+Config shape (JSON)::
+
+    {
+      "input":   {"path": ".../documents.parquet",
+                  "id_col": "doc_id", "text_col": "text"},
+      "workdir": "/data/curate_run1",
+      "output":  {"path": "/data/release", "format": "jsonl", "shards": 8},
+      "stages": [
+        {"stage": "c4_clean", "min_words_per_line": 3,
+         "require_terminal_punct": false},
+        {"stage": "gopher_filter", "min_words": 20, "min_stopword_hits": 1},
+        {"stage": "dedup_exact"},
+        {"stage": "dedup_minhash", "threshold": 0.5},
+        {"stage": "decontaminate", "eval_path": ".../eval.parquet", "n": 5},
+        {"stage": "pii"},
+        {"stage": "mixture", "weights": {"en": 0.5, "de": 0.5},
+         "strata_col": "lang", "total_tokens": 100000,
+         "upsample": false},
+        {"stage": "pack", "block_size": 512, "shards": 8}
+      ]
+    }
+
+Every stage key beyond ``"stage"`` is passed to the operator; unknown
+stages fail fast with the list of known ones.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark.operators import dedup, sampling, text
+
+
+def _stage_c4_clean(spark, df, cfg, ctx):
+    params = {k: v for k, v in cfg.items() if k != "stage"}
+    if "blacklist" in params:
+        params["blacklist"] = tuple(params["blacklist"])
+    cleaned = text.c4_line_filter(df, ctx["text_col"], ctx["id_col"],
+                                  **params)
+    return (df.drop(ctx["text_col"])
+            .join(cleaned.select(ctx["id_col"],
+                                 F.col("clean_text").alias(ctx["text_col"])),
+                  ctx["id_col"]))
+
+
+def _stage_gopher_filter(spark, df, cfg, ctx):
+    params = {k: v for k, v in cfg.items() if k != "stage"}
+    passing = (text.gopher_quality_filter(df, ctx["text_col"],
+                                          ctx["id_col"], **params)
+               .filter("passes").select(ctx["id_col"]))
+    return df.join(passing, ctx["id_col"], "left_semi")
+
+
+def _stage_dedup_exact(spark, df, cfg, ctx):
+    groups = dedup.exact_duplicates(df, ctx["text_col"], ctx["id_col"])
+    hashed = df.withColumn(
+        "__h", F.md5(F.col(ctx["text_col"]).cast("binary")))
+    keep = F.broadcast if cfg.get("broadcast", False) else (lambda x: x)
+    survivors = groups.select(F.col("content_hash").alias("__h"),
+                              F.col("keep_id"))
+    return (hashed.join(keep(survivors), "__h", "left")
+            .where(F.col("keep_id").isNull()
+                   | (F.col(ctx["id_col"]) == F.col("keep_id")))
+            .drop("__h", "keep_id"))
+
+
+def _stage_dedup_minhash(spark, df, cfg, ctx):
+    params = {k: v for k, v in cfg.items() if k != "stage"}
+    pairs = dedup.minhash_lsh_pairs(df, ctx["text_col"], ctx["id_col"],
+                                    **params)
+    return dedup.apply_dedup(df, pairs, ctx["id_col"])
+
+
+def _stage_decontaminate(spark, df, cfg, ctx):
+    evalset = spark.read.parquet(cfg["eval_path"])
+    params = {k: v for k, v in cfg.items()
+              if k not in ("stage", "eval_path")}
+    dirty = dedup.ngram_contamination(
+        df, evalset, ctx["text_col"], ctx["id_col"],
+        **params).select(ctx["id_col"])
+    return df.join(dirty, ctx["id_col"], "left_anti")
+
+
+def _stage_pii(spark, df, cfg, ctx):
+    red = text.redact_pii(df, ctx["text_col"], ctx["id_col"])
+    return (df.drop(ctx["text_col"])
+            .join(red.select(ctx["id_col"],
+                             F.col("redacted").alias(ctx["text_col"]),
+                             "n_redactions"),
+                  ctx["id_col"]))
+
+
+def _stage_mixture(spark, df, cfg, ctx):
+    fn = (sampling.mixture_upsample if cfg.get("upsample")
+          else sampling.mixture_sample)
+    return fn(df, cfg["weights"], cfg["strata_col"], cfg["total_tokens"],
+              text_col=ctx["text_col"], id_col=ctx["id_col"],
+              salt=cfg.get("salt", ""), token_col=cfg.get("token_col"))
+
+
+def _stage_dsir(spark, df, cfg, ctx):
+    target = spark.read.parquet(cfg["target_path"])
+    return sampling.dsir_resample(
+        df, target, cfg["n"], text_col=ctx["text_col"],
+        id_col=ctx["id_col"], n_buckets=cfg.get("n_buckets", 1024),
+        smoothing=cfg.get("smoothing", 1.0),
+        salt=cfg.get("salt", "dsir"))
+
+
+def _stage_pack(spark, df, cfg, ctx):
+    return text.pack_token_blocks(
+        df, ctx["text_col"], ctx["id_col"],
+        block_size=cfg.get("block_size", 512),
+        shards=cfg.get("shards", 8))
+
+
+STAGES = {
+    "c4_clean": _stage_c4_clean,
+    "gopher_filter": _stage_gopher_filter,
+    "dedup_exact": _stage_dedup_exact,
+    "dedup_minhash": _stage_dedup_minhash,
+    "decontaminate": _stage_decontaminate,
+    "pii": _stage_pii,
+    "mixture": _stage_mixture,
+    "dsir": _stage_dsir,
+    "pack": _stage_pack,
+}
+
+
+def _chain_hashes(config: dict) -> list[str]:
+    """Per-stage chain hash: h_i = md5(h_{i-1} || canonical(stage_i) ||
+    canonical(input)). A change to any stage (or the input block)
+    invalidates that checkpoint and everything after it, never before."""
+    h = hashlib.md5(
+        json.dumps(config.get("input", {}), sort_keys=True).encode())
+    out = []
+    for st in config.get("stages", []):
+        h = hashlib.md5(
+            h.hexdigest().encode()
+            + json.dumps(st, sort_keys=True).encode())
+        out.append(h.hexdigest())
+    return out
+
+
+def _load_state(workdir: str) -> dict:
+    path = os.path.join(workdir, "state.json")
+    if os.path.isfile(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return {"stages": []}
+
+
+def _save_state(workdir: str, state: dict) -> None:
+    path = os.path.join(workdir, "state.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic: a crash mid-save can't corrupt resume
+
+
+def _checkpoint_ok(workdir: str, state: dict, i: int, want_hash: str) -> bool:
+    entries = state.get("stages", [])
+    if i >= len(entries):
+        return False
+    e = entries[i]
+    return (e.get("hash") == want_hash and e.get("checkpoint")
+            and os.path.isdir(e["checkpoint"])
+            and os.path.isfile(os.path.join(e["checkpoint"], "_SUCCESS")))
+
+
+def run_pipeline(spark: SparkSession, config: dict,
+                 resume: bool = True) -> dict:
+    """Execute the configured stage chain; returns the run report
+    (per-stage rows in/out, resumed-vs-computed, output location)."""
+    inp = config["input"]
+    ctx = {"id_col": inp.get("id_col", "doc_id"),
+           "text_col": inp.get("text_col", "text")}
+    workdir = config["workdir"]
+    os.makedirs(workdir, exist_ok=True)
+    stage_cfgs = config.get("stages", [])
+    for st in stage_cfgs:
+        if st.get("stage") not in STAGES:
+            raise ValueError(
+                f"unknown stage {st.get('stage')!r}; known: "
+                f"{sorted(STAGES)}")
+    hashes = _chain_hashes(config)
+    state = _load_state(workdir) if resume else {"stages": []}
+
+    df = spark.read.parquet(inp["path"])
+    rows_in = df.count()
+    report = {"input": inp["path"], "rows_in": rows_in, "stages": []}
+    new_entries: list[dict] = []
+    dirty = False  # once a stage recomputes, its successors' checkpoints
+    # describe a stale input and must be recomputed too — resume is only
+    # valid on an UNBROKEN prefix of green checkpoints
+    for i, (st, h) in enumerate(zip(stage_cfgs, hashes)):
+        name = st["stage"]
+        ckpt = os.path.join(workdir, f"stage_{i:02d}_{name}.parquet")
+        if resume and not dirty and _checkpoint_ok(workdir, state, i, h):
+            entry = dict(state["stages"][i])
+            entry["resumed"] = True
+            df = spark.read.parquet(entry["checkpoint"])
+            new_entries.append(entry)
+            report["stages"].append(
+                {"stage": name, "rows_out": entry.get("rows_out"),
+                 "resumed": True})
+            continue
+        dirty = True
+        t0 = time.monotonic()
+        df = STAGES[name](spark, df, st, ctx)
+        df.write.mode("overwrite").parquet(ckpt)
+        df = spark.read.parquet(ckpt)  # downstream reads the checkpoint
+        rows_out = df.count()
+        entry = {"stage": name, "hash": h, "checkpoint": ckpt,
+                 "rows_out": rows_out,
+                 "seconds": round(time.monotonic() - t0, 3)}
+        new_entries.append(entry)
+        # persist state after EVERY stage so a kill resumes from here
+        _save_state(workdir, {"stages": new_entries})
+        report["stages"].append(
+            {"stage": name, "rows_out": rows_out, "resumed": False,
+             "seconds": entry["seconds"]})
+    _save_state(workdir, {"stages": new_entries})
+
+    out = config.get("output")
+    if out:
+        fmt = out.get("format", "jsonl")
+        shards = int(out.get("shards", 8))
+        path = out["path"]
+        if fmt == "jsonl":
+            (df.repartition(shards)
+             .write.mode("overwrite").json(path))
+        elif fmt == "parquet":
+            (df.repartition(shards)
+             .write.mode("overwrite").parquet(path))
+        else:
+            raise ValueError(f"unknown output format {fmt!r} "
+                             "(jsonl|parquet)")
+        report["output"] = {"path": path, "format": fmt, "shards": shards}
+    report["rows_out"] = report["stages"][-1]["rows_out"] \
+        if report["stages"] else rows_in
+    return report

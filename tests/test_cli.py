@@ -116,3 +116,99 @@ def test_packaging_installed_entry_point(tmp_path):
         cwd=str(tmp_path), check=True, capture_output=True, text=True,
         env=env, timeout=300)
     assert json.loads(run.stdout)["query"]["matchingGroupRows"] == 1000
+
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _curate_config(tmp_path, eval_path):
+    return {
+        "input": {"path": DOCS, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "output": {"path": str(tmp_path / "release"), "format": "jsonl",
+                   "shards": 2},
+        "stages": [
+            {"stage": "c4_clean", "min_words_per_line": 2,
+             "require_terminal_punct": False},
+            {"stage": "gopher_filter", "min_words": 5,
+             "min_stopword_hits": 0, "min_mean_word_len": 1.0},
+            {"stage": "dedup_exact"},
+            {"stage": "decontaminate", "eval_path": eval_path, "n": 8},
+            {"stage": "mixture",
+             "weights": {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1,
+                         "zh": 0.1},
+             "strata_col": "lang", "total_tokens": 8000},
+        ],
+    }
+
+
+def test_cli_curate_full_chain_and_resume(spark, tmp_path, capsys):
+    import glob
+    import os
+    import shutil
+
+    # tiny held-out eval set: 20 docs become the contamination source
+    eval_path = str(tmp_path / "eval.parquet")
+    spark.read.parquet(DOCS).limit(20).write.parquet(eval_path)
+    cfg_path = tmp_path / "pipeline.json"
+    cfg_path.write_text(json.dumps(_curate_config(tmp_path, eval_path)))
+
+    rc, out = _run(capsys, "curate", "--config", str(cfg_path))
+    assert rc == 0
+    rep = json.loads(out)
+    assert rep["rows_in"] == 500
+    assert [s["stage"] for s in rep["stages"]] == [
+        "c4_clean", "gopher_filter", "dedup_exact", "decontaminate",
+        "mixture"]
+    # every stage ran (nothing to resume on a fresh workdir) and the
+    # chain monotonically filters (mixture keeps a strict subset)
+    assert all(s["resumed"] is False for s in rep["stages"])
+    rows = [rep["rows_in"]] + [s["rows_out"] for s in rep["stages"]]
+    assert all(a >= b for a, b in zip(rows, rows[1:]))
+    assert rep["rows_out"] > 0
+    # sharded JSONL landed
+    parts = glob.glob(str(tmp_path / "release" / "part-*"))
+    assert len(parts) == 2
+    with open(parts[0]) as fh:
+        rec = json.loads(fh.readline())
+    assert "doc_id" in rec and "text" in rec
+
+    # simulate a kill during stage 3: its checkpoint is incomplete
+    work = str(tmp_path / "work")
+    shutil.rmtree(os.path.join(work, "stage_03_decontaminate.parquet"))
+    rc, out = _run(capsys, "curate", "--config", str(cfg_path))
+    assert rc == 0
+    rep2 = json.loads(out)
+    flags = [s["resumed"] for s in rep2["stages"]]
+    assert flags == [True, True, True, False, False]
+    # deterministic: recomputed tail reproduces the first run exactly
+    assert ([s["rows_out"] for s in rep2["stages"]]
+            == [s["rows_out"] for s in rep["stages"]])
+
+    # editing a mid-chain stage invalidates from that stage on
+    cfg = _curate_config(tmp_path, eval_path)
+    cfg["stages"][1]["min_words"] = 6
+    cfg_path.write_text(json.dumps(cfg))
+    rc, out = _run(capsys, "curate", "--config", str(cfg_path))
+    assert rc == 0
+    rep3 = json.loads(out)
+    assert ([s["resumed"] for s in rep3["stages"]]
+            == [True, False, False, False, False])
+
+    # --no-resume recomputes everything
+    rc, out = _run(capsys, "curate", "--config", str(cfg_path),
+                   "--no-resume")
+    assert rc == 0
+    assert all(s["resumed"] is False
+               for s in json.loads(out)["stages"])
+
+
+def test_cli_curate_unknown_stage_fails_fast(spark, tmp_path, capsys):
+    import pytest
+
+    cfg = {"input": {"path": DOCS}, "workdir": str(tmp_path / "w"),
+           "stages": [{"stage": "nope"}]}
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(cfg))
+    with pytest.raises(ValueError, match="unknown stage"):
+        cli.main(["curate", "--config", str(p)])
