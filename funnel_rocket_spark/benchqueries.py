@@ -1941,6 +1941,67 @@ def _bpe_tokens_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_tokenize(docs, _BPE_MERGES)
 
 
+_BPE_LEARN_N = 6  # merges the in-engine trainer learns for the oracle query
+
+
+def _bpe_learned_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE BPE training exposed as a catalog query: learn 6 merges
+    from the corpus (greedy most-frequent-pair, lexicographic tie-break,
+    min_count=2) and emit the ordered merge table. The oracle replays the
+    ENTIRE training trajectory in SQL — one chained CTE per iteration
+    computing weighted pair counts, taking the same argmax with the same
+    tie-break, and folding the merge into the word-frequency state — the
+    perceptron-oracle pattern applied to tokenizer training. Early-stop
+    padding: if training exhausts qualifying pairs, remaining ranks are
+    ('','') on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.learn_bpe(docs, _BPE_LEARN_N, min_count=2)
+    merges = (merges + [("", "")] * _BPE_LEARN_N)[:_BPE_LEARN_N]
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left_sym string, right_sym string")
+
+
+def _bpe_learn_oracle_sql(n_merges: int, min_count: int = 2) -> str:
+    """Chained-CTE replay of greedy BPE training: w{i} is the word-freq
+    symbol state after merge i, p{i} the weighted adjacent-pair counts
+    over w{i-1}, b{i} the argmax pair (count desc, pair asc, floor
+    min_count). Exact — both engines fold integer counts. Every CTE is
+    MATERIALIZED: each w{i} references b{i} via three scalar subqueries,
+    so inlined CTEs would re-evaluate the whole chain exponentially."""
+    ctes = ["""w0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+         count(*)::BIGINT AS n
+  FROM (SELECT unnest(list_filter(
+          string_split_regex(coalesce(text, ''), '\\s+'),
+          x -> x <> '')) AS w FROM documents)
+  GROUP BY 1)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(f"""p{i} AS MATERIALIZED (
+  SELECT pr, sum(n) AS c FROM (
+    SELECT unnest(list_transform(
+      generate_series(1, len(string_split(sym, ' ')) - 1),
+      k -> string_split(sym, ' ')[k] || ' ' || string_split(sym, ' ')[k + 1]
+      )) AS pr, n
+    FROM {prev}) GROUP BY pr),
+b{i} AS MATERIALIZED (SELECT pr FROM p{i} WHERE c >= {min_count}
+         ORDER BY c DESC, pr ASC LIMIT 1),
+w{i} AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM b{i}) = 1
+    THEN replace(sym, (SELECT pr FROM b{i}),
+                 replace((SELECT pr FROM b{i}), ' ', ''))
+    ELSE sym END AS sym, n FROM {prev})""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, "
+        f"coalesce((SELECT string_split(pr, ' ')[1] FROM b{i}), '') "
+        f"AS left_sym, "
+        f"coalesce((SELECT string_split(pr, ' ')[2] FROM b{i}), '') "
+        f"AS right_sym"
+        for i in range(1, n_merges + 1))
+    return ("WITH " + ",\n".join(ctes) + "\n" + selects
+            + "\nORDER BY merge_rank")
+
+
 def _bpe_oracle_sql(merges: list) -> str:
     expr = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
     for a, b in merges:
@@ -3429,6 +3490,10 @@ FROM k
         _bpe_tokens_fn,
         _bpe_oracle_sql(_BPE_MERGES),
     ),
+    "text_bpe_learned": (
+        _bpe_learned_fn,
+        _bpe_learn_oracle_sql(_BPE_LEARN_N),
+    ),
     "behavior_funnel_trend": (
         _funnel_trend_fn,
         f"""
@@ -3507,16 +3572,16 @@ NO_ORACLE: dict = {}
 # reference suite re-anchors, then extension re-greens in family order.
 # Everything else follows in catalog order, so all 109 stay runnable.
 _DRIVER_PRIORITY = [
-    # code paths changed in r6 — need fresh greens: the contamination
-    # hash-tier re-sizing + eval-grams persist (decontaminate_* and both
-    # composites that embed it), the IVF-PQ train_rows default, and the
-    # stacked multi-value grouped-percentiles rewrite
-    "decontaminate_ngram", "decontaminate_bloom",
-    "curation_report", "curation_pipeline", "ann_ivfpq_topk",
-    "olap_percentiles",
-    # NEW r6 operators — first driver greens required
-    "text_gopher_filter", "text_c4_clean", "text_train_perceptron",
-    "sample_mixture", "sample_mixture_upsampled", "sample_dsir",
+    # NEW r7 queries — first driver greens required: the exact BPE
+    # apply, the in-engine BPE trainer (chained-CTE trajectory oracle),
+    # and the certified sketch-only percentile twin
+    "text_tokens_bpe", "text_bpe_learned", "olap_percentiles_approx_sketch",
+    # code paths changed in r7 — need fresh greens: the gopher
+    # symbol-ratio now counts unicode ellipsis (oracle updated to
+    # match), and mixture_plan anchors on the requested strata (feeds
+    # both mixture queries; dsir gained collision validation)
+    "text_gopher_filter", "sample_mixture", "sample_mixture_upsampled",
+    "sample_dsir",
     # full reference-shaped suite (re-anchor every round — the product)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
@@ -3526,27 +3591,26 @@ _DRIVER_PRIORITY = [
     "fr_seq_max_duration", "fr_seq_row_not_found", "fr_registration_profile",
     "fr_lineitem_engine", "fr_agg_groups_skew_path",
     "fr_agg_groups_per_value_approx",
-    # stalest rotation slice: last green in r02
-    "ann_lsh_bucketed", "asof_join_forward", "event_gap_stats",
-    "olap_distinct", "olap_join_chain", "olap_pivot", "olap_revenue_filter",
-    "olap_rollup", "olap_top_orders", "range_join_value_bands",
-    "sample_deterministic", "sample_stratified", "sample_weighted",
-    "text_quality", "text_stats", "text_tokens",
-    # oldest r03 greens next
-    "ann_cosine_topk", "behavior_session_funnel",
-    "behavior_session_funnel_bounded", "multimodal_features",
-    "s5_denorm_join",
+    # stalest rotation slice: text_tokens's newest green is r02; the
+    # rest below last greened in the r03 extension sweep
+    "text_tokens", "ann_cosine_topk", "ann_ivf_fullprobe",
+    "asof_join_tolerance", "behavior_attribution",
+    "behavior_conversion_delay", "behavior_funnel_step_timing",
+    "behavior_retention_rates", "behavior_retention_weekly",
+    "behavior_session_funnel", "behavior_session_funnel_bounded",
+    "behavior_top_paths", "dedup_pipeline_embedding",
+    "embedding_centroids", "multimodal_features", "olap_basket_pairs",
+    "olap_cube", "olap_customer_deciles", "olap_grouping_sets",
+    "olap_late_orders",
 ]
-# Audit ledger after this rotation: every oracle-able catalog query has at
-# least one independent driver CORRECTNESS green within the last three
-# rounds (r6 window = r6-changed paths + full fr_* suite + every query
-# whose newest green was r02, plus the oldest r03 stragglers).
-# olap_winsorized_mean (last green r03) yields its slot to the r6-changed
-# olap_percentiles; with the six NEW r6 operators also claiming window
-# slots, the tail past position 50 (text_tokens, ann_cosine_topk,
-# behavior_session_funnel, behavior_session_funnel_bounded,
-# multimodal_features, s5_denorm_join) rotates out — those seven lead
-# the r7 window.
+# Audit ledger after this rotation (recomputed from CORRECTNESS_r01-r06
+# this round): 44 catalog queries' newest green is still the r03 sweep
+# and one (text_tokens) is r02 — the r7 window takes the three new r7
+# queries, the four r7-changed paths, the full fr_* re-anchor, and the
+# 20 stalest of those; the remaining r03-stale queries
+# (olap_nation_share, olap_part_avg_filter .. top_docs_per_lang,
+# s5_denorm_join, olap_winsorized_mean, resample_temperature, the
+# text_* extension block) lead the r8 window.
 
 
 def queries() -> dict:

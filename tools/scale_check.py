@@ -410,6 +410,28 @@ def cleanfilters_main(n_docs: int) -> None:
     out["timings"]["dsir_score_and_select"] = round(
         time.perf_counter() - t0, 2)
     out["n_dsir_selected"] = n_sel
+
+    # token-budget mixing across the 10 synthetic sources: one tiny
+    # strata aggregate + a zero-shuffle md5 gate — should track the
+    # corpus scan (≈100 tokens/doc average → budget keeps ~30%)
+    weights = {f"src_{i}": 1.0 for i in range(10)}
+    t0 = time.perf_counter()
+    n_mix = sampling.mixture_sample(
+        docs, weights, "source", total_tokens=30 * n_docs).count()
+    out["timings"]["mixture_sample"] = round(time.perf_counter() - t0, 2)
+    out["n_mixture_kept"] = n_mix
+
+    # r7 BPE: in-engine training reduces to the vocabulary-bounded
+    # word-frequency table (corpus-size-independent iterations), then
+    # the codegen expression apply is a map-only projection
+    t0 = time.perf_counter()
+    merges = text.learn_bpe(docs, 12)
+    out["timings"]["learn_bpe_12"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_bpe = (text.bpe_tokenize(docs, merges)
+             .agg(F.sum("n_bpe_tokens")).collect()[0][0])
+    out["timings"]["bpe_tokenize_expr"] = round(time.perf_counter() - t0, 2)
+    out["n_bpe_tokens"] = int(n_bpe)
     print(json.dumps(out))
 
 
