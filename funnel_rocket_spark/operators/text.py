@@ -224,7 +224,8 @@ def vocabulary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def pack_token_blocks(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", block_size: int = 512,
-                      shards: int = 8) -> DataFrame:
+                      shards: int = 8,
+                      pretokenized_col: str | None = None) -> DataFrame:
     """GPT-style sequence packing: concatenate every document's tokens (in
     ``id_col`` order) and split the stream into consecutive blocks of
     exactly ``block_size`` tokens — documents span block boundaries, the
@@ -238,15 +239,23 @@ def pack_token_blocks(df: DataFrame, text_col: str = "text",
     Returns one row per (shard, block_id): contributing doc count, token
     count (== block_size except each shard's tail block), and an md5 over
     the block's space-joined tokens for bit-level verification.
+
+    ``pretokenized_col`` packs an existing ``array<string>`` token column
+    instead of whitespace words — e.g. ``split(bpe_text, ' ')`` from
+    :func:`bpe_tokenize` — so blocks are exactly ``block_size`` TRUE
+    tokenizer tokens, completing the exact-count path that
+    ``mixture_plan(token_col=...)`` starts.
     """
     if block_size <= 0 or shards <= 0:
         raise ValueError("block_size and shards must be positive")
     B = block_size
+    toks = (F.col(pretokenized_col) if pretokenized_col is not None
+            else tokens(F.col(text_col)))
     base = (
         df.select(
             F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard"),
             F.col(id_col).alias("__id"),
-            tokens(F.col(text_col)).alias("__toks"))
+            toks.alias("__toks"))
         .withColumn("__n", F.size("__toks"))
         .filter(F.col("__n") > 0)
     )

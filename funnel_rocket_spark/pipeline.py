@@ -30,9 +30,12 @@ Config shape (JSON)::
         {"stage": "dedup_minhash", "threshold": 0.5},
         {"stage": "decontaminate", "eval_path": ".../eval.parquet", "n": 5},
         {"stage": "pii"},
+        {"stage": "bpe_count", "learn": 24},
         {"stage": "mixture", "weights": {"en": 0.5, "de": 0.5},
          "strata_col": "lang", "total_tokens": 100000,
-         "upsample": false},
+         "upsample": false, "token_col": "n_bpe_tokens"},
+        {"stage": "split", "weights": {"train": 0.9, "val": 0.05,
+                                       "test": 0.05}},
         {"stage": "pack", "block_size": 512, "shards": 8}
       ]
     }
@@ -130,6 +133,35 @@ def _stage_dsir(spark, df, cfg, ctx):
         salt=cfg.get("salt", "dsir"))
 
 
+def _stage_bpe_count(spark, df, cfg, ctx):
+    """Attach exact BPE token counts (``n_bpe_tokens``) so a later
+    ``mixture`` stage with ``"token_col": "n_bpe_tokens"`` budgets on
+    TRUE tokenizer counts. ``merges`` supplies a pinned table
+    ([[left, right], ...]); ``learn`` trains one in-engine on the
+    current (already cleaned/deduped) corpus state instead. With
+    ``keep_bpe_text`` the encoded stream column is kept too."""
+    if "merges" in cfg:
+        merges = [tuple(p) for p in cfg["merges"]]
+    elif "learn" in cfg:
+        merges = text.learn_bpe(df, int(cfg["learn"]),
+                                text_col=ctx["text_col"],
+                                min_count=cfg.get("min_count", 2))
+    else:
+        raise ValueError("bpe_count stage needs 'merges' or 'learn'")
+    enc = text.bpe_tokenize(df, merges, ctx["text_col"], ctx["id_col"],
+                            strategy=cfg.get("strategy", "auto"))
+    cols = [ctx["id_col"], "n_bpe_tokens"]
+    if cfg.get("keep_bpe_text"):
+        cols.append("bpe_text")
+    return df.join(enc.select(*cols), ctx["id_col"])
+
+
+def _stage_split(spark, df, cfg, ctx):
+    return sampling.assign_split(df, cfg["weights"], id_col=ctx["id_col"],
+                                 salt=cfg.get("salt", ""),
+                                 out_col=cfg.get("out_col", "split"))
+
+
 def _stage_pack(spark, df, cfg, ctx):
     return text.pack_token_blocks(
         df, ctx["text_col"], ctx["id_col"],
@@ -144,8 +176,10 @@ STAGES = {
     "dedup_minhash": _stage_dedup_minhash,
     "decontaminate": _stage_decontaminate,
     "pii": _stage_pii,
+    "bpe_count": _stage_bpe_count,
     "mixture": _stage_mixture,
     "dsir": _stage_dsir,
+    "split": _stage_split,
     "pack": _stage_pack,
 }
 

@@ -212,3 +212,36 @@ def test_cli_curate_unknown_stage_fails_fast(spark, tmp_path, capsys):
     p.write_text(json.dumps(cfg))
     with pytest.raises(ValueError, match="unknown stage"):
         cli.main(["curate", "--config", str(p)])
+
+
+def test_pipeline_true_token_stages(spark, tmp_path):
+    """bpe_count → mixture(token_col) → split as a pipeline chain:
+    the one-command path for budgeting on TRUE tokenizer counts."""
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    config = {
+        "input": {"path": DOCS, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "stages": [
+            {"stage": "bpe_count", "learn": 8},
+            {"stage": "mixture",
+             "weights": {"en": 0.5, "de": 0.5}, "strata_col": "lang",
+             "total_tokens": 40_000, "token_col": "n_bpe_tokens"},
+            {"stage": "split",
+             "weights": {"train": 0.8, "val": 0.1, "test": 0.1}},
+        ],
+    }
+    rep = run_pipeline(spark, config)
+    assert rep["rows_out"] > 0
+    final = spark.read.parquet(
+        str(tmp_path / "work" / "stage_02_split.parquet"))
+    cols = set(final.columns)
+    assert {"n_bpe_tokens", "split"} <= cols
+    splits = {r["split"] for r in final.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # mixture stage really budgeted on the BPE column: kept en-docs'
+    # BPE tokens approximate the 20k en target (doc-length noise)
+    from pyspark.sql import functions as F
+    en_toks = (final.where(F.col("lang") == "en")
+               .agg(F.sum("n_bpe_tokens")).collect()[0][0])
+    assert 14_000 <= en_toks <= 26_000

@@ -546,3 +546,54 @@ def test_gopher_defaults_pin_published_values(spark):
     assert d["min_stopword_hits"] == 2
     assert text.GOPHER_REQUIRED_STOPWORDS == [
         "the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def test_pack_blocks_pretokenized_bpe_counts(spark):
+    import pyspark.sql.functions as F
+
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")]
+    df = spark.createDataFrame(
+        [(i, "the thing sing going in the ring " * (i + 1))
+         for i in range(6)], "doc_id long, text string")
+    enc = text.bpe_tokenize(df, merges)
+    total_bpe = enc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    packed = text.pack_token_blocks(
+        enc.withColumn("toks", F.split("bpe_text", " ")),
+        id_col="doc_id", block_size=16, shards=2,
+        pretokenized_col="toks")
+    rows = packed.collect()
+    # conservation: every BPE token lands in exactly one block
+    assert sum(r["n_tokens"] for r in rows) == total_bpe
+    # all blocks are exactly block_size except <= one tail per shard
+    tails = [r for r in rows if r["n_tokens"] != 16]
+    assert len(tails) <= 2
+    # and differs from whitespace packing (BPE tokens != words)
+    words = text.pack_token_blocks(df, block_size=16, shards=2)
+    assert (sum(r["n_tokens"] for r in words.collect()) != total_bpe)
+
+
+def test_bpe_differential_random_corpora(spark):
+    """Hypothesis differential: Spark expr-path BPE == pure-Python
+    reference on random corpora and random merge tables."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from("abcd…$ ")
+    texts_st = st.lists(st.text(alphabet, max_size=18), min_size=1,
+                        max_size=5)
+    sym = st.text(st.sampled_from("abcd"), min_size=1, max_size=2)
+    merges_st = st.lists(st.tuples(sym, sym), min_size=1, max_size=6)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=texts_st, merges=merges_st)
+    def prop(texts, merges):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_text"])
+               for r in text.bpe_tokenize(df, merges).collect()}
+        want = {i: w for i, w in enumerate(_py_bpe(texts, merges))}
+        assert got == want
+
+    prop()
