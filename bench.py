@@ -20,6 +20,7 @@ flag, the spread, and the start fingerprint.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -66,6 +67,22 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def suite_spread(run_times: dict[str, list[float]]) -> float | None:
+    """p90 of per-query warm-run max/min spreads. Each query's first run
+    pays its own plan compilation + codegen, so with 3+ runs it is
+    excluded; with 2 runs both count. None when nothing is measurable."""
+    spreads = sorted(
+        max(w) / min(w)
+        for w in (ts[1:] if len(ts) >= 3 else ts
+                  for ts in run_times.values())
+        if w and min(w) > 0)
+    if not spreads:
+        return None
+    # ceil-indexed so a 10% contended tail lands ON the p90, not under it
+    idx = min(len(spreads) - 1, math.ceil(0.9 * (len(spreads) - 1)))
+    return round(spreads[idx], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -84,9 +101,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     all_queries = benchqueries.queries()
-    # Timing-only variants under DISTINCT names (self-certifying contracts
-    # additionally bench their operator alone; the catalog version keeps
-    # its own timing row and the correctness gate always runs it).
+    # BENCH_VARIANTS applied LAST: a variant sharing a catalog name
+    # overrides the timed fn (see the HEADLINE comment above).
     all_queries.update(getattr(benchqueries, "BENCH_VARIANTS", {}))
     names = [n for n in HEADLINE if n in all_queries]
 
@@ -133,22 +149,13 @@ def main() -> None:
     fingerprint["other_jvms_end"] = None if jvms_end is None \
         else max(0, jvms_end - 1)
 
-    # Noise detection: per-query spread = max/min over WARM runs (each
-    # query's first run pays its own plan compilation + codegen, so
-    # including it would trip the flag structurally at small SFs; with 3+
-    # runs we drop run 1, with 2 we use both). The suite is flagged noisy
-    # when the p90 of those spreads exceeds 1.5× — i.e. at least ~10% of
+    # Noise detection: the suite is flagged noisy when the p90 of
+    # per-query warm-run spreads exceeds 1.5× — i.e. at least ~10% of
     # queries saw a warm run 50%+ slower than their best, which on this
     # workload only happens when the box is contended (r6 lesson: a
     # loaded driver box published 95.1 s for a 69.6 s suite and cost a
     # manual A/B adjudication; this flag is that A/B, automated).
-    spreads = sorted(
-        max(w) / min(w)
-        for w in (ts[1:] if len(ts) >= 3 else ts
-                  for ts in run_times.values())
-        if w and min(w) > 0)
-    p90_spread = (round(spreads[int(0.9 * (len(spreads) - 1))], 3)
-                  if spreads else None)
+    p90_spread = suite_spread(run_times)
     noisy = bool(p90_spread is not None and p90_spread > 1.5)
 
     total = round(sum(timings.values()), 4)

@@ -971,11 +971,18 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
 
     import pandas as pd  # noqa: F401 (Arrow batch path)
 
-    table = list(merges)
     out_schema = f"{id_col} string, n_bpe_tokens int, bpe_text string"
     id_dtype = dict(df.dtypes).get(id_col, "string")
     if id_dtype in ("bigint", "int", "smallint", "tinyint"):
         out_schema = f"{id_col} {id_dtype}, n_bpe_tokens int, bpe_text string"
+
+    # Precompute per-merge (pattern, replacement, char set): a merge whose
+    # characters aren't all present in the word can never apply, and with
+    # GPT-2-scale tables (~50k merges) this subset test skips the vast
+    # majority of replace() scans per distinct word. The word memo then
+    # amortizes across occurrences (Zipf: high hit rate per batch).
+    prepared = [(f"{a} {b}", f"{a}{b}", frozenset(a) | frozenset(b))
+                for a, b in merges]
 
     def encode_batches(it):
         memo: dict = {}
@@ -984,8 +991,10 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
             hit = memo.get(w)
             if hit is None:
                 s = " ".join(w)
-                for a, b in table:
-                    s = s.replace(f"{a} {b}", f"{a}{b}")
+                cw = frozenset(w)
+                for pat, rep, chars in prepared:
+                    if chars <= cw:
+                        s = s.replace(pat, rep)
                 memo[w] = hit = s
             return hit
 

@@ -771,3 +771,25 @@ def test_sharded_jsonl_flatten_viewfs(spark, tmp_path):
 
     back = ingest.ingest_jsonl(spark, remote, schema=docs.schema)
     assert back.count() == 60
+
+
+def test_bench_suite_spread_semantics():
+    """bench.py's noise metric: warm-run spreads only (first run pays
+    codegen with 3+ runs), p90 across the suite, None when empty."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        from bench import suite_spread
+    finally:
+        sys.path.pop(0)
+    # 3 runs: first (cold, 5.0) excluded -> spread = 1.1/1.0
+    assert suite_spread({"q": [5.0, 1.0, 1.1]}) == 1.1
+    # 2 runs: both count
+    assert suite_spread({"q": [2.0, 1.0]}) == 2.0
+    # p90 across many stable queries with one contended one
+    rt = {f"q{i}": [9.9, 1.0, 1.0] for i in range(9)}
+    rt["slow"] = [9.9, 1.0, 2.0]
+    assert suite_spread(rt) == 2.0  # p90 lands on the contended query
+    assert suite_spread({}) is None
+    assert suite_spread({"z": [0.0, 0.0]}) is None

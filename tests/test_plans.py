@@ -326,3 +326,20 @@ def test_grouping_sets_single_exchange(spark):
     plan = formatted_plan(out)
     assert count_exchanges(out) == 1, plan
     assert "Expand" in plan
+
+
+def test_bpe_tokenize_reads_only_needed_columns(spark, tmp_path):
+    """The codegen BPE path must push column pruning to the parquet scan:
+    (id, text) only, regardless of corpus width."""
+    from funnel_rocket_spark.operators.text import bpe_tokenize
+
+    path = str(tmp_path / "wide.parquet")
+    spark.createDataFrame(
+        [(1, "the cat", "en", 7)],
+        "doc_id long, text string, lang string, extra long",
+    ).write.parquet(path)
+    out = bpe_tokenize(spark.read.parquet(path), [("t", "h")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "lang" not in rs[0] and "extra" not in rs[0]
