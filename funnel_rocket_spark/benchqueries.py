@@ -517,14 +517,16 @@ def _olap_percentiles_sketch_cert_fn(spark: SparkSession,
     pcts, acc, rel_err = [0.5, 0.95], 10_000, 0.005
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_returnflag", "l_extendedprice"))
-    sketch = (li.groupBy("l_returnflag")
-              .agg(F.percentile_approx("l_extendedprice", pcts, acc)
-                   .alias("__pa")))
-    exact = (li.groupBy("l_returnflag")
-             .agg(F.percentile("l_extendedprice",
-                               F.array(*[F.lit(p) for p in pcts]))
-                  .alias("__ex")))
-    ex = (sketch.join(exact, "l_returnflag")
+    # ONE groupBy carries both the sketch and the exact reference — a
+    # single scan + single exchange (a join of two separate aggregates
+    # would scan lineitem twice for the same certification)
+    both = (li.groupBy("l_returnflag")
+            .agg(F.percentile_approx("l_extendedprice", pcts, acc)
+                 .alias("__pa"),
+                 F.percentile("l_extendedprice",
+                              F.array(*[F.lit(p) for p in pcts]))
+                 .alias("__ex")))
+    ex = (both
           .select("l_returnflag", "__ex",
                   F.posexplode("__pa").alias("__pos", "__v"))
           .withColumn("percentile",

@@ -1067,3 +1067,40 @@ def learn_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
         if (i + 1) % checkpoint_every == 0:
             wf = wf.localCheckpoint()
     return merges
+
+
+def perceptron_predict(df: DataFrame, weights: dict,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Apply a :func:`train_classifier_perceptron` model with the EXACT
+    training-time feature map — binary presence of each vocab token plus
+    the ``__bias__`` feature, margin = sum of matched weights, decision
+    ``margin > 0`` — so on a corpus the training converged on (zero
+    mistakes) the predictions reproduce the labels exactly.
+    (:func:`classifier_score_weights` is the OCCURRENCE-weighted,
+    length-normalized scorer for calibrated external weights; it ignores
+    ``__bias__`` and counts repeats, so it is NOT the perceptron's
+    decision function.)
+
+    Zero shuffle: the model folds into a broadcast literal map, the
+    margin is one aggregate() over the distinct-token intersection.
+    Returns (id, margin, label_pred).
+    """
+    if len(weights) > _CLASSIFIER_MAP_MAX + 1:
+        raise ValueError(
+            f"weights larger than literal-map cap ({_CLASSIFIER_MAP_MAX})")
+    vocab = sorted(t for t in weights if t != "__bias__")
+    vocab_arr = F.array(*[F.lit(t) for t in vocab])
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    feats = F.array_intersect(tk, vocab_arr)
+    wmap = F.create_map(
+        *[F.lit(x) for t in vocab for x in (t, float(weights[t]))])
+    staged = df.withColumn("__wmap", wmap)
+    margin = F.aggregate(
+        feats, F.lit(float(weights.get("__bias__", 0.0))),
+        lambda acc, t: acc + F.coalesce(
+            F.element_at(F.col("__wmap"), t), F.lit(0.0)))
+    return staged.select(
+        F.col(id_col),
+        margin.alias("margin"),
+        F.when(margin > 0, 1).otherwise(0).alias("label_pred"))

@@ -133,6 +133,43 @@ def _stage_dsir(spark, df, cfg, ctx):
         salt=cfg.get("salt", "dsir"))
 
 
+def _stage_classifier_gate(spark, df, cfg, ctx):
+    """Quality gate with a linear classifier, two forms. ``weights``:
+    offline-trained token weights (fasttext/logreg export) scored with
+    the occurrence-weighted, length-normalized
+    ``classifier_score_weights`` and kept when strictly above
+    ``threshold`` (strict, so zero-evidence docs at exactly 0.5 drop at
+    the default). ``train_label_token`` + ``vocab``: train a perceptron
+    IN-ENGINE on the current corpus state (label = doc contains that
+    token — the docs/pipeline.md step-1 pattern) and gate with
+    ``perceptron_predict``, the model's OWN decision function (binary
+    presence + bias, margin > 0) — on a corpus training converged on,
+    the gate reproduces the labels exactly."""
+    if "weights" in cfg:
+        scored = text.classifier_score_weights(
+            df, dict(cfg["weights"]), text_col=ctx["text_col"],
+            id_col=ctx["id_col"])
+        keep = (scored.where(F.col("clf_score")
+                             > float(cfg.get("threshold", 0.5)))
+                .select(ctx["id_col"]))
+    elif "train_label_token" in cfg:
+        label = F.array_contains(
+            F.split(F.lower(F.col(ctx["text_col"])), r"\s+"),
+            cfg["train_label_token"])
+        weights, _ = text.train_classifier_perceptron(
+            df, label, list(cfg["vocab"]), text_col=ctx["text_col"],
+            id_col=ctx["id_col"],
+            iterations=cfg.get("iterations", 3))
+        keep = (text.perceptron_predict(df, weights,
+                                        text_col=ctx["text_col"],
+                                        id_col=ctx["id_col"])
+                .where(F.col("label_pred") == 1).select(ctx["id_col"]))
+    else:
+        raise ValueError(
+            "classifier_gate stage needs 'weights' or 'train_label_token'")
+    return df.join(keep, ctx["id_col"], "left_semi")
+
+
 def _stage_bpe_count(spark, df, cfg, ctx):
     """Attach exact BPE token counts (``n_bpe_tokens``) so a later
     ``mixture`` stage with ``"token_col": "n_bpe_tokens"`` budgets on
@@ -176,6 +213,7 @@ STAGES = {
     "dedup_minhash": _stage_dedup_minhash,
     "decontaminate": _stage_decontaminate,
     "pii": _stage_pii,
+    "classifier_gate": _stage_classifier_gate,
     "bpe_count": _stage_bpe_count,
     "mixture": _stage_mixture,
     "dsir": _stage_dsir,

@@ -245,3 +245,41 @@ def test_pipeline_true_token_stages(spark, tmp_path):
     en_toks = (final.where(F.col("lang") == "en")
                .agg(F.sum("n_bpe_tokens")).collect()[0][0])
     assert 14_000 <= en_toks <= 26_000
+
+
+def test_pipeline_classifier_gate_stage(spark, tmp_path):
+    from funnel_rocket_spark.pipeline import run_pipeline
+    from pyspark.sql import functions as F
+
+    config = {
+        "input": {"path": DOCS, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "stages": [
+            {"stage": "classifier_gate", "train_label_token": "spark",
+             "vocab": ["data", "fast", "join", "query", "scan", "slow",
+                       "spark", "table"],
+             "iterations": 8, "threshold": 0.5},
+        ],
+    }
+    rep = run_pipeline(spark, config)
+    kept = spark.read.parquet(
+        str(tmp_path / "work" / "stage_00_classifier_gate.parquet"))
+    # separable label + converged perceptron (8 iterations reach zero
+    # mistakes on this corpus): the gate IS the label
+    docs = spark.read.parquet(DOCS)
+    n_label = docs.where(
+        F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")).count()
+    assert 0 < rep["rows_out"] < rep["rows_in"]
+    assert rep["rows_out"] == n_label == kept.count()
+
+    # explicit-weights form gates without training
+    config2 = {
+        "input": {"path": DOCS, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "w2"),
+        "stages": [
+            {"stage": "classifier_gate",
+             "weights": {"spark": 5.0, "__bias__": -1.0},
+             "threshold": 0.5}],
+    }
+    rep2 = run_pipeline(spark, config2)
+    assert 0 < rep2["rows_out"] < rep2["rows_in"]

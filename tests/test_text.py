@@ -597,3 +597,26 @@ def test_bpe_differential_random_corpora(spark):
         assert got == want
 
     prop()
+
+
+def test_perceptron_predict_reproduces_converged_labels(spark):
+    import pyspark.sql.functions as F
+
+    rows = ([(i, "good spark fast data") for i in range(12)]
+            + [(100 + i, "bad slow junk") for i in range(12)]
+            + [(200, "nothing from vocab here"), (201, None)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    label = F.array_contains(F.split(F.lower("text"), r"\s+"), "spark")
+    vocab = ["spark", "fast", "slow", "junk", "data"]
+    w, mistakes = text.train_classifier_perceptron(
+        df, label, vocab, iterations=10)
+    assert mistakes[-1] == 0  # converged on separable data
+    pred = {r["doc_id"]: r["label_pred"]
+            for r in text.perceptron_predict(df, w).collect()}
+    truth = {r["doc_id"]: int(bool(r["text"]) and "spark" in r["text"])
+             for r in df.collect()}
+    assert pred == truth
+    # zero-evidence docs sit at margin == bias, classified by sign
+    margins = {r["doc_id"]: r["margin"]
+               for r in text.perceptron_predict(df, w).collect()}
+    assert margins[200] == margins[201] == w["__bias__"]
