@@ -1943,6 +1943,63 @@ def _bpe_tokens_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_tokenize(docs, _BPE_MERGES)
 
 
+def _lm_nll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train the
+    hashed bigram LM on the 'en' slice (the high-quality target, DSIR's
+    convention), score EVERY document's avg negative log-likelihood —
+    the perplexity signal LLaMA-style pipelines filter on. Training
+    collects ≤256 unigram + ≤1024 top-bigram rows; scoring is a
+    zero-shuffle literal-map projection. Dyadic-quantized log-probs make
+    every value exact cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_nll(docs, docs.where(F.col("lang") == "en"))
+
+
+_LM_NLL_SQL = """
+WITH toks AS (SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '') AS tk
+  FROM documents),
+ba AS (SELECT doc_id, lang,
+    list_transform(tk, t -> ('0x' || substr(md5(t), 1, 11))::BIGINT % 256)
+      AS bs
+  FROM toks),
+ub AS (SELECT unnest(bs) AS b FROM ba WHERE lang = 'en'),
+uc AS (SELECT b, count(*) AS c FROM ub GROUP BY 1),
+ut AS (SELECT count(*) AS t FROM ub),
+ul AS MATERIALIZED (SELECT r.range AS b,
+    round(ln((coalesce(uc.c, 0) + 1.0) / (ut.t + 256.0)) * 1048576)
+      / 1048576 AS v
+  FROM range(0, 256) r CROSS JOIN ut LEFT JOIN uc ON r.range = uc.b),
+bg AS (SELECT unnest(list_transform(generate_series(1, len(bs) - 1),
+        i -> bs[i] * 256 + bs[i + 1])) AS pc
+  FROM ba WHERE lang = 'en'),
+bc AS (SELECT pc, count(*) AS c FROM bg GROUP BY 1),
+topb AS (SELECT pc, c FROM bc ORDER BY c DESC, pc ASC LIMIT 1024),
+bl AS MATERIALIZED (SELECT t.pc,
+    round(ln((t.c + 1.0) / (coalesce(uc.c, 0) + 256.0)) * 1048576)
+      / 1048576 AS v
+  FROM topb t LEFT JOIN uc ON t.pc // 256 = uc.b),
+pairs AS (SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(bs) - 1),
+        i -> bs[i] * 256 + bs[i + 1])) AS pc
+  FROM ba),
+ps AS (SELECT pairs.doc_id,
+    sum(coalesce(bl.v, round(ln(0.4) * 1048576) / 1048576 + ulc.v)) AS s
+  FROM pairs LEFT JOIN bl ON pairs.pc = bl.pc
+  JOIN ul ulc ON pairs.pc % 256 = ulc.b
+  GROUP BY 1),
+fs AS (SELECT ba.doc_id, len(bs) AS n,
+    CASE WHEN len(bs) > 0 THEN (SELECT v FROM ul WHERE ul.b = bs[1])
+         ELSE 0.0 END AS f
+  FROM ba)
+SELECT fs.doc_id, fs.n::INT AS n_tokens,
+  round(fs.f + coalesce(ps.s, 0.0), 6) AS logprob_sum,
+  round(-(fs.f + coalesce(ps.s, 0.0)) / greatest(fs.n, 1), 6) AS avg_nll
+FROM fs LEFT JOIN ps ON fs.doc_id = ps.doc_id
+"""
+
+
 _BPE_LEARN_N = 6  # merges the in-engine trainer learns for the oracle query
 
 
@@ -3496,6 +3553,10 @@ FROM k
         _bpe_learned_fn,
         _bpe_learn_oracle_sql(_BPE_LEARN_N),
     ),
+    "text_lm_nll": (
+        _lm_nll_fn,
+        _LM_NLL_SQL,
+    ),
     "behavior_funnel_trend": (
         _funnel_trend_fn,
         f"""
@@ -3576,8 +3637,10 @@ NO_ORACLE: dict = {}
 _DRIVER_PRIORITY = [
     # NEW r7 queries — first driver greens required: the exact BPE
     # apply, the in-engine BPE trainer (chained-CTE trajectory oracle),
-    # and the certified sketch-only percentile twin
-    "text_tokens_bpe", "text_bpe_learned", "olap_percentiles_approx_sketch",
+    # the CCNet bigram-LM quality scorer, and the certified sketch-only
+    # percentile twin
+    "text_tokens_bpe", "text_bpe_learned", "text_lm_nll",
+    "olap_percentiles_approx_sketch",
     # code paths changed in r7 — need fresh greens: the gopher
     # symbol-ratio now counts unicode ellipsis (oracle updated to
     # match), and mixture_plan anchors on the requested strata (feeds
@@ -3603,14 +3666,14 @@ _DRIVER_PRIORITY = [
     "behavior_top_paths", "dedup_pipeline_embedding",
     "embedding_centroids", "multimodal_features", "olap_basket_pairs",
     "olap_cube", "olap_customer_deciles", "olap_grouping_sets",
-    "olap_late_orders",
 ]
 # Audit ledger after this rotation (recomputed from CORRECTNESS_r01-r06
 # this round): 44 catalog queries' newest green is still the r03 sweep
-# and one (text_tokens) is r02 — the r7 window takes the three new r7
+# and one (text_tokens) is r02 — the r7 window takes the four new r7
 # queries, the four r7-changed paths, the full fr_* re-anchor, and the
-# 20 stalest of those; the remaining r03-stale queries
-# (olap_nation_share, olap_part_avg_filter .. top_docs_per_lang,
+# 19 stalest of those; the remaining r03-stale queries
+# (olap_late_orders, olap_nation_share, olap_part_avg_filter ..
+# top_docs_per_lang,
 # s5_denorm_join, olap_winsorized_mean, resample_temperature, the
 # text_* extension block) lead the r8 window.
 

@@ -1104,3 +1104,141 @@ def perceptron_predict(df: DataFrame, weights: dict,
         F.col(id_col),
         margin.alias("margin"),
         F.when(margin > 0, 1).otherwise(0).alias("label_pred"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality scoring (hashed bigram LM with stupid backoff)
+# ---------------------------------------------------------------------------
+# Wenzek et al. 2020 ("CCNet: Extracting High Quality Monolingual Datasets
+# from Web Crawl Data") rank web documents by the perplexity of a language
+# model trained on a high-quality target corpus (Wikipedia) — the quality
+# signal LLaMA-style pipelines filter on. These operators reproduce that
+# signal in-engine: train a hashed-bucket bigram LM on the target corpus
+# (bounded aggregates, the DSIR discipline), score every raw document as a
+# zero-shuffle literal-map projection. Log-probs are quantized to dyadic
+# rationals (multiples of 2^-20) so per-doc sums are exact and
+# order-independent — a SQL oracle replays training AND scoring bit-for-bit.
+
+_LM_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+def lm_bigram_model(df_target: DataFrame, text_col: str = "text",
+                    n_buckets: int = 256, smoothing: float = 1.0,
+                    top_bigrams: int = 1024) -> dict:
+    """Train the hashed bigram LM on the target corpus. Driver traffic is
+    bounded by construction: the unigram aggregate reduces to
+    ≤ ``n_buckets`` rows and the bigram table keeps only the
+    ``top_bigrams`` most frequent pairs (count desc, then key asc — the
+    deterministic tie-break every trainer in this repo uses), the same
+    pruning a deployed KenLM model ships with. Returns
+    ``{"uni": {bucket: logp}, "bi": {p*n_buckets+c: logp}, "log_alpha", ...}``
+    with every log-prob quantized to a multiple of 2^-20.
+    """
+    import math
+
+    from funnel_rocket_spark.operators.sampling import _md5_bucket
+
+    if n_buckets < 2 or n_buckets > 1024:
+        raise ValueError("n_buckets must be in [2, 1024] (literal maps)")
+    if top_bigrams < 0 or top_bigrams > _CLASSIFIER_MAP_MAX:
+        raise ValueError(
+            f"top_bigrams must be in [0, {_CLASSIFIER_MAP_MAX}]")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0")
+    q = float(1 << 20)
+
+    def qln(x: float) -> float:
+        return round(math.log(x) * q) / q
+
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    bs = F.transform(tk, lambda t: _md5_bucket(t, n_buckets).cast("int"))
+    staged = df_target.select(bs.alias("__bs"))
+    uni_rows = (staged.select(F.explode("__bs").alias("b"))
+                .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+                .collect())  # bounded: <= n_buckets rows
+    uc = {int(r["b"]): int(r["c"]) for r in uni_rows}
+    total = sum(uc.values())
+    s = float(smoothing)
+    uni = {b: qln((uc.get(b, 0) + s) / (total + s * n_buckets))
+           for b in range(n_buckets)}
+
+    n = F.size("__bs")
+    # integer pair key p*n_buckets + c: int-keyed maps hash cheaper than
+    # string concat keys in the scoring hot loop, and the numeric
+    # tie-break replays trivially in SQL
+    pair_keys = F.zip_with(
+        F.slice("__bs", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("__bs", 2, F.greatest(n - 1, F.lit(0))),
+        lambda p, c: p * n_buckets + c)
+    top = (staged.select(F.explode(pair_keys).alias("pc"))
+           .groupBy("pc").agg(F.count(F.lit(1)).alias("c"))
+           .orderBy(F.col("c").desc(), F.col("pc").asc())
+           .limit(top_bigrams).collect())  # bounded: <= top_bigrams rows
+    bi = {}
+    for r in top:
+        p = int(r["pc"]) // n_buckets
+        bi[int(r["pc"])] = qln((int(r["c"]) + s)
+                               / (uc.get(p, 0) + s * n_buckets))
+    return {"uni": uni, "bi": bi, "log_alpha": qln(_LM_ALPHA),
+            "n_buckets": n_buckets, "smoothing": s,
+            "top_bigrams": top_bigrams}
+
+
+def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Score every raw document under the trained LM: per-doc log
+    probability (unigram for the first token, bigram with stupid backoff
+    — ``log_alpha + unigram`` for unseen pairs — for the rest) and the
+    average negative log-likelihood ``avg_nll`` (= ln(perplexity); CCNet
+    thresholds perplexity, which is monotone in this, and avoiding the
+    exp() keeps values dyadic-exact for the oracle). Null/empty text
+    scores 0 over 0 tokens.
+
+    Plan shape: the model folds into two broadcast literal maps, so
+    scoring is ONE zero-shuffle codegen projection over the corpus scan
+    — the cost at 100 TB is exactly one pass.
+    """
+    from funnel_rocket_spark.operators.sampling import _md5_bucket
+
+    n_buckets = model["n_buckets"]
+    uni_map = F.create_map(*[F.lit(x) for b in sorted(model["uni"])
+                             for x in (b, model["uni"][b])])
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    bs = F.transform(tk, lambda t: _md5_bucket(t, n_buckets).cast("int"))
+    staged = (df_raw.withColumn("__bs", bs)
+              .withColumn("__uni", uni_map))
+    if model["bi"]:
+        bi_map = F.create_map(*[F.lit(x) for k in sorted(model["bi"])
+                                for x in (k, model["bi"][k])])
+        staged = staged.withColumn("__bi", bi_map)
+        bi_of = lambda key: F.element_at(F.col("__bi"), key)  # noqa: E731
+    else:
+        bi_of = lambda key: F.lit(None).cast("double")  # noqa: E731
+    n = F.size("__bs")
+    alpha = F.lit(float(model["log_alpha"]))
+    pair_lp = F.zip_with(
+        F.slice("__bs", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("__bs", 2, F.greatest(n - 1, F.lit(0))),
+        lambda p, c: F.coalesce(
+            bi_of(p * n_buckets + c),
+            alpha + F.element_at(F.col("__uni"), c)))
+    first = F.when(n > 0, F.element_at(F.col("__uni"),
+                                       F.element_at("__bs", 1))) \
+        .otherwise(F.lit(0.0))
+    lp = first + F.aggregate(pair_lp, F.lit(0.0), lambda acc, x: acc + x)
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(lp, 6).alias("logprob_sum"),
+        F.round(-lp / F.greatest(n, F.lit(1)), 6).alias("avg_nll"))
+
+
+def lm_nll(df_raw: DataFrame, df_target: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id", n_buckets: int = 256,
+           smoothing: float = 1.0, top_bigrams: int = 1024) -> DataFrame:
+    """Convenience composition: train on ``df_target``, score ``df_raw``
+    (the CCNet recipe end-to-end). Filter downstream on ``avg_nll`` —
+    low = reads like the target corpus."""
+    model = lm_bigram_model(df_target, text_col, n_buckets, smoothing,
+                            top_bigrams)
+    return lm_score(df_raw, model, text_col, id_col)

@@ -133,6 +133,31 @@ def _stage_dsir(spark, df, cfg, ctx):
         salt=cfg.get("salt", "dsir"))
 
 
+def _stage_lm_gate(spark, df, cfg, ctx):
+    """CCNet-style LM quality gate (Wenzek et al. 2020): train a hashed
+    bigram LM on the target corpus at ``target_path``, score every doc's
+    avg negative log-likelihood, keep docs that read like the target —
+    either below an absolute ``max_avg_nll`` or the lowest-nll
+    ``keep_frac`` of the corpus (threshold = one approxQuantile on the
+    scored frame, the CCNet head/middle/tail cut)."""
+    from funnel_rocket_spark.operators.text import lm_nll
+
+    target = spark.read.parquet(cfg["target_path"])
+    scored = lm_nll(df, target, text_col=ctx["text_col"],
+                    id_col=ctx["id_col"],
+                    n_buckets=cfg.get("n_buckets", 256),
+                    top_bigrams=cfg.get("top_bigrams", 1024))
+    if "max_avg_nll" in cfg:
+        cut = float(cfg["max_avg_nll"])
+    elif "keep_frac" in cfg:
+        cut = scored.approxQuantile(
+            "avg_nll", [float(cfg["keep_frac"])], 0.001)[0]
+    else:
+        raise ValueError("lm_gate stage needs 'max_avg_nll' or 'keep_frac'")
+    keep = scored.where(F.col("avg_nll") <= cut).select(ctx["id_col"])
+    return df.join(keep, ctx["id_col"], "left_semi")
+
+
 def _stage_classifier_gate(spark, df, cfg, ctx):
     """Quality gate with a linear classifier, two forms. ``weights``:
     offline-trained token weights (fasttext/logreg export) scored with
@@ -213,6 +238,7 @@ STAGES = {
     "dedup_minhash": _stage_dedup_minhash,
     "decontaminate": _stage_decontaminate,
     "pii": _stage_pii,
+    "lm_gate": _stage_lm_gate,
     "classifier_gate": _stage_classifier_gate,
     "bpe_count": _stage_bpe_count,
     "mixture": _stage_mixture,

@@ -283,3 +283,23 @@ def test_pipeline_classifier_gate_stage(spark, tmp_path):
     }
     rep2 = run_pipeline(spark, config2)
     assert 0 < rep2["rows_out"] < rep2["rows_in"]
+
+
+def test_pipeline_lm_gate_stage(spark, tmp_path):
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    # target = the 'en' slice written out as the high-quality corpus
+    target_path = str(tmp_path / "target.parquet")
+    (spark.read.parquet(DOCS).where("lang = 'en'")
+     .write.parquet(target_path))
+    config = {
+        "input": {"path": DOCS, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "stages": [
+            {"stage": "lm_gate", "target_path": target_path,
+             "keep_frac": 0.5},
+        ],
+    }
+    rep = run_pipeline(spark, config)
+    # keep_frac=0.5 keeps about half (quantile ties make it inexact)
+    assert 0.35 * rep["rows_in"] <= rep["rows_out"] <= 0.65 * rep["rows_in"]

@@ -620,3 +620,88 @@ def test_perceptron_predict_reproduces_converged_labels(spark):
     margins = {r["doc_id"]: r["margin"]
                for r in text.perceptron_predict(df, w).collect()}
     assert margins[200] == margins[201] == w["__bias__"]
+
+
+def _py_lm(raw, target, nb=256, s=1.0, k=1024):
+    """Pure-Python reference for the hashed bigram LM (CCNet-shaped)."""
+    import hashlib
+    import math
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:11], 16) % nb
+
+    q = float(1 << 20)
+
+    def qln(x):
+        return round(math.log(x) * q) / q
+
+    uc, bg = {}, {}
+    for t in target:
+        bs = [bucket(w) for w in (t or "").lower().split()]
+        for b in bs:
+            uc[b] = uc.get(b, 0) + 1
+        for p, c in zip(bs, bs[1:]):
+            key = p * nb + c
+            bg[key] = bg.get(key, 0) + 1
+    total = sum(uc.values())
+    uni = {b: qln((uc.get(b, 0) + s) / (total + s * nb)) for b in range(nb)}
+    top = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    bi = {key: qln((c + s) / (uc.get(key // nb, 0) + s * nb))
+          for key, c in top}
+    la = qln(0.4)
+    out = {}
+    for i, t in enumerate(raw):
+        bs = [bucket(w) for w in (t or "").lower().split()]
+        n = len(bs)
+        if n == 0:
+            out[i] = (0, 0.0, 0.0)
+            continue
+        lp = uni[bs[0]]
+        for p, c in zip(bs, bs[1:]):
+            lp += bi.get(p * nb + c, la + uni[c])
+        out[i] = (n, round(lp, 6), round(-lp / max(n, 1), 6))
+    return out
+
+
+def test_lm_nll_matches_python_reference(spark):
+    raw = ["the cat sat on the mat", "zq zq zq xkcd", "the the the",
+           None, "", "solo"]
+    target = ["the cat sat", "the cat ran", "on the mat"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(raw)], "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["logprob_sum"], r["avg_nll"])
+           for r in text.lm_nll(df, tgt).collect()}
+    assert got == _py_lm(raw, target)  # dyadic quantization -> exact
+    # CCNet semantics: target-like docs score lower avg_nll than junk
+    assert got[0][2] < got[1][2]
+    # layout independence
+    got2 = {r["doc_id"]: (r["n_tokens"], r["logprob_sum"], r["avg_nll"])
+            for r in text.lm_nll(df.repartition(5), tgt).collect()}
+    assert got == got2
+
+
+def test_lm_model_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.lm_bigram_model(df, n_buckets=1)
+    with pytest.raises(ValueError):
+        text.lm_bigram_model(df, smoothing=0.0)
+    with pytest.raises(ValueError):
+        text.lm_bigram_model(df, top_bigrams=10**6)
+    # zero bigram table = pure backoff unigram LM, still scores
+    m = text.lm_bigram_model(df, top_bigrams=0)
+    rows = text.lm_score(df, m).collect()
+    assert rows[0]["n_tokens"] == 2
+
+
+def test_lm_score_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    m = text.lm_bigram_model(df)
+    plan = text.lm_score(df, m)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

@@ -421,6 +421,15 @@ def cleanfilters_main(n_docs: int) -> None:
     out["timings"]["mixture_sample"] = round(time.perf_counter() - t0, 2)
     out["n_mixture_kept"] = n_mix
 
+    # r7 CCNet LM gate: two bounded training collects (≤256 unigram,
+    # ≤1024 top-bigram rows) + one zero-shuffle scored scan — the same
+    # shape (and scaling) as DSIR
+    from funnel_rocket_spark.operators.text import lm_nll
+    t0 = time.perf_counter()
+    n_lm = lm_nll(docs, target).where("avg_nll < 8.0").count()
+    out["timings"]["lm_nll_score"] = round(time.perf_counter() - t0, 2)
+    out["n_lm_below_8"] = n_lm
+
     # r7 BPE: in-engine training reduces to the vocabulary-bounded
     # word-frequency table (corpus-size-independent iterations), then
     # the codegen expression apply is a map-only projection
