@@ -705,3 +705,31 @@ def test_lm_score_plan_is_shuffle_free(spark):
     plan = text.lm_score(df, m)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_lm_differential_random_corpora(spark):
+    """Hypothesis differential: in-engine LM == pure-Python reference on
+    random corpora (small bucket space forces bigram collisions and
+    backoff paths)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(st.sampled_from("abc"), min_size=1, max_size=3)
+    doc = st.lists(word, max_size=6).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=4)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(raw=corpus, target=corpus)
+    def prop(raw, target):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(raw)], "doc_id long, text string")
+        tgt = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(target)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["logprob_sum"], r["avg_nll"])
+               for r in text.lm_nll(df, tgt, n_buckets=16,
+                                    top_bigrams=8).collect()}
+        assert got == _py_lm(raw, target, nb=16, k=8)
+
+    prop()
