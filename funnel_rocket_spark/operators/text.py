@@ -907,9 +907,10 @@ def _check_merges(merges: list) -> list:
             raise ValueError(f"invalid merge pair {pair!r}: symbols must be "
                              "non-empty and space-free")
         out.append((a, b))
-    if not out:
-        raise ValueError("merges must be a non-empty ordered list of "
-                         "(left, right) pairs")
+    # an EMPTY table is legal: it is BPE's base case (character-level
+    # tokenization) and what learn_bpe returns on a corpus with no pair
+    # reaching min_count — e.g. a curate chain whose cleaning stages
+    # emptied the corpus before bpe_count trains
     return out
 
 
@@ -924,7 +925,10 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
     ``merges`` is the ordered merge table ``[(left, right), ...]`` —
     supply a published tokenizer's merges.txt rows or the output of
     :func:`learn_bpe`. Unknown characters pass through as single-char
-    tokens (count 1 each), so the count is total and never null.
+    tokens (count 1 each), so the count is total and never null. An
+    EMPTY table is the BPE base case — pure character-level
+    tokenization — so :func:`learn_bpe`'s no-qualifying-pairs result
+    composes without a special case.
 
     Strategies (``auto`` picks by table size):
 
@@ -952,14 +956,22 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
             raise ValueError(
                 f"{len(merges)} merges exceeds the literal-expression cap "
                 f"({_BPE_EXPR_MERGE_CAP}); use strategy='arrow'")
-        merges_arr = F.array(*[
-            F.struct(F.lit(f"{a} {b}").alias("pat"),
-                     F.lit(f"{a}{b}").alias("rep")) for a, b in merges])
         words = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
-        staged = df.withColumn("__bpe_merges", merges_arr)
-        enc = F.transform(
-            words,
-            lambda w: F.split(_bpe_word_expr(w, F.col("__bpe_merges")), " "))
+        if merges:
+            merges_arr = F.array(*[
+                F.struct(F.lit(f"{a} {b}").alias("pat"),
+                         F.lit(f"{a}{b}").alias("rep")) for a, b in merges])
+            staged = df.withColumn("__bpe_merges", merges_arr)
+            enc = F.transform(
+                words,
+                lambda w: F.split(_bpe_word_expr(w, F.col("__bpe_merges")),
+                                  " "))
+        else:  # base case: character-level tokens, no fold needed
+            staged = df
+            enc = F.transform(
+                words,
+                lambda w: F.split(
+                    F.trim(F.regexp_replace(w, "(.)", "$1 ")), " "))
         toks = F.flatten(enc)
         return staged.select(
             F.col(id_col),

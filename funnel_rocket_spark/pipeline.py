@@ -150,8 +150,11 @@ def _stage_lm_gate(spark, df, cfg, ctx):
     if "max_avg_nll" in cfg:
         cut = float(cfg["max_avg_nll"])
     elif "keep_frac" in cfg:
-        cut = scored.approxQuantile(
-            "avg_nll", [float(cfg["keep_frac"])], 0.001)[0]
+        qt = scored.approxQuantile(
+            "avg_nll", [float(cfg["keep_frac"])], 0.001)
+        if not qt:  # empty corpus: nothing to rank, keep nothing
+            return df.limit(0)
+        cut = qt[0]
     else:
         raise ValueError("lm_gate stage needs 'max_avg_nll' or 'keep_frac'")
     keep = scored.where(F.col("avg_nll") <= cut).select(ctx["id_col"])

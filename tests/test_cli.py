@@ -303,3 +303,31 @@ def test_pipeline_lm_gate_stage(spark, tmp_path):
     rep = run_pipeline(spark, config)
     # keep_frac=0.5 keeps about half (quantile ties make it inexact)
     assert 0.35 * rep["rows_in"] <= rep["rows_out"] <= 0.65 * rep["rows_in"]
+
+
+def test_pipeline_survives_emptying_chain(spark, tmp_path):
+    """A chain whose cleaning stage drops EVERY document must finish with
+    rows_out=0, not crash downstream stages (learn-BPE trains an empty
+    table -> char-level base case; mixture plans 0-row strata; lm_gate's
+    quantile cut has nothing to rank)."""
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    target_path = str(tmp_path / "target.parquet")
+    (spark.read.parquet(DOCS).limit(10).write.parquet(target_path))
+    config = {
+        "input": {"path": DOCS, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "stages": [
+            # impossible threshold: every doc fails the word-count band
+            {"stage": "gopher_filter", "min_words": 10**6},
+            {"stage": "bpe_count", "learn": 8},
+            {"stage": "mixture", "weights": {"en": 1.0},
+             "strata_col": "lang", "total_tokens": 1000,
+             "token_col": "n_bpe_tokens"},
+            {"stage": "lm_gate", "target_path": target_path,
+             "keep_frac": 0.5},
+        ],
+    }
+    rep = run_pipeline(spark, config)
+    assert rep["rows_out"] == 0
+    assert [s["rows_out"] for s in rep["stages"]] == [0, 0, 0, 0]

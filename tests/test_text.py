@@ -458,9 +458,11 @@ def test_bpe_expr_plan_is_shuffle_free(spark):
 def test_bpe_validation(spark):
     import pytest
 
-    df = spark.createDataFrame([(1, "a")], "doc_id INT, text STRING")
-    with pytest.raises(ValueError):
-        text.bpe_tokenize(df, [])
+    df = spark.createDataFrame([(1, "ab c")], "doc_id INT, text STRING")
+    # empty table = the char-level base case (learn_bpe's no-pairs result)
+    for strat in ("expr", "arrow"):
+        r = text.bpe_tokenize(df, [], strategy=strat).collect()[0]
+        assert (r["n_bpe_tokens"], r["bpe_text"]) == (3, "a b c")
     with pytest.raises(ValueError):
         text.bpe_tokenize(df, [("a", "")])
     with pytest.raises(ValueError):
