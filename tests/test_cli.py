@@ -331,3 +331,41 @@ def test_pipeline_survives_emptying_chain(spark, tmp_path):
     rep = run_pipeline(spark, config)
     assert rep["rows_out"] == 0
     assert [s["rows_out"] for s in rep["stages"]] == [0, 0, 0, 0]
+
+
+def test_pipeline_chain_hash_properties():
+    """Resume correctness is a function of _chain_hashes: editing stage i
+    (or the input block) changes hashes i.. and ONLY i.. — hypothesis
+    over random configs and random single edits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from funnel_rocket_spark.pipeline import _chain_hashes
+
+    stage = st.fixed_dictionaries(
+        {"stage": st.sampled_from(["a", "b", "c"]),
+         "knob": st.integers(0, 3)})
+    cfg_st = st.fixed_dictionaries(
+        {"input": st.fixed_dictionaries({"path": st.sampled_from(["p", "q"])}),
+         "stages": st.lists(stage, min_size=1, max_size=6)})
+
+    @settings(max_examples=200, deadline=None)
+    @given(cfg=cfg_st, data=st.data())
+    def prop(cfg, data):
+        h1 = _chain_hashes(cfg)
+        assert len(h1) == len(cfg["stages"])
+        # identical config -> identical chain (pure function)
+        assert _chain_hashes(json.loads(json.dumps(cfg))) == h1
+        # edit one stage's knob: prefix hashes unchanged, suffix changed
+        i = data.draw(st.integers(0, len(cfg["stages"]) - 1))
+        edited = json.loads(json.dumps(cfg))
+        edited["stages"][i]["knob"] = cfg["stages"][i]["knob"] + 10
+        h2 = _chain_hashes(edited)
+        assert h2[:i] == h1[:i]
+        assert all(a != b for a, b in zip(h2[i:], h1[i:]))
+        # input edit invalidates everything
+        edited2 = json.loads(json.dumps(cfg))
+        edited2["input"]["path"] = cfg["input"]["path"] + "x"
+        assert all(a != b for a, b in zip(_chain_hashes(edited2), h1))
+
+    prop()
