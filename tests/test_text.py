@@ -735,3 +735,37 @@ def test_lm_differential_random_corpora(spark):
         assert got == _py_lm(raw, target, nb=16, k=8)
 
     prop()
+
+
+def test_bpe_arrow_path_large_merge_table(spark):
+    """The arrow path's reason to exist is tables beyond the 4096-entry
+    expression cap (GPT-2 scale). Exercise it with a 10k-merge table —
+    auto must route to arrow, and results must match the pure-Python
+    reference exactly (the char-subset prefilter is semantics-neutral)."""
+    import itertools
+
+    # 10k merges over a growing symbol pool: start from char pairs, then
+    # pair previously-merged symbols — every entry is structurally valid
+    syms = list("abcdef")
+    merges = []
+    for a, b in itertools.cycle(itertools.product("abcdef", repeat=2)):
+        if len(merges) >= 10_000:
+            break
+        left = syms[len(merges) % len(syms)]
+        merges.append((left, a + b if len(merges) % 3 else b))
+        if len(merges) % 7 == 0:
+            syms.append(merges[-1][0] + merges[-1][1])
+    assert len(merges) > text._BPE_EXPR_MERGE_CAP
+
+    texts = ["abc def fedcba", "aaaa bbbb", "fade bead", None, "x y z"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_text"])
+           for r in text.bpe_tokenize(df, merges).collect()}  # auto->arrow
+    want = {i: w for i, w in enumerate(_py_bpe(texts, merges))}
+    assert got == want
+    # and the expr path refuses the oversized table explicitly
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds the literal-expression"):
+        text.bpe_tokenize(df, merges, strategy="expr")
