@@ -666,7 +666,10 @@ def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_groups = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, ".scratch", f"events_{n_rows}.parquet")
+    # key the cache by BOTH dims: reusing an n_rows-only file with a
+    # different group count would silently measure the wrong workload
+    path = os.path.join(here, ".scratch",
+                        f"events_{n_rows}_{n_groups}.parquet")
 
     spark = get_spark(app_name="scale-check")
     spark.sparkContext.setLogLevel("ERROR")
