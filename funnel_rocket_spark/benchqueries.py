@@ -2062,9 +2062,12 @@ w{i} AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM b{i}) = 1
 
 
 def _bpe_oracle_sql(merges: list) -> str:
+    def q(x: str) -> str:  # SQL string literal escaping for merge symbols
+        return x.replace("'", "''")
+
     expr = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
     for a, b in merges:
-        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+        expr = f"replace({expr}, '{q(a)} {q(b)}', '{q(a)}{q(b)}')"
     return f"""
 WITH d AS (SELECT doc_id,
   list_filter(string_split_regex(coalesce(text, ''), '\\s+'),

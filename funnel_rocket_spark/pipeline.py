@@ -83,11 +83,11 @@ def _stage_dedup_exact(spark, df, cfg, ctx):
         "__h", F.md5(F.col(ctx["text_col"]).cast("binary")))
     keep = F.broadcast if cfg.get("broadcast", False) else (lambda x: x)
     survivors = groups.select(F.col("content_hash").alias("__h"),
-                              F.col("keep_id"))
+                              F.col("keep_id").alias("__keep_id"))
     return (hashed.join(keep(survivors), "__h", "left")
-            .where(F.col("keep_id").isNull()
-                   | (F.col(ctx["id_col"]) == F.col("keep_id")))
-            .drop("__h", "keep_id"))
+            .where(F.col("__keep_id").isNull()
+                   | (F.col(ctx["id_col"]) == F.col("__keep_id")))
+            .drop("__h", "__keep_id"))
 
 
 def _stage_dedup_minhash(spark, df, cfg, ctx):
