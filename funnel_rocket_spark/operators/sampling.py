@@ -235,9 +235,12 @@ def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
               .groupBy(strata_col)
               .agg(F.sum(toks).alias("available_tokens")))
     # Anchor the plan on the REQUESTED strata (≤|domains| literal rows),
-    # so empty strata can't silently vanish from the aggregate.
-    strata_df = df.sparkSession.createDataFrame(
-        [(s,) for s in targets], [strata_col])
+    # so empty strata can't silently vanish from the aggregate. Built as
+    # a JVM-literal explode(array(...)) frame — NOT createDataFrame, which
+    # would back the anchor with a Python RDD and pay a per-call
+    # serialization + scheduling tax (the r7 sample_mixture regression).
+    strata_df = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in targets])).alias(strata_col))
     counts = (strata_df.join(counts, strata_col, "left")
               .withColumn("available_tokens",
                           F.coalesce(F.col("available_tokens"), F.lit(0))))

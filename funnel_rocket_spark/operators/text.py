@@ -893,7 +893,10 @@ def _bpe_word_expr(word, merges_arr):
     """Symbol string for one word after all merges: char-split via
     regexp_replace('(.)' -> '$1 ') then fold the merge array with
     aggregate() — the whole encode is one codegen expression, no UDF."""
-    sym = F.trim(F.regexp_replace(word, "(.)", "$1 "))
+    # (?s): Java '.' skips / / , which survive the ASCII
+    # \s+ word split — dotall makes the char-split total (RE2 oracles use
+    # the same inline flag)
+    sym = F.trim(F.regexp_replace(word, "(?s)(.)", "$1 "))
     return F.aggregate(
         merges_arr, sym,
         lambda acc, m: F.replace(acc, m["pat"], m["rep"]))
@@ -971,7 +974,7 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
             enc = F.transform(
                 words,
                 lambda w: F.split(
-                    F.trim(F.regexp_replace(w, "(.)", "$1 ")), " "))
+                    F.trim(F.regexp_replace(w, "(?s)(.)", "$1 ")), " "))
         toks = F.flatten(enc)
         return staged.select(
             F.col(id_col),
@@ -981,12 +984,23 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
     if strategy != "arrow":
         raise ValueError(f"strategy must be auto|expr|arrow: {strategy!r}")
 
+    import re
+
     import pandas as pd  # noqa: F401 (Arrow batch path)
 
-    out_schema = f"{id_col} string, n_bpe_tokens int, bpe_text string"
-    id_dtype = dict(df.dtypes).get(id_col, "string")
-    if id_dtype in ("bigint", "int", "smallint", "tinyint"):
-        out_schema = f"{id_col} {id_dtype}, n_bpe_tokens int, bpe_text string"
+    # Declare the id column with its ACTUAL Spark type (not an int-dtype
+    # allowlist): mapInPandas yields the original dtype, so any mismatch
+    # between the declared schema and the real type (double, decimal,
+    # date, ...) is a runtime Arrow error.
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_dtype}, n_bpe_tokens int, bpe_text string"
+
+    # Match the expr path's Java-regex \s+ EXACTLY: Java \s is the ASCII
+    # class [ \t\n\x0b\f\r], while Python str.split() splits on Unicode
+    # whitespace (U+00A0, U+3000, U+2028, ...) — common in web corpora.
+    # strategy='auto' must not switch word-boundary semantics at the
+    # merge-count threshold.
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     # Precompute per-merge (pattern, replacement, char set): a merge whose
     # characters aren't all present in the word can never apply, and with
@@ -1014,7 +1028,7 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
             texts = pdf[text_col].fillna("")
             if lowercase:
                 texts = texts.str.lower()
-            encoded = [" ".join(enc_word(w) for w in t.split())
+            encoded = [" ".join(enc_word(w) for w in ascii_ws.split(t) if w)
                        for t in texts]
             yield pd.DataFrame({
                 id_col: pdf[id_col],

@@ -411,14 +411,20 @@ def test_perceptron_vocab_cap(spark):
 
 
 def _py_bpe(texts, merges, lowercase=False):
-    """Pure-Python reference for the sequential-replace BPE spec."""
+    """Pure-Python reference for the sequential-replace BPE spec.
+
+    Word boundaries are the ASCII class Java's \\s+ matches — NOT
+    str.split(), which also splits on Unicode whitespace (U+00A0 etc.)
+    and would diverge from the expr path's regex semantics."""
+    import re
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
     out = []
     for t in texts:
         t = (t or "")
         if lowercase:
             t = t.lower()
         words = []
-        for w in t.split():
+        for w in (x for x in ascii_ws.split(t) if x):
             s = " ".join(w)
             for a, b in merges:
                 s = s.replace(f"{a} {b}", f"{a}{b}")
@@ -435,6 +441,7 @@ def test_bpe_tokenize_matches_python_reference(spark):
         None, "",
         "a…b   c\n\nthe the",          # unicode + odd whitespace
         "overlap: bbb bb b",            # left-to-right non-overlap merges
+        "nb\xa0sp the　ideo ls",  # non-ASCII ws is NOT a boundary
     ]
     merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"),
               ("b", "b"), ("e", "r"), ("the", "r"), ("s", "ing")]
@@ -580,7 +587,7 @@ def test_bpe_differential_random_corpora(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
-    alphabet = st.sampled_from("abcd…$ ")
+    alphabet = st.sampled_from("abcd…$ \xa0")  # \xa0: non-ASCII ws in-word
     texts_st = st.lists(st.text(alphabet, max_size=18), min_size=1,
                         max_size=5)
     sym = st.text(st.sampled_from("abcd"), min_size=1, max_size=2)
