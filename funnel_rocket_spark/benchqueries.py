@@ -1379,10 +1379,12 @@ def _mixture_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate, and report the audit frame (available/target/rate plus achieved
     docs+tokens per language)."""
     docs = load_table(spark, sf_dir, "documents")
+    # ≤5-row audit frame persisted so plan + gate pay the corpus count
+    # pass ONCE (the rates= passthrough added after the r7 regression)
     plan = sampling.mixture_plan(docs, _MIXTURE_WEIGHTS, "lang",
-                                 _MIXTURE_TOTAL)
+                                 _MIXTURE_TOTAL).persist()
     kept = sampling.mixture_sample(docs, _MIXTURE_WEIGHTS, "lang",
-                                   _MIXTURE_TOTAL)
+                                   _MIXTURE_TOTAL, rates=plan)
     toks = F.size(F.filter(
         F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
         lambda t: t != F.lit("")))
@@ -1447,9 +1449,9 @@ def _mixture_upsample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity itself is value-checked."""
     docs = load_table(spark, sf_dir, "documents")
     plan = sampling.mixture_plan(docs, _MIXTURE_WEIGHTS, "lang",
-                                 _MIXTURE_UP_TOTAL, cap_rate=False)
+                                 _MIXTURE_UP_TOTAL, cap_rate=False).persist()
     kept = sampling.mixture_upsample(docs, _MIXTURE_WEIGHTS, "lang",
-                                     _MIXTURE_UP_TOTAL)
+                                     _MIXTURE_UP_TOTAL, rates=plan)
     toks = F.size(F.filter(
         F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
         lambda t: t != F.lit("")))

@@ -197,7 +197,8 @@ def _mixture_targets(target_weights: dict, total_tokens: int) -> dict:
 def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
                  total_tokens: int, text_col: str = "text",
                  cap_rate: bool = True,
-                 token_col: str | None = None) -> DataFrame:
+                 token_col: str | None = None,
+                 anchor: bool = True) -> DataFrame:
     """Domain-mixture planning — the "data mixing" step of training-corpus
     assembly (the DoReMi/Pile-style recipe: hit a token budget at given
     per-domain proportions). For each stratum in ``target_weights``:
@@ -223,6 +224,12 @@ def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
     :func:`funnel_rocket_spark.operators.text.bpe_tokenize` (joined onto
     the corpus) to plan against TRUE tokenizer counts instead of the
     whitespace estimate. Null counts are 0.
+
+    ``anchor=False`` drops the empty-strata anchor rows (and their extra
+    join stage): correct ONLY when the consumer joins the rates back into
+    the corpus — an anchor row's stratum has no corpus rows to match, so
+    the joined result is identical. The samplers use this internally; the
+    user-facing audit frame keeps the default.
     """
     targets = _mixture_targets(target_weights, total_tokens)
     if token_col is not None:
@@ -234,16 +241,20 @@ def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
     counts = (df.where(F.col(strata_col).isin(*targets.keys()))
               .groupBy(strata_col)
               .agg(F.sum(toks).alias("available_tokens")))
-    # Anchor the plan on the REQUESTED strata (≤|domains| literal rows),
-    # so empty strata can't silently vanish from the aggregate. Built as
-    # a JVM-literal explode(array(...)) frame — NOT createDataFrame, which
-    # would back the anchor with a Python RDD and pay a per-call
-    # serialization + scheduling tax (the r7 sample_mixture regression).
-    strata_df = df.sparkSession.range(1).select(
-        F.explode(F.array(*[F.lit(s) for s in targets])).alias(strata_col))
-    counts = (strata_df.join(counts, strata_col, "left")
-              .withColumn("available_tokens",
-                          F.coalesce(F.col("available_tokens"), F.lit(0))))
+    if anchor:
+        # Anchor the plan on the REQUESTED strata (≤|domains| literal
+        # rows), so empty strata can't silently vanish from the
+        # aggregate. Built as a JVM-literal explode(array(...)) frame —
+        # NOT createDataFrame, which would back the anchor with a Python
+        # RDD and pay a per-call serialization + scheduling tax (the r7
+        # sample_mixture regression).
+        strata_df = df.sparkSession.range(1).select(
+            F.explode(F.array(*[F.lit(s) for s in targets]))
+            .alias(strata_col))
+        counts = (strata_df.join(counts, strata_col, "left")
+                  .withColumn("available_tokens",
+                              F.coalesce(F.col("available_tokens"),
+                                         F.lit(0))))
     tgt = F.lit(0.0)
     for s, t in targets.items():
         tgt = F.when(F.col(strata_col) == s, F.lit(float(t))).otherwise(tgt)
@@ -262,7 +273,8 @@ def mixture_plan(df: DataFrame, target_weights: dict, strata_col: str,
 def mixture_sample(df: DataFrame, target_weights: dict, strata_col: str,
                    total_tokens: int, text_col: str = "text",
                    id_col: str = "doc_id", salt: str = "",
-                   token_col: str | None = None) -> DataFrame:
+                   token_col: str | None = None,
+                   rates: DataFrame | None = None) -> DataFrame:
     """Apply :func:`mixture_plan`: keep each stratum at its computed rate
     via the deterministic md5 gate (document-level gating — a kept
     stratum's token mass tracks the target within doc-length noise).
@@ -273,9 +285,14 @@ def mixture_sample(df: DataFrame, target_weights: dict, strata_col: str,
     the corpus scan — one tiny exchange for the counts, zero corpus
     shuffle, and the corpus itself is scanned twice (count pass + gate
     pass) unless the caller persists it. Bit-reproducible on any layout.
+
+    ``rates``: a precomputed (persisted) :func:`mixture_plan` frame with
+    ``cap_rate=True`` and the SAME weights/budget — callers that audit
+    the plan and then sample avoid paying the corpus count pass twice.
     """
-    rates = mixture_plan(df, target_weights, strata_col, total_tokens,
-                         text_col, token_col=token_col)
+    if rates is None:
+        rates = mixture_plan(df, target_weights, strata_col, total_tokens,
+                             text_col, token_col=token_col, anchor=False)
     bucket = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
                           .cast("binary")), 1, 11), 16, 10).cast("long")
@@ -316,17 +333,25 @@ def repeat_sample(df: DataFrame, rate_col, id_col: str = "doc_id",
 def mixture_upsample(df: DataFrame, target_weights: dict, strata_col: str,
                      total_tokens: int, text_col: str = "text",
                      id_col: str = "doc_id", salt: str = "",
-                     token_col: str | None = None) -> DataFrame:
+                     token_col: str | None = None,
+                     rates: DataFrame | None = None) -> DataFrame:
     """:func:`mixture_sample` without the rate-1.0 cap: under-supplied
     domains are REPEATED (fractionally, via :func:`repeat_sample`) until
     every domain delivers its target token mass — the multi-epoch recipe
     for rare high-value sources (code, books) in LLM corpus mixing.
     Output = corpus columns + ``copy`` (1-based; rate ≤ 1 strata only
     ever emit copy=1, making the plain sampler a special case).
+
+    ``rates``: a precomputed :func:`mixture_plan` frame — MUST be the
+    ``cap_rate=False`` plan (capped rates would silently disable
+    repetition); same double-scan-avoidance contract as
+    :func:`mixture_sample`.
     """
-    rates = mixture_plan(df, target_weights, strata_col, total_tokens,
-                         text_col, cap_rate=False, token_col=token_col) \
-        .select(strata_col, F.col("rate").alias("__rate"))
+    if rates is None:
+        rates = mixture_plan(df, target_weights, strata_col, total_tokens,
+                             text_col, cap_rate=False, token_col=token_col,
+                             anchor=False)
+    rates = rates.select(strata_col, F.col("rate").alias("__rate"))
     joined = df.join(F.broadcast(rates), strata_col)
     return repeat_sample(joined, F.col("__rate"), id_col=id_col,
                          salt=salt).drop("__rate")
