@@ -82,12 +82,17 @@ def _stage_dedup_exact(spark, df, cfg, ctx):
     hashed = df.withColumn(
         "__h", F.md5(F.col(ctx["text_col"]).cast("binary")))
     keep = F.broadcast if cfg.get("broadcast", False) else (lambda x: x)
-    survivors = groups.select(F.col("content_hash").alias("__h"),
-                              F.col("keep_id").alias("__keep_id"))
-    return (hashed.join(keep(survivors), "__h", "left")
+    survivors = keep(groups.select(F.col("content_hash").alias("__sh"),
+                                   F.col("keep_id").alias("__keep_id")))
+    # eqNullSafe: exact_duplicates groups null-text docs under the null
+    # digest (md5(null) = null) and picks a keep_id for them too — a
+    # plain equi-join would never match the null key, so every null-text
+    # duplicate would silently survive.
+    return (hashed.join(survivors,
+                        hashed["__h"].eqNullSafe(survivors["__sh"]), "left")
             .where(F.col("__keep_id").isNull()
                    | (F.col(ctx["id_col"]) == F.col("__keep_id")))
-            .drop("__h", "__keep_id"))
+            .drop("__h", "__sh", "__keep_id"))
 
 
 def _stage_dedup_minhash(spark, df, cfg, ctx):
@@ -228,10 +233,27 @@ def _stage_split(spark, df, cfg, ctx):
 
 
 def _stage_pack(spark, df, cfg, ctx):
+    """``"pretokenized": true`` packs on the BPE token stream a prior
+    ``bpe_count`` stage kept via ``keep_bpe_text`` (split on single
+    spaces — bpe_text is space-joined by construction), completing the
+    exact-token-count chain bpe_count → mixture(token_col) → pack.
+    Default remains whitespace words of the text column."""
+    pre = None
+    if cfg.get("pretokenized"):
+        if "bpe_text" not in df.columns:
+            raise ValueError(
+                "pack stage with 'pretokenized' needs a bpe_text column — "
+                "add a bpe_count stage with \"keep_bpe_text\": true first")
+        df = df.withColumn(
+            "__pre_toks",
+            F.filter(F.split(F.coalesce(F.col("bpe_text"), F.lit("")), " "),
+                     lambda t: t != F.lit("")))
+        pre = "__pre_toks"
     return text.pack_token_blocks(
         df, ctx["text_col"], ctx["id_col"],
         block_size=cfg.get("block_size", 512),
-        shards=cfg.get("shards", 8))
+        shards=cfg.get("shards", 8),
+        pretokenized_col=pre)
 
 
 STAGES = {
@@ -251,12 +273,45 @@ STAGES = {
 }
 
 
+def _input_fingerprint(path: str) -> str:
+    """Cheap driver-side fingerprint of the input DATA, not just its
+    path: sorted (relative path, size, mtime_ns) of every regular file
+    under ``path``. Overwriting the input parquet in place therefore
+    invalidates every checkpoint — without this, a re-run would resume
+    from checkpoints computed on the OLD data and report success.
+    Non-local inputs (object-store URIs, paths not visible from the
+    driver) fall back to the bare path string — documented as "changed
+    remote input requires --no-resume or a fresh workdir"."""
+    if not os.path.exists(path):
+        return f"path:{path}"
+    entries = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append(("", st.st_size, st.st_mtime_ns))
+    else:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(root, f)
+                try:
+                    st = os.stat(fp)
+                except OSError:
+                    continue
+                entries.append((os.path.relpath(fp, path),
+                                st.st_size, st.st_mtime_ns))
+    entries.sort()
+    return "files:" + hashlib.md5(
+        json.dumps(entries).encode()).hexdigest()
+
+
 def _chain_hashes(config: dict) -> list[str]:
     """Per-stage chain hash: h_i = md5(h_{i-1} || canonical(stage_i) ||
-    canonical(input)). A change to any stage (or the input block)
-    invalidates that checkpoint and everything after it, never before."""
-    h = hashlib.md5(
-        json.dumps(config.get("input", {}), sort_keys=True).encode())
+    canonical(input) || fingerprint(input data)). A change to any stage,
+    the input block, or the input FILES (size/mtime) invalidates that
+    checkpoint and everything after it, never before."""
+    inp = config.get("input", {})
+    seed = {"input": inp,
+            "data": _input_fingerprint(inp.get("path", ""))}
+    h = hashlib.md5(json.dumps(seed, sort_keys=True).encode())
     out = []
     for st in config.get("stages", []):
         h = hashlib.md5(

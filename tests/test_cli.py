@@ -369,3 +369,117 @@ def test_pipeline_chain_hash_properties():
         assert all(a != b for a, b in zip(_chain_hashes(edited2), h1))
 
     prop()
+
+
+def test_pipeline_dedup_exact_null_text(spark, tmp_path):
+    """Null-text documents form ONE duplicate class (exact_duplicates
+    groups them under the null digest): dedup_exact must keep exactly
+    the keep_id survivor, not let every null-text row bypass the join."""
+    from pyspark.sql import functions as F
+
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    inp = str(tmp_path / "docs.parquet")
+    rows = [(1, "alpha beta", "en"), (2, "alpha beta", "en"),
+            (3, None, "en"), (4, None, "de"), (5, None, "fr"),
+            (6, "unique text", "en")]
+    (spark.createDataFrame(rows, "doc_id long, text string, lang string")
+     .write.parquet(inp))
+    config = {
+        "input": {"path": inp, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "stages": [{"stage": "dedup_exact"}],
+    }
+    rep = run_pipeline(spark, config)
+    kept = spark.read.parquet(
+        str(tmp_path / "work" / "stage_00_dedup_exact.parquet"))
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # text dup class keeps id 1; the three null-text rows keep id 3
+    assert ids == [1, 3, 6]
+    assert rep["rows_out"] == 3
+    # null survivor still has null text
+    assert kept.where(F.col("doc_id") == 3).collect()[0]["text"] is None
+
+
+def test_pipeline_resume_invalidated_by_input_rewrite(spark, tmp_path):
+    """Overwriting the input parquet in place must invalidate every
+    checkpoint: the chain hash folds a (size, mtime) fingerprint of the
+    input files, so a resume after an in-place rewrite recomputes from
+    stage 0 on the NEW data instead of reporting stale success."""
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    inp = str(tmp_path / "docs.parquet")
+    (spark.read.parquet(DOCS).limit(40).write.parquet(inp))
+    config = {
+        "input": {"path": inp, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "stages": [{"stage": "split", "weights": {"a": 0.5, "b": 0.5}}],
+    }
+    rep1 = run_pipeline(spark, config)
+    assert rep1["rows_in"] == 40 and not rep1["stages"][0]["resumed"]
+    # unchanged input -> resumed
+    rep2 = run_pipeline(spark, config)
+    assert rep2["stages"][0]["resumed"]
+    # rewrite the input in place with DIFFERENT data
+    (spark.read.parquet(DOCS).limit(10)
+     .write.mode("overwrite").parquet(inp))
+    rep3 = run_pipeline(spark, config)
+    assert not rep3["stages"][0]["resumed"]
+    assert rep3["rows_in"] == rep3["rows_out"] == 10
+
+
+def test_pipeline_pack_pretokenized(spark, tmp_path):
+    """pack with "pretokenized": true packs the bpe_count stage's BPE
+    stream (exact tokenizer tokens), matching pack_token_blocks called
+    directly with the split bpe_text — the last step of the exact-count
+    chain bpe_count -> mixture(token_col) -> pack."""
+    from pyspark.sql import functions as F
+
+    from funnel_rocket_spark.operators import text as T
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    merges = [["e", "r"], ["t", "h"], ["th", "e"], ["i", "n"]]
+    config = {
+        "input": {"path": DOCS, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "stages": [
+            {"stage": "bpe_count", "merges": merges, "keep_bpe_text": True},
+            {"stage": "pack", "block_size": 64, "shards": 4,
+             "pretokenized": True},
+        ],
+    }
+    rep = run_pipeline(spark, config)
+    got = (spark.read.parquet(
+        str(tmp_path / "work" / "stage_01_pack.parquet"))
+        .select("shard", "block_id", "n_docs", "n_tokens", "block_md5"))
+    # oracle: pack the same BPE stream directly
+    docs = spark.read.parquet(DOCS)
+    enc = T.bpe_tokenize(docs, [tuple(m) for m in merges])
+    pre = docs.join(enc.select("doc_id", "bpe_text"), "doc_id").withColumn(
+        "__pt", F.filter(F.split(F.coalesce("bpe_text", F.lit("")), " "),
+                         lambda t: t != F.lit("")))
+    want = (T.pack_token_blocks(pre, "text", "doc_id", block_size=64,
+                                shards=4, pretokenized_col="__pt")
+            .select("shard", "block_id", "n_docs", "n_tokens", "block_md5"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert rep["rows_out"] > 0
+    # blocks are exactly 64 TRUE tokens except per-shard tails
+    from collections import Counter
+    short = Counter(r["shard"] for r in got.where("n_tokens < 64").collect())
+    assert all(v == 1 for v in short.values())
+
+
+def test_pipeline_pack_pretokenized_requires_bpe_text(spark, tmp_path):
+    import pytest
+
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    config = {
+        "input": {"path": DOCS, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "stages": [{"stage": "pack", "block_size": 64, "shards": 2,
+                    "pretokenized": True}],
+    }
+    with pytest.raises(ValueError, match="bpe_text"):
+        run_pipeline(spark, config)
