@@ -1041,32 +1041,51 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
             .mapInPandas(encode_batches, schema=out_schema))
 
 
+_BPE_DRIVER_MAX_VOCAB = 2_000_000  # distinct words the driver loop holds
+
+
 def learn_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
               lowercase: bool = False, min_count: int = 2,
-              checkpoint_every: int = 8) -> list:
+              checkpoint_every: int = 8, strategy: str = "auto",
+              driver_max_vocab: int = _BPE_DRIVER_MAX_VOCAB) -> list:
     """IN-ENGINE BPE training (the merge-table PRODUCER for
     :func:`bpe_tokenize`): learn ``n_merges`` merges from the corpus by
     the classic greedy criterion — repeatedly merge the most frequent
     adjacent symbol pair, frequencies weighted by word counts (Sennrich
-    et al. 2016 Algorithm 1).
+    et al. 2016 Algorithm 1), under the engine's sequential
+    STRING-replace merge semantics (the same fold
+    :func:`bpe_tokenize`'s expr path and the DuckDB oracles replay).
 
-    Plan shape (the kmeans/perceptron bounded-driver contract): ONE
-    corpus pass builds the distinct-word frequency table (the exchange
-    is vocabulary-bounded, not corpus-bounded — classic BPE trains on
-    word frequencies, so a 100 TB corpus reduces to its vocabulary
-    before any iteration runs). Each iteration then computes weighted
-    pair counts over that table (pairs via the shared zip-with n-gram
-    expression) and collects exactly ONE row — the argmax pair, ties
-    broken lexicographically so training is deterministic on any layout
-    — and folds the merge into the symbol column. Lineage is cut with
-    localCheckpoint every ``checkpoint_every`` iterations so the plan
-    doesn't deepen linearly with ``n_merges``.
+    ONE corpus pass builds the distinct-word frequency table — the
+    exchange is vocabulary-bounded, not corpus-bounded, so a 100 TB
+    corpus reduces to its vocabulary before any iteration runs. Then:
+
+    - ``strategy="distributed"``: each iteration computes weighted pair
+      counts over that table (pairs via the shared zip-with n-gram
+      expression) and collects exactly ONE row — the argmax pair, ties
+      broken lexicographically so training is deterministic on any
+      layout — and folds the merge into the symbol column. Lineage is
+      cut with localCheckpoint every ``checkpoint_every`` iterations.
+      One Spark job per merge: right when merges are few or the
+      vocabulary itself is too big to collect.
+    - ``strategy="driver"``: collect the word-frequency table ONCE
+      (guarded by ``driver_max_vocab``) and run the greedy loop
+      driver-side with an incremental pair index + lazy-deletion heap —
+      one Spark job TOTAL, the only shape that works at realistic
+      32k–50k merge counts. Bit-equal to the distributed path (see
+      :func:`_learn_bpe_driver` for the boundary-match subtlety).
+    - ``strategy="auto"``: driver when the vocabulary fits
+      ``driver_max_vocab`` (one cheap count on the word table),
+      distributed otherwise.
 
     Stops early when the best pair's weighted count drops below
     ``min_count``. Returns the ordered merge list.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if strategy not in ("auto", "distributed", "driver"):
+        raise ValueError(
+            f"strategy must be auto|distributed|driver: {strategy!r}")
     col = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     if lowercase:
         col = F.lower(col)
@@ -1076,6 +1095,20 @@ def learn_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
           .select(F.trim(F.regexp_replace(F.col("__w"), "(.)", "$1 "))
                   .alias("__sym"), "__n")
           .localCheckpoint())
+    if strategy == "auto":
+        # wf is checkpointed, so this count is a cheap local scan
+        strategy = ("driver" if wf.count() <= driver_max_vocab
+                    else "distributed")
+    if strategy == "driver":
+        pdf = wf.toPandas()  # bounded: ≤ driver_max_vocab rows (auto) /
+        # caller-asserted (explicit driver strategy)
+        if len(pdf) > driver_max_vocab:
+            raise ValueError(
+                f"vocabulary {len(pdf)} exceeds driver_max_vocab "
+                f"{driver_max_vocab}; use strategy='distributed'")
+        return _learn_bpe_driver(
+            list(zip(pdf["__sym"].tolist(), pdf["__n"].tolist())),
+            n_merges, min_count)
     merges: list = []
     for i in range(n_merges):
         pairs = _contiguous_ngrams(F.split(F.col("__sym"), " "), 2)
@@ -1092,6 +1125,109 @@ def learn_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
             "__sym", F.replace(F.col("__sym"), F.lit(pat), F.lit(a + b)))
         if (i + 1) % checkpoint_every == 0:
             wf = wf.localCheckpoint()
+    return merges
+
+
+def _learn_bpe_driver(word_freqs: list, n_merges: int,
+                      min_count: int) -> list:
+    """Driver-side greedy BPE over a collected (symbol-string, count)
+    word table — bit-equal to the distributed loop.
+
+    Semantics being reproduced EXACTLY: pair counts are adjacent
+    elements of ``sym.split(' ')`` (overlapping occurrences counted, so
+    ``a a a`` holds two ``a a`` pairs); the argmax is (count desc,
+    pair-string asc — Python code-point order == Spark's UTF8 binary
+    order for the same strings); the winning pattern ``"a b"`` is folded
+    with left-to-right non-overlapping STRING replace, which also fires
+    across symbol boundaries (symbols ``[xa, b]`` render ``"xa b"``,
+    matching pattern ``"a b"`` at offset 1 → ``"xab"``). A word is
+    therefore affected by merge (a, b) iff some adjacency (p, q) has
+    ``p.endswith(a) and q.startswith(b)`` — the exact-pair index alone
+    would miss the boundary matches, so adjacencies are ALSO bucketed by
+    ``(p[-1], q[0])``: a merge scans one small bucket for matching
+    adjacency keys instead of the whole vocabulary.
+
+    Cost per merge: one bucket scan + re-hash of only the affected
+    words; stale heap entries are lazily discarded (an entry is valid
+    only while its count matches the live counter). 50k merges over a
+    few million words run in seconds-to-minutes, vs 50k Spark jobs.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    words: list = []   # current symbol-string per distinct word
+    freqs: list = []   # corpus frequency per distinct word
+    pc: Counter = Counter()             # pair -> weighted count
+    occ: dict = defaultdict(set)        # pair -> word indexes holding it
+    buckets: dict = defaultdict(set)    # (p[-1], q[0]) -> pairs (p, q)
+
+    def add_word(wi: int) -> None:
+        syms = words[wi].split(" ")
+        n = freqs[wi]
+        for p, q in zip(syms, syms[1:]):
+            pair = (p, q)
+            pc[pair] += n
+            occ[pair].add(wi)
+            buckets[(p[-1], q[0])].add(pair)
+
+    def drop_word(wi: int) -> None:
+        syms = words[wi].split(" ")
+        n = freqs[wi]
+        for p, q in zip(syms, syms[1:]):
+            pair = (p, q)
+            pc[pair] -= n
+            occ[pair].discard(wi)
+            if not occ[pair]:
+                del pc[pair], occ[pair]
+                buckets[(p[-1], q[0])].discard(pair)
+
+    for sym, n in word_freqs:
+        if not sym:
+            continue
+        words.append(sym)
+        freqs.append(int(n))
+        add_word(len(words) - 1)
+
+    heap = [(-c, f"{p} {q}", (p, q)) for (p, q), c in pc.items()]
+    heapq.heapify(heap)
+    merges: list = []
+    while len(merges) < n_merges:
+        top = None
+        while heap:
+            negc, _ps, pair = heap[0]
+            if pc.get(pair) == -negc:  # live entry
+                top = heap[0]
+                break
+            heapq.heappop(heap)  # stale: count changed since push
+        if top is None or -top[0] < min_count:
+            break
+        a, b = top[2]
+        merges.append((a, b))
+        pat, rep = f"{a} {b}", a + b
+        # Every word whose STRING contains pat: adjacency (p, q) with
+        # p.endswith(a), q.startswith(b) — all such pairs live in the
+        # (a[-1], b[0]) bucket.
+        affected: set = set()
+        for p, q in list(buckets.get((a[-1], b[0]), ())):
+            if p.endswith(a) and q.startswith(b):
+                affected |= occ[p, q]
+        touched: set = set()
+        for wi in affected:
+            # EVERY pair in the old and new adjacency lists changed
+            # count — including pairs merely decremented that survive in
+            # other words; without a refreshed entry their stale (higher)
+            # heap entries would be lazily discarded and the pair lost.
+            syms = words[wi].split(" ")
+            touched.update(zip(syms, syms[1:]))
+            drop_word(wi)
+            words[wi] = words[wi].replace(pat, rep)
+            add_word(wi)
+            syms = words[wi].split(" ")
+            touched.update(zip(syms, syms[1:]))
+        for pair in touched:  # push refreshed counts (lazy deletion)
+            if pair in pc:
+                heapq.heappush(
+                    heap, (-pc[pair], f"{pair[0]} {pair[1]}", pair))
     return merges
 
 

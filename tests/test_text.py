@@ -776,3 +776,61 @@ def test_bpe_arrow_path_large_merge_table(spark):
 
     with pytest.raises(ValueError, match="exceeds the literal-expression"):
         text.bpe_tokenize(df, merges, strategy="expr")
+
+
+def test_learn_bpe_driver_equals_distributed_boundary_cases(spark):
+    """The driver trainer must reproduce STRING-replace semantics: a
+    merge (a, b) also fires across symbol boundaries (symbols [xa, b]
+    render "xa b", matching "a b"), and junction-formed occurrences
+    ([aa, a, a] -> "aaa a" still contains "aa a"). Corpora built to hit
+    exactly those paths."""
+    rows = [(i, t) for i, t in enumerate([
+        "aa a a aa a a aa a", "xa b a b xa b", "a ba b a b",
+        "aaa aa a", "b b b b a a a a", "ab ab a b ab",
+        "xb a ya xb a", "a a a a a a"] * 2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (4, 12):
+        d = text.learn_bpe(df, n, strategy="driver")
+        x = text.learn_bpe(df, n, strategy="distributed")
+        assert d == x, (n, d, x)
+
+
+def test_learn_bpe_strategies_agree_random_corpora(spark):
+    """Hypothesis differential: driver vs distributed trainer on random
+    small-alphabet corpora (small alphabets maximize merge collisions,
+    boundary matches, and tie-breaks)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from("ab ")
+    texts_st = st.lists(st.text(alphabet, max_size=14),
+                        min_size=1, max_size=6)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(texts=texts_st, n=st.integers(1, 6))
+    def prop(texts, n):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        d = text.learn_bpe(df, n, min_count=2, strategy="driver")
+        x = text.learn_bpe(df, n, min_count=2, strategy="distributed")
+        assert d == x, (texts, n, d, x)
+
+    prop()
+
+
+def test_learn_bpe_auto_and_guards(spark):
+    df = spark.createDataFrame(
+        [(1, "the the there then")], "doc_id long, text string")
+    want = text.learn_bpe(df, 4, strategy="distributed")
+    # tiny vocab -> auto picks driver; result identical
+    assert text.learn_bpe(df, 4, strategy="auto") == want
+    # auto falls back to distributed when vocab exceeds the bound
+    assert text.learn_bpe(df, 4, strategy="auto",
+                          driver_max_vocab=1) == want
+    import pytest
+    with pytest.raises(ValueError, match="driver_max_vocab"):
+        text.learn_bpe(df, 4, strategy="driver", driver_max_vocab=1)
+    with pytest.raises(ValueError, match="strategy"):
+        text.learn_bpe(df, 4, strategy="nope")

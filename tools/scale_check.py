@@ -557,6 +557,36 @@ def pipeline_main(n_docs: int) -> None:
     print(json.dumps(out))
 
 
+def bpetrain_main(n_docs: int, n_merges: int = 1_000) -> None:
+    """Round-8 rung: in-engine BPE training at realistic merge counts.
+    The driver strategy (one corpus pass + collected word table +
+    incremental pair index) is the only shape that works at 32k–50k
+    merges — the distributed loop pays one Spark job per merge. Reports
+    driver-mode time at ``n_merges`` plus a 64-merge distributed run for
+    the per-merge job cost, and asserts the two agree on the first 64."""
+    from funnel_rocket_spark.operators import text as T
+
+    spark = get_spark(app_name="scale-check-bpetrain")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _load_docs(spark, n_docs)
+
+    out = {"n_docs": n_docs, "n_merges": n_merges, "timings": {}}
+    t0 = time.perf_counter()
+    merges = T.learn_bpe(docs, n_merges, min_count=2, strategy="driver",
+                         driver_max_vocab=10_000_000)
+    out["timings"][f"driver_{n_merges}_merges"] = round(
+        time.perf_counter() - t0, 2)
+    out["n_learned"] = len(merges)
+
+    t0 = time.perf_counter()
+    dist64 = T.learn_bpe(docs, 64, min_count=2, strategy="distributed")
+    out["timings"]["distributed_64_merges"] = round(
+        time.perf_counter() - t0, 2)
+    assert merges[:64] == dist64, "driver/distributed trainer divergence"
+    out["prefix_64_equal"] = True
+    print(json.dumps(out))
+
+
 def kmeans_main(n_vecs: int, dim: int = 64) -> None:
     """Semantic-dedup-at-scale evidence: deterministic Lloyd's k-means
     timing per round, then SemDeDup within-cell pair recall on the planted
@@ -645,6 +675,10 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pqsweep":
         pqsweep_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpetrain":
+        bpetrain_main(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000,
+                      int(sys.argv[3]) if len(sys.argv) > 3 else 1_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
         kmeans_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
