@@ -1957,39 +1957,43 @@ def _lm_nll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_nll(docs, docs.where(F.col("lang") == "en"))
 
 
-_LM_NLL_SQL = """
+def _lm_nll_sql(nb: int, tb: int) -> str:
+    """CCNet-LM oracle, parameterized by (n_buckets, top_bigrams) so the
+    same replay covers both the literal-map catalog query (256/1024) and
+    the broadcast-join variant's bigger model."""
+    return f"""
 WITH toks AS (SELECT doc_id, lang,
     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
                 x -> x <> '') AS tk
   FROM documents),
 ba AS (SELECT doc_id, lang,
-    list_transform(tk, t -> ('0x' || substr(md5(t), 1, 11))::BIGINT % 256)
+    list_transform(tk, t -> ('0x' || substr(md5(t), 1, 11))::BIGINT % {nb})
       AS bs
   FROM toks),
 ub AS (SELECT unnest(bs) AS b FROM ba WHERE lang = 'en'),
 uc AS (SELECT b, count(*) AS c FROM ub GROUP BY 1),
 ut AS (SELECT count(*) AS t FROM ub),
 ul AS MATERIALIZED (SELECT r.range AS b,
-    round(ln((coalesce(uc.c, 0) + 1.0) / (ut.t + 256.0)) * 1048576)
+    round(ln((coalesce(uc.c, 0) + 1.0) / (ut.t + {nb}.0)) * 1048576)
       / 1048576 AS v
-  FROM range(0, 256) r CROSS JOIN ut LEFT JOIN uc ON r.range = uc.b),
+  FROM range(0, {nb}) r CROSS JOIN ut LEFT JOIN uc ON r.range = uc.b),
 bg AS (SELECT unnest(list_transform(generate_series(1, len(bs) - 1),
-        i -> bs[i] * 256 + bs[i + 1])) AS pc
+        i -> bs[i] * {nb} + bs[i + 1])) AS pc
   FROM ba WHERE lang = 'en'),
 bc AS (SELECT pc, count(*) AS c FROM bg GROUP BY 1),
-topb AS (SELECT pc, c FROM bc ORDER BY c DESC, pc ASC LIMIT 1024),
+topb AS (SELECT pc, c FROM bc ORDER BY c DESC, pc ASC LIMIT {tb}),
 bl AS MATERIALIZED (SELECT t.pc,
-    round(ln((t.c + 1.0) / (coalesce(uc.c, 0) + 256.0)) * 1048576)
+    round(ln((t.c + 1.0) / (coalesce(uc.c, 0) + {nb}.0)) * 1048576)
       / 1048576 AS v
-  FROM topb t LEFT JOIN uc ON t.pc // 256 = uc.b),
+  FROM topb t LEFT JOIN uc ON t.pc // {nb} = uc.b),
 pairs AS (SELECT doc_id,
     unnest(list_transform(generate_series(1, len(bs) - 1),
-        i -> bs[i] * 256 + bs[i + 1])) AS pc
+        i -> bs[i] * {nb} + bs[i + 1])) AS pc
   FROM ba),
 ps AS (SELECT pairs.doc_id,
     sum(coalesce(bl.v, round(ln(0.4) * 1048576) / 1048576 + ulc.v)) AS s
   FROM pairs LEFT JOIN bl ON pairs.pc = bl.pc
-  JOIN ul ulc ON pairs.pc % 256 = ulc.b
+  JOIN ul ulc ON pairs.pc % {nb} = ulc.b
   GROUP BY 1),
 fs AS (SELECT ba.doc_id, len(bs) AS n,
     CASE WHEN len(bs) > 0 THEN (SELECT v FROM ul WHERE ul.b = bs[1])
@@ -2000,6 +2004,25 @@ SELECT fs.doc_id, fs.n::INT AS n_tokens,
   round(-(fs.f + coalesce(ps.s, 0.0)) / greatest(fs.n, 1), 6) AS avg_nll
 FROM fs LEFT JOIN ps ON fs.doc_id = ps.doc_id
 """
+
+
+_LM_NLL_SQL = _lm_nll_sql(256, 1024)
+
+# Join-scorer variant: a model past BOTH literal-map caps (4096 buckets,
+# up to 100k bigrams), so lm_score's auto routing provably takes the
+# broadcast-join path in the driver-checked query.
+_LM_JOIN_NB, _LM_JOIN_TB = 4096, 100_000
+
+
+def _lm_nll_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM scoring THROUGH the broadcast-join path: same semantics
+    as text_lm_nll but with a 4096-bucket / 100k-bigram model — beyond
+    the literal-map caps, so strategy='auto' routes to the join scorer
+    (exploded pair keys → broadcast model frames → per-doc re-aggregate,
+    shuffle volume ~1 row/doc after partial aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_nll(docs, docs.where(F.col("lang") == "en"),
+                       n_buckets=_LM_JOIN_NB, top_bigrams=_LM_JOIN_TB)
 
 
 _BPE_LEARN_N = 6  # merges the in-engine trainer learns for the oracle query
@@ -3561,6 +3584,10 @@ FROM k
     "text_lm_nll": (
         _lm_nll_fn,
         _LM_NLL_SQL,
+    ),
+    "text_lm_nll_join": (
+        _lm_nll_join_fn,
+        _lm_nll_sql(_LM_JOIN_NB, _LM_JOIN_TB),
     ),
     "behavior_funnel_trend": (
         _funnel_trend_fn,

@@ -1284,6 +1284,12 @@ def perceptron_predict(df: DataFrame, weights: dict,
 _LM_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
 
 
+_LM_BUCKET_CAP = 1 << 20      # unigram collect bound (rows)
+_LM_BIGRAM_CAP = 500_000      # bigram collect bound (rows)
+_LM_MAP_BUCKET_CAP = 1024     # literal-map scoring path caps: beyond
+_LM_MAP_BIGRAM_CAP = _CLASSIFIER_MAP_MAX  # these, lm_score auto-joins
+
+
 def lm_bigram_model(df_target: DataFrame, text_col: str = "text",
                     n_buckets: int = 256, smoothing: float = 1.0,
                     top_bigrams: int = 1024) -> dict:
@@ -1295,16 +1301,21 @@ def lm_bigram_model(df_target: DataFrame, text_col: str = "text",
     pruning a deployed KenLM model ships with. Returns
     ``{"uni": {bucket: logp}, "bi": {p*n_buckets+c: logp}, "log_alpha", ...}``
     with every log-prob quantized to a multiple of 2^-20.
+
+    CCNet-grade capacity (~10⁵+ n-grams) is in bounds: a model bigger
+    than the literal-map caps (1024 buckets / 2000 bigrams) is scored by
+    :func:`lm_score`'s broadcast-join path automatically.
     """
     import math
 
     from funnel_rocket_spark.operators.sampling import _md5_bucket
 
-    if n_buckets < 2 or n_buckets > 1024:
-        raise ValueError("n_buckets must be in [2, 1024] (literal maps)")
-    if top_bigrams < 0 or top_bigrams > _CLASSIFIER_MAP_MAX:
+    if n_buckets < 2 or n_buckets > _LM_BUCKET_CAP:
         raise ValueError(
-            f"top_bigrams must be in [0, {_CLASSIFIER_MAP_MAX}]")
+            f"n_buckets must be in [2, {_LM_BUCKET_CAP}] (driver collect)")
+    if top_bigrams < 0 or top_bigrams > _LM_BIGRAM_CAP:
+        raise ValueError(
+            f"top_bigrams must be in [0, {_LM_BIGRAM_CAP}]")
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0")
     q = float(1 << 20)
@@ -1331,7 +1342,8 @@ def lm_bigram_model(df_target: DataFrame, text_col: str = "text",
     pair_keys = F.zip_with(
         F.slice("__bs", 1, F.greatest(n - 1, F.lit(0))),
         F.slice("__bs", 2, F.greatest(n - 1, F.lit(0))),
-        lambda p, c: p * n_buckets + c)
+        # long arithmetic: int32 overflows at n_buckets > ~46k (ANSI)
+        lambda p, c: p.cast("long") * n_buckets + c)
     top = (staged.select(F.explode(pair_keys).alias("pc"))
            .groupBy("pc").agg(F.count(F.lit(1)).alias("c"))
            .orderBy(F.col("c").desc(), F.col("pc").asc())
@@ -1347,7 +1359,7 @@ def lm_bigram_model(df_target: DataFrame, text_col: str = "text",
 
 
 def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id", strategy: str = "auto") -> DataFrame:
     """Score every raw document under the trained LM: per-doc log
     probability (unigram for the first token, bigram with stupid backoff
     — ``log_alpha + unigram`` for unseen pairs — for the rest) and the
@@ -1356,10 +1368,34 @@ def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
     exp() keeps values dyadic-exact for the oracle). Null/empty text
     scores 0 over 0 tokens.
 
-    Plan shape: the model folds into two broadcast literal maps, so
-    scoring is ONE zero-shuffle codegen projection over the corpus scan
-    — the cost at 100 TB is exactly one pass.
+    Two plan shapes (the :func:`classifier_score_weights` map-vs-join
+    split):
+
+    - ``"map"``: the model folds into two broadcast literal maps, so
+      scoring is ONE zero-shuffle codegen projection over the corpus
+      scan — the cost at 100 TB is exactly one pass. Capped at 1024
+      buckets / 2000 bigrams (codegen literal limits).
+    - ``"join"``: the model becomes two Arrow-built DataFrames
+      (bucket→logp, pairkey→logp) broadcast-joined against the exploded
+      per-position pair keys, then re-aggregated per doc. One corpus
+      pass + one partial-aggregated exchange whose shuffle volume is
+      ~1 row/doc (map-side combine collapses positions before the
+      shuffle) — the shape that carries a CCNet-grade 10⁵⁺-entry model.
+    - ``"auto"``: map when the model fits the literal caps, else join.
     """
+    if strategy not in ("auto", "map", "join"):
+        raise ValueError(f"strategy must be auto|map|join: {strategy!r}")
+    if strategy == "auto":
+        strategy = ("map" if model["n_buckets"] <= _LM_MAP_BUCKET_CAP
+                    and len(model["bi"]) <= _LM_MAP_BIGRAM_CAP else "join")
+    if strategy == "join":
+        return _lm_score_join(df_raw, model, text_col, id_col)
+    if (model["n_buckets"] > _LM_MAP_BUCKET_CAP
+            or len(model["bi"]) > _LM_MAP_BIGRAM_CAP):
+        raise ValueError(
+            f"model exceeds literal-map caps ({_LM_MAP_BUCKET_CAP} "
+            f"buckets / {_LM_MAP_BIGRAM_CAP} bigrams); use "
+            "strategy='join'")
     from funnel_rocket_spark.operators.sampling import _md5_bucket
 
     n_buckets = model["n_buckets"]
@@ -1395,12 +1431,96 @@ def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
         F.round(-lp / F.greatest(n, F.lit(1)), 6).alias("avg_nll"))
 
 
+def _lm_score_join(df_raw: DataFrame, model: dict, text_col: str,
+                   id_col: str) -> DataFrame:
+    """Broadcast-join scorer for models beyond the literal-map caps.
+
+    The model ships as two small DataFrames built Arrow-side from the
+    trained dicts (≤ n_buckets + |bi| rows — no Python-RDD literals),
+    explicitly broadcast. The corpus explodes to one row per adjacent
+    pair (explode_outer keeps 0/1-token docs), left-joins the bigram
+    table on the pair key and the unigram table on the continuation
+    bucket (backoff), then re-aggregates per doc — partial aggregation
+    collapses each partition's positions before the exchange, so shuffle
+    volume is ~1 row per doc, not per token. First-token unigram joins
+    AFTER the aggregate, on the ≤|docs| frame. Value-identical to the
+    map path even though F.sum reassociates the per-pair terms: every
+    model logp is a dyadic multiple of 2^-20 with |logp| < 64, so a
+    per-doc sum is exact integer arithmetic in doubles (< 2^52) and
+    therefore order-independent — the same argument the DuckDB oracle
+    relies on."""
+    import pandas as pd
+
+    from funnel_rocket_spark.operators.sampling import _md5_bucket
+
+    spark = df_raw.sparkSession
+    n_buckets = model["n_buckets"]
+    uni_pdf = pd.DataFrame(
+        {"__b": list(model["uni"].keys()),
+         "__uv": [float(v) for v in model["uni"].values()]})
+    uni_df = spark.createDataFrame(uni_pdf,
+                                   schema="__b int, __uv double")
+    if model["bi"]:
+        bi_pdf = pd.DataFrame(
+            {"__pc": list(model["bi"].keys()),
+             "__bv": [float(v) for v in model["bi"].values()]})
+        bi_df = spark.createDataFrame(bi_pdf,
+                                      schema="__pc long, __bv double")
+    else:
+        bi_df = spark.range(0).select(
+            F.col("id").cast("long").alias("__pc"),
+            F.lit(0.0).alias("__bv"))
+
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    bs = F.transform(tk, lambda t: _md5_bucket(t, n_buckets).cast("int"))
+    n = F.size("__bs")
+    pairs = F.zip_with(
+        F.slice("__bs", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("__bs", 2, F.greatest(n - 1, F.lit(0))),
+        lambda p, c: F.struct(
+            (p.cast("long") * n_buckets + c).alias("pc"),
+            c.alias("cb")))
+    staged = (df_raw.withColumn("__bs", bs)
+              .select(F.col(id_col), n.alias("__n"),
+                      F.when(n > 0, F.element_at("__bs", 1))
+                      .alias("__first_b"),  # ANSI: bare element_at throws
+                      # on empty arrays instead of returning null
+                      F.explode_outer(pairs).alias("__pr")))
+    alpha = F.lit(float(model["log_alpha"]))
+    scored = (staged
+              .join(F.broadcast(bi_df),
+                    staged["__pr"]["pc"] == bi_df["__pc"], "left")
+              .join(F.broadcast(uni_df),
+                    staged["__pr"]["cb"] == uni_df["__b"], "left"))
+    pair_lp = F.when(F.col("__pr").isNotNull(),
+                     F.coalesce(F.col("__bv"), alpha + F.col("__uv"))) \
+        .otherwise(F.lit(0.0))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.first("__n").alias("__n"),
+                    F.first("__first_b").alias("__first_b"),
+                    F.sum(pair_lp).alias("__plp")))
+    fu = uni_df.select(F.col("__b").alias("__fb"),
+                       F.col("__uv").alias("__fv"))
+    out = per_doc.join(F.broadcast(fu),
+                       per_doc["__first_b"] == fu["__fb"], "left")
+    lp = (F.when(F.col("__n") > 0, F.coalesce(F.col("__fv"), F.lit(0.0)))
+          .otherwise(F.lit(0.0))
+          + F.coalesce(F.col("__plp"), F.lit(0.0)))
+    return out.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        F.round(lp, 6).alias("logprob_sum"),
+        F.round(-lp / F.greatest(F.col("__n"), F.lit(1)), 6)
+        .alias("avg_nll"))
+
+
 def lm_nll(df_raw: DataFrame, df_target: DataFrame, text_col: str = "text",
            id_col: str = "doc_id", n_buckets: int = 256,
-           smoothing: float = 1.0, top_bigrams: int = 1024) -> DataFrame:
+           smoothing: float = 1.0, top_bigrams: int = 1024,
+           strategy: str = "auto") -> DataFrame:
     """Convenience composition: train on ``df_target``, score ``df_raw``
     (the CCNet recipe end-to-end). Filter downstream on ``avg_nll`` —
     low = reads like the target corpus."""
     model = lm_bigram_model(df_target, text_col, n_buckets, smoothing,
                             top_bigrams)
-    return lm_score(df_raw, model, text_col, id_col)
+    return lm_score(df_raw, model, text_col, id_col, strategy=strategy)

@@ -834,3 +834,43 @@ def test_learn_bpe_auto_and_guards(spark):
         text.learn_bpe(df, 4, strategy="driver", driver_max_vocab=1)
     with pytest.raises(ValueError, match="strategy"):
         text.learn_bpe(df, 4, strategy="nope")
+
+
+def test_lm_score_join_equals_map(spark):
+    """Broadcast-join scorer == literal-map scorer on the same trained
+    model (dyadic logps make both sums exact, so equality is bitwise),
+    including the empty-bigram pure-backoff model and 0/1-token docs."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the the the"),
+         (3, None), (4, ""), (5, "one"), (6, "cat mat unseen zz")],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "on the mat the cat")],
+        "doc_id long, text string")
+    for tb in (0, 64):
+        m = text.lm_bigram_model(tgt, n_buckets=16, top_bigrams=tb)
+        a = sorted(map(tuple, text.lm_score(
+            docs, m, strategy="map").collect()))
+        b = sorted(map(tuple, text.lm_score(
+            docs, m, strategy="join").collect()))
+        assert a == b, (tb, a, b)
+
+
+def test_lm_score_auto_routing_and_guards(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    # beyond-map-cap model: trains fine, auto scores via join
+    m = text.lm_bigram_model(df, n_buckets=2048, top_bigrams=4096)
+    rows = text.lm_score(df, m).collect()  # auto -> join
+    assert rows[0]["n_tokens"] == 5
+    # explicit map on an over-cap model is an error, not silent fallback
+    with pytest.raises(ValueError, match="literal-map caps"):
+        text.lm_score(df, m, strategy="map")
+    with pytest.raises(ValueError, match="strategy"):
+        text.lm_score(df, m, strategy="nope")
+    # lifted training caps still bounded
+    with pytest.raises(ValueError, match="n_buckets"):
+        text.lm_bigram_model(df, n_buckets=(1 << 20) + 1)
+    with pytest.raises(ValueError, match="top_bigrams"):
+        text.lm_bigram_model(df, top_bigrams=500_001)

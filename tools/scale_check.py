@@ -587,6 +587,45 @@ def bpetrain_main(n_docs: int, n_merges: int = 1_000) -> None:
     print(json.dumps(out))
 
 
+def lmjoin_main(n_docs: int, n_buckets: int = 65_536,
+                top_bigrams: int = 200_000) -> None:
+    """Round-8 rung: CCNet-grade LM scoring through the broadcast-join
+    path — a model an order of magnitude past the literal-map caps
+    (default 64k buckets / 200k bigrams), trained on a 10% slice and
+    scored over the whole corpus. Also times the capped literal-map
+    model for the small-model baseline."""
+    from funnel_rocket_spark.operators import text as T
+
+    spark = get_spark(app_name="scale-check-lmjoin")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _load_docs(spark, n_docs)
+    target = docs.where(F.col("doc_id") % 10 == 0)
+
+    out = {"n_docs": n_docs, "n_buckets": n_buckets,
+           "top_bigrams": top_bigrams, "timings": {}}
+    t0 = time.perf_counter()
+    model = T.lm_bigram_model(target, n_buckets=n_buckets,
+                              top_bigrams=top_bigrams)
+    out["timings"]["train"] = round(time.perf_counter() - t0, 2)
+    out["n_bigrams_learned"] = len(model["bi"])
+
+    t0 = time.perf_counter()
+    scored = T.lm_score(docs, model, strategy="join")
+    agg = scored.agg(F.count(F.lit(1)), F.sum("n_tokens"),
+                     F.avg("avg_nll")).collect()[0]
+    out["timings"]["score_join"] = round(time.perf_counter() - t0, 2)
+    out["n_scored"], out["total_tokens"] = int(agg[0]), int(agg[1])
+    out["mean_avg_nll"] = round(float(agg[2]), 4)
+
+    t0 = time.perf_counter()
+    small = T.lm_bigram_model(target, n_buckets=1024, top_bigrams=2000)
+    T.lm_score(docs, small, strategy="map") \
+        .agg(F.count(F.lit(1))).collect()
+    out["timings"]["small_model_map_baseline"] = round(
+        time.perf_counter() - t0, 2)
+    print(json.dumps(out))
+
+
 def kmeans_main(n_vecs: int, dim: int = 64) -> None:
     """Semantic-dedup-at-scale evidence: deterministic Lloyd's k-means
     timing per round, then SemDeDup within-cell pair recall on the planted
@@ -675,6 +714,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pqsweep":
         pqsweep_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "lmjoin":
+        lmjoin_main(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpetrain":
         bpetrain_main(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000,
