@@ -33,13 +33,20 @@ class QueryEngine:
     """
 
     def __init__(self, group_id_column: str, timestamp_column: str,
-                 universe_window_threshold: int = 4_000_000):
+                 universe_window_threshold: int = 4_000_000,
+                 agg_collect_threads: int = 8):
         self.group_id_column = group_id_column
         self.timestamp_column = timestamp_column
         # matched-group count above which the row universe switches from
         # the semi join (broadcastable below this) to window flags — see
         # QueryPlan.rows_of_matching_groups
         self.universe_window_threshold = universe_window_threshold
+        # multi-aggregation queries submit their N independent aggregate
+        # jobs from this many threads (Spark schedules concurrent jobs;
+        # the shared universe is persisted, and Spark's per-partition
+        # cache locking means concurrent first-computes block rather
+        # than duplicate). 1 = serial.
+        self.agg_collect_threads = max(1, int(agg_collect_threads))
 
     def expand(self, query: dict, df: Optional[DataFrame] = None) -> ExpandedQuery:
         schema = (
@@ -168,15 +175,33 @@ class QueryEngine:
                         return plan.funnel_step_rows(
                             i, universe_strategy=uni, step_strategy=strat)
 
+                    if (step_aggs and n_steps > 1
+                            and self.agg_collect_threads > 1):
+                        # overlap the whole step-agg phase: each step's
+                        # aggregations are independent jobs over the
+                        # persisted per-group frame / universe
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        with ThreadPoolExecutor(
+                                min(n_steps,
+                                    self.agg_collect_threads)) as ex:
+                            step_agg_out = list(ex.map(
+                                lambda i: self._collect_aggregations(
+                                    plan, step_aggs, step_rows(i)),
+                                range(n_steps)))
+                    else:
+                        step_agg_out = [
+                            self._collect_aggregations(
+                                plan, step_aggs, step_rows(i))
+                            if step_aggs else None
+                            for i in range(n_steps)]
                     sequence = []
                     for i in range(n_steps):
                         sc = step_counts[i]
                         entry = {
                             "matchingGroups": sc["matching_groups"],
                             "matchingGroupRows": sc["matching_group_rows"],
-                            "aggregations": self._collect_aggregations(
-                                plan, step_aggs, step_rows(i))
-                            if step_aggs else None,
+                            "aggregations": step_agg_out[i],
                         }
                         sequence.append(entry)
                     result["funnel"] = {
@@ -211,14 +236,13 @@ class QueryEngine:
             if rows_persisted:
                 rows.unpersist()
 
-    @staticmethod
     def _collect_aggregations(
-        plan: QueryPlan, aggs: list[dict], rows: Optional[DataFrame]
+        self, plan: QueryPlan, aggs: list[dict], rows: Optional[DataFrame]
     ) -> Optional[list[dict]]:
         if not aggs:
             return None
-        out = []
-        for agg in aggs:
+
+        def one(agg: dict) -> dict:
             adf = plan.aggregation_df(agg, rows)
             collected = adf.collect()
             if agg["type"] == "count":
@@ -228,13 +252,23 @@ class QueryEngine:
                 metric = adf.columns[-1]
                 value = {str(r["value"]): r[metric] for r in collected}
                 top = int(agg.get("top", 10))
-            out.append(
-                {
-                    "column": agg["column"],
-                    "type": agg["type"],
-                    "name": agg.get("name"),
-                    "top": top,
-                    "value": value,
-                }
-            )
-        return out
+            return {
+                "column": agg["column"],
+                "type": agg["type"],
+                "name": agg.get("name"),
+                "top": top,
+                "value": value,
+            }
+
+        if len(aggs) == 1 or self.agg_collect_threads == 1:
+            return [one(a) for a in aggs]
+        # N independent tiny-result jobs over the (persisted) universe:
+        # submit them concurrently instead of serially awaiting each —
+        # Spark's scheduler interleaves the jobs across idle cores, so a
+        # multi-aggregation query's agg phase costs ~the slowest job,
+        # not the sum. map() preserves input order for the result JSON.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+                min(len(aggs), self.agg_collect_threads)) as ex:
+            return list(ex.map(one, aggs))

@@ -67,3 +67,32 @@ def test_job_group_stats_are_thread_scoped(spark):
 
     assert snaps["ev"]["worker"]["scannedRows"] == n_events
     assert snaps["li"]["worker"]["scannedRows"] == n_lineitem
+
+
+def test_concurrent_aggregation_collection_matches_serial(spark):
+    """agg_collect_threads>1 submits a multi-aggregation query's N
+    aggregate jobs (and the funnel step-agg phase) concurrently; the
+    result JSON must be byte-identical to the serial engine."""
+    from funnel_rocket_spark import QueryEngine
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = {"query": {"conditions": [
+            {"filter": ["event_type", "==", "purchase"]}],
+         "aggregations": [
+            {"column": "event_type", "type": "countPerValue", "top": 10},
+            {"column": "event_type", "type": "sumPerValue",
+             "otherColumn": "value", "top": 10},
+            {"column": "event_type", "type": "groupsPerValue", "top": 10},
+            {"column": "event_type", "type": "meanPerValue",
+             "otherColumn": "value", "top": 10}]},
+         "funnel": {"sequence": [
+            {"filter": ["event_type", "==", "view"]},
+            {"filter": ["event_type", "==", "purchase"]}],
+            "stepAggregations": [
+                {"column": "event_type", "type": "countPerValue",
+                 "top": 5}]}}
+    serial = QueryEngine("user_id", "ts", agg_collect_threads=1).run(ev, q)
+    conc = QueryEngine("user_id", "ts", agg_collect_threads=8).run(ev, q)
+    assert serial == conc
+    assert conc["query"]["aggregations"][1]["type"] == "sumPerValue"
+    assert all(s["aggregations"] for s in conc["funnel"]["sequence"])
