@@ -1,0 +1,156 @@
+"""Stream ≡ batch equivalence contracts for the streaming extensions.
+
+The incremental-LSH equivalence test is the template: feed the SAME data
+once as arbitrary consecutive micro-batches and once as a single batch,
+and require identical results. Hypothesis draws the corpus AND the batch
+boundaries, so the state-carrying code paths (resume from state, batch
+edges splitting a group's events, duplicates spanning batches) are all
+exercised.
+
+Scope note: `incremental_funnel` documents that cross-batch LATE events
+cannot retroactively advance a step, so equivalence is asserted for
+time-ordered batch boundaries (events sorted by ts, split anywhere) —
+exactly the contract the docstring promises. Within a batch, order is
+arbitrary (the operator re-sorts).
+"""
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark import QueryEngine
+from funnel_rocket_spark.streaming import (incremental_funnel,
+                                           streaming_exact_dedup)
+
+SEQ = [{"filter": {"column": "etype", "op": "==", "value": "view"}},
+       {"filter": {"column": "etype", "op": "==", "value": "click"}},
+       {"filter": {"column": "etype", "op": "==", "value": "purchase"}}]
+
+
+def _split(items: list, cuts: list[int]) -> list[list]:
+    """Consecutive chunks at the (sorted, deduped) cut positions."""
+    bounds = sorted({c % (len(items) + 1) for c in cuts})
+    out, prev = [], 0
+    for b in bounds:
+        if b > prev:
+            out.append(items[prev:b])
+            prev = b
+    if prev < len(items):
+        out.append(items[prev:])
+    return out or [items]
+
+
+events_st = st.lists(
+    st.tuples(st.integers(1, 3),                      # user
+              st.integers(0, 9),                      # ts (dups allowed)
+              st.sampled_from(["view", "click", "purchase", "other"])),
+    min_size=1, max_size=14)
+
+
+def test_incremental_funnel_stream_equals_batch_engine(spark, tmp_path):
+    run_no = [0]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(events=events_st, cuts=st.lists(st.integers(0, 14), max_size=3))
+    def prop(events, cuts):
+        run_no[0] += 1
+        base = tmp_path / f"f{run_no[0]}"
+        indir, ckpt = base / "in", base / "ckpt"
+        indir.mkdir(parents=True)
+        rows = [{"user_id": u, "ts": float(t), "etype": e}
+                for u, t, e in events]
+        rows.sort(key=lambda r: r["ts"])  # time-ordered boundaries only
+        for i, chunk in enumerate(_split(rows, cuts)):
+            pd.DataFrame(chunk).to_parquet(indir / f"b{i:02d}.parquet")
+
+        stream = (spark.readStream
+                  .schema("user_id long, ts double, etype string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(indir)))
+        name = f"funnel_eq_{run_no[0]}"
+        q = (incremental_funnel(stream, SEQ, "user_id", "ts")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["group_id"]: r["m"] for r in spark.sql(
+            f"SELECT group_id, max(steps_completed) AS m FROM {name} "
+            "GROUP BY group_id").collect()}
+
+        df = spark.createDataFrame(rows)
+        plan = QueryEngine("user_id", "ts").plan(
+            df, {"funnel": {"sequence": [
+                {"filter": [s["filter"]["column"], s["filter"]["op"],
+                            s["filter"]["value"]]} for s in SEQ]}})
+        want = {r["user_id"]: r["__fr_done"]
+                for r in plan.funnel_per_group().collect()
+                if r["__fr_done"] > 0}  # done=0 groups emit no update
+        assert got == want, (rows, cuts, got, want)
+
+    prop()
+
+
+docs_st = st.lists(
+    st.tuples(st.integers(0, 4),                      # content class
+              st.integers(0, 9)),                     # event-time second
+    min_size=1, max_size=12)
+
+
+def test_streaming_exact_dedup_equals_batch_first_seen(spark, tmp_path):
+    """One survivor per content digest; for classes spanning micro-batches
+    the survivor comes from the EARLIEST batch containing the class (state
+    from batch k filters batch k+1) — the batch-equivalence guarantee an
+    unbounded watermark makes exact."""
+    run_no = [0]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(docs=docs_st, cuts=st.lists(st.integers(0, 12), max_size=3))
+    def prop(docs, cuts):
+        run_no[0] += 1
+        base = tmp_path / f"d{run_no[0]}"
+        indir, ckpt = base / "in", base / "ckpt"
+        indir.mkdir(parents=True)
+        rows = [{"doc_id": i, "ts": f"2024-01-01 00:00:{t:02d}",
+                 "text": f"content class {c}"}
+                for i, (c, t) in enumerate(docs)]
+        rows.sort(key=lambda r: r["ts"])
+        chunks = _split(rows, cuts)
+        for i, chunk in enumerate(chunks):
+            pd.DataFrame(chunk).to_parquet(indir / f"b{i:02d}.parquet")
+        first_batch_of = {}  # content class -> earliest chunk index
+        for i, chunk in enumerate(chunks):
+            for r in chunk:
+                first_batch_of.setdefault(r["text"], i)
+        batch_of = {r["doc_id"]: i
+                    for i, chunk in enumerate(chunks) for r in chunk}
+
+        stream = (spark.readStream
+                  .schema("ts string, doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(str(indir))
+                  .withColumn("ts", F.to_timestamp("ts")))
+        out = streaming_exact_dedup(stream, "ts", watermark="1000 hours")
+        name = f"dedup_eq_{run_no[0]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        kept = spark.sql(f"SELECT doc_id, text FROM {name}").collect()
+
+        by_text = {}
+        for r in kept:
+            by_text.setdefault(r["text"], []).append(r["doc_id"])
+        # exactly one survivor per distinct content
+        assert sorted(by_text) == sorted({r["text"] for r in rows}), \
+            (rows, cuts, by_text)
+        assert all(len(v) == 1 for v in by_text.values()), by_text
+        # survivor is from the earliest batch containing its class
+        for text_val, (doc_id,) in by_text.items():
+            assert batch_of[doc_id] == first_batch_of[text_val], \
+                (rows, cuts, by_text)
+
+    prop()
