@@ -3667,18 +3667,15 @@ NO_ORACLE: dict = {}
 # reference suite re-anchors, then extension re-greens in family order.
 # Everything else follows in catalog order, so all 109 stay runnable.
 _DRIVER_PRIORITY = [
-    # NEW r7 queries — first driver greens required: the exact BPE
-    # apply, the in-engine BPE trainer (chained-CTE trajectory oracle),
-    # the CCNet bigram-LM quality scorer, and the certified sketch-only
-    # percentile twin
-    "text_tokens_bpe", "text_bpe_learned", "text_lm_nll",
-    "olap_percentiles_approx_sketch",
-    # code paths changed in r7 — need fresh greens: the gopher
-    # symbol-ratio now counts unicode ellipsis (oracle updated to
-    # match), and mixture_plan anchors on the requested strata (feeds
-    # both mixture queries; dsir gained collision validation)
-    "text_gopher_filter", "sample_mixture", "sample_mixture_upsampled",
-    "sample_dsir",
+    # NEW r8 query + r8-changed code paths — first driver greens
+    # required: the broadcast-join LM scorer (text_lm_nll_join is
+    # provably the join path), the mixture plan now shared between
+    # audit and gate (anchor-free sampler plans), the driver-mode BPE
+    # trainer behind strategy='auto', and the (?s) char-split +
+    # ASCII-whitespace parity in bpe_tokenize (feeds both BPE queries);
+    # text_lm_nll's training pair key went long
+    "text_lm_nll_join", "sample_mixture", "sample_mixture_upsampled",
+    "text_bpe_learned", "text_tokens_bpe", "text_lm_nll",
     # full reference-shaped suite (re-anchor every round — the product)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
@@ -3688,26 +3685,23 @@ _DRIVER_PRIORITY = [
     "fr_seq_max_duration", "fr_seq_row_not_found", "fr_registration_profile",
     "fr_lineitem_engine", "fr_agg_groups_skew_path",
     "fr_agg_groups_per_value_approx",
-    # stalest rotation slice: text_tokens's newest green is r02; the
-    # rest below last greened in the r03 extension sweep
-    "text_tokens", "ann_cosine_topk", "ann_ivf_fullprobe",
-    "asof_join_tolerance", "behavior_attribution",
-    "behavior_conversion_delay", "behavior_funnel_step_timing",
-    "behavior_retention_rates", "behavior_retention_weekly",
-    "behavior_session_funnel", "behavior_session_funnel_bounded",
-    "behavior_top_paths", "dedup_pipeline_embedding",
-    "embedding_centroids", "multimodal_features", "olap_basket_pairs",
-    "olap_cube", "olap_customer_deciles", "olap_grouping_sets",
+    # stalest rotation slice: last driver-greened in the r03 extension
+    # sweep (the r7 ledger named exactly this block as the r8 leaders)
+    "s5_denorm_join", "olap_late_orders", "olap_nation_share",
+    "olap_part_avg_filter", "top_docs_per_lang", "olap_winsorized_mean",
+    "resample_temperature", "text_stats", "text_quality", "text_chunks",
+    "text_vocab", "text_pack_blocks", "text_repetition", "text_langid",
+    "text_fingerprint", "text_pii_redact", "text_tfidf", "text_entropy",
+    "text_exact_substrings", "text_remove_dup_spans", "text_c4_clean",
 ]
-# Audit ledger after this rotation (recomputed from CORRECTNESS_r01-r06
-# this round): 44 catalog queries' newest green is still the r03 sweep
-# and one (text_tokens) is r02 — the r7 window takes the four new r7
-# queries, the four r7-changed paths, the full fr_* re-anchor, and the
-# 19 stalest of those; the remaining r03-stale queries
-# (olap_late_orders, olap_nation_share, olap_part_avg_filter ..
-# top_docs_per_lang,
-# s5_denorm_join, olap_winsorized_mean, resample_temperature, the
-# text_* extension block) lead the r8 window.
+# Audit ledger after this rotation: the r7 window greened the four r7
+# queries, the r7-changed paths, the fr_* suite, and 19 of the r02/r03
+# stale slice (text_tokens .. olap_grouping_sets). The r8 window takes
+# the new join-scorer query, the five r8-changed paths, the fr_*
+# re-anchor, and 21 more of the r03-stale block; the remainder
+# (olap_pricing_summary .. dedup/sample/olap families) stays runnable
+# after the window and is value-verified every round by the pytest
+# oracle-parity sweep over all 120.
 
 
 def queries() -> dict:

@@ -151,7 +151,8 @@ def _stage_lm_gate(spark, df, cfg, ctx):
     scored = lm_nll(df, target, text_col=ctx["text_col"],
                     id_col=ctx["id_col"],
                     n_buckets=cfg.get("n_buckets", 256),
-                    top_bigrams=cfg.get("top_bigrams", 1024))
+                    top_bigrams=cfg.get("top_bigrams", 1024),
+                    strategy=cfg.get("strategy", "auto"))
     if "max_avg_nll" in cfg:
         cut = float(cfg["max_avg_nll"])
     elif "keep_frac" in cfg:

@@ -587,6 +587,102 @@ def bpetrain_main(n_docs: int, n_merges: int = 1_000) -> None:
     print(json.dumps(out))
 
 
+def curate_main(n_docs: int) -> None:
+    """Round-8 rung: the FULL 13-stage curate chain end-to-end at corpus
+    scale (pipeline.run_pipeline — the one-command product surface),
+    reporting per-stage seconds, then a resume-from-kill replay: the
+    state file is truncated to the first 10 stages (as a crash after
+    stage 10 would leave it) and the chain re-run — the green prefix
+    must resume from checkpoints in ~read time while only the tail
+    recomputes."""
+    import json as _json
+    import shutil
+
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark = get_spark(app_name="scale-check-curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _load_docs(spark, n_docs)
+    aux = os.path.join(here, ".scratch", f"curate_aux_{n_docs}")
+    inp = os.path.join(aux, "input.parquet")
+    eval_path = os.path.join(aux, "eval.parquet")
+    target_path = os.path.join(aux, "target.parquet")
+    if not os.path.isdir(inp):
+        docs.write.mode("overwrite").parquet(inp)
+        docs.where(F.col("doc_id") % 97 == 0) \
+            .write.mode("overwrite").parquet(eval_path)
+        docs.where(F.col("doc_id") % 10 == 3) \
+            .write.mode("overwrite").parquet(target_path)
+    workdir = os.path.join(here, ".scratch", f"curate_work_{n_docs}")
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    # All 13 stages. Synthetic docs are stopword-free "wNNN" tokens, so
+    # the Gopher gate runs with the stopword rule off (the rule itself
+    # is rung-timed in cleanfilters).
+    config = {
+        "input": {"path": inp, "id_col": "doc_id", "text_col": "text"},
+        "workdir": workdir,
+        "stages": [
+            {"stage": "c4_clean", "min_words_per_line": 1,
+             "require_terminal_punct": False},
+            {"stage": "gopher_filter", "min_words": 5,
+             "min_stopword_hits": 0, "min_mean_word_len": 1.0},
+            {"stage": "dedup_exact"},
+            {"stage": "dedup_minhash", "threshold": 0.5},
+            {"stage": "decontaminate", "eval_path": eval_path, "n": 5},
+            {"stage": "pii"},
+            {"stage": "lm_gate", "target_path": target_path,
+             "keep_frac": 0.9},
+            # explicit-weights scorer (the fasttext-export form): the
+            # synthetic vocab has no token present in most docs, so a
+            # trained gate would be degenerate — the weights form still
+            # pays the full scoring scan, with a threshold that keeps
+            # the corpus flowing to the later stages
+            {"stage": "classifier_gate",
+             "weights": {"w42": 5.0, "w43": 5.0, "w44": 5.0},
+             "threshold": -0.001},
+            {"stage": "bpe_count", "learn": 24, "keep_bpe_text": True},
+            {"stage": "mixture",
+             "weights": {f"src_{i}": 1.0 for i in range(10)},
+             "strata_col": "source", "total_tokens": 50_000_000,
+             "token_col": "n_bpe_tokens"},
+            {"stage": "dsir", "target_path": target_path, "n": 100_000},
+            {"stage": "split",
+             "weights": {"train": 0.9, "val": 0.05, "test": 0.05}},
+            {"stage": "pack", "block_size": 512, "shards": 32,
+             "pretokenized": True},
+        ],
+    }
+    t0 = time.perf_counter()
+    rep = run_pipeline(spark, config)
+    total = round(time.perf_counter() - t0, 2)
+    out = {"n_docs": n_docs, "total_seconds": total,
+           "rows_in": rep["rows_in"], "rows_out": rep["rows_out"],
+           "stages": [{"stage": s["stage"], "rows_out": s["rows_out"],
+                       "seconds": s.get("seconds")}
+                      for s in rep["stages"]]}
+
+    # resume-from-kill: crash after stage 10 = state.json holds 10
+    # entries; the rerun must resume 0-9 from checkpoints and recompute
+    # only dsir/split/pack
+    state_path = os.path.join(workdir, "state.json")
+    with open(state_path) as fh:
+        state = _json.load(fh)
+    state["stages"] = state["stages"][:10]
+    with open(state_path, "w") as fh:
+        _json.dump(state, fh)
+    t0 = time.perf_counter()
+    rep2 = run_pipeline(spark, config)
+    out["resume_after_kill_seconds"] = round(time.perf_counter() - t0, 2)
+    out["resumed_stages"] = sum(1 for s in rep2["stages"] if s["resumed"])
+    out["recomputed_stages"] = sum(
+        1 for s in rep2["stages"] if not s["resumed"])
+    assert out["resumed_stages"] == 10 and out["recomputed_stages"] == 3
+    assert rep2["rows_out"] == rep["rows_out"]
+    print(_json.dumps(out))
+
+
 def lmjoin_main(n_docs: int, n_buckets: int = 65_536,
                 top_bigrams: int = 200_000) -> None:
     """Round-8 rung: CCNet-grade LM scoring through the broadcast-join
@@ -714,6 +810,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pqsweep":
         pqsweep_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "curate":
+        curate_main(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "lmjoin":
         lmjoin_main(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
