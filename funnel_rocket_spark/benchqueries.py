@@ -2025,6 +2025,25 @@ def _lm_nll_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                        n_buckets=_LM_JOIN_NB, top_bigrams=_LM_JOIN_TB)
 
 
+# Frames-native variant: the model is TRAINED as DataFrames (uni/bi
+# tables never touch the driver) — distinct params so all three LM
+# catalog queries exercise distinct (trainer, scorer) pairs.
+_LM_FRAMES_NB, _LM_FRAMES_TB = 2048, 50_000
+
+
+def _lm_nll_frames_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM scoring with FRAMES-NATIVE training: lm_bigram_model_frames
+    builds the unigram/bigram tables as localCheckpointed DataFrames (two
+    vocabulary-bounded aggregates, zero driver collect), and lm_score
+    broadcast-joins them against the exploded corpus pairs. The shape that
+    carries a model past any driver bound — same oracle replay as the
+    other LM variants at (2048, 50k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_nll(docs, docs.where(F.col("lang") == "en"),
+                       n_buckets=_LM_FRAMES_NB, top_bigrams=_LM_FRAMES_TB,
+                       frames=True)
+
+
 _BPE_LEARN_N = 6  # merges the in-engine trainer learns for the oracle query
 
 
@@ -3589,6 +3608,10 @@ FROM k
         _lm_nll_join_fn,
         _lm_nll_sql(_LM_JOIN_NB, _LM_JOIN_TB),
     ),
+    "text_lm_nll_frames": (
+        _lm_nll_frames_fn,
+        _lm_nll_sql(_LM_FRAMES_NB, _LM_FRAMES_TB),
+    ),
     "behavior_funnel_trend": (
         _funnel_trend_fn,
         f"""
@@ -3674,7 +3697,8 @@ _DRIVER_PRIORITY = [
     # trainer behind strategy='auto', and the (?s) char-split +
     # ASCII-whitespace parity in bpe_tokenize (feeds both BPE queries);
     # text_lm_nll's training pair key went long
-    "text_lm_nll_join", "sample_mixture", "sample_mixture_upsampled",
+    "text_lm_nll_frames", "text_lm_nll_join", "sample_mixture",
+    "sample_mixture_upsampled",
     "text_bpe_learned", "text_tokens_bpe", "text_lm_nll",
     # full reference-shaped suite (re-anchor every round — the product)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",

@@ -1002,13 +1002,30 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
     # merge-count threshold.
     ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
-    # Precompute per-merge (pattern, replacement, char set): a merge whose
-    # characters aren't all present in the word can never apply, and with
-    # GPT-2-scale tables (~50k merges) this subset test skips the vast
-    # majority of replace() scans per distinct word. The word memo then
-    # amortizes across occurrences (Zipf: high hit rate per batch).
-    prepared = [(f"{a} {b}", f"{a}{b}", frozenset(a) | frozenset(b))
-                for a, b in merges]
+    # Vectorized merge prefilter: a merge whose characters aren't all
+    # present in the word can never match (its pattern can't be a
+    # substring), so its replace() is a no-op and may be skipped without
+    # changing the output. Each merge's char set hashes to a 64-bit
+    # bitmask; ONE numpy pass per distinct word selects the candidate
+    # merges ((mask & ~word_mask) == 0 — hash collisions only ADMIT
+    # extra no-op replaces, never drop a real one). This keeps the
+    # per-word cost ~O(candidates) instead of O(|merge table|): a pure-
+    # Python per-merge subset loop at GPT-2 scale (32k-50k merges) is
+    # ~10^11 set ops over a 200k-word vocabulary — hours, not seconds.
+    # The word memo then amortizes across occurrences (Zipf: high hit
+    # rate per batch).
+    import numpy as np
+
+    def _mask(chars) -> int:
+        m = 0
+        for ch in set(chars):
+            m |= 1 << ((ord(ch) * 2654435761) & 63)
+        return m
+
+    pats = [f"{a} {b}" for a, b in merges]
+    reps = [f"{a}{b}" for a, b in merges]
+    merge_masks = np.array([_mask(a + b) for a, b in merges],
+                           dtype=np.uint64)
 
     def encode_batches(it):
         memo: dict = {}
@@ -1017,10 +1034,9 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
             hit = memo.get(w)
             if hit is None:
                 s = " ".join(w)
-                cw = frozenset(w)
-                for pat, rep, chars in prepared:
-                    if chars <= cw:
-                        s = s.replace(pat, rep)
+                wm = np.uint64(_mask(w))
+                for i in np.flatnonzero((merge_masks & ~wm) == 0):
+                    s = s.replace(pats[i], reps[i])
                 memo[w] = hit = s
             return hit
 
@@ -1286,6 +1302,10 @@ _LM_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
 
 _LM_BUCKET_CAP = 1 << 20      # unigram collect bound (rows)
 _LM_BIGRAM_CAP = 500_000      # bigram collect bound (rows)
+_LM_FRAMES_BUCKET_CAP = 1 << 30  # frames trainer: key p*nb+c fits a long
+# rows (uni+bi) under which the frames scorer broadcasts the model; above,
+# the join is left to Catalyst/AQE (shuffled hash on the exploded pairs)
+_LM_FRAMES_BROADCAST_MAX = 4_000_000
 _LM_MAP_BUCKET_CAP = 1024     # literal-map scoring path caps: beyond
 _LM_MAP_BIGRAM_CAP = _CLASSIFIER_MAP_MAX  # these, lm_score auto-joins
 
@@ -1358,6 +1378,89 @@ def lm_bigram_model(df_target: DataFrame, text_col: str = "text",
             "top_bigrams": top_bigrams}
 
 
+def lm_bigram_model_frames(df_target: DataFrame, text_col: str = "text",
+                           n_buckets: int = 256, smoothing: float = 1.0,
+                           top_bigrams: int = 1024,
+                           checkpoint: bool = True) -> dict:
+    """FRAMES-NATIVE LM training: the same hashed-bigram stupid-backoff
+    model as :func:`lm_bigram_model`, but the unigram and bigram tables
+    are built and kept as DataFrames — the model NEVER passes through
+    the driver, so ``n_buckets`` / ``top_bigrams`` are not collect-bound
+    (a CCNet-grade 10⁶-bucket / 10⁷-bigram model stays on the cluster
+    end to end). Returns ``{"uni_df", "bi_df", "log_alpha", ...,
+    "frames": True}``; feed it to :func:`lm_score`, which joins the
+    model frames against the corpus.
+
+    Value-identical to the dict trainer on the same corpus and params
+    (test-pinned): both quantize every log-prob to a multiple of 2^-20
+    — ``round(ln(x) * 2^20) / 2^20`` — which absorbs any sub-ulp ln()
+    difference between the JVM and CPython and keeps the DuckDB oracle
+    bit-exact. ``checkpoint=True`` (default) localCheckpoints both model
+    frames so the two training aggregates run once, not once per
+    scoring consumer (the unigram table has two: backoff + first-token).
+    """
+    import math
+
+    from funnel_rocket_spark.operators.sampling import _md5_bucket
+
+    if n_buckets < 2 or n_buckets > _LM_FRAMES_BUCKET_CAP:
+        raise ValueError(
+            f"n_buckets must be in [2, {_LM_FRAMES_BUCKET_CAP}] "
+            "(pair key p*n_buckets+c must fit a long)")
+    if top_bigrams < 0:
+        raise ValueError("top_bigrams must be >= 0")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0")
+    spark = df_target.sparkSession
+    s = float(smoothing)
+    q = 1048576.0  # 2^20 — same dyadic grid as the dict trainer/oracle
+
+    def qln(x):  # column-side twin of the dict trainer's math.round/log
+        return F.round(F.log(x) * q, 0) / q
+
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    bs = F.transform(tk, lambda t: _md5_bucket(t, n_buckets).cast("int"))
+    staged = df_target.select(bs.alias("__bs"))
+    uni_counts = (staged.select(F.explode("__bs").alias("__b"))
+                  .groupBy("__b").agg(F.count(F.lit(1)).alias("__c")))
+    # one-row total frame: sum over observed buckets (0 on empty corpus)
+    tot = uni_counts.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__t"))
+    all_b = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("__b"))
+    uni_df = (all_b.join(uni_counts, "__b", "left")
+              .crossJoin(F.broadcast(tot))
+              .select("__b", qln(
+                  (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(s))
+                  / (F.col("__t") + F.lit(s * n_buckets))).alias("__uv")))
+
+    n = F.size("__bs")
+    pair_keys = F.zip_with(
+        F.slice("__bs", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("__bs", 2, F.greatest(n - 1, F.lit(0))),
+        lambda p, c: p.cast("long") * n_buckets + c)
+    topb = (staged.select(F.explode(pair_keys).alias("__pc"))
+            .groupBy("__pc").agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col("__pc").asc())
+            .limit(top_bigrams))
+    prefix_uc = uni_counts.select(F.col("__b").alias("__p"),
+                                  F.col("__c").alias("__pu"))
+    bi_df = (topb.withColumn(
+                 "__p", F.floor(F.col("__pc") / n_buckets).cast("int"))
+             .join(prefix_uc, "__p", "left")
+             .select("__pc", qln(
+                 (F.col("__c") + F.lit(s))
+                 / (F.coalesce(F.col("__pu"), F.lit(0))
+                    + F.lit(s * n_buckets))).alias("__bv")))
+    if checkpoint:
+        uni_df = uni_df.localCheckpoint()
+        bi_df = bi_df.localCheckpoint()
+    return {"uni_df": uni_df, "bi_df": bi_df,
+            "log_alpha": round(math.log(_LM_ALPHA) * q) / q,
+            "n_buckets": n_buckets, "smoothing": s,
+            "top_bigrams": top_bigrams, "frames": True}
+
+
 def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
              id_col: str = "doc_id", strategy: str = "auto") -> DataFrame:
     """Score every raw document under the trained LM: per-doc log
@@ -1383,6 +1486,20 @@ def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
       shuffle) — the shape that carries a CCNet-grade 10⁵⁺-entry model.
     - ``"auto"``: map when the model fits the literal caps, else join.
     """
+    if model.get("frames"):
+        # frames-native model (lm_bigram_model_frames): the uni/bi tables
+        # are DataFrames — join scoring is the only shape; 'map' would
+        # mean collecting the model, defeating the point
+        if strategy == "map":
+            raise ValueError(
+                "a frames-native model cannot use strategy='map' "
+                "(the model tables are DataFrames; use 'join'/'auto')")
+        n_rows = model["n_buckets"] + model["top_bigrams"]
+        return _lm_score_with_frames(
+            df_raw, model["uni_df"], model["bi_df"],
+            float(model["log_alpha"]), model["n_buckets"],
+            text_col, id_col,
+            broadcast_model=n_rows <= _LM_FRAMES_BROADCAST_MAX)
     if strategy not in ("auto", "map", "join"):
         raise ValueError(f"strategy must be auto|map|join: {strategy!r}")
     if strategy == "auto":
@@ -1437,21 +1554,9 @@ def _lm_score_join(df_raw: DataFrame, model: dict, text_col: str,
 
     The model ships as two small DataFrames built Arrow-side from the
     trained dicts (≤ n_buckets + |bi| rows — no Python-RDD literals),
-    explicitly broadcast. The corpus explodes to one row per adjacent
-    pair (explode_outer keeps 0/1-token docs), left-joins the bigram
-    table on the pair key and the unigram table on the continuation
-    bucket (backoff), then re-aggregates per doc — partial aggregation
-    collapses each partition's positions before the exchange, so shuffle
-    volume is ~1 row per doc, not per token. First-token unigram joins
-    AFTER the aggregate, on the ≤|docs| frame. Value-identical to the
-    map path even though F.sum reassociates the per-pair terms: every
-    model logp is a dyadic multiple of 2^-20 with |logp| < 64, so a
-    per-doc sum is exact integer arithmetic in doubles (< 2^52) and
-    therefore order-independent — the same argument the DuckDB oracle
-    relies on."""
+    explicitly broadcast; the scoring plan itself is shared with the
+    frames-native path (:func:`_lm_score_with_frames`)."""
     import pandas as pd
-
-    from funnel_rocket_spark.operators.sampling import _md5_bucket
 
     spark = df_raw.sparkSession
     n_buckets = model["n_buckets"]
@@ -1470,7 +1575,32 @@ def _lm_score_join(df_raw: DataFrame, model: dict, text_col: str,
         bi_df = spark.range(0).select(
             F.col("id").cast("long").alias("__pc"),
             F.lit(0.0).alias("__bv"))
+    return _lm_score_with_frames(df_raw, uni_df, bi_df,
+                                 float(model["log_alpha"]), n_buckets,
+                                 text_col, id_col, broadcast_model=True)
 
+
+def _lm_score_with_frames(df_raw: DataFrame, uni_df: DataFrame,
+                          bi_df: DataFrame, log_alpha: float,
+                          n_buckets: int, text_col: str, id_col: str,
+                          broadcast_model: bool) -> DataFrame:
+    """The shared join-scoring plan: the corpus explodes to one row per
+    adjacent pair (explode_outer keeps 0/1-token docs), left-joins the
+    bigram table on the pair key and the unigram table on the
+    continuation bucket (backoff), then re-aggregates per doc — partial
+    aggregation collapses each partition's positions before the
+    exchange, so shuffle volume is ~1 row per doc, not per token.
+    First-token unigram joins AFTER the aggregate, on the ≤|docs| frame.
+    ``broadcast_model=False`` (a frames model past the broadcast bound)
+    drops the hints and lets AQE pick the join strategy for the exploded
+    pair stream. Value-identical to the map path even though F.sum
+    reassociates the per-pair terms: every model logp is a dyadic
+    multiple of 2^-20 with |logp| < 64, so a per-doc sum is exact
+    integer arithmetic in doubles (< 2^52) and therefore
+    order-independent — the same argument the DuckDB oracle relies on."""
+    from funnel_rocket_spark.operators.sampling import _md5_bucket
+
+    hint = F.broadcast if broadcast_model else (lambda d: d)
     tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
     bs = F.transform(tk, lambda t: _md5_bucket(t, n_buckets).cast("int"))
     n = F.size("__bs")
@@ -1486,11 +1616,11 @@ def _lm_score_join(df_raw: DataFrame, model: dict, text_col: str,
                       .alias("__first_b"),  # ANSI: bare element_at throws
                       # on empty arrays instead of returning null
                       F.explode_outer(pairs).alias("__pr")))
-    alpha = F.lit(float(model["log_alpha"]))
+    alpha = F.lit(float(log_alpha))
     scored = (staged
-              .join(F.broadcast(bi_df),
+              .join(hint(bi_df),
                     staged["__pr"]["pc"] == bi_df["__pc"], "left")
-              .join(F.broadcast(uni_df),
+              .join(hint(uni_df),
                     staged["__pr"]["cb"] == uni_df["__b"], "left"))
     pair_lp = F.when(F.col("__pr").isNotNull(),
                      F.coalesce(F.col("__bv"), alpha + F.col("__uv"))) \
@@ -1501,7 +1631,7 @@ def _lm_score_join(df_raw: DataFrame, model: dict, text_col: str,
                     F.sum(pair_lp).alias("__plp")))
     fu = uni_df.select(F.col("__b").alias("__fb"),
                        F.col("__uv").alias("__fv"))
-    out = per_doc.join(F.broadcast(fu),
+    out = per_doc.join(hint(fu),
                        per_doc["__first_b"] == fu["__fb"], "left")
     lp = (F.when(F.col("__n") > 0, F.coalesce(F.col("__fv"), F.lit(0.0)))
           .otherwise(F.lit(0.0))
@@ -1517,10 +1647,16 @@ def _lm_score_join(df_raw: DataFrame, model: dict, text_col: str,
 def lm_nll(df_raw: DataFrame, df_target: DataFrame, text_col: str = "text",
            id_col: str = "doc_id", n_buckets: int = 256,
            smoothing: float = 1.0, top_bigrams: int = 1024,
-           strategy: str = "auto") -> DataFrame:
+           strategy: str = "auto", frames: bool = False) -> DataFrame:
     """Convenience composition: train on ``df_target``, score ``df_raw``
     (the CCNet recipe end-to-end). Filter downstream on ``avg_nll`` —
-    low = reads like the target corpus."""
-    model = lm_bigram_model(df_target, text_col, n_buckets, smoothing,
-                            top_bigrams)
+    low = reads like the target corpus. ``frames=True`` trains via
+    :func:`lm_bigram_model_frames` (model stays on the cluster; no
+    collect bound on the params)."""
+    if frames:
+        model = lm_bigram_model_frames(df_target, text_col, n_buckets,
+                                       smoothing, top_bigrams)
+    else:
+        model = lm_bigram_model(df_target, text_col, n_buckets, smoothing,
+                                top_bigrams)
     return lm_score(df_raw, model, text_col, id_col, strategy=strategy)

@@ -856,6 +856,53 @@ def test_lm_score_join_equals_map(spark):
         assert a == b, (tb, a, b)
 
 
+def test_lm_frames_trainer_equals_dict_trainer(spark):
+    """Frames-native trainer (model stays as DataFrames) == dict trainer
+    bit-for-bit on the same corpus/params — the 2^-20 dyadic grid absorbs
+    any JVM-vs-CPython ln() ulp difference. Covers the pure-backoff
+    (top_bigrams=0) model, the empty target corpus, and 0/1-token docs."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the the the"),
+         (3, None), (4, ""), (5, "one"), (6, "cat mat unseen zz")],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "on the mat the cat")],
+        "doc_id long, text string")
+    for tb in (0, 64):
+        md = text.lm_bigram_model(tgt, n_buckets=16, top_bigrams=tb)
+        mf = text.lm_bigram_model_frames(tgt, n_buckets=16, top_bigrams=tb)
+        a = sorted(map(tuple, text.lm_score(
+            docs, md, strategy="map").collect()))
+        b = sorted(map(tuple, text.lm_score(docs, mf).collect()))
+        assert a == b, (tb, a, b)
+    # empty target: both degenerate to the uniform smoothed model
+    empty = tgt.where("doc_id < 0")
+    md = text.lm_bigram_model(empty, n_buckets=8, top_bigrams=4)
+    mf = text.lm_bigram_model_frames(empty, n_buckets=8, top_bigrams=4)
+    a = sorted(map(tuple, text.lm_score(docs, md, strategy="map").collect()))
+    b = sorted(map(tuple, text.lm_score(docs, mf).collect()))
+    assert a == b
+
+
+def test_lm_frames_guards(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    mf = text.lm_bigram_model_frames(df, n_buckets=8, top_bigrams=4)
+    # a frames model has no literal-map form — explicit 'map' is an error
+    with pytest.raises(ValueError, match="frames-native"):
+        text.lm_score(df, mf, strategy="map")
+    # frames trainer bounds: long pair key, positive smoothing
+    with pytest.raises(ValueError, match="n_buckets"):
+        text.lm_bigram_model_frames(df, n_buckets=(1 << 30) + 1)
+    with pytest.raises(ValueError, match="smoothing"):
+        text.lm_bigram_model_frames(df, smoothing=0.0)
+    # lm_nll(frames=True) end-to-end
+    rows = text.lm_nll(df, df, n_buckets=8, top_bigrams=4,
+                       frames=True).collect()
+    assert rows[0]["n_tokens"] == 5
+
+
 def test_lm_score_auto_routing_and_guards(spark):
     import pytest
 

@@ -557,6 +557,69 @@ def pipeline_main(n_docs: int) -> None:
     print(json.dumps(out))
 
 
+def synthesize_docs_rich(spark, n_docs: int, path: str) -> None:
+    """Letter-word corpus for tokenizer-scale BPE training: words are
+    base-26 renderings of hashes (3–10 letters, ~200k distinct), so the
+    pair space supports tens of thousands of merges instead of the
+    10k-numeral vocabulary's ~1.7k."""
+    n_tokens = (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(60)) + 40)
+    word_id = lambda i: F.pmod(  # noqa: E731
+        F.xxhash64(F.col("id"), i.cast("long"), F.lit(13)), F.lit(200_000))
+    # base-26 letters, length driven by the word id (3-10 chars)
+    def letters(wid):
+        ln = F.pmod(wid, F.lit(8)) + 3
+        return F.concat_ws(
+            "", F.transform(
+                F.sequence(F.lit(1), ln.cast("int")),
+                lambda k: F.chr(
+                    F.lit(97) + F.pmod(F.xxhash64(wid, k.cast("long")),
+                                       F.lit(26)))))
+    words = F.transform(
+        F.sequence(F.lit(1), n_tokens.cast("int")),
+        lambda i: letters(word_id(i)))
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"),
+             F.concat_ws(" ", words).alias("text"))
+     .write.mode("overwrite").parquet(path))
+
+
+def bpetrain_rich_main(n_docs: int, n_merges: int = 32_000) -> None:
+    """Round-8 rung: REALISTIC tokenizer training — 32k merges (the
+    GPT-2/RoBERTa scale the driver strategy exists for) over a
+    letter-word corpus whose pair space doesn't exhaust. One corpus
+    pass + one driver loop; per-merge cost stays flat because each
+    merge touches only its affected words via the adjacency buckets."""
+    from funnel_rocket_spark.operators import text as T
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, ".scratch", f"docsrich_{n_docs}.parquet")
+    spark = get_spark(app_name="scale-check-bpetrain-rich")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        synthesize_docs_rich(spark, n_docs, path)
+        print(f"# synthesized {n_docs} rich docs in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    docs = spark.read.parquet(path)
+
+    out = {"n_docs": n_docs, "n_merges": n_merges, "timings": {}}
+    t0 = time.perf_counter()
+    merges = T.learn_bpe(docs, n_merges, min_count=2, strategy="driver",
+                         driver_max_vocab=10_000_000)
+    out["timings"][f"driver_{n_merges}_merges"] = round(
+        time.perf_counter() - t0, 2)
+    out["n_learned"] = len(merges)
+
+    # apply the learned table (arrow path beyond the 4096 expr cap) and
+    # count tokens — the full train->apply loop a tokenizer build runs
+    t0 = time.perf_counter()
+    enc = T.bpe_tokenize(docs, merges, strategy="arrow")
+    agg = enc.agg(F.count(F.lit(1)), F.sum("n_bpe_tokens")).collect()[0]
+    out["timings"]["apply_arrow"] = round(time.perf_counter() - t0, 2)
+    out["n_docs_encoded"], out["total_bpe_tokens"] = int(agg[0]), int(agg[1])
+    print(json.dumps(out))
+
+
 def bpetrain_main(n_docs: int, n_merges: int = 1_000) -> None:
     """Round-8 rung: in-engine BPE training at realistic merge counts.
     The driver strategy (one corpus pass + collected word table +
@@ -816,6 +879,11 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "lmjoin":
         lmjoin_main(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpetrainrich":
+        bpetrain_rich_main(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 500_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 32_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpetrain":
         bpetrain_main(int(sys.argv[2]) if len(sys.argv) > 2 else 500_000,
