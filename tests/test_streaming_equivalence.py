@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from funnel_rocket_spark import QueryEngine
 from funnel_rocket_spark.streaming import (incremental_funnel,
-                                           streaming_exact_dedup)
+                                           streaming_exact_dedup,
+                                           streaming_session_stats,
+                                           streaming_time_rollup,
+                                           streaming_value_counts)
 
 SEQ = [{"filter": {"column": "etype", "op": "==", "value": "view"}},
        {"filter": {"column": "etype", "op": "==", "value": "click"}},
@@ -88,6 +91,169 @@ def test_incremental_funnel_stream_equals_batch_engine(spark, tmp_path):
         want = {r["user_id"]: r["__fr_done"]
                 for r in plan.funnel_per_group().collect()
                 if r["__fr_done"] > 0}  # done=0 groups emit no update
+        assert got == want, (rows, cuts, got, want)
+
+    prop()
+
+
+# Windowed-aggregation equivalence template (rollup / value counts /
+# sessions): time-sorted rows split at arbitrary boundaries, watermark
+# "0 seconds" (time-ordered batches never regress event time, so nothing
+# is late-dropped), and a far-future SENTINEL row written as the final
+# micro-batch so every real window/session closes and append mode emits
+# it — the sentinel itself stays open and is excluded from comparison.
+# The batch oracle is the SAME aggregation run as a plain DataFrame job.
+SENTINEL_TS = "2026-01-02 00:00:00"
+
+timed_rows_st = st.lists(
+    st.tuples(st.integers(0, 150),                     # event-time second
+              st.sampled_from(["a", "b", "c"])),       # value / group
+    min_size=1, max_size=14)
+
+
+def _ts(sec: int) -> str:
+    return f"2026-01-01 00:{sec // 60:02d}:{sec % 60:02d}"
+
+
+def _write_chunks(indir, rows: list[dict], cuts, sentinel: dict) -> None:
+    indir.mkdir(parents=True)
+    chunks = _split(rows, cuts)
+    for i, chunk in enumerate(chunks):
+        pd.DataFrame(chunk).to_parquet(indir / f"b{i:02d}.parquet")
+    pd.DataFrame([sentinel]).to_parquet(indir / f"b{len(chunks):02d}.parquet")
+
+
+def test_streaming_time_rollup_equals_batch(spark, tmp_path):
+    run_no = [0]
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(events=timed_rows_st,
+           cuts=st.lists(st.integers(0, 14), max_size=3))
+    def prop(events, cuts):
+        run_no[0] += 1
+        base = tmp_path / f"r{run_no[0]}"
+        rows = sorted(({"ts": _ts(s), "etype": e} for s, e in events),
+                      key=lambda r: r["ts"])
+        _write_chunks(base / "in", rows, cuts,
+                      {"ts": SENTINEL_TS, "etype": "zz"})
+
+        stream = (spark.readStream.schema("ts string, etype string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(base / "in"))
+                  .select(F.col("ts").cast("timestamp").alias("ts"),
+                          "etype"))
+        out = streaming_time_rollup(stream, "ts", every="1 minute",
+                                    watermark="0 seconds",
+                                    group_cols=["etype"])
+        name = f"roll_eq_{run_no[0]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(base / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(str(r["bucket_start"]), r["etype"]): r["n_rows"]
+               for r in spark.sql(f"SELECT * FROM {name}").collect()
+               if r["etype"] != "zz"}
+
+        batch = (spark.createDataFrame(pd.DataFrame(rows))
+                 .select(F.col("ts").cast("timestamp").alias("ts"), "etype")
+                 .groupBy(F.window("ts", "1 minute").alias("__w"), "etype")
+                 .agg(F.count(F.lit(1)).alias("n_rows")))
+        want = {(str(r["__w"]["start"]), r["etype"]): r["n_rows"]
+                for r in batch.collect()}
+        assert got == want, (rows, cuts, got, want)
+
+    prop()
+
+
+def test_streaming_value_counts_equals_batch(spark, tmp_path):
+    run_no = [0]
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(events=timed_rows_st,
+           cuts=st.lists(st.integers(0, 14), max_size=3))
+    def prop(events, cuts):
+        run_no[0] += 1
+        base = tmp_path / f"v{run_no[0]}"
+        rows = sorted(({"ts": _ts(s), "val": e} for s, e in events),
+                      key=lambda r: r["ts"])
+        _write_chunks(base / "in", rows, cuts,
+                      {"ts": SENTINEL_TS, "val": "zz"})
+
+        stream = (spark.readStream.schema("ts string, val string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(base / "in"))
+                  .select(F.col("ts").cast("timestamp").alias("ts"), "val"))
+        out = streaming_value_counts(stream, "ts", "val",
+                                     window="1 minute",
+                                     watermark="0 seconds")
+        name = f"vc_eq_{run_no[0]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(base / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(str(r["bucket_start"]), r["value"]): r["count"]
+               for r in spark.sql(f"SELECT * FROM {name}").collect()
+               if r["value"] != "zz"}
+
+        batch = (spark.createDataFrame(pd.DataFrame(rows))
+                 .select(F.col("ts").cast("timestamp").alias("ts"), "val")
+                 .groupBy(F.window("ts", "1 minute").alias("__w"), "val")
+                 .agg(F.count(F.lit(1)).alias("count")))
+        want = {(str(r["__w"]["start"]), r["val"]): r["count"]
+                for r in batch.collect()}
+        assert got == want, (rows, cuts, got, want)
+
+    prop()
+
+
+def test_streaming_session_stats_equals_batch(spark, tmp_path):
+    """session_window in the stream ≡ session_window in a batch job over
+    the same rows — micro-batch boundaries splitting a session mid-gap
+    must still produce ONE merged session (state-store session merge)."""
+    run_no = [0]
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(events=timed_rows_st,
+           cuts=st.lists(st.integers(0, 14), max_size=3))
+    def prop(events, cuts):
+        run_no[0] += 1
+        base = tmp_path / f"s{run_no[0]}"
+        rows = sorted(({"ts": _ts(s), "user": e} for s, e in events),
+                      key=lambda r: r["ts"])
+        _write_chunks(base / "in", rows, cuts,
+                      {"ts": SENTINEL_TS, "user": "zz"})
+
+        stream = (spark.readStream.schema("ts string, user string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(base / "in"))
+                  .select(F.col("ts").cast("timestamp").alias("ts"),
+                          "user"))
+        out = streaming_session_stats(stream, "user", "ts",
+                                      gap="30 seconds",
+                                      watermark="0 seconds")
+        name = f"sess_eq_{run_no[0]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(base / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["user"], str(r["session_start"]), str(r["session_end"])):
+               r["n_events"]
+               for r in spark.sql(f"SELECT * FROM {name}").collect()
+               if r["user"] != "zz"}
+
+        batch = (spark.createDataFrame(pd.DataFrame(rows))
+                 .select(F.col("ts").cast("timestamp").alias("ts"), "user")
+                 .groupBy(F.session_window("ts", "30 seconds").alias("__s"),
+                          "user")
+                 .agg(F.count(F.lit(1)).alias("n_events")))
+        want = {(r["user"], str(r["__s"]["start"]), str(r["__s"]["end"])):
+                r["n_events"] for r in batch.collect()}
         assert got == want, (rows, cuts, got, want)
 
     prop()
