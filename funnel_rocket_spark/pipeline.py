@@ -144,7 +144,10 @@ def _stage_lm_gate(spark, df, cfg, ctx):
     avg negative log-likelihood, keep docs that read like the target —
     either below an absolute ``max_avg_nll`` or the lowest-nll
     ``keep_frac`` of the corpus (threshold = one approxQuantile on the
-    scored frame, the CCNet head/middle/tail cut)."""
+    scored frame, the CCNet head/middle/tail cut). ``"frames": true``
+    trains via the frames-native trainer (model tables stay on the
+    cluster — required for CCNet-grade n_buckets/top_bigrams past the
+    driver collect bounds)."""
     from funnel_rocket_spark.operators.text import lm_nll
 
     target = spark.read.parquet(cfg["target_path"])
@@ -152,7 +155,8 @@ def _stage_lm_gate(spark, df, cfg, ctx):
                     id_col=ctx["id_col"],
                     n_buckets=cfg.get("n_buckets", 256),
                     top_bigrams=cfg.get("top_bigrams", 1024),
-                    strategy=cfg.get("strategy", "auto"))
+                    strategy=cfg.get("strategy", "auto"),
+                    frames=bool(cfg.get("frames", False)))
     if "max_avg_nll" in cfg:
         cut = float(cfg["max_avg_nll"])
     elif "keep_frac" in cfg:

@@ -304,6 +304,13 @@ def test_pipeline_lm_gate_stage(spark, tmp_path):
     # keep_frac=0.5 keeps about half (quantile ties make it inexact)
     assert 0.35 * rep["rows_in"] <= rep["rows_out"] <= 0.65 * rep["rows_in"]
 
+    # frames-native trainer gates IDENTICALLY (bit-equal model): same
+    # keep set through the whole stage
+    config["workdir"] = str(tmp_path / "work_frames")
+    config["stages"][0]["frames"] = True
+    rep_f = run_pipeline(spark, config)
+    assert rep_f["rows_out"] == rep["rows_out"]
+
 
 def test_pipeline_survives_emptying_chain(spark, tmp_path):
     """A chain whose cleaning stage drops EVERY document must finish with

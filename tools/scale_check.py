@@ -782,6 +782,20 @@ def lmjoin_main(n_docs: int, n_buckets: int = 65_536,
         .agg(F.count(F.lit(1))).collect()
     out["timings"]["small_model_map_baseline"] = round(
         time.perf_counter() - t0, 2)
+
+    # frames-native trainer at the same capacity: the model tables never
+    # leave the cluster (two vocabulary-bounded aggregates, zero driver
+    # collect) — train + score should track the dict trainer's numbers
+    # while removing its collect bound entirely
+    t0 = time.perf_counter()
+    mf = T.lm_bigram_model_frames(target, n_buckets=n_buckets,
+                                  top_bigrams=top_bigrams)
+    out["timings"]["train_frames"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    agg_f = (T.lm_score(docs, mf)
+             .agg(F.count(F.lit(1)), F.avg("avg_nll")).collect()[0])
+    out["timings"]["score_frames"] = round(time.perf_counter() - t0, 2)
+    out["mean_avg_nll_frames"] = round(float(agg_f[1]), 4)
     print(json.dumps(out))
 
 
