@@ -884,6 +884,19 @@ def test_lm_frames_trainer_equals_dict_trainer(spark):
     assert a == b
 
 
+def test_lm_frames_scorer_plan_broadcasts_model(spark):
+    """Frames-model scoring under the broadcast bound must plan THREE
+    BroadcastHashJoins (bigram, backoff unigram, first-token unigram) and
+    exactly ONE aggregate exchange (the per-doc re-aggregation) — the
+    corpus side never shuffles to meet the model."""
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "c c a")], "doc_id long, text string")
+    mf = text.lm_bigram_model_frames(df, n_buckets=8, top_bigrams=4)
+    plan = text.lm_score(df, mf)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_lm_frames_guards(spark):
     import pytest
 
