@@ -882,6 +882,14 @@ def test_lm_frames_trainer_equals_dict_trainer(spark):
     a = sorted(map(tuple, text.lm_score(docs, md, strategy="map").collect()))
     b = sorted(map(tuple, text.lm_score(docs, mf).collect()))
     assert a == b
+    # the past-broadcast-bound fallback (AQE-planned join) is value-equal
+    # to the broadcast plan on the same model frames
+    mf2 = text.lm_bigram_model_frames(tgt, n_buckets=16, top_bigrams=64)
+    c = sorted(map(tuple, text._lm_score_with_frames(
+        docs, mf2["uni_df"], mf2["bi_df"], mf2["log_alpha"], 16,
+        "text", "doc_id", broadcast_model=False).collect()))
+    d = sorted(map(tuple, text.lm_score(docs, mf2).collect()))
+    assert c == d
 
 
 def test_lm_frames_scorer_plan_broadcasts_model(spark):
