@@ -1144,6 +1144,40 @@ def learn_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
     return merges
 
 
+def bpe_merges_to_text(merges: list) -> str:
+    """Serialize a merge table to the published ``merges.txt`` format
+    (GPT-2 / HuggingFace tokenizers: a ``#version`` header, then one
+    ``left right`` pair per line in rank order) — so tables trained by
+    :func:`learn_bpe` interchange with external tokenizer tooling.
+    Symbols produced by this engine never contain whitespace (words come
+    from a ``\\s+`` split), so the space-separated line format is
+    lossless; a symbol that would break it is rejected."""
+    for a, b in merges:
+        if not a or not b or any(ch.isspace() for ch in a + b):
+            raise ValueError(
+                f"merge pair {(a, b)!r} is not merges.txt-serializable "
+                "(empty or whitespace-containing symbol)")
+    return "#version: 0.2\n" + "".join(f"{a} {b}\n" for a, b in merges)
+
+
+def bpe_merges_from_text(txt: str) -> list:
+    """Parse ``merges.txt`` content (the :func:`bpe_merges_to_text`
+    format, i.e. GPT-2 / HuggingFace exports) into the ordered merge
+    list :func:`bpe_tokenize` applies. ``#``-prefixed header lines and
+    blank lines are skipped; any other line must be exactly two
+    space-separated symbols."""
+    merges = []
+    for ln, line in enumerate(txt.splitlines(), 1):
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        parts = s.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(f"merges.txt line {ln} is not a pair: {s!r}")
+        merges.append((parts[0], parts[1]))
+    return merges
+
+
 def _learn_bpe_driver(word_freqs: list, n_merges: int,
                       min_count: int) -> list:
     """Driver-side greedy BPE over a collected (symbol-string, count)

@@ -739,7 +739,14 @@ def test_lm_differential_random_corpora(spark):
         got = {r["doc_id"]: (r["n_tokens"], r["logprob_sum"], r["avg_nll"])
                for r in text.lm_nll(df, tgt, n_buckets=16,
                                     top_bigrams=8).collect()}
-        assert got == _py_lm(raw, target, nb=16, k=8)
+        want = _py_lm(raw, target, nb=16, k=8)
+        assert got == want
+        # frames-native trainer hits the same reference bit-for-bit
+        got_f = {r["doc_id"]: (r["n_tokens"], r["logprob_sum"],
+                               r["avg_nll"])
+                 for r in text.lm_nll(df, tgt, n_buckets=16, top_bigrams=8,
+                                      frames=True).collect()}
+        assert got_f == want
 
     prop()
 
@@ -818,6 +825,37 @@ def test_learn_bpe_strategies_agree_random_corpora(spark):
         assert d == x, (texts, n, d, x)
 
     prop()
+
+
+def test_bpe_merges_text_round_trip(spark):
+    """learn -> export merges.txt -> re-import -> apply must equal
+    applying the in-memory table directly (the interchange path with
+    published tokenizer exports); headers/blank lines tolerated,
+    malformed lines and unserializable symbols rejected."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "scan the column window order sort"),
+         (2, "order order scan scan the window")],
+        "doc_id long, text string")
+    merges = text.learn_bpe(df, 8, min_count=2)
+    txt = text.bpe_merges_to_text(merges)
+    assert txt.startswith("#version")
+    assert text.bpe_merges_from_text(txt) == merges
+    direct = sorted(map(tuple, text.bpe_tokenize(df, merges).collect()))
+    via_txt = sorted(map(tuple, text.bpe_tokenize(
+        df, text.bpe_merges_from_text(txt)).collect()))
+    assert direct == via_txt
+    # tolerant parse: extra blanks + comment lines
+    assert text.bpe_merges_from_text(
+        "#version: 0.2\n\na b\n\n# note\nab c\n") == [("a", "b"),
+                                                      ("ab", "c")]
+    with pytest.raises(ValueError, match="not a pair"):
+        text.bpe_merges_from_text("a b c\n")
+    with pytest.raises(ValueError, match="serializable"):
+        text.bpe_merges_to_text([("a", "b c")])
+    with pytest.raises(ValueError, match="serializable"):
+        text.bpe_merges_to_text([("", "b")])
 
 
 def test_learn_bpe_auto_and_guards(spark):
