@@ -2073,7 +2073,7 @@ def _bpe_learn_oracle_sql(n_merges: int, min_count: int = 2) -> str:
     MATERIALIZED: each w{i} references b{i} via three scalar subqueries,
     so inlined CTEs would re-evaluate the whole chain exponentially."""
     ctes = ["""w0 AS MATERIALIZED (
-  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'gs')) AS sym,
          count(*)::BIGINT AS n
   FROM (SELECT unnest(list_filter(
           string_split_regex(coalesce(text, ''), '\\s+'),
@@ -2109,7 +2109,7 @@ def _bpe_oracle_sql(merges: list) -> str:
     def q(x: str) -> str:  # SQL string literal escaping for merge symbols
         return x.replace("'", "''")
 
-    expr = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    expr = "trim(regexp_replace(w, '(.)', '\\1 ', 'gs'))"
     for a, b in merges:
         expr = f"replace({expr}, '{q(a)} {q(b)}', '{q(a)}{q(b)}')"
     return f"""

@@ -179,16 +179,14 @@ class QueryEngine:
                             and self.agg_collect_threads > 1):
                         # overlap the whole step-agg phase: each step's
                         # aggregations are independent jobs over the
-                        # persisted per-group frame / universe
-                        from concurrent.futures import ThreadPoolExecutor
-
-                        with ThreadPoolExecutor(
-                                min(n_steps,
-                                    self.agg_collect_threads)) as ex:
-                            step_agg_out = list(ex.map(
-                                lambda i: self._collect_aggregations(
-                                    plan, step_aggs, step_rows(i)),
-                                range(n_steps)))
+                        # persisted per-group frame / universe. serial=True
+                        # suppresses _collect_aggregations' inner pool —
+                        # nesting would run up to threads² concurrent jobs
+                        step_agg_out = self._pool_map(
+                            plan.df, min(n_steps, self.agg_collect_threads),
+                            lambda i: self._collect_aggregations(
+                                plan, step_aggs, step_rows(i), serial=True),
+                            range(n_steps))
                     else:
                         step_agg_out = [
                             self._collect_aggregations(
@@ -236,8 +234,33 @@ class QueryEngine:
             if rows_persisted:
                 rows.unpersist()
 
+    @staticmethod
+    def _pool_map(df: DataFrame, n_workers: int, fn, items) -> list:
+        """ThreadPoolExecutor.map that propagates the calling thread's
+        Spark job group into every worker thread. setJobGroup backs onto
+        thread-LOCAL properties (test-pinned by
+        test_job_group_stats_are_thread_scoped), so jobs submitted from
+        bare pool threads would escape the query's JobGroupMetrics group
+        and silently vanish from the with_stats scan/shuffle counters."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = df.sparkSession.sparkContext
+        props = {k: sc.getLocalProperty(k)
+                 for k in ("spark.jobGroup.id", "spark.job.description",
+                           "spark.jobGroup.interruptOnCancel")}
+
+        def wrapped(item):
+            for k, v in props.items():
+                if v is not None:
+                    sc.setLocalProperty(k, v)
+            return fn(item)
+
+        with ThreadPoolExecutor(n_workers) as ex:
+            return list(ex.map(wrapped, items))
+
     def _collect_aggregations(
-        self, plan: QueryPlan, aggs: list[dict], rows: Optional[DataFrame]
+        self, plan: QueryPlan, aggs: list[dict], rows: Optional[DataFrame],
+        serial: bool = False,
     ) -> Optional[list[dict]]:
         if not aggs:
             return None
@@ -260,15 +283,13 @@ class QueryEngine:
                 "value": value,
             }
 
-        if len(aggs) == 1 or self.agg_collect_threads == 1:
+        if serial or len(aggs) == 1 or self.agg_collect_threads == 1:
             return [one(a) for a in aggs]
         # N independent tiny-result jobs over the (persisted) universe:
         # submit them concurrently instead of serially awaiting each —
         # Spark's scheduler interleaves the jobs across idle cores, so a
         # multi-aggregation query's agg phase costs ~the slowest job,
         # not the sum. map() preserves input order for the result JSON.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(
-                min(len(aggs), self.agg_collect_threads)) as ex:
-            return list(ex.map(one, aggs))
+        return self._pool_map(plan.df, min(len(aggs),
+                                           self.agg_collect_threads),
+                              one, aggs)

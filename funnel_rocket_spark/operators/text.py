@@ -1019,7 +1019,11 @@ def bpe_tokenize(df: DataFrame, merges: list, text_col: str = "text",
     def _mask(chars) -> int:
         m = 0
         for ch in set(chars):
-            m |= 1 << ((ord(ch) * 2654435761) & 63)
+            # take the TOP 6 bits of the 32-bit Knuth product: masking
+            # the low bits of odd-multiplier*x is just x mod 64 (zero
+            # mixing — every pair of chars 64 code points apart would
+            # share a bit and admit extra no-op replaces)
+            m |= 1 << (((ord(ch) * 2654435761) & 0xFFFFFFFF) >> 26)
         return m
 
     pats = [f"{a} {b}" for a, b in merges]
@@ -1108,7 +1112,12 @@ def learn_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
     words = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
     wf = (df.select(F.explode(words).alias("__w"))
           .groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
-          .select(F.trim(F.regexp_replace(F.col("__w"), "(.)", "$1 "))
+          # (?s) matches what Java '.' alone skips (NEL and the unicode
+          # line separators, which SURVIVE the ASCII \s+ word split) —
+          # without it the trainer would fuse such a char into the next
+          # symbol and segment words differently than bpe_tokenize's
+          # (?s) char split
+          .select(F.trim(F.regexp_replace(F.col("__w"), "(?s)(.)", "$1 "))
                   .alias("__sym"), "__n")
           .localCheckpoint())
     if strategy == "auto":
@@ -1116,12 +1125,16 @@ def learn_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
         strategy = ("driver" if wf.count() <= driver_max_vocab
                     else "distributed")
     if strategy == "driver":
-        pdf = wf.toPandas()  # bounded: ≤ driver_max_vocab rows (auto) /
-        # caller-asserted (explicit driver strategy)
-        if len(pdf) > driver_max_vocab:
+        # guard BEFORE collecting: wf is checkpointed so the count is a
+        # cheap local scan, and collecting an over-bound vocabulary
+        # first would be exactly the driver OOM the bound exists to
+        # prevent
+        n_vocab = wf.count()
+        if n_vocab > driver_max_vocab:
             raise ValueError(
-                f"vocabulary {len(pdf)} exceeds driver_max_vocab "
+                f"vocabulary {n_vocab} exceeds driver_max_vocab "
                 f"{driver_max_vocab}; use strategy='distributed'")
+        pdf = wf.toPandas()  # bounded: just counted ≤ driver_max_vocab
         return _learn_bpe_driver(
             list(zip(pdf["__sym"].tolist(), pdf["__n"].tolist())),
             n_merges, min_count)
@@ -1149,14 +1162,20 @@ def bpe_merges_to_text(merges: list) -> str:
     (GPT-2 / HuggingFace tokenizers: a ``#version`` header, then one
     ``left right`` pair per line in rank order) — so tables trained by
     :func:`learn_bpe` interchange with external tokenizer tooling.
-    Symbols produced by this engine never contain whitespace (words come
-    from a ``\\s+`` split), so the space-separated line format is
-    lossless; a symbol that would break it is rejected."""
+    Symbols produced by this engine never contain ASCII whitespace
+    (words come from the Java ``\\s+`` split — the ASCII class), so the
+    space-separated line format is lossless; only a symbol that would
+    actually break the format (empty, or containing a char of that same
+    ASCII class) is rejected. Unicode whitespace like U+00A0 is
+    deliberately legal in symbols — it is in-word under the engine's
+    tokenization, and str.isspace() would wrongly reject tables the
+    engine itself learns from web corpora."""
+    bad_chars = set(" \t\n\x0b\f\r")
     for a, b in merges:
-        if not a or not b or any(ch.isspace() for ch in a + b):
+        if not a or not b or bad_chars & set(a + b):
             raise ValueError(
                 f"merge pair {(a, b)!r} is not merges.txt-serializable "
-                "(empty or whitespace-containing symbol)")
+                "(empty symbol, or symbol containing ASCII whitespace)")
     return "#version: 0.2\n" + "".join(f"{a} {b}\n" for a, b in merges)
 
 
@@ -1165,10 +1184,14 @@ def bpe_merges_from_text(txt: str) -> list:
     format, i.e. GPT-2 / HuggingFace exports) into the ordered merge
     list :func:`bpe_tokenize` applies. ``#``-prefixed header lines and
     blank lines are skipped; any other line must be exactly two
-    space-separated symbols."""
+    space-separated symbols. Lines split on ``\\n`` only (NOT
+    str.splitlines, which would split inside symbols carrying U+2028/
+    U+2029/NEL) and edges strip ASCII whitespace only (a Unicode-aware
+    strip would truncate e.g. a trailing-NBSP symbol instead of
+    round-tripping it)."""
     merges = []
-    for ln, line in enumerate(txt.splitlines(), 1):
-        s = line.strip()
+    for ln, line in enumerate(txt.split("\n"), 1):
+        s = line.strip(" \t\r")
         if not s or s.startswith("#"):
             continue
         parts = s.split(" ")
@@ -1449,8 +1472,11 @@ def lm_bigram_model_frames(df_target: DataFrame, text_col: str = "text",
     s = float(smoothing)
     q = 1048576.0  # 2^20 — same dyadic grid as the dict trainer/oracle
 
-    def qln(x):  # column-side twin of the dict trainer's math.round/log
-        return F.round(F.log(x) * q, 0) / q
+    def qln(x):  # column-side twin of the dict trainer's round(log(x)*q)
+        # F.rint (Math.rint) rounds half-to-even like Python round();
+        # F.round would round half-UP and could differ from the dict
+        # trainer at exact rounding ties
+        return F.rint(F.log(x) * q) / q
 
     tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
     bs = F.transform(tk, lambda t: _md5_bucket(t, n_buckets).cast("int"))
@@ -1486,13 +1512,20 @@ def lm_bigram_model_frames(df_target: DataFrame, text_col: str = "text",
                  (F.col("__c") + F.lit(s))
                  / (F.coalesce(F.col("__pu"), F.lit(0))
                     + F.lit(s * n_buckets))).alias("__bv")))
+    n_bigrams = None
     if checkpoint:
         uni_df = uni_df.localCheckpoint()
         bi_df = bi_df.localCheckpoint()
+        # checkpointed => counting is a cheap local scan; the ACTUAL
+        # row count (not the requested cap) drives the scorer's
+        # broadcast-vs-AQE decision, so a small model trained with a
+        # generous top_bigrams cap keeps its broadcast plan
+        n_bigrams = bi_df.count()
     return {"uni_df": uni_df, "bi_df": bi_df,
             "log_alpha": round(math.log(_LM_ALPHA) * q) / q,
             "n_buckets": n_buckets, "smoothing": s,
-            "top_bigrams": top_bigrams, "frames": True}
+            "top_bigrams": top_bigrams, "n_bigrams": n_bigrams,
+            "frames": True}
 
 
 def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
@@ -1520,6 +1553,8 @@ def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
       shuffle) — the shape that carries a CCNet-grade 10⁵⁺-entry model.
     - ``"auto"``: map when the model fits the literal caps, else join.
     """
+    if strategy not in ("auto", "map", "join"):
+        raise ValueError(f"strategy must be auto|map|join: {strategy!r}")
     if model.get("frames"):
         # frames-native model (lm_bigram_model_frames): the uni/bi tables
         # are DataFrames — join scoring is the only shape; 'map' would
@@ -1528,14 +1563,14 @@ def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
             raise ValueError(
                 "a frames-native model cannot use strategy='map' "
                 "(the model tables are DataFrames; use 'join'/'auto')")
-        n_rows = model["n_buckets"] + model["top_bigrams"]
+        n_bi = model.get("n_bigrams")
+        n_rows = model["n_buckets"] + (
+            n_bi if n_bi is not None else model["top_bigrams"])
         return _lm_score_with_frames(
             df_raw, model["uni_df"], model["bi_df"],
             float(model["log_alpha"]), model["n_buckets"],
             text_col, id_col,
             broadcast_model=n_rows <= _LM_FRAMES_BROADCAST_MAX)
-    if strategy not in ("auto", "map", "join"):
-        raise ValueError(f"strategy must be auto|map|join: {strategy!r}")
     if strategy == "auto":
         strategy = ("map" if model["n_buckets"] <= _LM_MAP_BUCKET_CAP
                     and len(model["bi"]) <= _LM_MAP_BIGRAM_CAP else "join")

@@ -96,3 +96,36 @@ def test_concurrent_aggregation_collection_matches_serial(spark):
     assert serial == conc
     assert conc["query"]["aggregations"][1]["type"] == "sumPerValue"
     assert all(s["aggregations"] for s in conc["funnel"]["sequence"])
+
+
+def test_concurrent_aggregation_jobs_stay_in_stats_job_group(spark):
+    """setJobGroup is thread-local, so aggregation jobs submitted from
+    pool worker threads would escape the query's JobGroupMetrics group —
+    and with_stats would silently under-report scan volume for every
+    multi-aggregation query at the default agg_collect_threads=8. The
+    pool must propagate the caller's job group: serial and concurrent
+    runs of the same query must report the SAME worker-side counters."""
+    from funnel_rocket_spark import QueryEngine
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = {"query": {"conditions": [
+            {"filter": ["event_type", "==", "purchase"]}],
+         "aggregations": [
+            {"column": "event_type", "type": "countPerValue", "top": 10},
+            {"column": "event_type", "type": "sumPerValue",
+             "otherColumn": "value", "top": 10},
+            {"column": "event_type", "type": "groupsPerValue",
+             "top": 10}]}}
+    serial = QueryEngine("user_id", "ts", agg_collect_threads=1).run(
+        ev, q, with_stats=True)
+    conc = QueryEngine("user_id", "ts", agg_collect_threads=8).run(
+        ev, q, with_stats=True)
+    sw, cw = serial["stats"]["worker"], conc["stats"]["worker"]
+    assert cw["scannedRows"] == sw["scannedRows"]
+    assert cw["scannedRows"] > 0
+    # task COUNTS may differ by a few: concurrent jobs racing into the
+    # shared persisted universe can each compute a partition the other
+    # would have reused. The invariant is that the pool's jobs are SEEN
+    # (pre-fix, the group missed them and under-counted drastically)
+    assert conc["stats"]["invoker"]["totalTasks"] >= \
+        serial["stats"]["invoker"]["totalTasks"]

@@ -802,6 +802,25 @@ def test_learn_bpe_driver_equals_distributed_boundary_cases(spark):
         assert d == x, (n, d, x)
 
 
+def test_learn_bpe_segments_like_bpe_tokenize_on_exotic_chars(spark):
+    """U+2028 (and NEL/U+2029) survive the ASCII \\s+ word split but are
+    skipped by Java '.' — the trainer's char split must carry (?s) like
+    bpe_tokenize's, or it trains over differently-segmented words than
+    the tokenizer will ever see (the merge never applies at encode
+    time). Pin the joint train->apply behavior on a U+2028-carrying
+    corpus."""
+    w = "x\u2028y"
+    df = spark.createDataFrame(
+        [(1, f"{w} {w} {w}")], "doc_id long, text string")
+    merges = text.learn_bpe(df, 2, min_count=2, strategy="driver")
+    assert merges == [("x", "\u2028"), ("x\u2028", "y")], merges
+    assert merges == text.learn_bpe(df, 2, min_count=2,
+                                    strategy="distributed")
+    enc = text.bpe_tokenize(df, merges).collect()[0]
+    assert enc["n_bpe_tokens"] == 3  # each word fully merges
+    assert enc["bpe_text"] == f"{w} {w} {w}"
+
+
 def test_learn_bpe_strategies_agree_random_corpora(spark):
     """Hypothesis differential: driver vs distributed trainer on random
     small-alphabet corpora (small alphabets maximize merge collisions,
@@ -856,6 +875,14 @@ def test_bpe_merges_text_round_trip(spark):
         text.bpe_merges_to_text([("a", "b c")])
     with pytest.raises(ValueError, match="serializable"):
         text.bpe_merges_to_text([("", "b")])
+    # UNICODE whitespace is in-word under the engine's ASCII-\s+
+    # tokenization, so NBSP/U+2028-carrying symbols (learnable from web
+    # corpora) must serialize and round-trip unharmed — str.isspace()/
+    # str.strip()/str.splitlines are all Unicode-aware and would reject
+    # or truncate them
+    exotic = [("x", "\u2028"), ("a\xa0", "b"), ("c", "d\xa0")]
+    assert text.bpe_merges_from_text(
+        text.bpe_merges_to_text(exotic)) == exotic
 
 
 def test_learn_bpe_auto_and_guards(spark):
