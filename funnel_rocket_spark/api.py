@@ -75,6 +75,14 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
             return jsonify({"success": False,
                             "errorMessage": "request body must be a JSON "
                                             "object"}), 400
+        missing = [k for k in ("name", "group_id_column",
+                               "timestamp_column") if k not in body]
+        if missing:
+            # a KeyError here would surface as a Flask 500 HTML page —
+            # malformed input must keep the JSON 400 contract
+            return jsonify({"success": False,
+                            "errorMessage": "missing required field(s): "
+                                            + ", ".join(missing)}), 400
         t0 = time.monotonic()
         try:
             ds = register_dataset(
@@ -188,11 +196,14 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
             result.update({"success": True, "requestId": _request_id()})
             return jsonify(result)
 
-        # Validation must run synchronously so an invalid timeframe still
+        # Validation must run synchronously so an invalid query still
         # produces the HTTP 400 QueryValidationError contract (with its
         # "kind" field) rather than an in-band error tail — streaming only
         # changes how *results* are delivered, not how validation fails.
+        # plan() compiles the full validated query lazily (no Spark jobs),
+        # so schema/shape errors raise HERE, not in the worker thread.
         check_timeframe_scale(query, ds.min_timestamp, ds.max_timestamp)
+        engine.plan(df, query)
 
         def generate():
             holder: dict = {}

@@ -47,9 +47,25 @@ def _group_partitioned_activity(df: DataFrame, group_col: str, ts_col: str,
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
     except Exception:
         n = int(conf.get("spark.sql.shuffle.partitions"))
-    bucket = (F.col(ts_col) - F.col(ts_col) % F.lit(period)).alias("__period")
+    # pmod, not %: sign-preserving % would collapse (-period, period)
+    # into one double-width bucket for pre-epoch timestamps — pmod gives
+    # true floor-bucketing, matching time_rollup in operators/temporal.py
+    # (identical on the non-negative epochs of ordinary data)
+    bucket = (F.col(ts_col)
+              - F.pmod(F.col(ts_col), F.lit(period))).alias("__period")
     return (df.select(F.col(group_col), bucket)
             .repartition(n, F.col(group_col)).distinct())
+
+
+def _cohort_labeled_activity(df: DataFrame, group_col: str, ts_col: str,
+                             period: int) -> DataFrame:
+    """Distinct (group, period) activity labeled with the group's cohort
+    (its min period, via window — see retention_cohorts for why not a
+    groupBy+join). Shared by retention_cohorts and retention_rates so the
+    cohort-labeling semantics cannot diverge between the two."""
+    activity = _group_partitioned_activity(df, group_col, ts_col, period)
+    w = Window.partitionBy(group_col)
+    return activity.withColumn("__cohort", F.min("__period").over(w))
 
 
 def retention_cohorts(df: DataFrame, group_col: str, ts_col: str,
@@ -70,9 +86,7 @@ def retention_cohorts(df: DataFrame, group_col: str, ts_col: str,
     (group, period) is already unique. Every shuffle key includes the
     group column (no skew beyond real power users, which AQE splits).
     """
-    activity = _group_partitioned_activity(df, group_col, ts_col, period)
-    w = Window.partitionBy(group_col)
-    labeled = activity.withColumn("__cohort", F.min("__period").over(w))
+    labeled = _cohort_labeled_activity(df, group_col, ts_col, period)
     return (
         labeled
         .groupBy(
@@ -272,9 +286,7 @@ def retention_rates(df: DataFrame, group_col: str, ts_col: str,
     :func:`retention_cohorts` (one extra conditional-count aggregate, no
     new shuffle shape); rates are one double division per cohort row.
     """
-    activity = _group_partitioned_activity(df, group_col, ts_col, period)
-    w = Window.partitionBy(group_col)
-    labeled = activity.withColumn("__cohort", F.min("__period").over(w))
+    labeled = _cohort_labeled_activity(df, group_col, ts_col, period)
     idx = F.expr(f"(__period - __cohort) DIV {int(period)}")
     per_cohort = labeled.groupBy(F.col("__cohort").alias("cohort")).agg(
         F.sum((idx == 0).cast("long")).alias("n_groups"),

@@ -101,8 +101,11 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
         # n_p/(counters+1) provably survives.
         acc = None
         pruned = False
+        n_nonnull = 0
         for pdf in batches:
-            vc = pdf[col].dropna().value_counts()
+            nn = pdf[col].dropna()
+            n_nonnull += len(nn)
+            vc = nn.value_counts()
             acc = vc if acc is None else acc.add(vc, fill_value=0)
             if len(acc) > 4 * counters:
                 pruned = True
@@ -113,39 +116,49 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
             cut = acc.nlargest(counters + 1).iloc[-1]
             acc = acc[acc > cut] - cut
         values = list(acc.index) if acc is not None else []
-        # a NULL-value marker row carries the pruned flag even when pruning
-        # emptied the counters (uniform data can zero every counter at
-        # once); NULL never matches the semi-join, so it can't pollute the
-        # recount
+        # a NULL-value marker row carries the pruned flag AND the
+        # partition's exact non-null row count even when pruning emptied
+        # the counters (uniform data can zero every counter at once);
+        # NULL never matches the semi-join, so it can't pollute the
+        # recount. Carrying the count here saves a third full table scan
+        # that previously computed N for the certification bound.
         yield pd.DataFrame({"value": values + [None],
-                            "pruned": [pruned] * (len(values) + 1)})
+                            "pruned": [pruned] * (len(values) + 1),
+                            "n": [0] * len(values) + [n_nonnull]})
 
     field = df.schema[col].dataType.simpleString()
     cands = df.select(col).mapInPandas(
-        mg_partition, schema=f"value {field}, pruned boolean")
+        mg_partition, schema=f"value {field}, pruned boolean, n long")
     from funnel_rocket_spark.operators.dedup import bounded_persist
     cands = bounded_persist(cands)
-    candidates = cands.select("value").distinct()
-    any_pruned = bool(cands.agg(F.max("pruned")).collect()[0][0])
-    total = df.where(F.col(col).isNotNull()).count()
+    try:
+        candidates = cands.select("value").distinct()
+        agg_row = cands.agg(
+            F.max("pruned"),
+            F.coalesce(F.sum(F.when(F.col("value").isNull(),
+                                    F.col("n"))), F.lit(0))).collect()[0]
+        any_pruned, total = bool(agg_row[0]), int(agg_row[1])
 
-    exact = (df.join(F.broadcast(candidates),
-                     df[col] == candidates["value"], "left_semi")
-             .groupBy(F.col(col).alias("value"))
-             .agg(F.count(F.lit(1)).alias("cnt"))
-             .orderBy(F.desc("cnt"), F.asc("value")).limit(k))
-    rows = exact.collect()
-    # if no partition ever pruned, the candidate set is ALL values and the
-    # recount is trivially the exact answer; otherwise certify via the
-    # sketch bound
-    bound = total / (counters + 1)
-    if any_pruned and (len(rows) < k or
-                       (rows and rows[-1]["cnt"] <= bound)):
-        kth = rows[-1]["cnt"] if rows else 0
-        raise ValueError(
-            f"heavy_hitters: k-th frequency {kth} is not above the "
-            f"Misra-Gries bound N/(counters+1) = {bound:.1f}; raise "
-            f"`counters` for a provably exact top-{k}")
-    cands.unpersist()
+        exact = (df.join(F.broadcast(candidates),
+                         df[col] == candidates["value"], "left_semi")
+                 .groupBy(F.col(col).alias("value"))
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .orderBy(F.desc("cnt"), F.asc("value")).limit(k))
+        rows = exact.collect()
+        # if no partition ever pruned, the candidate set is ALL values and
+        # the recount is trivially the exact answer; otherwise certify via
+        # the sketch bound
+        bound = total / (counters + 1)
+        if any_pruned and (len(rows) < k or
+                           (rows and rows[-1]["cnt"] <= bound)):
+            kth = rows[-1]["cnt"] if rows else 0
+            raise ValueError(
+                f"heavy_hitters: k-th frequency {kth} is not above the "
+                f"Misra-Gries bound N/(counters+1) = {bound:.1f}; raise "
+                f"`counters` for a provably exact top-{k}")
+    finally:
+        # the raise-and-retry-with-larger-counters path must not leak the
+        # cached candidate frame
+        cands.unpersist()
     return df.sparkSession.createDataFrame(
         rows, schema=f"value {field}, cnt long")

@@ -98,7 +98,9 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     (key, time) window — exact, one shuffle, scales like any window query.
     Forward is the same plan with the time axis reversed. ``tolerance``
     (same units as ts) nulls out matches farther than ``tolerance`` from
-    ``left_ts``, like ``pd.merge_asof``.
+    ``left_ts``, like ``pd.merge_asof``. A carried column whose name also
+    exists on the left (shared-schema sides) comes out suffixed
+    ``<col>_right``, like merge_asof's suffixes.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
@@ -126,8 +128,16 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
                else F.col("__t").desc())
     w = (Window.partitionBy(on).orderBy(t_order, F.col("__is_left").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+    # carry under a reserved name: aliasing straight to c would collide
+    # with a SAME-NAMED left column (the common shared-schema case, e.g.
+    # both sides carrying 'price') and make the final select ambiguous.
+    # Like pd.merge_asof's suffixes, a carried column whose name exists
+    # on the left comes out as '<c>_right'; distinct names keep c.
+    carried = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
                for c in value_cols]
+
+    def out_name(c: str) -> str:
+        return f"{c}_right" if c in left.columns else c
     carried_ts = F.last(F.when(F.col("__is_left") == 0, F.col("__t")),
                         ignorenulls=True).over(w)
 
@@ -140,10 +150,13 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
                 else F.col("__rt") <= F.col("__t") + F.lit(tolerance))
         out = out.select(
             *[c for c in left.columns],
-            *[F.when(keep, F.col(c)).alias(c) for c in value_cols],
+            *[F.when(keep, F.col(f"__c_{c}")).alias(out_name(c))
+              for c in value_cols],
         )
     else:
-        out = out.select(*[c for c in left.columns], *value_cols)
+        out = out.select(*[c for c in left.columns],
+                         *[F.col(f"__c_{c}").alias(out_name(c))
+                           for c in value_cols])
     return out
 
 
@@ -207,7 +220,14 @@ def range_join(points: DataFrame, ranges: DataFrame, point_col: str,
 
     b = F.lit(bucket_size)
     lo_b = F.floor(F.col(lo_col) / b)
-    hi_b = F.floor((F.col(hi_col) - F.lit(1e-9)) / b)
+    # floor(hi/b) with NO epsilon: the exact `on` filter below already
+    # drops boundary points, and subtracting 1e-9 silently LOST matches
+    # for float hi within 1e-9 above a bucket boundary (a point at 3.0
+    # vs hi=3.0000000005, bucket 1.0 — the hazard interval_join's
+    # long-arithmetic path fixed). A hi exactly on a boundary now costs
+    # one extra candidate bucket that verification empties — superset
+    # then filter, never a dropped match.
+    hi_b = F.floor(F.col(hi_col) / b)
     n_buckets = hi_b - lo_b + 1
     guard = F.when(
         n_buckets <= F.lit(max_buckets_per_range), hi_b

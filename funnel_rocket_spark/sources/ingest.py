@@ -211,10 +211,13 @@ def _flatten_shard_dirs(spark, path: str, shards: int, pad: bool) -> None:
     for st in statuses:
         name = st.getPath().getName()
         if st.isFile() and name.startswith("part-"):
-            try:
-                i = int(name[5:10])
-            except ValueError:
+            # parse the full digit run, not a fixed 5-char slice — shard
+            # ids >= 100000 would otherwise mis-parse, collide with the
+            # prior files' names, and fail the flatten mid-way
+            digits = name[5:].split("-", 1)[0]
+            if not digits.isdigit():
                 continue
+            i = int(digits)
             if name.endswith("-empty.json"):
                 pads[i] = st.getPath()
             else:
@@ -270,6 +273,14 @@ def zorder_key(df, cols: list[str], bits: int = 8,
     """
     from funnel_rocket_spark.operators.olap import exact_ntile
 
+    if bits * len(cols) > 63:
+        # bit j*len(cols)+i must fit a signed long: at the default bits=8
+        # that's 7 columns max; position 63 would overflow the literal
+        # (or flip the key's sign and corrupt the clustering sort)
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits * len(cols)} exceeds 63 "
+            f"(signed-long interleave); lower bits (e.g. "
+            f"{63 // len(cols)} for {len(cols)} columns)")
     n = 1 << bits
     out = df
     bucket_cols = []

@@ -115,6 +115,30 @@ def test_query_streaming_progress(client):
         assert progress["stage"] == "running"
 
 
+def test_register_missing_required_fields_is_400(client):
+    """A missing required register field must keep the JSON 400 contract,
+    not surface as a Flask 500 KeyError page."""
+    r = client.post("/datasets/register", json={"basepath": "/nope"})
+    assert r.status_code == 400
+    body = r.get_json()
+    assert body["success"] is False
+    assert "missing required field" in body["errorMessage"]
+    assert "name" in body["errorMessage"]
+
+
+def test_streaming_invalid_query_is_http_400(client):
+    """?stream=true only changes how RESULTS are delivered — an invalid
+    query must still fail as HTTP 400 with the 'kind' field, not as an
+    in-band error tail of a 200 NDJSON stream."""
+    r = client.post("/datasets/ev/query?stream=true", json={
+        "query": {"conditions": [{"filter": ["nope", "==", 1]}]}})
+    assert r.status_code == 400
+    body = r.get_json()
+    assert body["success"] is False
+    assert "kind" in body
+    assert "Unknown column" in body["errorMessage"]
+
+
 def test_error_paths(client):
     r = client.post("/datasets/ev/query", json={
         "query": {"conditions": [{"filter": ["nope", "==", 1]}]}})

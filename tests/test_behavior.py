@@ -20,6 +20,20 @@ def _events(spark, rows):
               "event_id long")
 
 
+def test_retention_floor_buckets_negative_timestamps(spark):
+    """Period bucketing must be floor-based (pmod): a sign-preserving %
+    collapses (-period, period) into one double-width bucket, merging
+    pre- and post-epoch activity — and disagreeing with time_rollup on
+    the same inputs."""
+    df = spark.createDataFrame(
+        [("u", -3), ("u", 3), ("v", 3)], "g string, ts long")
+    got = {(r["cohort"], r["period_index"]): r["n_active"]
+           for r in behavior.retention_cohorts(df, "g", "ts",
+                                               period=10).collect()}
+    # u: cohort floor(-3/10)*10 = -10, active in periods -10 and 0
+    assert got == {(-10, 0): 1, (-10, 1): 1, (0, 0): 1}
+
+
 def test_retention_cohorts_triangle(spark):
     rows = [
         # user 1: weeks 0, 1, 3 — cohort 0

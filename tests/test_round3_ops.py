@@ -726,6 +726,21 @@ def test_zorder_key_is_deterministic(spark):
     assert a == b
 
 
+def test_zorder_key_signed_long_guard(spark):
+    """bits*len(cols) > 63 would shift a bit past the signed-long range
+    (or onto the sign bit, corrupting the clustering order) — refuse with
+    a message naming the workable bits value."""
+    from funnel_rocket_spark.sources.ingest import zorder_key
+
+    df = spark.range(4).select(
+        *[(F.col("id") + i).alias(f"c{i}") for i in range(8)])
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(df, [f"c{i}" for i in range(8)], bits=8)
+    # 63 bits exactly is fine (7 cols x 9 bits)
+    out = zorder_key(df, [f"c{i}" for i in range(7)], bits=9)
+    assert out.count() == 4
+
+
 # --------------------------------------------------------------------------- #
 # exact heavy hitters
 

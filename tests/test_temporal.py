@@ -53,6 +53,47 @@ def test_range_join(spark):
         assert got == {1: "low", 2: "low", 3: "mid", 4: "high"}, strategy
 
 
+def test_as_of_join_shared_schema_suffixes(spark):
+    """Both sides carrying the same value-column name (the common
+    shared-schema case) must not raise an ambiguous-reference error; the
+    carried right value lands on '<col>_right' like pd.merge_asof's
+    suffixes, the left original keeps the bare name."""
+    left = spark.createDataFrame(
+        [("A", 5, 10.0), ("A", 9, 20.0)], "sym string, t long, price double")
+    right = spark.createDataFrame(
+        [("A", 4, 1.5), ("A", 8, 2.5)], "sym string, t long, price double")
+    out = temporal.as_of_join(left, right, on="sym", left_ts="t",
+                              right_ts="t")
+    assert out.columns.count("price") == 1
+    assert "price_right" in out.columns
+    got = {(r["sym"], r["t"]): (r["price"], r["price_right"])
+           for r in out.collect()}
+    assert got == {("A", 5): (10.0, 1.5), ("A", 9): (20.0, 2.5)}
+    # tolerance branch shares the naming
+    tol = temporal.as_of_join(left, right, "sym", "t", "t",
+                              tolerance=1).collect()
+    assert {(r["sym"], r["t"]): r["price_right"] for r in tol} == \
+        {("A", 5): 1.5, ("A", 9): 2.5}
+
+
+def test_range_join_bucketed_float_boundary_hazard(spark):
+    """hi within 1e-9 ABOVE a bucket boundary: a point exactly on the
+    boundary is inside [lo, hi) and must match — the old epsilon bucket
+    arithmetic silently dropped it. An exact-boundary hi stays exclusive
+    (the verification filter, not the bucket math, decides)."""
+    points = spark.createDataFrame([(1, 3.0)], "id long, v double")
+    ranges = spark.createDataFrame(
+        [(0.0, 3.0000000005, "r")], "lo double, hi double, label string")
+    out = temporal.range_join(points, ranges, "v", "lo", "hi",
+                              bucket_size=1.0, strategy="bucketed")
+    assert [r["label"] for r in out.collect()] == ["r"]
+    exact_end = spark.createDataFrame(
+        [(0.0, 3.0, "r")], "lo double, hi double, label string")
+    assert temporal.range_join(points, exact_end, "v", "lo", "hi",
+                               bucket_size=1.0,
+                               strategy="bucketed").count() == 0
+
+
 def test_range_join_broadcast_handles_unbounded_band(spark):
     """A [lo, +huge) band is fine under broadcast — and is exactly the case
     the bucketized path must refuse rather than explode to millions of
