@@ -39,6 +39,13 @@ _PERSISTED_RING_CAP = 16
 _RING_LOCK = threading.Lock()
 
 
+def _same_semantics(a, b) -> bool:
+    try:
+        return a.sameSemantics(b)
+    except Exception:
+        return False
+
+
 def bounded_persist(df: DataFrame) -> DataFrame:
     """persist() with session hygiene: Spark's cacheManager holds cached
     plans forever (the driver never garbage-collects them), so a
@@ -95,11 +102,23 @@ def bounded_persist(df: DataFrame) -> DataFrame:
         _PERSISTED_RING.append((h, df))
         while len(_PERSISTED_RING) > _PERSISTED_RING_CAP:
             evicted.append(_PERSISTED_RING.pop(0))
-    for _, old in evicted:
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # session may already be stopped
+    for eh, old in evicted:
+        # Re-check under the lock before unpersisting: between popping
+        # the entry and reaching here, another thread may have re-entered
+        # a plan-identical frame (CacheManager shares ONE entry per
+        # canonicalized plan), and unpersisting the old handle would drop
+        # that thread's live cache mid-query — the exact regression the
+        # ring exists to prevent.
+        with _RING_LOCK:
+            readded = any(
+                reh == eh and _same_semantics(rentry, old)
+                for reh, rentry in _PERSISTED_RING)
+            if readded:
+                continue
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # session may already be stopped
     return df
 
 
@@ -862,8 +881,11 @@ def bloom_contamination(corpus: DataFrame, evalset: DataFrame,
     Hashing: two independent xxhash64 values per gram feed
     Kirsch–Mitzenmacher double hashing (bit_j = (h1 + j·h2) mod m) — k
     probes from 2 hashes, vectorized in one Arrow-batched numpy pass.
-    Eval-gram hashes are collected once to build the bitset (the eval set
-    is small by the same contract the broadcast join already relies on).
+    The bitset is built DISTRIBUTED: each partition folds its gram hashes
+    into a local bitset and the driver ORs the ≤32 partial bitsets
+    (≤ 32 × m_bits/8 bytes of driver traffic — a full eval-gram hash
+    collect would be hundreds of MB at a 10⁷-gram radius, exactly the
+    unbounded-driver shape this tier exists to avoid).
     """
     import numpy as np
 
@@ -871,17 +893,29 @@ def bloom_contamination(corpus: DataFrame, evalset: DataFrame,
                   .select(F.explode("grams").alias("gram")).distinct())
     h1c = F.xxhash64(F.col("gram"))
     h2c = F.xxhash64(F.col("gram"), F.lit("bloom2"))
-    hrows = eval_grams.select(h1c.alias("h1"), h2c.alias("h2")).collect()
+
+    def partition_bitset(batches):
+        b = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # xxhash64 is signed int64; reinterpret the bits as uint64 (a
+            # direct uint64 array of negative ints raises OverflowError)
+            h1 = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            for j in range(k_hashes):
+                idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    b, (idx >> np.uint64(3)).astype(np.int64),
+                    np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        yield pd.DataFrame({"bits": [b.tobytes()]})
+
+    parts = (eval_grams.select(h1c.alias("h1"), h2c.alias("h2"))
+             .coalesce(32)
+             .mapInPandas(partition_bitset, schema="bits binary").collect())
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
-    if hrows:
-        # xxhash64 is signed int64; reinterpret the bits as uint64 (a
-        # direct uint64 array of negative Python ints raises OverflowError)
-        h1 = np.array([r["h1"] for r in hrows], dtype=np.int64).view(np.uint64)
-        h2 = np.array([r["h2"] for r in hrows], dtype=np.int64).view(np.uint64)
-        for j in range(k_hashes):
-            idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
-            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
-                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    for r in parts:
+        bits |= np.frombuffer(r["bits"], dtype=np.uint8)
     bc = corpus.sparkSession.sparkContext.broadcast(bits)
 
     @F.pandas_udf("boolean")
@@ -902,6 +936,11 @@ def bloom_contamination(corpus: DataFrame, evalset: DataFrame,
                 .withColumn("__h1", F.xxhash64(F.col("gram")))
                 .withColumn("__h2", F.xxhash64(F.col("gram"), F.lit("bloom2")))
                 .where(maybe_member(F.col("__h1"), F.col("__h2"))))
-    return (exploded.join(F.broadcast(eval_grams), "gram")
+    # NO broadcast hint on the exact verify join: this tier exists for
+    # eval sets too big to broadcast (the bitset has already shrunk the
+    # corpus side to bloom survivors), so force-broadcasting the full
+    # gram table would rebuild the very OOM the tiering avoids — let the
+    # planner pick (AQE broadcasts it when it does turn out small)
+    return (exploded.join(eval_grams, "gram")
             .groupBy("id").agg(F.count(F.lit(1)).alias("n_shared"))
             .select(F.col("id").alias(id_col), "n_shared"))

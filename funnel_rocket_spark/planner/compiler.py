@@ -209,7 +209,12 @@ def with_sequence_anchors(df: DataFrame, spec: SequenceSpec, group_col: str,
             anchor = F.when(prev.isNotNull() & min_match.isNull(), prev)
         df = df.withColumn(spec.anchor(i), anchor)
         prev = F.col(spec.anchor(i))
-        if first_anchor is None:
+        if first_anchor is None and found:
+            # the duration window starts at the first FOUND step's anchor:
+            # a rowFound:false first step passes through the -inf/LONG_MIN
+            # sentinel, and anchoring the window THERE would make
+            # ts <= sentinel + d false for every row — zero groups could
+            # ever match a maxDuration sequence with an absence-first step
             first_anchor = prev
     return df
 

@@ -3,10 +3,13 @@ watermark-bounded state store.
 
 EXTENSION beyond the reference (funnel-rocket is strictly batch). This is
 the continuous twin of ``operators.dedup.exact_duplicates``: an unbounded
-document stream is filtered to first-seen content, where "seen" is an
-md5 digest of the normalized text — the same normalization (lowercased
-whitespace tokens) the batch dedup family uses, so a doc dropped here is
-exactly a doc the batch pipeline would have clustered.
+document stream is filtered to first-seen content, where "seen" is the
+md5 digest of the RAW text — byte-identical to the batch digest (null and
+empty text share one class, like the curate dedup_exact stage), so a doc
+dropped here is exactly a doc the batch exact dedup would have dropped.
+Near-dup normalization (case/whitespace) belongs to the MinHash family,
+not here: an exact-dedup stream must never delete data the batch exact
+contract keeps.
 
 Scale notes: state is keyed by the digest — uniformly distributed by
 construction, no skew. ``dropDuplicatesWithinWatermark`` evicts digest
@@ -21,13 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from funnel_rocket_spark.operators.dedup import tokens
-
 
 def content_digest(col) -> F.Column:
-    """md5 over the normalized (lowercased, whitespace-split) token stream —
-    identical to the batch ``exact_duplicates`` digest."""
-    return F.md5(F.concat_ws(" ", tokens(col)).cast("binary"))
+    """md5 over the RAW text — identical to the batch
+    ``exact_duplicates`` digest (``md5(text cast binary)``), with null
+    coalesced to '' so null-text docs form one duplicate class like the
+    curate ``dedup_exact`` stage. 'Hello  World' and 'hello world' are
+    DIFFERENT content here, exactly as in the batch contract."""
+    return F.md5(F.coalesce(col, F.lit("")).cast("binary"))
 
 
 def streaming_exact_dedup(docs: DataFrame, ts_col: str,

@@ -23,10 +23,13 @@ from typing import Iterable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "group_id long, steps_completed int, anchor_ts double"
-STATE_SCHEMA = "steps_completed int, anchor_ts double, first_ts double"
+# schemas are built per-call from the actual group/ts column types:
+# forcing anchor_ts through double would quantize int64 epoch-nanos to
+# ~256 ns steps and break strict ts > anchor comparisons — the exact
+# hazard planner.compiler.ts_numeric documents for the batch engine
 
 
 def _pandas_filter(pdf: pd.DataFrame, f: dict) -> pd.Series:
@@ -84,6 +87,20 @@ def incremental_funnel(
             raise NotImplementedError(
                 "rowFound:false cannot be evaluated incrementally")
     n_steps = len(sequence)
+    # Null-ts rows are inert (the batch engine's null-coalesced predicates
+    # never match them) — drop them BEFORE the stateful operator: besides
+    # implementing that contract, a null in an int64 ts column would force
+    # the Arrow->pandas conversion to float64 and quantize epoch-nanos for
+    # the whole batch, breaking strict ts > anchor chains
+    events = events.where(F.col(ts_col).isNotNull())
+    g_type = events.schema[group_col].dataType.simpleString()
+    ts_type = events.schema[ts_col].dataType.simpleString()
+    ts_is_int = ts_type in ("long", "bigint", "int", "integer",
+                            "smallint", "tinyint")
+    out_schema = (f"group_id {g_type}, steps_completed int, "
+                  f"anchor_ts {ts_type}")
+    state_schema = (f"steps_completed int, anchor_ts {ts_type}, "
+                    f"first_ts {ts_type}")
 
     def update(
         key: Tuple,
@@ -93,10 +110,17 @@ def incremental_funnel(
         if state.exists:
             steps_done, anchor, first = state.get
         else:
-            steps_done, anchor, first = 0, float("-inf"), float("-inf")
+            steps_done, anchor, first = 0, None, None
 
+        # ONE sorted frame per micro-batch: the Arrow iterator chunks a
+        # big group's batch at maxRecordsPerBatch, and sorting each chunk
+        # independently would make the result depend on arbitrary chunk
+        # boundaries — the docstring promises intra-BATCH disorder is fine
+        chunks = list(batches)
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else (chunks[0] if chunks else None))
         advanced = False
-        for pdf in batches:
+        if pdf is not None and len(pdf):
             pdf = pdf.sort_values(ts_col)
             preds = [_step_pred(pdf, s) for s in sequence]
             for idx in pdf.index:
@@ -105,8 +129,17 @@ def incremental_funnel(
                 # One event advances at most one step (strict ts > anchor
                 # also prevents same-timestamp chaining, like the batch path)
                 if preds[steps_done].loc[idx]:
-                    ts_val = float(pdf.at[idx, ts_col])
-                    if ts_val <= anchor:
+                    raw = pdf.at[idx, ts_col]
+                    if pd.isna(raw):
+                        # a null-ts row is inert like the batch engine's
+                        # null-coalesced predicates — advancing on NaN
+                        # would poison the anchor and disable every later
+                        # ordering/duration check
+                        continue
+                    # keep the column's own arithmetic: int64 nanos stay
+                    # exact; float stays float
+                    ts_val = int(raw) if ts_is_int else float(raw)
+                    if anchor is not None and ts_val <= anchor:
                         continue
                     if (max_duration is not None and steps_done > 0
                             and ts_val > first + max_duration):
@@ -126,8 +159,8 @@ def incremental_funnel(
 
     return events.groupBy(group_col).applyInPandasWithState(
         update,
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )

@@ -54,18 +54,32 @@ def streaming_incremental_dedup(docs: DataFrame, corpus_path: str,
         # emitting every verified pair twice. The partition column the
         # overwrite layout exists for (see module docstring) is also the
         # retry filter: exclude batch == batch_id on read.
-        try:
-            index = (spark.read.parquet(index_path)
-                     .where(F.col("batch") != F.lit(batch_id)))
-        except Exception:  # first batch: nothing indexed yet
-            index = dedup.minhash_band_table(
-                batch.limit(0), text_col, id_col, num_hashes, bands, n)
-        try:
-            corpus = (spark.read.parquet(corpus_path)
-                      .where(F.col("batch") != F.lit(batch_id))
-                      .drop("batch"))
-        except Exception:
-            corpus = batch.limit(0)
+        def read_or_none(path: str):
+            # ONLY path-not-found means "first batch, nothing indexed
+            # yet" — a transient storage error (throttle, datanode flap,
+            # corrupt footer) swallowed here would silently replace the
+            # entire dedup history with an empty index and leave an
+            # unrecoverable recall hole; those must fail the batch so
+            # the stream retries
+            from pyspark.errors import AnalysisException
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException as e:
+                if ("PATH_NOT_FOUND" in str(e)
+                        or "Path does not exist" in str(e)):
+                    return None
+                raise
+
+        idx_read = read_or_none(index_path)
+        index = (idx_read.where(F.col("batch") != F.lit(batch_id))
+                 if idx_read is not None else
+                 dedup.minhash_band_table(
+                     batch.limit(0), text_col, id_col, num_hashes,
+                     bands, n))
+        corpus_read = read_or_none(corpus_path)
+        corpus = (corpus_read.where(F.col("batch") != F.lit(batch_id))
+                  .drop("batch")
+                  if corpus_read is not None else batch.limit(0))
         batch = batch.persist()
         pairs = dedup.incremental_lsh_pairs(
             batch, corpus, index=index, text_col=text_col, id_col=id_col,

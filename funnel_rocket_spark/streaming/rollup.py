@@ -23,8 +23,15 @@ from pyspark.sql import functions as F
 
 def nanos_to_timestamp(col: Column) -> Column:
     """int64 epoch-nanos (how TIMESTAMP(NANOS) parquet arrives under
-    ``nanosAsLong``) → TimestampType, truncated to microseconds."""
-    return F.timestamp_micros((col / F.lit(1000)).cast("long"))
+    ``nanosAsLong``) → TimestampType, truncated to microseconds.
+
+    Division goes through decimal, not ``/``: long ``/`` promotes to
+    double, whose ~256 ns ulp at epoch scale can round UP before the
+    long cast — an event exactly at a window/session boundary would land
+    in the wrong bucket. decimal(20,0)/1000 is exact; the long cast
+    truncates the fraction (true truncation, as documented)."""
+    return F.timestamp_micros(
+        (col.cast("decimal(20,0)") / F.lit(1000)).cast("long"))
 
 
 def streaming_time_rollup(events: DataFrame, ts_col: str, every: str,

@@ -37,7 +37,10 @@ _FILTER_SHORTHAND = {
 
 _FILTER = {"anyOf": [_FILTER_SHORTHAND, _FILTER_VERBOSE]}
 
-_FILTER_ARRAY = {"type": "array", "minItems": 1, "items": _FILTER_VERBOSE}
+# items accept BOTH forms: the expansion code converts shorthand inside
+# 'filters' (validator._expand_condition / _expand_step) — a verbose-only
+# schema here would reject queries that code exists to support
+_FILTER_ARRAY = {"type": "array", "minItems": 1, "items": _FILTER}
 
 # Target: count/sum comparison, verbose or shorthand list form.
 _TARGET = {

@@ -300,6 +300,62 @@ def test_streaming_time_rollup(spark, tmp_path):
                    ("2026-01-01 00:01:00", "click"): 1}
 
 
+def test_incremental_funnel_int64_nanos_exact(spark, tmp_path):
+    """The funnel state/output schemas follow the ts column's type: with
+    double state, int64 epoch-nanos quantize to ~256 ns steps, so two
+    events 100 ns apart compare equal and the strict ts > anchor check
+    blocks the chain the batch engine matches. Null-ts rows are inert."""
+    from funnel_rocket_spark.streaming import incremental_funnel
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    indir, ckpt = tmp_path / "nf_in", tmp_path / "nf_ckpt"
+    indir.mkdir()
+    base = 1_700_000_000_000_000_000
+    # build via pyarrow: pandas astype('Int64') on an object column with a
+    # None goes through float64 and quantizes base+100 back to base —
+    # exactly the corruption this test exists to catch in the ENGINE
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([base, base + 100, None, base], pa.int64()),
+        "etype": pa.array(["view", "purchase", "view", "purchase"]),
+    }), indir / "b1.parquet")
+
+    stream = (spark.readStream.schema("user_id long, ts long, etype string")
+              .parquet(str(indir)))
+    seq = [{"filter": {"column": "etype", "op": "==", "value": "view"}},
+           {"filter": {"column": "etype", "op": "==", "value": "purchase"}}]
+    q = (incremental_funnel(stream, seq, "user_id", "ts")
+         .writeStream.format("memory").queryName("nanos_funnel")
+         .outputMode("update").option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["group_id"]: (r["steps_completed"], r["anchor_ts"])
+           for r in spark.sql("SELECT * FROM nanos_funnel").collect()}
+    # user 1 chains both steps with the EXACT nanos anchor; user 2's null
+    # view is skipped, so only step... no view -> purchase can't be step 2,
+    # and a purchase alone advances nothing past step 1's predicate
+    assert got[1] == (2, base + 100)
+    assert 2 not in got or got[2][0] == 0
+
+
+def test_nanos_to_timestamp_exact_truncation(spark):
+    """Double division of epoch-nanos (~256 ns ulp) can round UP before
+    the long cast, mapping a boundary event into the wrong bucket; the
+    decimal path must truly truncate."""
+    from funnel_rocket_spark.streaming import nanos_to_timestamp
+
+    nanos = [1_700_000_000_000_000_999,   # must truncate DOWN
+             1_700_000_000_000_000_000,
+             999]                          # sub-microsecond -> epoch
+    df = spark.createDataFrame([(n,) for n in nanos], "ns long")
+    got = [r["us"] for r in df.select(
+        F.unix_micros(nanos_to_timestamp(F.col("ns"))).alias("us"))
+        .collect()]
+    assert got == [n // 1000 for n in nanos], got
+
+
 def test_streaming_session_stats(spark, tmp_path):
     from funnel_rocket_spark.streaming import streaming_session_stats
 
@@ -341,17 +397,22 @@ def test_streaming_exact_dedup(spark, tmp_path):
     indir = tmp_path / "dedup_in"
     ckpt = tmp_path / "dedup_ckpt"
     indir.mkdir()
-    # b1: two distinct docs (doc 2 repeats doc 1's content modulo case/space
-    # -> same digest). b2: another duplicate within the watermark plus one
-    # fresh doc.
+    # The digest is the BATCH exact_duplicates digest: RAW text. Case/
+    # whitespace variants are DIFFERENT content (near-dup is the MinHash
+    # family's job) — an exact-dedup stream must never delete data the
+    # batch exact contract keeps. doc 2 repeats doc 1 byte-for-byte; the
+    # null-text docs 6 and 7 form one class like the curate dedup_exact
+    # stage.
     pd.DataFrame([
         {"ts": "2026-01-01 00:00:01", "doc_id": 1, "text": "Hello  World"},
-        {"ts": "2026-01-01 00:00:02", "doc_id": 2, "text": "hello world"},
-        {"ts": "2026-01-01 00:00:03", "doc_id": 3, "text": "other doc"},
+        {"ts": "2026-01-01 00:00:02", "doc_id": 2, "text": "Hello  World"},
+        {"ts": "2026-01-01 00:00:03", "doc_id": 3, "text": "hello world"},
+        {"ts": "2026-01-01 00:00:04", "doc_id": 6, "text": None},
     ]).to_parquet(indir / "b1.parquet")
     pd.DataFrame([
-        {"ts": "2026-01-01 00:00:30", "doc_id": 4, "text": "HELLO   world"},
+        {"ts": "2026-01-01 00:00:30", "doc_id": 4, "text": "Hello  World"},
         {"ts": "2026-01-01 00:00:31", "doc_id": 5, "text": "brand new"},
+        {"ts": "2026-01-01 00:00:32", "doc_id": 7, "text": None},
     ]).to_parquet(indir / "b2.parquet")
 
     stream = (spark.readStream.schema("ts string, doc_id long, text string")
@@ -365,8 +426,9 @@ def test_streaming_exact_dedup(spark, tmp_path):
     q.awaitTermination(120)
     survivors = sorted(r["doc_id"] for r in
                        spark.sql("SELECT * FROM dedup_out").collect())
-    # one survivor per distinct content: docs 2 and 4 are dropped
-    assert survivors == [1, 3, 5]
+    # exact duplicates 2, 4 (byte-equal to 1) and 7 (second null) drop;
+    # the case/space variant 3 SURVIVES
+    assert survivors == [1, 3, 5, 6]
 
 
 def test_jsonl_roundtrip(spark, tmp_path):

@@ -537,6 +537,33 @@ def test_sequence_row_found_false_extension(spark):
     assert res["query"]["matchingGroups"] == 1
 
 
+def test_max_duration_with_row_found_false_first_step(spark):
+    """The duration window must anchor at the first FOUND step: an
+    absence-first sequence passes the -inf sentinel through step 0, and
+    anchoring maxDuration THERE made ts <= sentinel + d false for every
+    row — zero groups could ever match."""
+    rows = [
+        # a: no error, view->purchase within 5 → must match
+        {"id": "a", "timestamp": 10, "type": "view"},
+        {"id": "a", "timestamp": 13, "type": "purchase"},
+        # b: no error, purchase too late after the view anchor
+        {"id": "b", "timestamp": 10, "type": "view"},
+        {"id": "b", "timestamp": 100, "type": "purchase"},
+        # c: has an early error → absence step fails
+        {"id": "c", "timestamp": 1, "type": "error"},
+        {"id": "c", "timestamp": 10, "type": "view"},
+        {"id": "c", "timestamp": 13, "type": "purchase"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    q = {"conditions": [{"sequence": [
+        {"filter": ["type", "==", "error"], "rowFound": False},
+        {"filter": ["type", "==", "view"]},
+        {"filter": ["type", "==", "purchase"]},
+    ], "maxDuration": 5}]}
+    res = run(df, q)
+    assert res["query"]["matchingGroups"] == 1
+
+
 def test_approx_groups_per_value(sdf):
     """approx=true (HLL) stays within tolerance of exact on small data."""
     res = run(sdf, {"conditions": [], "aggregations": [

@@ -30,6 +30,25 @@ def test_shorthand_filter_and_target_expansion():
     assert cond["target"] == {"type": "count", "op": ">=", "value": 2}
 
 
+def test_shorthand_filters_inside_filters_array():
+    """'filters' items accept the same shorthand as 'filter' — the schema
+    once allowed only verbose objects there, rejecting queries the
+    expansion code (_expand_condition/_expand_step) explicitly supports."""
+    q = {"query": {"conditions": [
+        {"filters": [["price", ">", 5],
+                     {"column": "category", "op": "==", "value": "x"}]}]}}
+    cond = ev(q).query["query"]["conditions"][0]
+    assert cond["filters"][0] == {"column": "price", "op": ">", "value": 5}
+    assert cond["filters"][1] == {"column": "category", "op": "==",
+                                  "value": "x"}
+    # and inside a sequence step
+    q2 = {"funnel": {"sequence": [
+        {"filters": [["category", "==", "view"], ["price", ">", 0]]}]}}
+    step = ev(q2).query["funnel"]["sequence"][0]
+    assert step["filters"][0] == {"column": "category", "op": "==",
+                                  "value": "view"}
+
+
 def test_shorthand_sum_target():
     q = {"query": {"conditions": [
         {"filter": ["price", ">", 5], "target": ["sum", "price", "<", 9.5]}]}}
