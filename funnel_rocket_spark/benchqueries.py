@@ -90,6 +90,14 @@ _TOKS_SQL = (
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk "
     "FROM documents"
 )
+# cased twin for RECONSTRUCTION operators (chunking, packing, span
+# removal): output text must keep the original casing; lowercased tokens
+# are for counting/matching only
+_TOKS_CASED_SQL = (
+    "SELECT doc_id, text, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk "
+    "FROM documents"
+)
 def _grams_sql(n: int = 3) -> str:
     """Distinct word n-gram shingles (mirrors dedup.word_ngrams)."""
     return (
@@ -2774,9 +2782,10 @@ SELECT lang, doc_id, n_chars, rnk::INT AS rnk FROM (
     "text_chunks": (
         _chunk_documents_fn,
         # Non-overlapping 16-token windows; slices mirror text.chunk_documents
-        # (DuckDB list slice bounds are 1-based inclusive).
+        # (DuckDB list slice bounds are 1-based inclusive). CASED tokens:
+        # chunk_text preserves original casing.
         """
-WITH toks AS (""" + _TOKS_SQL + """),
+WITH toks AS (""" + _TOKS_CASED_SQL + """),
 c AS (SELECT doc_id, tk,
   unnest(range(0, greatest(ceil((len(tk) - 16) / 16.0) + 1, 1)::BIGINT)) AS cid
   FROM toks)
@@ -2805,8 +2814,10 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 200
         # token stream in doc_id order, 128-token blocks; md5 over the
         # block's space-joined tokens verifies packing bit-for-bit.
         """
-WITH toks AS (""" + _TOKS_SQL + """),
-t AS (SELECT doc_id, doc_id % 8 AS shard, tk, len(tk) AS n
+WITH toks AS (""" + _TOKS_CASED_SQL + """),
+t AS (SELECT doc_id,
+        ('0x' || substr(md5(doc_id::VARCHAR), 1, 11))::BIGINT % 8 AS shard,
+        tk, len(tk) AS n
       FROM toks WHERE len(tk) > 0),
 o AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM t),
@@ -3465,11 +3476,14 @@ ON a.user_id < b.user_id AND a.sa < b.ea AND b.sa < a.ea
     ),
     "text_remove_dup_spans": (
         _remove_dup_spans_fn,
-        "WITH toks AS (" + _TOKS_SQL + "),\n" + _SUBSTR_SPANS_SQL + """,
+        "WITH toks AS (" + _TOKS_SQL + "),\n"
+        "ctoks AS (SELECT doc_id, "
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk "
+        "FROM documents),\n" + _SUBSTR_SPANS_SQL + """,
 sp AS (SELECT doc_id, min(start) AS s, max(start) + 19 AS e
        FROM isl GROUP BY doc_id, island),
 idx AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
-        FROM toks),
+        FROM ctoks),
 kept AS (SELECT idx.doc_id, idx.tok, idx.i
          FROM idx LEFT JOIN sp ON idx.doc_id = sp.doc_id
                               AND idx.i >= sp.s AND idx.i <= sp.e

@@ -79,6 +79,13 @@ class JobGroupMetrics:
                 if info is not None:
                     stage_ids.update(info.stageIds)
             out["invoker"]["jobs"] = len(job_ids)
+            import copy
+
+            # snapshot the counters BEFORE the reflective fill: it can
+            # throw mid-loop (after N stages are already summed), and the
+            # tracker fallback would then add every stage's tasks/stages
+            # ON TOP of the partial sums — double-counted stats
+            pre = copy.deepcopy((out["invoker"], out["worker"]))
             try:
                 self._fill_from_status_store(sc, stage_ids, out)
             except Exception:
@@ -86,6 +93,7 @@ class JobGroupMetrics:
                 # private Spark plumbing; a Spark minor-version bump may
                 # break it. Degrade to the PUBLIC StatusTracker API —
                 # task/stage counts survive, byte/row volumes don't.
+                out["invoker"], out["worker"] = copy.deepcopy(pre)
                 out["partial"] = True
                 out["statsSource"] = "statusTracker"
                 self._fill_from_tracker(tracker, stage_ids, out)

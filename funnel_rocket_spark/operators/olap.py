@@ -43,11 +43,16 @@ def grouped_exact_percentiles(
             raise ValueError(f"quantile {name}={q} outside [0, 1]")
     val = value if isinstance(value, Column) else F.col(value)
 
+    # NO pre-filter: null values ride the histogram as ZERO-WEIGHT rows
+    # (never selectable — selection needs __cum >= 1), so a group whose
+    # values are all null still emits a row with null quantiles, exactly
+    # like SQL GROUP BY + quantile_cont. Filtering first silently DROPPED
+    # such groups, contradicting both the docstring and the oracle.
     hist = (
-        df.where(val.isNotNull())
-        .groupBy(*group_cols, val.alias("__v"))
+        df.groupBy(*group_cols, val.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    nn_c = F.when(F.col("__v").isNotNull(), F.col("__c")).otherwise(F.lit(0))
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy("__v")
@@ -57,8 +62,8 @@ def grouped_exact_percentiles(
     h = hist.select(
         *group_cols,
         "__v",
-        F.sum("__c").over(w_cum).alias("__cum"),
-        F.sum("__c").over(w_all).alias("__n"),
+        F.sum(nn_c).over(w_cum).alias("__cum"),
+        F.sum(nn_c).over(w_all).alias("__n"),
     )
 
     aggs = []
@@ -273,10 +278,14 @@ def window_share(df: DataFrame, part_cols: list[str], within_cols: list[str],
     agg = (df.groupBy(*[F.col(c) for c in within_cols + part_cols])
            .agg(F.sum(value_col).alias("__v")))
     w = Window.partitionBy(*[F.col(c) for c in within_cols])
+    # nullif guard: a zero within-group total (all-zero revenue, refunds
+    # cancelling sales) is a null share, not an ANSI DIVIDE_BY_ZERO that
+    # kills the query — same guard similarity.py uses for cosine norms
+    total = F.sum("__v").over(w)
     return agg.select(
         *within_cols, *part_cols,
         F.round("__v", 2).alias("value"),
-        F.round(F.col("__v") / F.sum("__v").over(w), 6).alias("share"),
+        F.round(F.col("__v") / F.nullif(total, F.lit(0)), 6).alias("share"),
     )
 
 

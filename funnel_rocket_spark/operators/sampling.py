@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 # so rate resolution is ~6e-14 and the gate is a single integer compare.
 _BUCKETS = 1 << 44
 
+def _salted_bucket(col, salt: str):
+    """THE engine-wide deterministic id hash: first 11 md5 hex chars of
+    (salt || value-as-string) as int64 in [0, 2^44) — one definition so
+    every sampler (gates, splits, mixtures, Gumbel keys) stays in
+    lockstep; DuckDB reproduces it as ('0x' || substr(md5(...), 1,
+    11))::BIGINT."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))
+                          .cast("binary")), 1, 11), 16, 10).cast("long")
+
+
 
 def sample_gate(col, rate: float, salt: str = ""):
     """Boolean Column: deterministically keep ~``rate`` of distinct values.
@@ -30,9 +42,7 @@ def sample_gate(col, rate: float, salt: str = ""):
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))
-                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    bucket = _salted_bucket(col, salt)
     return bucket < F.lit(int(rate * _BUCKETS))
 
 
@@ -63,9 +73,7 @@ def weighted_sample_key(id_col, weight_col, salt: str = ""):
     from the id hash: the n rows with the LARGEST keys are a weighted sample
     without replacement (heavier rows proportionally likelier). Rows with
     null or non-positive weight get a null key (never selected)."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))
-                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    bucket = _salted_bucket(id_col, salt)
     u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(_BUCKETS))
     return F.when(weight_col > 0, F.pow(u, F.lit(1.0) / weight_col))
 
@@ -139,9 +147,7 @@ def temperature_resample(df: DataFrame, strata_col: str, alpha: float = 0.5,
                      F.pow(F.col("__nmin").cast("double")
                            / F.col("__n").cast("double"),
                            F.lit(1.0 - alpha)).alias("__rate")))
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
-                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    bucket = _salted_bucket(id_col, salt)
     return (df.join(F.broadcast(rates), strata_col)
             .where(bucket < F.floor(F.col("__rate") * F.lit(float(_BUCKETS)))
                    .cast("long"))
@@ -165,9 +171,7 @@ def assign_split(df: DataFrame, weights: dict, id_col: str = "doc_id",
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
-                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    bucket = _salted_bucket(id_col, salt)
     expr = None
     acc = 0.0
     names = sorted(weights)
@@ -293,9 +297,7 @@ def mixture_sample(df: DataFrame, target_weights: dict, strata_col: str,
     if rates is None:
         rates = mixture_plan(df, target_weights, strata_col, total_tokens,
                              text_col, token_col=token_col, anchor=False)
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
-                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    bucket = _salted_bucket(id_col, salt)
     return (df.join(F.broadcast(rates.select(strata_col, "rate")),
                     strata_col)
             .where(bucket < F.floor(F.col("rate") * F.lit(float(_BUCKETS)))
@@ -315,9 +317,7 @@ def repeat_sample(df: DataFrame, rate_col, id_col: str = "doc_id",
     Pure explode-over-sequence projection — no shuffle; at 100 TB the
     cost is the output volume itself, which is the point of upsampling.
     """
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
-                          .cast("binary")), 1, 11), 16, 10).cast("long")
+    bucket = _salted_bucket(id_col, salt)
     frac = rate_col - F.floor(rate_col)
     n_copies = (F.floor(rate_col)
                 + F.when(bucket < F.floor(frac * F.lit(float(_BUCKETS)))
@@ -468,10 +468,8 @@ def dsir_resample(df_raw: DataFrame, df_target: DataFrame, n: int,
             "rename them before calling dsir_resample")
     scored = dsir_importance(df_raw, df_target, text_col, id_col,
                              n_buckets, smoothing)
-    u = (F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
-              .cast("binary")), 1, 11), 16, 10).cast("long")
-        .cast("double") + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    u = (_salted_bucket(id_col, salt).cast("double")
+         + F.lit(0.5)) / F.lit(float(_BUCKETS))
     gumbel = -F.log(-F.log(u))
     keyed = df_raw.join(scored, id_col).withColumn(
         "__key", F.col("logw_sum") + gumbel)

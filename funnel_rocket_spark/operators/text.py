@@ -167,8 +167,12 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         stride = max_tokens
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("max_tokens and stride must be positive")
+    # lowercase=False: chunks are TRAINING TEXT — reconstruction must
+    # preserve the original casing (normalized tokenization is for
+    # counting/matching operators, not for text that flows onward)
     toks_df = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        F.col(id_col), tokens(F.col(text_col), lowercase=False)
+        .alias("__toks"))
     n_tok = F.size("__toks")
     # windows fully covering the doc: ceil((n - max)/stride) + 1, min 1
     n_chunks = F.greatest(
@@ -249,11 +253,21 @@ def pack_token_blocks(df: DataFrame, text_col: str = "text",
     if block_size <= 0 or shards <= 0:
         raise ValueError("block_size and shards must be positive")
     B = block_size
+    # lowercase=False: packed blocks are training text + a bit-level md5 —
+    # both must carry the ORIGINAL casing
     toks = (F.col(pretokenized_col) if pretokenized_col is not None
-            else tokens(F.col(text_col)))
+            else tokens(F.col(text_col), lowercase=False))
+    # md5-hash sharding (the sample_gate/_md5_bucket construction, DuckDB-
+    # portable): raw pmod(id, shards) crashed with CAST_INVALID_INPUT on
+    # string ids under ANSI and left shards empty for structured numeric
+    # ids (e.g. all-even)
+    shard = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.col(id_col).cast("string").cast("binary")), 1, 11),
+            16, 10).cast("long"), F.lit(shards))
     base = (
         df.select(
-            F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard"),
+            shard.alias("shard"),
             F.col(id_col).alias("__id"),
             toks.alias("__toks"))
         .withColumn("__n", F.size("__toks"))
@@ -491,7 +505,13 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
              .groupBy(id_col)
              .agg(F.collect_list(F.struct("span_start", "span_end"))
                   .alias("__spans")))
-    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    # span DETECTION is case-normalized (exact_substring_spans' contract),
+    # but the spans are TOKEN INDEXES — lowercasing never moves word
+    # boundaries, so the reconstruction can and must use the CASED tokens:
+    # surviving text keeps its original casing
+    toks_df = df.select(F.col(id_col),
+                        tokens(F.col(text_col), lowercase=False)
+                        .alias("__tk"))
     joined = toks_df.join(spans, id_col, "left")
     # guarded: sequence(1, 0) would count DOWN, and zip_with pads the
     # shorter side with nulls — an empty doc must index to an empty array

@@ -159,14 +159,21 @@ def _stage_lm_gate(spark, df, cfg, ctx):
                     frames=bool(cfg.get("frames", False)))
     if "max_avg_nll" in cfg:
         cut = float(cfg["max_avg_nll"])
-    elif "keep_frac" in cfg:
-        qt = scored.approxQuantile(
-            "avg_nll", [float(cfg["keep_frac"])], 0.001)
-        if not qt:  # empty corpus: nothing to rank, keep nothing
-            return df.limit(0)
-        cut = qt[0]
-    else:
+        keep = scored.where(F.col("avg_nll") <= cut).select(ctx["id_col"])
+        return df.join(keep, ctx["id_col"], "left_semi")
+    if "keep_frac" not in cfg:
         raise ValueError("lm_gate stage needs 'max_avg_nll' or 'keep_frac'")
+    # keep_frac consumes the scored frame TWICE (quantile, then the keep
+    # filter) — persist it, or the most expensive plan of the pipeline
+    # (corpus scan + LM scoring) executes twice
+    from funnel_rocket_spark.operators.dedup import bounded_persist
+
+    scored = bounded_persist(scored)
+    qt = scored.approxQuantile(
+        "avg_nll", [float(cfg["keep_frac"])], 0.001)
+    if not qt:  # empty corpus: nothing to rank, keep nothing
+        return df.limit(0)
+    cut = qt[0]
     keep = scored.where(F.col("avg_nll") <= cut).select(ctx["id_col"])
     return df.join(keep, ctx["id_col"], "left_semi")
 
@@ -308,20 +315,32 @@ def _input_fingerprint(path: str) -> str:
         json.dumps(entries).encode()).hexdigest()
 
 
+# stage-config keys that name a SECOND dataset read from disk: their
+# file contents must invalidate the stage exactly like the main input's
+_SIDE_INPUT_KEYS = ("eval_path", "target_path")
+
+
 def _chain_hashes(config: dict) -> list[str]:
     """Per-stage chain hash: h_i = md5(h_{i-1} || canonical(stage_i) ||
-    canonical(input) || fingerprint(input data)). A change to any stage,
-    the input block, or the input FILES (size/mtime) invalidates that
-    checkpoint and everything after it, never before."""
+    side-input fingerprints || canonical(input) || fingerprint(input
+    data)). A change to any stage, the input block, the input FILES
+    (size/mtime), or a stage's SIDE dataset (decontaminate eval_path,
+    dsir/lm_gate target_path) invalidates that checkpoint and everything
+    after it, never before — overwriting eval.parquet in place must not
+    resume a decontaminate checkpoint computed against the old eval set."""
     inp = config.get("input", {})
     seed = {"input": inp,
             "data": _input_fingerprint(inp.get("path", ""))}
     h = hashlib.md5(json.dumps(seed, sort_keys=True).encode())
     out = []
     for st in config.get("stages", []):
+        payload = dict(st)
+        for k in _SIDE_INPUT_KEYS:
+            if k in st:
+                payload[f"__data_{k}"] = _input_fingerprint(str(st[k]))
         h = hashlib.md5(
             h.hexdigest().encode()
-            + json.dumps(st, sort_keys=True).encode())
+            + json.dumps(payload, sort_keys=True).encode())
         out.append(h.hexdigest())
     return out
 

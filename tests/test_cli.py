@@ -340,6 +340,33 @@ def test_pipeline_survives_emptying_chain(spark, tmp_path):
     assert [s["rows_out"] for s in rep["stages"]] == [0, 0, 0, 0]
 
 
+def test_chain_hash_invalidates_on_side_input_change(tmp_path):
+    """Overwriting a stage's SIDE dataset (decontaminate eval_path,
+    dsir/lm_gate target_path) must invalidate that stage's checkpoint:
+    the config JSON is unchanged, so without a data fingerprint resume
+    would silently replay a checkpoint computed against the OLD eval
+    set."""
+    import time as _time
+
+    from funnel_rocket_spark.pipeline import _chain_hashes
+
+    inp = tmp_path / "in.parquet"
+    ev = tmp_path / "eval.parquet"
+    inp.write_bytes(b"x")
+    ev.write_bytes(b"eval-v1")
+    cfg = {"input": {"path": str(inp)},
+           "stages": [{"stage": "gopher_filter", "min_words": 1},
+                      {"stage": "decontaminate", "eval_path": str(ev)},
+                      {"stage": "split", "weights": {"train": 1.0}}]}
+    before = _chain_hashes(cfg)
+    _time.sleep(0.01)
+    ev.write_bytes(b"eval-v2-longer")  # size AND mtime change
+    after = _chain_hashes(cfg)
+    assert before[0] == after[0]          # stages before: untouched
+    assert before[1] != after[1]          # the decontaminate stage
+    assert before[2] != after[2]          # ...and everything after
+
+
 def test_pipeline_chain_hash_properties():
     """Resume correctness is a function of _chain_hashes: editing stage i
     (or the input block) changes hashes i.. and ONLY i.. — hypothesis

@@ -30,6 +30,37 @@ def _assert_same(spark, df, key, val_col):
         assert got[k] == pytest.approx(want[k], nan_ok=True), k
 
 
+def test_all_null_group_yields_null_row(spark):
+    """A group whose values are ALL null must still emit a row (with null
+    quantiles) — like SQL GROUP BY + quantile_cont. The old isNotNull
+    pre-filter dropped the group entirely."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)],
+        "g string, v double")
+    rows = {r["g"]: r for r in olap.grouped_exact_percentiles(
+        df, ["g"], "v", {"p50": 0.5}).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["p50"] == 2.0
+    assert rows["b"]["p50"] is None
+    # mixed group: nulls ignored, like percentile/quantile_cont
+    df2 = spark.createDataFrame(
+        [("c", None), ("c", 10.0), ("c", 20.0)], "g string, v double")
+    assert olap.grouped_exact_percentiles(
+        df2, ["g"], "v", {"p50": 0.5}).collect()[0]["p50"] == 15.0
+
+
+def test_window_share_zero_total_is_null(spark):
+    """A zero within-group total (refunds cancelling sales) yields null
+    shares, not an ANSI DIVIDE_BY_ZERO that kills the query."""
+    df = spark.createDataFrame(
+        [("w1", "p1", 5.0), ("w1", "p2", -5.0), ("w2", "p1", 4.0)],
+        "w string, p string, v double")
+    rows = {(r["w"], r["p"]): r["share"]
+            for r in olap.window_share(df, ["p"], ["w"], "v").collect()}
+    assert rows[("w1", "p1")] is None and rows[("w1", "p2")] is None
+    assert rows[("w2", "p1")] == 1.0
+
+
 def test_matches_native_percentile_random(spark):
     rng = random.Random(7)
     rows = [
@@ -55,9 +86,11 @@ def test_edge_groups_and_nulls(spark):
 def test_all_null_group_yields_nulls(spark):
     df = spark.createDataFrame([("x", None), ("x", None)], "k string, v double")
     out = olap.grouped_exact_percentiles(df, ["k"], "v", {"p50": 0.5}).collect()
-    # all-null groups drop out of the histogram entirely (native percentile
-    # returns a null row; both mean "no data")
-    assert out == []
+    # all-null groups keep their row with null quantiles — matching both
+    # native percentile and SQL GROUP BY + quantile_cont (the histogram
+    # once dropped such groups entirely)
+    assert len(out) == 1
+    assert out[0]["k"] == "x" and out[0]["p50"] is None
 
 
 def test_bad_quantile_rejected(spark):

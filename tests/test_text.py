@@ -57,6 +57,47 @@ def test_chunk_documents_hand_computed(spark):
     assert by_doc[3][0]["n_chunk_tokens"] == 0
 
 
+def test_reconstruction_operators_preserve_casing(spark):
+    """chunk_documents / pack_token_blocks / remove_duplicate_spans emit
+    TRAINING TEXT — reconstruction must keep the original casing (the
+    lowercased tokenizer default is for counting/matching operators).
+    All three silently lowercased their output once; testdata is mostly
+    lowercase, so only a crafted doc pins this."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "Hello World THIS IS Mixed Case")], "doc_id long, text string")
+    chunks = sorted(text.chunk_documents(df, max_tokens=3).collect(),
+                    key=lambda r: r["chunk_id"])
+    assert [c["chunk_text"] for c in chunks] == ["Hello World THIS",
+                                                 "IS Mixed Case"]
+    blocks = text.pack_token_blocks(df, block_size=16, shards=1).collect()
+    assert blocks[0]["block_md5"] == hashlib.md5(
+        b"Hello World THIS IS Mixed Case").hexdigest()
+    # span REMOVAL: no duplicated 20-token span in one short doc, so the
+    # doc passes through — with its casing intact
+    out = text.remove_duplicate_spans(df).collect()[0]
+    assert out["clean_text"] == "Hello World THIS IS Mixed Case"
+    assert out["n_removed_tokens"] == 0
+
+
+def test_pack_token_blocks_string_ids(spark):
+    """md5 sharding must accept non-numeric ids (raw pmod crashed with
+    CAST_INVALID_INPUT under ANSI) and spread structured numeric ids
+    (all-even ids once left half the shards empty)."""
+    df = spark.createDataFrame(
+        [(f"doc-{i}", "a b c") for i in range(40)],
+        "doc_id string, text string")
+    rows = text.pack_token_blocks(df, block_size=8, shards=4).collect()
+    assert sum(r["n_tokens"] for r in rows) == 120
+    even = spark.createDataFrame(
+        [(2 * i, "w x y z") for i in range(64)], "doc_id long, text string")
+    shards_used = {r["shard"] for r in
+                   text.pack_token_blocks(even, block_size=8,
+                                          shards=8).collect()}
+    assert len(shards_used) == 8  # all-even ids still hit every shard
+
+
 def test_chunk_documents_overlapping_stride(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id INT, text STRING")
     out = sorted(text.chunk_documents(df, max_tokens=3, stride=2).collect(),
