@@ -254,7 +254,12 @@ def test_sequence_extensions_match_reference_loop(spark, engine, rows,
                     ok = False
                     break
                 # anchor unchanged
-            if first is None:
+            # the duration window anchors at the first FOUND step: a
+            # rowFound:false first step carries the -inf sentinel, and
+            # anchoring there would bound later steps by ts <= -inf + d
+            # (nothing could ever match — the compiler bug this loop
+            # once transcribed)
+            if first is None and found:
                 first = anchor
         if ok:
             survivors.add(g)
