@@ -137,7 +137,16 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
                for c in value_cols]
 
     def out_name(c: str) -> str:
-        return f"{c}_right" if c in left.columns else c
+        if c not in left.columns:
+            return c
+        # pd.merge_asof raises on suffix collision rather than emitting
+        # two identically named columns; match that
+        if f"{c}_right" in left.columns:
+            raise ValueError(
+                f"as_of_join: cannot carry right column {c!r} — both "
+                f"{c!r} and {c + '_right'!r} already exist on the left "
+                "frame; rename one before joining")
+        return f"{c}_right"
     carried_ts = F.last(F.when(F.col("__is_left") == 0, F.col("__t")),
                         ignorenulls=True).over(w)
 

@@ -1584,8 +1584,15 @@ def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
                 "a frames-native model cannot use strategy='map' "
                 "(the model tables are DataFrames; use 'join'/'auto')")
         n_bi = model.get("n_bigrams")
-        n_rows = model["n_buckets"] + (
-            n_bi if n_bi is not None else model["top_bigrams"])
+        if n_bi is None:
+            # checkpoint=False model: sizing the broadcast decision on the
+            # REQUESTED top_bigrams cap would silently drop the broadcast
+            # plan for a small model trained with a generous cap (e.g.
+            # 10M) — a perf cliff. Bound the count at the decision
+            # threshold: anything past it joins the same way regardless.
+            n_bi = (model["bi_df"]
+                    .limit(_LM_FRAMES_BROADCAST_MAX + 1).count())
+        n_rows = model["n_buckets"] + n_bi
         return _lm_score_with_frames(
             df_raw, model["uni_df"], model["bi_df"],
             float(model["log_alpha"]), model["n_buckets"],
@@ -1676,7 +1683,9 @@ def _lm_score_with_frames(df_raw: DataFrame, uni_df: DataFrame,
     """The shared join-scoring plan: the corpus explodes to one row per
     adjacent pair (explode_outer keeps 0/1-token docs), left-joins the
     bigram table on the pair key and the unigram table on the
-    continuation bucket (backoff), then re-aggregates per doc — partial
+    continuation bucket (backoff), then re-aggregates per input ROW
+    (monotonic row id, so duplicate doc ids keep the map path's
+    one-out-per-in cardinality) — partial
     aggregation collapses each partition's positions before the
     exchange, so shuffle volume is ~1 row per doc, not per token.
     First-token unigram joins AFTER the aggregate, on the ≤|docs| frame.
@@ -1699,8 +1708,13 @@ def _lm_score_with_frames(df_raw: DataFrame, uni_df: DataFrame,
         lambda p, c: F.struct(
             (p.cast("long") * n_buckets + c).alias("pc"),
             c.alias("cb")))
+    # group the re-aggregation on a per-ROW key, not id_col: the map path
+    # emits one output row per input row, and collapsing duplicate doc
+    # ids here would let strategy='auto' change result cardinality when
+    # the model crosses the literal-map caps
     staged = (df_raw.withColumn("__bs", bs)
-              .select(F.col(id_col), n.alias("__n"),
+              .withColumn("__rid", F.monotonically_increasing_id())
+              .select("__rid", F.col(id_col), n.alias("__n"),
                       F.when(n > 0, F.element_at("__bs", 1))
                       .alias("__first_b"),  # ANSI: bare element_at throws
                       # on empty arrays instead of returning null
@@ -1714,8 +1728,9 @@ def _lm_score_with_frames(df_raw: DataFrame, uni_df: DataFrame,
     pair_lp = F.when(F.col("__pr").isNotNull(),
                      F.coalesce(F.col("__bv"), alpha + F.col("__uv"))) \
         .otherwise(F.lit(0.0))
-    per_doc = (scored.groupBy(id_col)
-               .agg(F.first("__n").alias("__n"),
+    per_doc = (scored.groupBy("__rid")
+               .agg(F.first(id_col).alias(id_col),
+                    F.first("__n").alias("__n"),
                     F.first("__first_b").alias("__first_b"),
                     F.sum(pair_lp).alias("__plp")))
     fu = uni_df.select(F.col("__b").alias("__fb"),

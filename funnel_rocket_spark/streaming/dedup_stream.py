@@ -27,11 +27,12 @@ from pyspark.sql import functions as F
 
 def content_digest(col) -> F.Column:
     """md5 over the RAW text — identical to the batch
-    ``exact_duplicates`` digest (``md5(text cast binary)``), with null
-    coalesced to '' so null-text docs form one duplicate class like the
-    curate ``dedup_exact`` stage. 'Hello  World' and 'hello world' are
-    DIFFERENT content here, exactly as in the batch contract."""
-    return F.md5(F.coalesce(col, F.lit("")).cast("binary"))
+    ``exact_duplicates`` digest (``md5(text cast binary)``): null text
+    hashes to the null digest, its OWN duplicate class distinct from
+    ``md5('')`` (dropDuplicates groups nulls together, exactly like the
+    batch groupBy). 'Hello  World' and 'hello world' are DIFFERENT
+    content here, exactly as in the batch contract."""
+    return F.md5(col.cast("binary"))
 
 
 def streaming_exact_dedup(docs: DataFrame, ts_col: str,

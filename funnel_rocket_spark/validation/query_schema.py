@@ -37,9 +37,14 @@ _FILTER_SHORTHAND = {
 
 _FILTER = {"anyOf": [_FILTER_SHORTHAND, _FILTER_VERBOSE]}
 
-# items accept BOTH forms: the expansion code converts shorthand inside
-# 'filters' (validator._expand_condition / _expand_step) — a verbose-only
-# schema here would reject queries that code exists to support
+# INTENTIONAL EXTENSION (not reference parity): the reference schema
+# restricts filter-array items to verbose form (reference
+# query_schema.json filterArray -> singleVerboseFilter; its
+# visitor_functions.py:110 notes arrays are always verbose), so a
+# shorthand-in-array query the reference 400s validates here. We accept
+# BOTH forms because the expansion code converts shorthand inside
+# 'filters' (validator._expand_condition / _expand_step) — strictly a
+# superset: every reference-valid query validates identically.
 _FILTER_ARRAY = {"type": "array", "minItems": 1, "items": _FILTER}
 
 # Target: count/sum comparison, verbose or shorthand list form.

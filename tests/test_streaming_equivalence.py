@@ -320,3 +320,19 @@ def test_streaming_exact_dedup_equals_batch_first_seen(spark, tmp_path):
                 (rows, cuts, by_text)
 
     prop()
+
+
+def test_content_digest_null_vs_empty_distinct_classes(spark):
+    """Null text hashes to the null digest — its OWN duplicate class,
+    distinct from md5('') — matching the batch exact_duplicates
+    contract (the batch groupBy groups nulls together, separate from
+    the empty string; dropDuplicates does the same on the stream)."""
+    from funnel_rocket_spark.streaming import content_digest
+
+    df = spark.createDataFrame([(1, None), (2, None), (3, ""), (4, "")],
+                               "doc_id long, text string")
+    out = df.select("doc_id", content_digest(F.col("text")).alias("d"))
+    rows = {r["doc_id"]: r["d"] for r in out.collect()}
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] == rows[4] and rows[3] is not None
+    assert out.dropDuplicates(["d"]).count() == 2

@@ -185,3 +185,20 @@ def test_asof_forward_tolerance(spark):
         direction="forward", tolerance=5).collect()}
     assert got[10] == 1.0      # 12 is within 10+5
     assert got[50] is None     # 90 is beyond 50+5
+
+
+def test_as_of_join_suffix_collision_raises(spark):
+    """When the left frame already carries BOTH '<col>' and
+    '<col>_right', suffixing the carried right column would emit two
+    identically named outputs — raise like pd.merge_asof does on suffix
+    collision instead of reintroducing the ambiguity downstream."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [("A", 5, 10.0, 0.0)],
+        "sym string, t long, price double, price_right double")
+    right = spark.createDataFrame(
+        [("A", 4, 1.5)], "sym string, t long, price double")
+    with pytest.raises(ValueError, match="price_right"):
+        temporal.as_of_join(left, right, on="sym", left_ts="t",
+                            right_ts="t").collect()

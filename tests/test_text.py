@@ -1048,3 +1048,41 @@ def test_lm_score_auto_routing_and_guards(spark):
         text.lm_bigram_model(df, n_buckets=(1 << 20) + 1)
     with pytest.raises(ValueError, match="top_bigrams"):
         text.lm_bigram_model(df, top_bigrams=500_001)
+
+
+def test_lm_score_join_preserves_duplicate_id_cardinality(spark):
+    """strategy='auto' must not change output SHAPE when the model
+    crosses the literal-map caps: the join/frames scorer re-aggregates
+    on an internal per-row key, so duplicate doc ids emit one output
+    row per input row, exactly like the map path."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (1, "c b a"), (1, "a b c"), (2, None)],
+        "doc_id long, text string")
+    m = text.lm_bigram_model(docs, n_buckets=8, top_bigrams=8)
+    a = sorted(map(tuple, text.lm_score(docs, m, strategy="map").collect()))
+    b = sorted(map(tuple, text.lm_score(docs, m, strategy="join").collect()))
+    assert len(b) == 4 and a == b, (a, b)
+    mf = text.lm_bigram_model_frames(docs, n_buckets=8, top_bigrams=8)
+    c = sorted(map(tuple, text.lm_score(docs, mf).collect()))
+    assert a == c, (a, c)
+
+
+def test_lm_frames_uncheckpointed_model_keeps_broadcast_plan(spark):
+    """A checkpoint=False frames model records no n_bigrams; the scorer
+    must size the broadcast decision on a bounded count of the ACTUAL
+    bigram table, not the requested top_bigrams cap — a small model
+    trained with a generous cap (10M) keeps its broadcast plan."""
+    df = spark.createDataFrame([(1, "a b c a b"), (2, "c c a")],
+                               "doc_id long, text string")
+    mf = text.lm_bigram_model_frames(df, n_buckets=8,
+                                     top_bigrams=10_000_000,
+                                     checkpoint=False)
+    assert mf["n_bigrams"] is None
+    plan = (text.lm_score(df, mf)._jdf.queryExecution()
+            .executedPlan().toString())
+    # the three SCORER joins (bigram, backoff unigram, first-token
+    # unigram) must broadcast; an uncheckpointed model also inlines its
+    # TRAINING subplan (whose topb⋈prefix join may sort-merge), so no
+    # blanket no-SMJ assertion here — test_lm_frames_scorer_plan_*
+    # covers that for the checkpointed form
+    assert plan.count("BroadcastHashJoin") == 3, plan
