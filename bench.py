@@ -10,15 +10,32 @@ reflect steady-state execution.
 
 Measurement integrity: BENCH_DETAIL.json carries ALL per-run times per query
 ("query_runs"), a box load fingerprint (loadavg + concurrent-JVM count taken
-before our own JVM starts, and again at the end), and a "noisy" flag that
-trips when the p90 of per-query max/min run spreads exceeds 1.5× — so a
-contended-box run is machine-detectable instead of requiring a manual A/B
-(the round-6 95.1s-vs-69.6s lesson). The printed one-line JSON includes the
-flag, the spread, and the start fingerprint.
+before our own JVM starts, and again at the end), and a "noisy" flag with
+TWO independent detectors:
+
+* within-session: the p90 of per-query max/min warm-run spreads exceeds
+  1.5× (a contended box makes individual runs jittery — the round-6
+  95.1s-vs-69.6s lesson);
+* cross-session drift: per query, this session's min vs the rolling best
+  in committed bench history (BENCH_BEST.json, seeded from every
+  BENCH_r*.json + BENCH_DETAIL.json). A UNIFORMLY slow session (ambient
+  load, cold page cache, CPU frequency state) has small within-session
+  spread but every number drifts up together — invisible to the spread
+  check, which is exactly how round 8 published a phantom 14 s
+  regression. If the median ratio exceeds 1.2×, the drifted queries get
+  ONE re-timing pass (a transient blip recovers; a slow box doesn't);
+  if the median still exceeds 1.2×, "noisy": true with the worst
+  canaries named in BENCH_DETAIL.
+
+BENCH_BEST.json is updated (monotone per-query min) every run, so the
+rolling best survives even though BENCH_DETAIL is overwritten per round.
+The printed one-line JSON includes the flag, both signals, and the start
+fingerprint.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import math
 import os
@@ -67,6 +84,73 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _parse_embedded_report(tail: str) -> dict:
+    """The driver's BENCH_r*.json wraps the printed one-line report in a
+    'tail' stdout capture — recover the JSON object from it."""
+    i = tail.rfind('{"metric"')
+    if i < 0:
+        return {}
+    try:
+        return json.JSONDecoder().raw_decode(tail[i:])[0]
+    except (ValueError, TypeError):
+        return {}
+
+
+def load_rolling_best(here: str, sf: float | None) -> dict[str, float]:
+    """Per-query rolling best (min seconds) AT THIS SCALE FACTOR across
+    all committed bench history: BENCH_BEST.json (this harness's own
+    sf-keyed ledger), every driver BENCH_r*.json (report embedded in
+    'tail'), and the last round's full BENCH_DETAIL.json. History from a
+    different sf is ignored — a sf0.01 smoke run must not contaminate
+    the sf0.1 drift baseline. Missing/corrupt files are skipped — the
+    check degrades to 'no history', never to a crash."""
+    best: dict[str, float] = {}
+
+    def fold(qs) -> None:
+        if not isinstance(qs, dict):
+            return
+        for q, t in qs.items():
+            if isinstance(t, (int, float)) and t > 0:
+                best[q] = min(best.get(q, float("inf")), float(t))
+
+    def read(path: str) -> dict:
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+            return d if isinstance(d, dict) else {}
+        except (OSError, ValueError):
+            return {}
+
+    fold(read(os.path.join(here, "BENCH_BEST.json")).get(str(sf)))
+    for fp in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        d = read(fp)
+        rep = d if isinstance(d.get("queries"), dict) and d["queries"] \
+            else _parse_embedded_report(str(d.get("tail", "")))
+        if rep.get("sf") == sf:
+            fold(rep.get("queries"))
+    det = read(os.path.join(here, "BENCH_DETAIL.json"))
+    if det.get("sf") == sf:
+        fold(det.get("queries"))
+    return best
+
+
+def drift_vs_best(timings: dict[str, float],
+                  best: dict[str, float],
+                  min_common: int = 10) -> tuple[float | None,
+                                                 dict[str, float]]:
+    """(median ratio of session-min to rolling best, per-query ratios).
+    None when fewer than ``min_common`` queries have history — a fresh
+    repo or a mostly-new catalog can't be drift-checked."""
+    ratios = {q: round(timings[q] / best[q], 3)
+              for q in timings if best.get(q, 0) > 0}
+    if len(ratios) < min_common:
+        return None, ratios
+    vals = sorted(ratios.values())
+    mid = len(vals) // 2
+    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    return round(med, 3), ratios
+
+
 def suite_spread(run_times: dict[str, list[float]]) -> float | None:
     """p90 of per-query warm-run max/min spreads. Each query's first run
     pays its own plan compilation + codegen, so with 3+ runs it is
@@ -105,6 +189,13 @@ def main() -> None:
     # overrides the timed fn (see the HEADLINE comment above).
     all_queries.update(getattr(benchqueries, "BENCH_VARIANTS", {}))
     names = [n for n in HEADLINE if n in all_queries]
+    # Debug-only subset (comma-separated names): lets a harness smoke-run
+    # finish in seconds. The driver never sets it — published rounds
+    # always time the full catalog.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        names = [n for n in names if n in wanted]
 
     # Warmup: JVM + codegen + parquet footer caches
     try:
@@ -119,29 +210,95 @@ def main() -> None:
     timings: dict[str, float] = {}
     run_times: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in names:
+
+    def time_query(name: str, n_runs: int) -> list[float]:
         samples: list[float] = []
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            rows = all_queries[name](spark, sf_dir).collect()
+            _ = len(rows)
+            samples.append(time.perf_counter() - start)
+            # Each run builds FRESH DataFrames, so frames persisted
+            # inside a query (dedup keeps shingle/signature tables) are
+            # dead weight the moment the run ends — without this, ~90
+            # runs of orphaned caches pile up and later queries pay
+            # eviction/GC for storage they never read. Untimed: every
+            # run still pays its own persist cost inside the window.
+            spark.catalog.clearCache()
+            # local mode = one JVM: collect the previous query's garbage
+            # outside the timed window so heavy allocators (k-means,
+            # Arrow batches) don't bill their GC debt to the next query.
+            spark.sparkContext._jvm.System.gc()
+        return samples
+
+    for name in names:
         try:
-            for _ in range(runs):
-                start = time.perf_counter()
-                rows = all_queries[name](spark, sf_dir).collect()
-                _ = len(rows)
-                samples.append(time.perf_counter() - start)
-                # Each run builds FRESH DataFrames, so frames persisted
-                # inside a query (dedup keeps shingle/signature tables) are
-                # dead weight the moment the run ends — without this, ~90
-                # runs of orphaned caches pile up and later queries pay
-                # eviction/GC for storage they never read. Untimed: every
-                # run still pays its own persist cost inside the window.
-                spark.catalog.clearCache()
-                # local mode = one JVM: collect the previous query's garbage
-                # outside the timed window so heavy allocators (k-means,
-                # Arrow batches) don't bill their GC debt to the next query.
-                spark.sparkContext._jvm.System.gc()
+            samples = time_query(name, runs)
             timings[name] = round(min(samples), 4)
             run_times[name] = [round(s, 4) for s in samples]
         except Exception as e:  # one broken query must not sink the report
             errors[name] = str(e)[:200]
+
+    # Cross-session drift (read history BEFORE overwriting BENCH_DETAIL):
+    # a uniformly slow session passes the within-session spread check while
+    # every number drifts up together — compare each query's session min to
+    # its rolling best across committed bench history instead.
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = load_rolling_best(here, sf)
+    drift_median, drift_ratios = drift_vs_best(timings, best)
+    drift_retimed: list[str] = []
+    if drift_median is not None and drift_median > 1.2:
+        # One recovery pass over the worst drifters: a transient blip
+        # (GC storm, page-cache eviction) re-times back to normal; a
+        # genuinely slow box stays slow and keeps the flag. Bounded at
+        # 20 queries × 2 runs so a bad box can't double the wall clock.
+        worst = [q for q, r in sorted(drift_ratios.items(),
+                                      key=lambda kv: -kv[1])
+                 if r > 1.2][:20]
+        for name in worst:
+            try:
+                extra = time_query(name, 2)
+            except Exception:
+                continue
+            drift_retimed.append(name)
+            run_times[name] = run_times.get(name, []) + \
+                [round(s, 4) for s in extra]
+            timings[name] = round(min(timings[name], min(extra)), 4)
+        drift_median, drift_ratios = drift_vs_best(timings, best)
+    drift_noisy = bool(drift_median is not None and drift_median > 1.2)
+    drift_canaries = dict(sorted(drift_ratios.items(),
+                                 key=lambda kv: -kv[1])[:8]) \
+        if drift_noisy else {}
+
+    # Monotone rolling-best ledger, keyed by sf: min only ever improves,
+    # so folding a noisy session in is safe (noise raises times; min
+    # keeps the best).
+    for q, t in timings.items():
+        if t > 0:
+            best[q] = min(best.get(q, float("inf")), t)
+    ledger_path = os.path.join(here, "BENCH_BEST.json")
+    try:
+        with open(ledger_path) as f:
+            ledger = json.load(f)
+        if not isinstance(ledger, dict):
+            ledger = {}
+    except (OSError, ValueError):
+        ledger = {}
+    ledger[str(sf)] = {q: round(t, 4) for q, t in sorted(best.items())
+                       if t != float("inf")}
+    with open(ledger_path, "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+
+    # Fixture-amortized queries: first run builds a persisted index the
+    # later runs reuse — publish build vs steady-state probe separately
+    # so the trend tracks the operator, not the fixture (r8 finding #2).
+    fixture_splits: dict[str, dict[str, float]] = {}
+    for name in getattr(benchqueries, "FIXTURE_AMORTIZED", []):
+        ts = run_times.get(name)
+        if ts and len(ts) >= 2:
+            fixture_splits[name] = {
+                "build_plus_probe_run": ts[0],
+                "probe_min": round(min(ts[1:]), 4)}
 
     fingerprint["loadavg_end"] = _loadavg()
     jvms_end = _count_jvms()
@@ -156,7 +313,7 @@ def main() -> None:
     # loaded driver box published 95.1 s for a 69.6 s suite and cost a
     # manual A/B adjudication; this flag is that A/B, automated).
     p90_spread = suite_spread(run_times)
-    noisy = bool(p90_spread is not None and p90_spread > 1.5)
+    noisy = bool(p90_spread is not None and p90_spread > 1.5) or drift_noisy
 
     total = round(sum(timings.values()), 4)
     detail = {
@@ -169,12 +326,17 @@ def main() -> None:
         "runs_per_query": runs,
         "fingerprint": fingerprint,
         "p90_run_spread": p90_spread,
+        "drift_median_vs_best": drift_median,
+        "drift_history_n": len(best),
+        "drift_retimed": drift_retimed,
+        "drift_canaries": drift_canaries,
+        "drift_noisy": drift_noisy,
         "noisy": noisy,
+        "fixture_splits": fixture_splits,
     }
     if errors:
         detail["errors"] = errors
     # Full per-query detail for the judge (no size limit on a repo file)
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
@@ -193,6 +355,7 @@ def main() -> None:
         "runs_per_query": runs,
         "noisy": noisy,
         "p90_run_spread": p90_spread,
+        "drift_median": drift_median,
         "loadavg": fingerprint["loadavg_start"],
         "other_jvms": fingerprint["other_jvms_start"],
     }

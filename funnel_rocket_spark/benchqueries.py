@@ -3764,6 +3764,14 @@ BENCH_VARIANTS: dict = {
     "olap_percentiles_approx_sketch": _olap_percentiles_sketch_only_fn,
 }
 
+# Queries whose FIRST bench run builds a persisted fixture (a parquet
+# band-table index) that later runs reuse: bench.py splits their
+# first-run time (fixture build + probe) from the steady-state probe in
+# BENCH_DETAIL's "fixture_splits", so the round-over-round trend tracks
+# the OPERATOR (probe), not the fixture build. The headline min-of-N
+# already reflects probe (the build run never wins the min).
+FIXTURE_AMORTIZED = ["dedup_incremental_lsh"]
+
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (fn, sql) in QUERIES.items() if sql is not None}
