@@ -1235,6 +1235,17 @@ def _group_cap_fn(spark, sf_dir):
     ).select("lang", "doc_id")
 
 
+def _multimodal_png_fn(spark, sf_dir):
+    """REAL compressed-image decode end-to-end: deterministic gradient
+    PNGs (stdlib-zlib encode, per-row filter rotation — every PNG filter
+    type in the corpus) → Arrow-batched pixel decode → width/height/
+    per-channel means. The fixture's closed-form features are what the
+    SQL oracle recomputes, so the decode itself is value-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_png_payloads(docs)
+    return multimodal.decode_image_features(payloads)
+
+
 def _multimodal_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs)
@@ -2954,6 +2965,19 @@ WITH r AS (SELECT lang, doc_id,
   FROM documents)
 SELECT lang, doc_id FROM r WHERE rk <= 20
 """,
+    ),
+    "multimodal_features_png": (
+        _multimodal_png_fn,
+        # closed-form features of the gradient fixture (see
+        # synthesize_png_payloads): the Spark side actually zlib-decodes
+        # and unfilters every PNG; the oracle recomputes what the pixels
+        # must average to
+        "SELECT doc_id AS id, (1 + doc_id % 16)::INT AS width, "
+        "(1 + doc_id % 8)::INT AS height, "
+        "round((doc_id % 200) + (doc_id % 16) / 2.0, 4) AS mean_r, "
+        "round(((7 * doc_id) % 200) + (doc_id % 8) / 2.0, 4) AS mean_g, "
+        "round(((13 * doc_id) % 256) * 1.0, 4) AS mean_b, "
+        "true AS decode_ok FROM documents",
     ),
     "multimodal_features": (
         _multimodal_fn,

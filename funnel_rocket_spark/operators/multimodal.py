@@ -63,17 +63,167 @@ def decode_image_stub(payload: bytes) -> dict:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int):
+    """Reverse PNG scanline filtering (types 0-4) → (h, w*bpp) uint8.
+
+    Sub is a per-channel cumulative sum (vectorized); Average/Paeth are
+    inherently sequential in x (each byte needs the reconstructed left
+    neighbor) so they loop — fine for the fixture-scale images this
+    pure-python decoder exists for."""
+    import numpy as np
+
+    stride = w * bpp
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp]
+            rec = np.cumsum(cur.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average
+            rec = cur
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((a + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            rec = cur
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) % 256
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def _decode_png(payload: bytes):
+    """REAL PNG decode, stdlib-zlib + numpy — no codec library needed.
+
+    Supports the overwhelmingly common profile: 8-bit depth, color type
+    0 (gray), 2 (RGB) or 6 (RGBA, alpha dropped), non-interlaced, all
+    five scanline filters, CRC-verified chunks. Anything else raises
+    ``NotImplementedError`` (16-bit/palette/interlaced) or ``ValueError``
+    (malformed)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("PNG: truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG: bad CRC in {ctype!r}")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise NotImplementedError(f"PNG: bit depth {depth}")
+            if color not in (0, 2, 6):
+                raise NotImplementedError(f"PNG: color type {color}")
+            if interlace != 0:
+                raise NotImplementedError("PNG: interlaced (Adam7)")
+            bpp = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + w * bpp):
+        raise ValueError("PNG: decompressed size mismatch")
+    px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    if bpp == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[..., :3]  # RGBA: alpha dropped (decode contract is RGB)
+
+
+def encode_png(img) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes, rotating the scanline filter
+    (row y uses type y % 5) so a decode of anything taller than 4 rows
+    exercises the FULL filter bank — the encoder exists to make
+    deterministic fixtures that prove the decoder, not to compress."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    bpp = 3
+    z = np.zeros(bpp, dtype=np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        a = np.concatenate([z, cur[:-bpp]]) if w * bpp > bpp else \
+            np.zeros_like(cur)
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - a) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            filt = (cur - ((a + prev) >> 1)) % 256
+        else:
+            c = np.concatenate([z, prev[:-bpp]]) if w * bpp > bpp else \
+                np.zeros_like(prev)
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pr = np.where((pa <= pb) & (pa <= pc), a,
+                          np.where(pb <= pc, prev, c))
+            filt = (cur - pr) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes):
-    """REAL image decode for codec-free container formats, pure numpy:
+    """REAL image decode, pure stdlib + numpy:
 
     * binary PPM (``P6``, maxval <= 255) — header tokens then raw RGB
     * uncompressed 24-bit BMP (``BM``, BITMAPINFOHEADER, BI_RGB) —
       bottom-up BGR rows padded to 4 bytes
+    * PNG (8-bit gray/RGB/RGBA, non-interlaced) — stdlib zlib + numpy
+      unfiltering (``_decode_png``)
 
-    Returns an (h, w, 3) uint8 RGB array. Anything else raises
-    ``NotImplementedError`` (compressed codecs need PIL — see
-    ``decode_image_stub``); malformed payloads of a recognized format
-    raise ``ValueError``.
+    Other formats (JPEG/WebP/...) fall through to PIL when it is
+    importable (optional dependency — deployment installs Pillow and
+    this same function decodes everything); without PIL they raise
+    ``NotImplementedError``. Malformed payloads of a recognized format
+    raise ``ValueError``. Returns an (h, w, 3) uint8 RGB array.
     """
     import struct
 
@@ -131,9 +281,26 @@ def decode_image(payload: bytes):
         img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
         return img[::-1] if flip else img
 
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
+
+    # Optional-PIL seam: when Pillow is importable (deployment), any
+    # remaining compressed codec (JPEG/WebP/TIFF/...) decodes here with
+    # the same (h, w, 3) uint8 RGB contract; this container has no PIL,
+    # so the seam is exercised in tests via an injected fake module.
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
     raise NotImplementedError(
         f"unrecognized/compressed image format (magic "
-        f"{payload[:2]!r}); plug a codec library into decode_image_stub")
+        f"{payload[:2]!r}); install Pillow to decode JPEG/WebP/... — "
+        f"PPM, BMP and PNG decode without it")
 
 
 def encode_ppm(img) -> bytes:
@@ -147,6 +314,40 @@ IMAGE_FEATURE_SCHEMA = (
     "id bigint, width int, height int, mean_r double, mean_g double, "
     "mean_b double, decode_ok boolean"
 )
+
+
+def synthesize_png_payloads(df: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG fixture stream — real compressed payloads with
+    CLOSED-FORM features, so a SQL oracle can check the decode:
+
+    for each id, a (1 + id%8)-row × (1 + id%16)-col RGB gradient image
+    with pixel (y, x) = (id%200 + x, (7*id)%200 + y, (13*id)%256) —
+    no channel ever wraps (199 + 15 < 255), hence
+    ``mean_r = id%200 + (width-1)/2``, ``mean_g = (7*id)%200 +
+    (height-1)/2``, ``mean_b = (13*id)%256`` exactly. ``encode_png``
+    rotates scanline filters per row, so decoding the corpus exercises
+    every PNG filter type. Output: (id, payload binary)."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 1 + i % 16, 1 + i % 8
+                ys = np.arange(h, dtype=np.int32)[:, None]
+                xs = np.arange(w, dtype=np.int32)[None, :]
+                img = np.stack(
+                    [np.broadcast_to(i % 200 + xs, (h, w)),
+                     np.broadcast_to((7 * i) % 200 + ys, (h, w)),
+                     np.full((h, w), (13 * i) % 256, dtype=np.int32)],
+                    axis=2).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        build, schema="id bigint, payload binary")
 
 
 def decode_image_features(df: DataFrame, payload_col: str = "payload",

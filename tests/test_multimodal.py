@@ -176,5 +176,123 @@ def test_decode_image_malformed_raises():
 
     with _pytest.raises(ValueError):
         multimodal.decode_image(b"P6\n4 4\n255\n\x00\x01")  # short raster
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):  # PNG magic but no IHDR
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png rotates the scanline filter per row, so any image with
+    >= 5 rows round-trips through every filter type; widths cover the
+    1-pixel-row edge (no left neighbor) and the cumsum Sub path."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for (h, w) in [(1, 1), (1, 5), (7, 1), (8, 16), (13, 9), (5, 3)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = multimodal.decode_image(multimodal.encode_png(img))
+        assert np.array_equal(out, img), (h, w)
+
+
+def _png_chunks(ctype_data_pairs):
+    import struct
+    import zlib
+
+    out = bytearray(multimodal._PNG_SIG)
+    for ctype, data in ctype_data_pairs:
+        out += struct.pack(">I", len(data)) + ctype + data
+        out += struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def test_png_gray_and_rgba_profiles():
+    """8-bit grayscale replicates to RGB; RGBA drops alpha — both under
+    non-trivial filters (Up on the RGBA rows)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    g = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(2))
+    png = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)), (b"IEND", b"")])
+    out = multimodal.decode_image(png)
+    assert out.shape == (2, 3, 3)
+    assert all(np.array_equal(out[..., ch], g) for ch in range(3))
+
+    rng = np.random.default_rng(3)
+    ra = rng.integers(0, 256, size=(2, 2, 4), dtype=np.uint8)
+    rows = []
+    prev = np.zeros(8, dtype=np.int32)
+    for y in range(2):
+        cur = ra[y].astype(np.int32).reshape(-1)
+        rows.append(b"\x02" + ((cur - prev) % 256).astype(np.uint8)
+                    .tobytes())
+        prev = cur
+    png = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)),
+        (b"IDAT", zlib.compress(b"".join(rows))), (b"IEND", b"")])
+    assert np.array_equal(multimodal.decode_image(png), ra[..., :3])
+
+
+def test_png_rejects_corruption_and_exotics():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    bad = bytearray(multimodal.encode_png(img))
+    bad[20] ^= 0xFF  # flip a byte inside IHDR → CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_image(bytes(bad))
+    # 16-bit depth: honest NotImplementedError, not a wrong decode
+    png16 = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)),
+        (b"IDAT", zlib.compress(b"\x00" * 7)), (b"IEND", b"")])
+    with _pytest.raises(NotImplementedError, match="depth"):
+        multimodal.decode_image(png16)
+
+
+def test_pil_seam_decodes_jpeg_when_available(monkeypatch):
+    """The optional-PIL path: with a (fake) PIL importable, an unknown
+    format routes through Image.open(...).convert('RGB') and returns the
+    ndarray — the exact deployment contract for JPEG/WebP."""
+    import sys
+    import types
+
+    import numpy as np
+
+    want = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return want
+
+    fake_image_mod = types.SimpleNamespace(
+        open=lambda buf: _FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    out = multimodal.decode_image(b"\xff\xd8\xff fake jpeg bytes")
+    assert np.array_equal(out, want)
+
+
+def test_png_feature_query_decodes_fixture_corpus(spark):
+    """The catalog fixture end-to-end at unit scale: synthesized gradient
+    PNGs decode back to their closed-form features."""
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    feats = multimodal.decode_image_features(
+        multimodal.synthesize_png_payloads(docs)).collect()
+    assert len(feats) == 20
+    for r in feats:
+        i = r["id"]
+        assert r["decode_ok"] and r["width"] == 1 + i % 16
+        assert r["height"] == 1 + i % 8
+        assert r["mean_r"] == round(i % 200 + (r["width"] - 1) / 2, 4)
+        assert r["mean_g"] == round((7 * i) % 200 + (r["height"] - 1) / 2, 4)
+        assert r["mean_b"] == float((13 * i) % 256)

@@ -30,16 +30,24 @@ from funnel_rocket_spark.session import get_spark  # noqa: E402
 NANOS_DAY = 86_400_000_000_000
 
 
-def synthesize(spark, n_rows: int, n_groups: int, path: str) -> None:
+def synthesize(spark, n_rows: int, n_groups: int, path: str,
+               whale_every: int | None = None) -> None:
     """Deterministic event stream: hash-derived users/types/values, 90
     days of activity. xxhash64 is fine here — no cross-engine oracle,
-    just volume."""
+    just volume. ``whale_every=k`` plants a pathological WHALE group:
+    every k-th row lands in user_id -1 (a bot holding 1/k of the whole
+    stream), the rest hash uniformly — the skew shape a per-group
+    window sort must survive."""
     types = F.array(*[F.lit(t) for t in
                       ("view", "view", "view", "click", "click",
                        "purchase", "signup", "error")])
+    uid = F.pmod(F.xxhash64("id"), F.lit(n_groups))
+    if whale_every:
+        uid = F.when(F.pmod(F.col("id"), F.lit(whale_every)) == 0,
+                     F.lit(-1)).otherwise(uid)
     df = (
         spark.range(n_rows)
-        .withColumn("user_id", F.pmod(F.xxhash64("id"), F.lit(n_groups)))
+        .withColumn("user_id", uid)
         .withColumn("ts", (F.lit(1_700_000_000_000_000_000)
                            + F.pmod(F.xxhash64("id", F.lit(1)),
                                     F.lit(90 * NANOS_DAY))))
@@ -845,6 +853,98 @@ def kmeans_main(n_vecs: int, dim: int = 64) -> None:
 
 
 
+def whale_main(n_rows: int, whale_every: int = 5) -> None:
+    """Round-9 rung: WHALE-GROUP skew for the per-group sequence/funnel
+    paths. Both strategies partition by group (window sort or
+    collect_list fold), so one bot group holding 1/whale_every of a
+    100M-row stream serializes into a single task — the reference had
+    the same property (group-per-file invariant), but the engine should
+    PROVE the behavior rather than assume it: the window path's
+    partition sort is an EXTERNAL sort (spills, finishes); the fold
+    path's collect_list buffers the whale group as one in-memory array
+    (the known cliff — measured here, not hidden).
+
+    Prints timings for sequence-3step and funnel-step-counts under both
+    strategies on (uniform, whale) streams of the same size, the skew
+    factor (whale/uniform), and cross-strategy equality of every result
+    on the whale stream."""
+    n_groups = max(1, n_rows // 100)  # mean group ≈ 100 events
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    upath = os.path.join(here, ".scratch",
+                         f"events_{n_rows}_{n_groups}.parquet")
+    wpath = os.path.join(here, ".scratch",
+                         f"events_whale_{n_rows}_{whale_every}.parquet")
+
+    spark = get_spark(app_name="scale-check-whale",
+                      extra_conf={"spark.driver.memory": os.environ.get(
+                          "SPARK_DRIVER_MEM", "16g")})
+    spark.sparkContext.setLogLevel("ERROR")
+    for path, we in ((upath, None), (wpath, whale_every)):
+        if not os.path.exists(path):
+            t0 = time.perf_counter()
+            synthesize(spark, n_rows, n_groups, path, whale_every=we)
+            print(f"# synthesized {path}: {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr)
+
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    eng = QueryEngine("user_id", "ts")
+    seq_q = {"query": {"conditions": [
+        {"sequence": [{"filter": ["event_type", "==", "signup"]},
+                      {"filter": ["event_type", "==", "click"]},
+                      {"filter": ["event_type", "==", "purchase"]}]}]}}
+    fun_q = {"query": {}, "funnel": {"sequence": [
+        {"filter": ["event_type", "==", "view"]},
+        {"filter": ["event_type", "==", "purchase"]}]}}
+
+    out = {"n_rows": n_rows, "whale_every": whale_every,
+           "n_groups": n_groups, "timings": {}, "results": {}}
+    for dist, path in (("uniform", upath), ("whale", wpath)):
+        ev = spark.read.parquet(path)
+        if dist == "whale":
+            out["whale_rows"] = ev.filter(F.col("user_id") == -1).count()
+        for strat in ("window", "fold"):
+            for qname, q in (("sequence_3step", seq_q),
+                             ("funnel_steps", fun_q)):
+                expanded = eng.expand(q, ev)
+                plan = QueryPlan(ev, expanded, "user_id", "ts",
+                                 sequence_strategy=strat)
+                t0 = time.perf_counter()
+                try:
+                    if qname == "funnel_steps":
+                        rows = plan.funnel_step_counts().collect()
+                        res = [(r["step"], r["matching_groups"],
+                                r["matching_group_rows"]) for r in rows]
+                    else:
+                        rows = plan.counts().collect()
+                        res = sorted(map(tuple, rows))
+                    out["timings"][f"{dist}.{qname}.{strat}"] = round(
+                        time.perf_counter() - t0, 2)
+                    out["results"][f"{dist}.{qname}.{strat}"] = res
+                except Exception as e:
+                    out["timings"][f"{dist}.{qname}.{strat}"] = None
+                    out["results"][f"{dist}.{qname}.{strat}"] = \
+                        f"ERROR: {str(e)[:120]}"
+
+    # cross-strategy equality per (dist, query); skew factor per strategy
+    out["equal"] = {}
+    for dist in ("uniform", "whale"):
+        for qname in ("sequence_3step", "funnel_steps"):
+            a = out["results"].get(f"{dist}.{qname}.window")
+            b = out["results"].get(f"{dist}.{qname}.fold")
+            out["equal"][f"{dist}.{qname}"] = (
+                a == b and not isinstance(a, str))
+    out["skew_factor"] = {}
+    for strat in ("window", "fold"):
+        for qname in ("sequence_3step", "funnel_steps"):
+            u = out["timings"].get(f"uniform.{qname}.{strat}")
+            w = out["timings"].get(f"whale.{qname}.{strat}")
+            out["skew_factor"][f"{qname}.{strat}"] = (
+                round(w / u, 2) if u and w else None)
+    del out["results"]  # counts only matter for the equality verdict
+    print(json.dumps(out))
+
+
 def hitters_main(n_rows: int) -> None:
     """Exact-heavy-hitters evidence: a zipf-ish high-cardinality column at
     n_rows (deterministic hash-power synthesis, ~n_rows/5 distinct values)
@@ -916,6 +1016,10 @@ def main() -> None:
         report_variance_main(
             int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000,
             runs=int(sys.argv[3]) if len(sys.argv) > 3 else 5)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "whale":
+        whale_main(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000,
+                   int(sys.argv[3]) if len(sys.argv) > 3 else 5)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "hitters":
         hitters_main(int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000)
