@@ -158,18 +158,37 @@ def _ngrams_over(toks, n: int):
         F.slice(out, 1, F.greatest(sz - (n - 1), F.lit(0))))
 
 
-def shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int = 3,
+                  persist: bool = True) -> DataFrame:
     """(id, grams) with the tokenization staged — split once per row.
 
     Two projections with an explode barrier between them would still collapse
-    under Catalyst's CollapseProject; a persisted frame guarantees the token
-    array is computed exactly once, and the shingle table is the natural
-    materialization point of every dedup pipeline anyway.
+    under Catalyst's CollapseProject (re-evaluating the regex split per
+    reference inside ``_ngrams_over`` — quadratic re-splitting), so the token
+    array must be materialized. Two ways, picked by the caller's consumer
+    count:
+
+    - ``persist=True`` (default): cache the token frame — right when the
+      shingles feed MULTIPLE jobs (verification ga/gb, incremental new×old).
+    - ``persist=False``: stage tokens through the repartition EXCHANGE
+      instead (projections don't collapse across an exchange, so the split
+      still runs exactly once) — right for single-pass consumers like the
+      signature build, where caching a corpus of token arrays buys nothing
+      and costs a full serialized copy in executor memory (measured 29s of
+      a 153s dedup_minhash stage at the 2M-doc rung).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks_df = df.repartition(par).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-    bounded_persist(toks_df)
+    if persist:
+        toks_df = df.repartition(par).select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        bounded_persist(toks_df)
+    else:
+        # hash-partition on id, not round-robin: round-robin after a
+        # computed column pays sortBeforeRepartition's full-row local sort
+        # (retry determinism); hash on the id is deterministic per row
+        toks_df = df.select(
+            F.col(id_col).alias("id"),
+            tokens(F.col(text_col)).alias("toks")).repartition(par, F.col("id"))
     return toks_df.select("id", _ngrams_over(F.col("toks"), n).alias("grams"))
 
 
@@ -431,7 +450,8 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
-    grams_df = shingle_frame(df, text_col, id_col, n).filter(F.size("grams") > 0)
+    grams_df = shingle_frame(df, text_col, id_col, n,
+                             persist=False).filter(F.size("grams") > 0)
     return _band_rows(_minhash_sigs(grams_df, num_hashes), bands, rows_per_band)
 
 
@@ -531,12 +551,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
-    # The persisted frames are the materialized signature table a production
-    # 100 TB dedup keeps anyway (see minhash_band_table); band explode,
-    # candidate join, and verification all reuse them instead of re-hashing
-    # the corpus per branch.
-    grams_df = shingle_frame(df, text_col, id_col, n).filter(F.size("grams") > 0)
-    bounded_persist(grams_df)
+    # The signature build is a SINGLE pass (shingle → k universal hashes →
+    # groupBy-min), so the corpus token/gram arrays are never cached —
+    # persist=False stages tokens through the exchange instead. Caching
+    # them (rounds ≤8) served only the verification branch, which touches
+    # ~|candidate| docs: a 2M-doc corpus paid 29s of cache serialization
+    # to feed ~99k pair lookups. Verification now re-shingles exactly the
+    # candidate-touched docs (the incremental_lsh_pairs shape).
+    grams_df = shingle_frame(df, text_col, id_col, n,
+                             persist=False).filter(F.size("grams") > 0)
     sigs = _minhash_sigs(grams_df, num_hashes)
     # Lazy persist: the first consuming job materializes the cache. The band
     # self-join references sigs twice in one job, but BlockManager computes
@@ -557,7 +580,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     if not verify:
         return candidates
 
-    grams = grams_df.select("id", "grams", F.size("grams").alias("n_grams"))
+    # Verification reads candidates twice (id set + the pair join) and the
+    # candidate grams twice (ga/gb) — persist both; each is bounded by the
+    # candidate count, orders of magnitude below the corpus.
+    candidates = bounded_persist(candidates)
+    cand_ids = (candidates.select(F.col("id_a").alias("cid"))
+                .unionByName(candidates.select(F.col("id_b").alias("cid")))
+                .distinct())
+    matched = df.join(cand_ids, df[id_col] == cand_ids["cid"], "left_semi")
+    cand_grams = shingle_frame(matched, text_col, id_col, n).filter(
+        F.size("grams") > 0)
+    grams = bounded_persist(
+        cand_grams.select("id", "grams", F.size("grams").alias("n_grams")))
     ga = grams.alias("ga")
     gb = grams.alias("gb")
     joined = (

@@ -1748,6 +1748,74 @@ def _lm_score_with_frames(df_raw: DataFrame, uni_df: DataFrame,
         .alias("avg_nll"))
 
 
+def lm_model_save(model: dict, path: str) -> None:
+    """Persist a trained bigram LM to ``path`` so downstream runs score
+    without retraining (a deployed CCNet gate trains its KenLM once and
+    ships the artifact; this is that artifact for both trainer shapes).
+
+    Layout: frames models write their uni/bi tables as parquet
+    (``uni.parquet`` / ``bi.parquet`` — the model never passes through
+    the driver, same guarantee as training); dict models inline the two
+    bounded maps. ``meta.json`` carries the scalars and is written LAST —
+    its presence marks the artifact complete, so a killed save can never
+    be mistaken for a model (the load gate checks it first)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    meta = {k: model[k] for k in
+            ("log_alpha", "n_buckets", "smoothing", "top_bigrams")}
+    if model.get("frames"):
+        model["uni_df"].write.mode("overwrite").parquet(
+            os.path.join(path, "uni.parquet"))
+        model["bi_df"].write.mode("overwrite").parquet(
+            os.path.join(path, "bi.parquet"))
+        meta["frames"] = True
+        meta["n_bigrams"] = model.get("n_bigrams")
+    else:
+        meta["frames"] = False
+        meta["uni"] = {str(k): v for k, v in model["uni"].items()}
+        meta["bi"] = {str(k): v for k, v in model["bi"].items()}
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def lm_model_load(spark, path: str) -> dict:
+    """Load a model saved by :func:`lm_model_save`; returns the same
+    dict shape the matching trainer produced, ready for
+    :func:`lm_score`. Frames model tables are read lazily — scoring
+    joins stream straight from the artifact parquet, so a 10⁷-bigram
+    model still never passes through the driver."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.isfile(meta_path):
+        raise FileNotFoundError(
+            f"no complete LM artifact at {path} (meta.json missing — "
+            "save interrupted or wrong directory)")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    model = {"log_alpha": float(meta["log_alpha"]),
+             "n_buckets": int(meta["n_buckets"]),
+             "smoothing": float(meta["smoothing"]),
+             "top_bigrams": int(meta["top_bigrams"])}
+    if meta.get("frames"):
+        model["uni_df"] = spark.read.parquet(
+            os.path.join(path, "uni.parquet"))
+        model["bi_df"] = spark.read.parquet(
+            os.path.join(path, "bi.parquet"))
+        model["n_bigrams"] = (int(meta["n_bigrams"])
+                              if meta.get("n_bigrams") is not None else None)
+        model["frames"] = True
+    else:
+        model["uni"] = {int(k): float(v) for k, v in meta["uni"].items()}
+        model["bi"] = {int(k): float(v) for k, v in meta["bi"].items()}
+    return model
+
+
 def lm_nll(df_raw: DataFrame, df_target: DataFrame, text_col: str = "text",
            id_col: str = "doc_id", n_buckets: int = 256,
            smoothing: float = 1.0, top_bigrams: int = 1024,

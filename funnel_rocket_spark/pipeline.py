@@ -147,16 +147,46 @@ def _stage_lm_gate(spark, df, cfg, ctx):
     scored frame, the CCNet head/middle/tail cut). ``"frames": true``
     trains via the frames-native trainer (model tables stay on the
     cluster — required for CCNet-grade n_buckets/top_bigrams past the
-    driver collect bounds)."""
-    from funnel_rocket_spark.operators.text import lm_nll
+    driver collect bounds).
 
-    target = spark.read.parquet(cfg["target_path"])
-    scored = lm_nll(df, target, text_col=ctx["text_col"],
-                    id_col=ctx["id_col"],
-                    n_buckets=cfg.get("n_buckets", 256),
-                    top_bigrams=cfg.get("top_bigrams", 1024),
-                    strategy=cfg.get("strategy", "auto"),
-                    frames=bool(cfg.get("frames", False)))
+    The trained model is an ARTIFACT, not a stage computation: it
+    depends only on the target corpus and the LM params, never on the
+    chain state flowing through ``df`` — so it is persisted under
+    ``workdir/models/lm_<key>`` keyed by (target data fingerprint,
+    text_col, params) and reloaded on any re-run where that key still
+    holds, even when an UPSTREAM stage change forces this stage itself
+    to recompute (the chain-hash resume can't help there; this can).
+    Overwriting the target parquet in place changes the fingerprint and
+    retrains, same contract as the chain hash's side-input rule."""
+    from funnel_rocket_spark.operators.text import (
+        lm_bigram_model, lm_bigram_model_frames, lm_model_load,
+        lm_model_save, lm_score)
+
+    frames = bool(cfg.get("frames", False))
+    n_buckets = cfg.get("n_buckets", 256)
+    top_bigrams = cfg.get("top_bigrams", 1024)
+    model = None
+    cache_dir = None
+    if ctx.get("workdir"):
+        key_payload = {
+            "target": _input_fingerprint(str(cfg["target_path"])),
+            "text_col": ctx["text_col"], "n_buckets": n_buckets,
+            "top_bigrams": top_bigrams, "frames": frames}
+        key = hashlib.md5(
+            json.dumps(key_payload, sort_keys=True).encode()).hexdigest()
+        cache_dir = os.path.join(ctx["workdir"], "models", f"lm_{key}")
+        if os.path.isfile(os.path.join(cache_dir, "meta.json")):
+            model = lm_model_load(spark, cache_dir)
+    if model is None:
+        target = spark.read.parquet(cfg["target_path"])
+        trainer = lm_bigram_model_frames if frames else lm_bigram_model
+        model = trainer(target, text_col=ctx["text_col"],
+                        n_buckets=n_buckets, top_bigrams=top_bigrams)
+        if cache_dir:
+            lm_model_save(model, cache_dir)
+    scored = lm_score(df, model, text_col=ctx["text_col"],
+                      id_col=ctx["id_col"],
+                      strategy=cfg.get("strategy", "auto"))
     if "max_avg_nll" in cfg:
         cut = float(cfg["max_avg_nll"])
         keep = scored.where(F.col("avg_nll") <= cut).select(ctx["id_col"])
@@ -376,9 +406,10 @@ def run_pipeline(spark: SparkSession, config: dict,
     """Execute the configured stage chain; returns the run report
     (per-stage rows in/out, resumed-vs-computed, output location)."""
     inp = config["input"]
-    ctx = {"id_col": inp.get("id_col", "doc_id"),
-           "text_col": inp.get("text_col", "text")}
     workdir = config["workdir"]
+    ctx = {"id_col": inp.get("id_col", "doc_id"),
+           "text_col": inp.get("text_col", "text"),
+           "workdir": workdir}
     os.makedirs(workdir, exist_ok=True)
     stage_cfgs = config.get("stages", [])
     for st in stage_cfgs:

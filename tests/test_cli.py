@@ -517,3 +517,50 @@ def test_pipeline_pack_pretokenized_requires_bpe_text(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="bpe_text"):
         run_pipeline(spark, config)
+
+
+def test_pipeline_lm_gate_model_cache_survives_upstream_change(spark, tmp_path):
+    """The trained LM depends only on (target data, params) — never on
+    the chain state — so when an UPSTREAM stage's config changes (which
+    dirties the lm_gate checkpoint and forces the stage to recompute),
+    the model artifact under workdir/models must be REUSED, not
+    retrained; and overwriting the target parquet must invalidate it."""
+    import glob
+    import os
+
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    target_path = str(tmp_path / "target.parquet")
+    (spark.read.parquet(DOCS).where("lang = 'en'")
+     .write.parquet(target_path))
+    workdir = str(tmp_path / "work")
+    config = {
+        "input": {"path": DOCS, "id_col": "doc_id", "text_col": "text"},
+        "workdir": workdir,
+        "stages": [
+            {"stage": "gopher_filter", "min_words": 1},
+            {"stage": "lm_gate", "target_path": target_path,
+             "keep_frac": 0.5, "frames": True},
+        ],
+    }
+    run_pipeline(spark, config)
+    models = glob.glob(os.path.join(workdir, "models", "lm_*", "meta.json"))
+    assert len(models) == 1
+    mtime = os.stat(models[0]).st_mtime_ns
+
+    # upstream change -> lm_gate recomputes, but the model key is
+    # unchanged: artifact reused (meta.json untouched), no second dir
+    config["stages"][0]["min_words"] = 2
+    rep2 = run_pipeline(spark, config)
+    assert [s["resumed"] for s in rep2["stages"]] == [False, False]
+    models2 = glob.glob(os.path.join(workdir, "models", "lm_*", "meta.json"))
+    assert models2 == models
+    assert os.stat(models[0]).st_mtime_ns == mtime
+
+    # overwriting the target data in place -> new fingerprint -> retrain
+    # under a NEW key (the stale artifact is never silently reused)
+    (spark.read.parquet(DOCS).where("lang = 'de'")
+     .write.mode("overwrite").parquet(target_path))
+    run_pipeline(spark, config)
+    models3 = glob.glob(os.path.join(workdir, "models", "lm_*", "meta.json"))
+    assert len(models3) == 2

@@ -1086,3 +1086,37 @@ def test_lm_frames_uncheckpointed_model_keeps_broadcast_plan(spark):
     # blanket no-SMJ assertion here — test_lm_frames_scorer_plan_*
     # covers that for the checkpointed form
     assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def test_lm_model_save_load_roundtrip(spark, tmp_path):
+    """A trained LM persisted to disk scores IDENTICALLY after reload,
+    for both trainer shapes (dict maps inlined in meta.json; frames
+    tables as parquet the scorer joins lazily). A directory without a
+    complete artifact (no meta.json) must refuse to load."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the the the"),
+         (3, None), (4, ""), (5, "one")],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "on the mat the cat")],
+        "doc_id long, text string")
+
+    md = text.lm_bigram_model(tgt, n_buckets=16, top_bigrams=64)
+    text.lm_model_save(md, str(tmp_path / "dict_model"))
+    md2 = text.lm_model_load(spark, str(tmp_path / "dict_model"))
+    assert md2["uni"] == md["uni"] and md2["bi"] == md["bi"]
+    a = sorted(map(tuple, text.lm_score(docs, md).collect()))
+    b = sorted(map(tuple, text.lm_score(docs, md2).collect()))
+    assert a == b
+
+    mf = text.lm_bigram_model_frames(tgt, n_buckets=16, top_bigrams=64)
+    text.lm_model_save(mf, str(tmp_path / "frames_model"))
+    mf2 = text.lm_model_load(spark, str(tmp_path / "frames_model"))
+    assert mf2["frames"] and mf2["n_bigrams"] == mf["n_bigrams"]
+    c = sorted(map(tuple, text.lm_score(docs, mf2).collect()))
+    assert c == a  # frames == dict == reloaded-frames
+
+    with pytest.raises(FileNotFoundError, match="meta.json"):
+        text.lm_model_load(spark, str(tmp_path / "nowhere"))
