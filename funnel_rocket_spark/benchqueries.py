@@ -3728,17 +3728,29 @@ NO_ORACLE: dict = {}
 # reference suite re-anchors, then extension re-greens in family order.
 # Everything else follows in catalog order, so all 109 stay runnable.
 _DRIVER_PRIORITY = [
-    # NEW r8 query + r8-changed code paths — first driver greens
-    # required: the broadcast-join LM scorer (text_lm_nll_join is
-    # provably the join path), the mixture plan now shared between
-    # audit and gate (anchor-free sampler plans), the driver-mode BPE
-    # trainer behind strategy='auto', and the (?s) char-split +
-    # ASCII-whitespace parity in bpe_tokenize (feeds both BPE queries);
-    # text_lm_nll's training pair key went long
-    "text_lm_nll_frames", "text_lm_nll_join", "sample_mixture",
-    "sample_mixture_upsampled",
-    "text_bpe_learned", "text_tokens_bpe", "text_lm_nll",
-    # full reference-shaped suite (re-anchor every round — the product)
+    # NEW r9 query + r9-changed code paths — first driver greens
+    # required: the PNG decode query (new — pure-numpy zlib decode,
+    # closed-form oracle), then the three LM scorers (the join/frames
+    # re-aggregation key changed to a per-row id in r9 so duplicate doc
+    # ids keep map-path cardinality)
+    "multimodal_features_png",
+    "text_lm_nll", "text_lm_nll_join", "text_lm_nll_frames",
+    # the 28 queries whose last driver green is r5 or earlier while
+    # their modules (dedup/sampling/olap/temporal/similarity) changed in
+    # r6-r8 — the r8 verdict's #2 ask, verbatim list (asof_join_clicks
+    # also carries r9's suffix-collision change)
+    "sessionize_events", "asof_join_clicks", "olap_pricing_summary",
+    "audience_segments", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_pipeline_minhash", "dedup_simhash",
+    "dedup_embedding_cosine", "sample_group_cap", "time_rollup_daily",
+    "olap_promo_share", "olap_rolling_revenue", "embedding_kmeans",
+    "dedup_semantic", "olap_top_supplier_per_part", "olap_pending_supply",
+    "olap_sales_opportunity", "dedup_incremental_lsh",
+    "interval_join_concurrent", "heavy_hitters_props", "sample_splits",
+    "text_classifier_score", "text_classifier_trained",
+    "behavior_funnel_trend", "olap_percentiles_approx", "ann_ivf_topk",
+    # fr_* re-anchor fills the window's tail (the first ~18 fit; the
+    # rest were green in r08 and stay pytest-verified every round)
     "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
     "fr_regex_filter", "fr_agg_count_per_value", "fr_agg_groups_per_value",
@@ -3747,23 +3759,15 @@ _DRIVER_PRIORITY = [
     "fr_seq_max_duration", "fr_seq_row_not_found", "fr_registration_profile",
     "fr_lineitem_engine", "fr_agg_groups_skew_path",
     "fr_agg_groups_per_value_approx",
-    # stalest rotation slice: last driver-greened in the r03 extension
-    # sweep (the r7 ledger named exactly this block as the r8 leaders)
-    "s5_denorm_join", "olap_late_orders", "olap_nation_share",
-    "olap_part_avg_filter", "top_docs_per_lang", "olap_winsorized_mean",
-    "resample_temperature", "text_stats", "text_quality", "text_chunks",
-    "text_vocab", "text_pack_blocks", "text_repetition", "text_langid",
-    "text_fingerprint", "text_pii_redact", "text_tfidf", "text_entropy",
-    "text_exact_substrings", "text_remove_dup_spans", "text_c4_clean",
 ]
-# Audit ledger after this rotation: the r7 window greened the four r7
-# queries, the r7-changed paths, the fr_* suite, and 19 of the r02/r03
-# stale slice (text_tokens .. olap_grouping_sets). The r8 window takes
-# the new join-scorer query, the five r8-changed paths, the fr_*
-# re-anchor, and 21 more of the r03-stale block; the remainder
-# (olap_pricing_summary .. dedup/sample/olap families) stays runnable
-# after the window and is value-verified every round by the pytest
-# oracle-parity sweep over all 120.
+# Audit ledger after this rotation: the r8 window greened the new
+# join-scorer query, the five r8-changed paths, the full fr_* suite and
+# 21 of the r03-stale block. The r9 window leads with the new PNG
+# query, the three r9-touched LM scorers, then ALL 28 queries whose
+# last driver green was r5 or earlier (union over CORRECTNESS_r01-r08),
+# then as much of the fr_* re-anchor as fits. Everything else stays
+# runnable after the window and is value-verified every round by the
+# pytest oracle-parity sweep over all 122.
 
 
 def queries() -> dict:
