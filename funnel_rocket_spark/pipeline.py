@@ -102,6 +102,31 @@ def _stage_dedup_minhash(spark, df, cfg, ctx):
     return dedup.apply_dedup(df, pairs, ctx["id_col"])
 
 
+def _stage_dedup_semantic(spark, df, cfg, ctx):
+    """SemDeDup stage (Abbas et al. 2023): drop docs whose EMBEDDINGS are
+    near-identical, catching paraphrase-level duplicates the lexical
+    minhash stage can't see. Embeddings are a side input
+    (``embeddings_path`` parquet, ``vec_id_col`` matching the chain's id
+    column) — the standard deployment shape where an embedding job runs
+    upstream of curation. Only embeddings of docs still alive in the
+    chain are clustered (semi-join first: a 90%-filtered chain clusters
+    10% of the vectors), and docs WITHOUT an embedding row pass through
+    ungated — absence of a vector must not silently drop data. Survivor
+    policy is min-id per duplicate cluster, like every dedup stage."""
+    from funnel_rocket_spark.operators import similarity
+
+    emb = spark.read.parquet(cfg["embeddings_path"])
+    vec_id = cfg.get("vec_id_col", "vec_id")
+    vec_col = cfg.get("vec_col", "embedding")
+    live = emb.join(
+        df.select(F.col(ctx["id_col"]).alias(vec_id)), vec_id, "left_semi")
+    pairs = similarity.semantic_dedup_pairs(
+        live, k=cfg.get("k", 8), rounds=cfg.get("rounds", 2),
+        threshold=cfg.get("threshold", 0.985), id_col=vec_id,
+        vec_col=vec_col, method=cfg.get("method", "gemm"))
+    return dedup.apply_dedup(df, pairs, ctx["id_col"])
+
+
 def _stage_decontaminate(spark, df, cfg, ctx):
     evalset = spark.read.parquet(cfg["eval_path"])
     params = {k: v for k, v in cfg.items()
@@ -303,6 +328,7 @@ STAGES = {
     "gopher_filter": _stage_gopher_filter,
     "dedup_exact": _stage_dedup_exact,
     "dedup_minhash": _stage_dedup_minhash,
+    "dedup_semantic": _stage_dedup_semantic,
     "decontaminate": _stage_decontaminate,
     "pii": _stage_pii,
     "lm_gate": _stage_lm_gate,
@@ -347,7 +373,7 @@ def _input_fingerprint(path: str) -> str:
 
 # stage-config keys that name a SECOND dataset read from disk: their
 # file contents must invalidate the stage exactly like the main input's
-_SIDE_INPUT_KEYS = ("eval_path", "target_path")
+_SIDE_INPUT_KEYS = ("eval_path", "target_path", "embeddings_path")
 
 
 def _chain_hashes(config: dict) -> list[str]:

@@ -564,3 +564,49 @@ def test_pipeline_lm_gate_model_cache_survives_upstream_change(spark, tmp_path):
     run_pipeline(spark, config)
     models3 = glob.glob(os.path.join(workdir, "models", "lm_*", "meta.json"))
     assert len(models3) == 2
+
+
+def test_pipeline_dedup_semantic_stage(spark, tmp_path):
+    """SemDeDup as a chain stage: embeddings are a side input keyed by
+    the chain's id column; near-identical vectors dedup to the min-id
+    survivor; docs WITHOUT an embedding row pass through ungated; and
+    overwriting the embeddings parquet invalidates the checkpoint (it
+    is a _SIDE_INPUT_KEYS member like eval/target)."""
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(6)],
+        "doc_id long, text string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    # 0 and 1 are near-identical vectors; 5 has NO embedding row
+    vecs = [(0, [1.0, 0.0, 0.0]), (1, [0.9999, 0.001, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0]),
+            (4, [0.5, 0.5, 0.0])]
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>") \
+        .write.parquet(emb_path)
+    config = {
+        "input": {"path": inp, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "stages": [
+            {"stage": "dedup_semantic", "embeddings_path": emb_path,
+             "k": 1, "threshold": 0.99},
+        ],
+    }
+    rep = run_pipeline(spark, config)
+    assert rep["rows_out"] == 5  # doc 1 deduped into 0; doc 5 passes
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        rep["stages"][0] and
+        f"{tmp_path}/work/stage_00_dedup_semantic.parquet").collect()}
+    assert kept == {0, 2, 3, 4, 5}
+
+    # unchanged inputs resume from checkpoint; overwriting the
+    # embeddings in place must recompute (side-input fingerprint)
+    rep2 = run_pipeline(spark, config)
+    assert rep2["stages"][0]["resumed"]
+    spark.createDataFrame(vecs[:2], "vec_id long, embedding array<float>") \
+        .write.mode("overwrite").parquet(emb_path)
+    rep3 = run_pipeline(spark, config)
+    assert not rep3["stages"][0]["resumed"]
+    assert rep3["rows_out"] == 5
