@@ -245,6 +245,15 @@ def main() -> None:
     # its rolling best across committed bench history instead.
     here = os.path.dirname(os.path.abspath(__file__))
     best = load_rolling_best(here, sf)
+    # history size BEFORE this session folds in: after the fold below,
+    # len(best) would count our own timings and report rich history on a
+    # fresh clone that actually had none
+    drift_history_n = len(best)
+    # spread is a MAIN-PASS property: the drift recovery pass below
+    # appends extra (usually faster) samples per drifted query, and
+    # mixing those into the max/min spread would re-flag a session the
+    # recovery just proved healthy
+    spread_basis = {q: list(ts) for q, ts in run_times.items()}
     drift_median, drift_ratios = drift_vs_best(timings, best)
     drift_retimed: list[str] = []
     if drift_median is not None and drift_median > 1.2:
@@ -312,7 +321,7 @@ def main() -> None:
     # workload only happens when the box is contended (r6 lesson: a
     # loaded driver box published 95.1 s for a 69.6 s suite and cost a
     # manual A/B adjudication; this flag is that A/B, automated).
-    p90_spread = suite_spread(run_times)
+    p90_spread = suite_spread(spread_basis)
     noisy = bool(p90_spread is not None and p90_spread > 1.5) or drift_noisy
 
     total = round(sum(timings.values()), 4)
@@ -327,7 +336,7 @@ def main() -> None:
         "fingerprint": fingerprint,
         "p90_run_spread": p90_spread,
         "drift_median_vs_best": drift_median,
-        "drift_history_n": len(best),
+        "drift_history_n": drift_history_n,
         "drift_retimed": drift_retimed,
         "drift_canaries": drift_canaries,
         "drift_noisy": drift_noisy,

@@ -481,8 +481,11 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus: DataFrame,
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
-    new_grams = shingle_frame(new_docs, text_col, id_col, n).filter(
-        F.size("grams") > 0)
+    # persist the GRAMS frame (two consumers: signatures + verification
+    # union), not the inner token frame — whose only reader is the grams
+    # cache materialization itself
+    new_grams = shingle_frame(new_docs, text_col, id_col, n,
+                              persist=False).filter(F.size("grams") > 0)
     bounded_persist(new_grams)
     new_banded = _band_rows(_minhash_sigs(new_grams, num_hashes),
                             bands, rows_per_band)
@@ -517,11 +520,14 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus: DataFrame,
                 .distinct())
     matched_old = corpus.join(
         cand_ids, corpus[id_col] == cand_ids["cid"], "left_semi")
-    old_grams = shingle_frame(matched_old, text_col, id_col, n).filter(
-        F.size("grams") > 0)
-    grams = (new_grams.select("id", "grams")
-             .unionByName(old_grams.select("id", "grams"))
-             .withColumn("n_grams", F.size("grams")))
+    old_grams = shingle_frame(matched_old, text_col, id_col, n,
+                              persist=False).filter(F.size("grams") > 0)
+    # the union feeds BOTH sides of the pair join (ga/gb) — persist it,
+    # or the corpus semi-join + re-shingle lineage executes twice
+    grams = bounded_persist(
+        new_grams.select("id", "grams")
+        .unionByName(old_grams.select("id", "grams"))
+        .withColumn("n_grams", F.size("grams")))
     ga, gb = grams.alias("ga"), grams.alias("gb")
     joined = (
         candidates.join(ga, candidates.id_a == F.col("ga.id"))
@@ -588,8 +594,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                 .unionByName(candidates.select(F.col("id_b").alias("cid")))
                 .distinct())
     matched = df.join(cand_ids, df[id_col] == cand_ids["cid"], "left_semi")
-    cand_grams = shingle_frame(matched, text_col, id_col, n).filter(
-        F.size("grams") > 0)
+    # persist=False here too: the only consumer of these tokens is the
+    # grams frame persisted on the next line — caching both would re-pay
+    # (at candidate scale) the double-cache this commit removed
+    cand_grams = shingle_frame(matched, text_col, id_col, n,
+                               persist=False).filter(F.size("grams") > 0)
     grams = bounded_persist(
         cand_grams.select("id", "grams", F.size("grams").alias("n_grams")))
     ga = grams.alias("ga")

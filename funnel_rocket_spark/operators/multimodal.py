@@ -136,8 +136,11 @@ def _decode_png(payload: bytes):
             raise ValueError(f"PNG: bad CRC in {ctype!r}")
         pos += 12 + length
         if ctype == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
+            try:
+                w, h, depth, color, _comp, _filt, interlace = \
+                    struct.unpack(">IIBBBBB", data)
+            except struct.error as ex:  # CRC-valid but short IHDR
+                raise ValueError(f"PNG: malformed IHDR ({ex})") from ex
             if depth != 8:
                 raise NotImplementedError(f"PNG: bit depth {depth}")
             if color not in (0, 2, 6):
@@ -151,7 +154,12 @@ def _decode_png(payload: bytes):
             break
     if w is None:
         raise ValueError("PNG: missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:  # zlib.error is NOT a ValueError — a file
+        # truncated at a chunk boundary (empty/partial IDAT) must still
+        # honor the malformed→ValueError contract the extractors catch
+        raise ValueError(f"PNG: bad deflate stream ({ex})") from ex
     if len(raw) != h * (1 + w * bpp):
         raise ValueError("PNG: decompressed size mismatch")
     px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
@@ -295,7 +303,15 @@ def decode_image(payload: bytes):
     if Image is not None:
         import io
 
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        try:
+            return np.asarray(
+                Image.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception as ex:
+            # PIL failures are UnidentifiedImageError/OSError/etc — none
+            # a ValueError, so an unguarded raise would escape the
+            # extractors' malformed-payload catch and kill the stage on
+            # one corrupt blob. Normalize to the documented contract.
+            raise ValueError(f"PIL decode failed ({ex})") from ex
 
     raise NotImplementedError(
         f"unrecognized/compressed image format (magic "

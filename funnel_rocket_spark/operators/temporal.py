@@ -147,6 +147,19 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
                 f"{c!r} and {c + '_right'!r} already exist on the left "
                 "frame; rename one before joining")
         return f"{c}_right"
+
+    # collisions AMONG the output names too: right carrying both 'price'
+    # (suffixed to 'price_right' because the left has 'price') and a
+    # literal 'price_right' would otherwise emit two identically named
+    # columns — the exact ambiguity the suffix exists to prevent
+    seen: dict[str, str] = {}
+    for c in value_cols:
+        n = out_name(c)
+        if n in seen:
+            raise ValueError(
+                f"as_of_join: carried columns {seen[n]!r} and {c!r} "
+                f"both come out as {n!r}; rename one before joining")
+        seen[n] = c
     carried_ts = F.last(F.when(F.col("__is_left") == 0, F.col("__t")),
                         ignorenulls=True).over(w)
 

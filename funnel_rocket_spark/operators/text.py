@@ -1590,8 +1590,13 @@ def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
             # plan for a small model trained with a generous cap (e.g.
             # 10M) — a perf cliff. Bound the count at the decision
             # threshold: anything past it joins the same way regardless.
+            # Cache the answer back into the model dict: bi_df's lineage
+            # embeds the full training aggregation for checkpoint=False
+            # models, and limit() cannot short-circuit an aggregate, so
+            # re-counting per scoring call would re-pay training each time.
             n_bi = (model["bi_df"]
                     .limit(_LM_FRAMES_BROADCAST_MAX + 1).count())
+            model["n_bigrams"] = n_bi
         n_rows = model["n_buckets"] + n_bi
         return _lm_score_with_frames(
             df_raw, model["uni_df"], model["bi_df"],

@@ -296,3 +296,45 @@ def test_png_feature_query_decodes_fixture_corpus(spark):
         assert r["mean_r"] == round(i % 200 + (r["width"] - 1) / 2, 4)
         assert r["mean_g"] == round((7 * i) % 200 + (r["height"] - 1) / 2, 4)
         assert r["mean_b"] == float((13 * i) % 256)
+
+
+def test_decode_errors_normalize_to_valueerror(monkeypatch):
+    """Every malformed-payload failure must surface as ValueError (the
+    type the feature extractors catch) — never zlib.error, struct.error,
+    or a PIL exception, any of which would escape the mapInPandas catch
+    and kill a 1000-executor stage on one corrupt blob."""
+    import struct
+    import sys
+    import types
+    import zlib
+
+    # PNG truncated at a chunk boundary: CRC-valid IHDR, no IDAT -> the
+    # empty deflate stream raises zlib.error unless normalized
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png_no_idat = bytearray(multimodal._PNG_SIG)
+    for ctype, data in [(b"IHDR", ihdr), (b"IEND", b"")]:
+        png_no_idat += struct.pack(">I", len(data)) + ctype + data
+        png_no_idat += struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="deflate"):
+        multimodal.decode_image(bytes(png_no_idat))
+
+    # CRC-valid but SHORT IHDR -> struct.error unless normalized
+    short = bytearray(multimodal._PNG_SIG)
+    data = b"\x00\x00\x00\x02"  # 4 bytes, needs 13
+    short += struct.pack(">I", len(data)) + b"IHDR" + data
+    short += struct.pack(">I", zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="IHDR"):
+        multimodal.decode_image(bytes(short))
+
+    # PIL present but the payload is garbage: UnidentifiedImageError is
+    # an OSError, not a ValueError — must come out normalized
+    def _boom(buf):
+        raise OSError("cannot identify image file")
+    fake_image_mod = types.SimpleNamespace(open=_boom)
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    with pytest.raises(ValueError, match="PIL decode failed"):
+        multimodal.decode_image(b"\xff\xd8\xff truncated jpeg")

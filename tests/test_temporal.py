@@ -202,3 +202,19 @@ def test_as_of_join_suffix_collision_raises(spark):
     with pytest.raises(ValueError, match="price_right"):
         temporal.as_of_join(left, right, on="sym", left_ts="t",
                             right_ts="t").collect()
+
+
+def test_as_of_join_carried_name_collision_raises(spark):
+    """Collision AMONG carried columns: right carries both 'price'
+    (suffixed to 'price_right' because the left has 'price') and a
+    literal 'price_right' — two outputs would share one name; raise."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [("A", 5, 10.0)], "sym string, t long, price double")
+    right = spark.createDataFrame(
+        [("A", 4, 1.5, 2.5)],
+        "sym string, t long, price double, price_right double")
+    with pytest.raises(ValueError, match="both come out as"):
+        temporal.as_of_join(left, right, on="sym", left_ts="t",
+                            right_ts="t").collect()
