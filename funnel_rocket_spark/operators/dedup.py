@@ -541,9 +541,19 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus: DataFrame,
     )
 
 
+# Footer-bounded corpus size below which the CACHED verification shape
+# wins: caching a small corpus's gram arrays is cheaper than the
+# candidates shape's extra semi-join + re-shingle jobs (sf0.1's 5k-doc
+# table pays ~0.7s of fixed stage overhead for a cache that costs
+# nothing), while past it the cache itself is the dominant cost (2M docs
+# paid 29s of serialization to serve ~99k pair lookups).
+_VERIFY_CACHED_MAX_ROWS = 200_000
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 32, bands: int = 8, n: int = 3,
-                      threshold: float = 0.5, verify: bool = True) -> DataFrame:
+                      threshold: float = 0.5, verify: bool = True,
+                      verify_mode: str = "auto") -> DataFrame:
     """MinHash + LSH near-duplicate pairs: (id_a, id_b[, jaccard]).
 
     Pipeline: signature → split into ``bands`` bands of ``num_hashes/bands``
@@ -554,18 +564,46 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     shuffle keys are (band, bucket-hash) — well distributed by construction.
     This is the 100 TB dedup path (band/row tuning trades recall vs cost:
     P(candidate) = 1-(1-j^r)^b).
+
+    ``verify_mode`` picks how verification obtains the gram arrays
+    (identical results, measured crossover — the
+    :func:`~funnel_rocket_spark.operators.similarity.embedding_dup_pairs`
+    auto-routing idiom):
+
+    - ``"cached"``: cache the corpus gram frame during the signature
+      build and verify from the cache — fastest for small corpora where
+      the cache is free.
+    - ``"candidates"``: never cache the corpus; semi-join the corpus to
+      the candidate ids and RE-SHINGLE only those docs (the
+      :func:`incremental_lsh_pairs` shape). The 100 TB path: a 2M-doc
+      run went 153.6 → 77.1 s in the curate rung by not serializing 2M
+      gram arrays to serve ~99k pair lookups.
+    - ``"auto"``: cached when the corpus is provably small (parquet
+      footer row bound ≤ 200k), candidates otherwise — including when
+      the plan isn't footer-boundable, because at unknown scale the
+      corpus-sized cache is the dangerous choice.
     """
+    if verify_mode not in ("auto", "cached", "candidates"):
+        raise ValueError(
+            f"verify_mode must be auto|cached|candidates: {verify_mode!r}")
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
+    mode = verify_mode
+    if mode == "auto":
+        from funnel_rocket_spark.operators.similarity import (
+            _scan_rowcount_upper_bound)
+
+        bound = _scan_rowcount_upper_bound(df)
+        mode = ("cached" if bound is not None
+                and bound <= _VERIFY_CACHED_MAX_ROWS else "candidates")
+    cache_grams = verify and mode == "cached"
     # The signature build is a SINGLE pass (shingle → k universal hashes →
-    # groupBy-min), so the corpus token/gram arrays are never cached —
-    # persist=False stages tokens through the exchange instead. Caching
-    # them (rounds ≤8) served only the verification branch, which touches
-    # ~|candidate| docs: a 2M-doc corpus paid 29s of cache serialization
-    # to feed ~99k pair lookups. Verification now re-shingles exactly the
-    # candidate-touched docs (the incremental_lsh_pairs shape).
+    # groupBy-min), so in candidates mode the corpus token/gram arrays are
+    # never cached — persist=False stages tokens through the exchange.
     grams_df = shingle_frame(df, text_col, id_col, n,
-                             persist=False).filter(F.size("grams") > 0)
+                             persist=cache_grams).filter(F.size("grams") > 0)
+    if cache_grams:
+        bounded_persist(grams_df)
     sigs = _minhash_sigs(grams_df, num_hashes)
     # Lazy persist: the first consuming job materializes the cache. The band
     # self-join references sigs twice in one job, but BlockManager computes
@@ -586,21 +624,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     if not verify:
         return candidates
 
-    # Verification reads candidates twice (id set + the pair join) and the
-    # candidate grams twice (ga/gb) — persist both; each is bounded by the
-    # candidate count, orders of magnitude below the corpus.
-    candidates = bounded_persist(candidates)
-    cand_ids = (candidates.select(F.col("id_a").alias("cid"))
-                .unionByName(candidates.select(F.col("id_b").alias("cid")))
-                .distinct())
-    matched = df.join(cand_ids, df[id_col] == cand_ids["cid"], "left_semi")
-    # persist=False here too: the only consumer of these tokens is the
-    # grams frame persisted on the next line — caching both would re-pay
-    # (at candidate scale) the double-cache this commit removed
-    cand_grams = shingle_frame(matched, text_col, id_col, n,
-                               persist=False).filter(F.size("grams") > 0)
-    grams = bounded_persist(
-        cand_grams.select("id", "grams", F.size("grams").alias("n_grams")))
+    if cache_grams:
+        grams = grams_df.select("id", "grams",
+                                F.size("grams").alias("n_grams"))
+    else:
+        # Verification reads candidates twice (id set + the pair join) and
+        # the candidate grams twice (ga/gb) — persist both; each is bounded
+        # by the candidate count, orders of magnitude below the corpus.
+        candidates = bounded_persist(candidates)
+        cand_ids = (candidates.select(F.col("id_a").alias("cid"))
+                    .unionByName(candidates.select(F.col("id_b").alias("cid")))
+                    .distinct())
+        matched = df.join(cand_ids, df[id_col] == cand_ids["cid"],
+                          "left_semi")
+        # persist=False here too: the only consumer of these tokens is the
+        # grams frame persisted on the next line — caching both would
+        # re-pay (at candidate scale) the double-cache this removed
+        cand_grams = shingle_frame(matched, text_col, id_col, n,
+                                   persist=False).filter(F.size("grams") > 0)
+        grams = bounded_persist(
+            cand_grams.select("id", "grams",
+                              F.size("grams").alias("n_grams")))
     ga = grams.alias("ga")
     gb = grams.alias("gb")
     joined = (

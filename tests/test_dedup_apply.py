@@ -207,3 +207,42 @@ def test_ngram_contamination_hash_tier_plan(spark):
     plan = formatted_plan(dedup.ngram_contamination(
         corpus, evalset, n=3, strategy="hash"))
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_verify_modes_identical(spark):
+    """The two verification shapes (cached corpus grams vs
+    candidate-only re-shingle) are a pure execution choice — pair sets
+    and jaccard values must be identical, and 'auto' must route a
+    footer-boundable small scan to 'cached'."""
+    import pytest
+
+    from funnel_rocket_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run(mode):
+        return sorted(map(tuple, dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.3,
+            verify_mode=mode).collect()))
+
+    cached, cands = run("cached"), run("candidates")
+    assert cached == cands and len(cached) > 0
+    assert run("auto") == cached
+
+    # the 500-row parquet is footer-boundable and small -> auto = cached
+    from funnel_rocket_spark.operators.similarity import (
+        _scan_rowcount_upper_bound)
+    bound = _scan_rowcount_upper_bound(docs)
+    assert bound is not None and bound <= dedup._VERIFY_CACHED_MAX_ROWS
+
+    # a union-shaped plan is NOT footer-boundable (inputFiles dedupes
+    # paths, so a self-union would under-count) -> auto = candidates
+    # (still identical values; the 0-row arm changes nothing)
+    unioned = docs.unionByName(docs.limit(0))
+    assert _scan_rowcount_upper_bound(unioned) is None
+    got = sorted(map(tuple, dedup.minhash_lsh_pairs(
+        unioned, "text", "doc_id", threshold=0.3).collect()))
+    assert got == cached
+
+    with pytest.raises(ValueError, match="verify_mode"):
+        dedup.minhash_lsh_pairs(docs, verify_mode="nope")
