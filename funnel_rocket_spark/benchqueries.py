@@ -3726,7 +3726,7 @@ NO_ORACLE: dict = {}
 # sampled/vectorized IVF-PQ build, the persist-ring rewrite (everything
 # that shingles), and the null-text classifier coalesce. Then the fr_*
 # reference suite re-anchors, then extension re-greens in family order.
-# Everything else follows in catalog order, so all 109 stay runnable.
+# Everything else follows in catalog order, so all 122 stay runnable.
 _DRIVER_PRIORITY = [
     # NEW r9 query + r9-changed code paths — first driver greens
     # required: the PNG decode query (new — pure-numpy zlib decode,

@@ -589,7 +589,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
     mode = verify_mode
-    if mode == "auto":
+    if verify and mode == "auto":
+        # gated on verify: with verify=False the decision is never used,
+        # and the footer probe would open every input file on the driver
         from funnel_rocket_spark.operators.similarity import (
             _scan_rowcount_upper_bound)
 
@@ -598,10 +600,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                 and bound <= _VERIFY_CACHED_MAX_ROWS else "candidates")
     cache_grams = verify and mode == "cached"
     # The signature build is a SINGLE pass (shingle → k universal hashes →
-    # groupBy-min), so in candidates mode the corpus token/gram arrays are
-    # never cached — persist=False stages tokens through the exchange.
+    # groupBy-min), so the corpus TOKEN arrays are never cached in either
+    # mode (persist=False stages them through the exchange; their only
+    # reader would be the grams materialization one line down). Cached
+    # mode persists the GRAMS frame, which signatures AND verification
+    # both read.
     grams_df = shingle_frame(df, text_col, id_col, n,
-                             persist=cache_grams).filter(F.size("grams") > 0)
+                             persist=False).filter(F.size("grams") > 0)
     if cache_grams:
         bounded_persist(grams_df)
     sigs = _minhash_sigs(grams_df, num_hashes)

@@ -782,6 +782,11 @@ def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
         import numpy as np
         import pandas as pd
 
+        # pair schema follows the ACTUAL id type (string doc ids are as
+        # legal as longs — the r8 id-dtype lesson): hardcoding long here
+        # made Arrow reject any chain with string ids
+        id_t = corpus.schema[id_col].dataType.simpleString()
+
         def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             ids = pdf[id_col].to_numpy()
             order = np.argsort(ids)
@@ -805,7 +810,8 @@ def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
                     pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}))
 
         return assigned.groupBy("cluster").applyInPandas(
-            cell_pairs, schema="id_a long, id_b long, cosine_sim double")
+            cell_pairs,
+            schema=f"id_a {id_t}, id_b {id_t}, cosine_sim double")
     a = assigned.select(F.col("cluster"), F.col(id_col).alias("id_a"),
                         F.col(vec_col).alias("__va"))
     b = assigned.select(F.col("cluster"), F.col(id_col).alias("id_b"),

@@ -120,10 +120,14 @@ def _stage_dedup_semantic(spark, df, cfg, ctx):
     vec_col = cfg.get("vec_col", "embedding")
     live = emb.join(
         df.select(F.col(ctx["id_col"]).alias(vec_id)), vec_id, "left_semi")
+    # pass the remaining keys through verbatim so a typo'd key fails fast
+    # (TypeError) like every other stage, instead of silently running
+    # with defaults while still invalidating the chain hash
+    params = {k: v for k, v in cfg.items()
+              if k not in ("stage", "embeddings_path", "vec_id_col",
+                           "vec_col")}
     pairs = similarity.semantic_dedup_pairs(
-        live, k=cfg.get("k", 8), rounds=cfg.get("rounds", 2),
-        threshold=cfg.get("threshold", 0.985), id_col=vec_id,
-        vec_col=vec_col, method=cfg.get("method", "gemm"))
+        live, id_col=vec_id, vec_col=vec_col, **params)
     return dedup.apply_dedup(df, pairs, ctx["id_col"])
 
 

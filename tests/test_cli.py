@@ -597,7 +597,6 @@ def test_pipeline_dedup_semantic_stage(spark, tmp_path):
     rep = run_pipeline(spark, config)
     assert rep["rows_out"] == 5  # doc 1 deduped into 0; doc 5 passes
     kept = {r["doc_id"] for r in spark.read.parquet(
-        rep["stages"][0] and
         f"{tmp_path}/work/stage_00_dedup_semantic.parquet").collect()}
     assert kept == {0, 2, 3, 4, 5}
 

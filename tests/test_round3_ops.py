@@ -1030,3 +1030,20 @@ def test_time_zorder_two_level_layout(spark, tmp_path):
         span_v = day.agg(F.max("value") - F.min("value")).collect()[0][0]
         assert sum(r["wu"] for r in rows) / len(rows) < 0.9 * span_u
         assert sum(r["wv"] for r in rows) / len(rows) < 0.9 * span_v
+
+
+def test_semantic_dedup_string_ids_gemm(spark):
+    """The gemm pair schema follows the ACTUAL id type — a chain with
+    string doc ids (urls) must work, and gemm must equal expr on it."""
+    from funnel_rocket_spark.operators import similarity
+
+    vecs = [(f"url_{i}", [1.0, 0.0] if i < 2 else [0.0, 1.0])
+            for i in range(6)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id string, embedding array<float>")
+    gemm = sorted(map(tuple, similarity.semantic_dedup_pairs(
+        emb, k=1, threshold=0.99, method="gemm").collect()))
+    expr = sorted(map(tuple, similarity.semantic_dedup_pairs(
+        emb, k=1, threshold=0.99, method="expr").collect()))
+    assert gemm == expr
+    assert ("url_0", "url_1", 1.0) in gemm
