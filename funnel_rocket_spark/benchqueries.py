@@ -1216,6 +1216,20 @@ def _embedding_pairs_fn(spark, sf_dir):
     return similarity.embedding_dup_pairs(emb, threshold=0.45)
 
 
+def _semantic_contamination_fn(spark, sf_dir):
+    """Cross-set semantic decontamination: the vec_id%10==3 slice plays
+    the benchmark suite; every corpus vector within 0.45 cosine of any
+    eval vector is a hit (leaked eval members surface as their own
+    self-hit at cosine 1). Broadcast tier: eval matrix broadcast, one
+    zero-shuffle GEMM pass over the corpus (`similarity.py
+    semantic_contamination`)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    evalset = emb.where(F.col("vec_id") % 10 == 3)
+    return similarity.semantic_contamination(
+        emb, evalset, threshold=0.45, method="broadcast")
+
+
 def _embedding_dedup_pipeline_fn(spark, sf_dir):
     """Embedding near-dup pairs -> connected components -> survivors: the
     same end-to-end shape as dedup_pipeline_minhash with cosine pairs as
@@ -2933,6 +2947,19 @@ WHERE round(list_dot_product(a.v, b.v) /
         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
 """,
     ),
+    "decontaminate_semantic": (
+        _semantic_contamination_fn,
+        """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS ev FROM e WHERE vec_id % 10 = 3)
+SELECT e.vec_id AS vec_id, ev.eval_id AS eval_id,
+  round(list_dot_product(e.v, ev.ev) /
+        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ev.ev, ev.ev))), 6) AS cosine_sim
+FROM e CROSS JOIN ev
+WHERE round(list_dot_product(e.v, ev.ev) /
+        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ev.ev, ev.ev))), 6) >= 0.45
+""",
+    ),
     # Same survivors construction as dedup_pipeline_minhash, with cosine
     # pairs as the candidate generator (recursive-CTE clustering oracle).
     "dedup_pipeline_embedding": (
@@ -3726,14 +3753,15 @@ NO_ORACLE: dict = {}
 # sampled/vectorized IVF-PQ build, the persist-ring rewrite (everything
 # that shingles), and the null-text classifier coalesce. Then the fr_*
 # reference suite re-anchors, then extension re-greens in family order.
-# Everything else follows in catalog order, so all 122 stay runnable.
+# Everything else follows in catalog order, so all 123 stay runnable.
 _DRIVER_PRIORITY = [
-    # NEW r9 query + r9-changed code paths — first driver greens
-    # required: the PNG decode query (new — pure-numpy zlib decode,
-    # closed-form oracle), then the three LM scorers (the join/frames
+    # NEW r9 queries + r9-changed code paths — first driver greens
+    # required: the PNG decode query (pure-numpy zlib decode,
+    # closed-form oracle), semantic decontamination (new cross-set
+    # embedding operator), then the three LM scorers (the join/frames
     # re-aggregation key changed to a per-row id in r9 so duplicate doc
     # ids keep map-path cardinality)
-    "multimodal_features_png",
+    "multimodal_features_png", "decontaminate_semantic",
     "text_lm_nll", "text_lm_nll_join", "text_lm_nll_frames",
     # the 28 queries whose last driver green is r5 or earlier while
     # their modules (dedup/sampling/olap/temporal/similarity) changed in
@@ -3767,7 +3795,7 @@ _DRIVER_PRIORITY = [
 # last driver green was r5 or earlier (union over CORRECTNESS_r01-r08),
 # then as much of the fr_* re-anchor as fits. Everything else stays
 # runnable after the window and is value-verified every round by the
-# pytest oracle-parity sweep over all 122.
+# pytest oracle-parity sweep over all 123.
 
 
 def queries() -> dict:

@@ -552,6 +552,181 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
+def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
+                           threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           eval_id_col: str | None = None,
+                           eval_vec_col: str | None = None,
+                           method: str = "auto",
+                           max_broadcast_rows: int = 500_000,
+                           n_bits: int = 8, tables: int = 4,
+                           eval_row_hint: int | None = None) -> DataFrame:
+    """CROSS-SET contamination by embedding cosine: every (corpus id,
+    eval id, cosine_sim) hit with cosine ≥ ``threshold`` — the semantic
+    sibling of ``dedup.ngram_contamination``. A paraphrased eval
+    question that shares no 5-gram with its source still lands next to
+    it in embedding space; this is the decontamination pass that
+    catches it. Output columns: ``(id_col, eval_id, cosine_sim)``.
+
+    Scale shape mirrors ngram_contamination's broadcast tier: the EVAL
+    side is the structurally small one (a benchmark suite is thousands
+    of vectors, the corpus is the 100 TB side), so the default
+    broadcasts the unit-normalized eval matrix and scans the corpus
+    ONCE with a blocked Arrow GEMM — zero corpus shuffle at any corpus
+    size, exact.
+
+    ``method``:
+
+    - ``"broadcast"``: exact; driver must hold the eval matrix
+      (guarded at ``max_broadcast_rows`` eval rows in ``auto``).
+    - ``"lsh"``: both sides sign-LSH-bucketed (``tables`` tables ×
+      ``n_bits`` bits, same deterministic hyperplanes as
+      :func:`lsh_bucketed_pairs`), equi-join on (table, bucket),
+      cross-side GEMM per bucket. Fully distributed — the path for an
+      eval set too big to broadcast — precision 1 (every emitted hit
+      is true cosine ≥ threshold), recall < 1.
+    - ``"expr"``: exact pure-Column crossJoin (quadratic,
+      verification-only).
+    - ``"auto"``: broadcast when the eval side is provably ≤
+      ``max_broadcast_rows`` (``eval_row_hint``, else parquet footer
+      bound, else one bounded count probe), lsh otherwise.
+    """
+    eval_id_col = eval_id_col or id_col
+    eval_vec_col = eval_vec_col or vec_col
+    corpus = drop_null_vectors(corpus, vec_col)
+    evalset = drop_null_vectors(evalset, eval_vec_col)
+    if method == "auto":
+        n = eval_row_hint
+        if n is None:
+            n = _scan_rowcount_upper_bound(evalset)
+        if n is None or n > max_broadcast_rows:
+            n = evalset.select(eval_id_col).limit(
+                max_broadcast_rows + 1).count()
+        method = "broadcast" if n <= max_broadcast_rows else "lsh"
+    if method == "expr":
+        cu = unit_normalized(corpus, id_col, vec_col)
+        eu = unit_normalized(
+            evalset.select(F.col(eval_id_col).alias("eval_id"),
+                           F.col(eval_vec_col).alias("__ev")),
+            "eval_id", "__ev")
+        pairs = cu.select(F.col(id_col), F.col(vec_col).alias("__cv")) \
+            .crossJoin(eu)
+        return (pairs.select(
+            id_col, "eval_id",
+            F.round(dot(F.col("__cv"), F.col("__ev")), 6)
+            .alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
+
+    import numpy as np
+    import pandas as pd
+
+    def _unit_rows(m: "np.ndarray") -> "np.ndarray":
+        norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        return m / norms
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    eid_t = evalset.schema[eval_id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, eval_id {eid_t}, cosine_sim double"
+
+    if method == "broadcast":
+        collected = _collect_corpus(
+            evalset.select(eval_id_col, eval_vec_col))
+        e_ids = np.array([r[eval_id_col] for r in collected])
+        e_mat = _unit_rows(np.array([r[eval_vec_col] for r in collected],
+                                    dtype=np.float64))
+        bc = corpus.sparkSession.sparkContext.broadcast((e_ids, e_mat))
+        raw = corpus.select(id_col, vec_col)
+
+        def hits(batches):
+            b_ids, b_mat = bc.value
+            for pdf in batches:
+                if not len(pdf) or not len(b_ids):
+                    continue
+                a_ids = pdf[id_col].to_numpy()
+                a_mat = _unit_rows(
+                    np.array(list(pdf[vec_col]), dtype=np.float64))
+                sims = _np_round6(a_mat @ b_mat.T)
+                ai, bi = np.nonzero(sims >= threshold)
+                yield pd.DataFrame({
+                    id_col: a_ids[ai], "eval_id": b_ids[bi],
+                    "cosine_sim": sims[ai, bi]})
+
+        return raw.mapInPandas(hits, schema=out_schema)
+
+    if method != "lsh":
+        raise ValueError(
+            f"method must be auto|broadcast|lsh|expr: {method!r}")
+
+    # LSH tier: tag each side, bucket with the SAME deterministic
+    # hyperplanes, meet in a (tbl, bucket) groupBy, cross-side GEMM.
+    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    hmat = hyperplane_matrix(tables * n_bits, dim)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def assign(side: int, idc: str, vc: str):
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(list(pdf[vc]), dtype=np.float64)
+                bits = (v @ hmat.T) > 0
+                for t in range(tables):
+                    yield pd.DataFrame({
+                        "id": pdf[idc], "vec": list(pdf[vc]),
+                        "side": side, "tbl": t,
+                        "bucket":
+                            bits[:, t * n_bits:(t + 1) * n_bits] @ weights})
+        return gen
+
+    c_t = "string" if id_t == "string" or eid_t == "string" else id_t
+    # both ids travel in ONE union column; mixed dtypes ride as strings
+    # and are cast back on output (ids are join keys here, not values)
+    cb = corpus.select(
+        F.col(id_col).cast(c_t).alias("__i"), F.col(vec_col).alias("__v")
+    ).mapInPandas(assign(0, "__i", "__v"),
+                  schema=f"id {c_t}, vec array<double>, side int, "
+                         "tbl int, bucket long")
+    eb = evalset.select(
+        F.col(eval_id_col).cast(c_t).alias("__i"),
+        F.col(eval_vec_col).alias("__v")
+    ).mapInPandas(assign(1, "__i", "__v"),
+                  schema=f"id {c_t}, vec array<double>, side int, "
+                         "tbl int, bucket long")
+
+    def bucket_hits(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sides = pdf["side"].to_numpy()
+        a = pdf[sides == 0]
+        b = pdf[sides == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"cid": [], "eval_id": [],
+                                 "cosine_sim": []})
+        av = _unit_rows(np.array(list(a["vec"]), dtype=np.float64))
+        bv = _unit_rows(np.array(list(b["vec"]), dtype=np.float64))
+        a_ids, b_ids = a["id"].to_numpy(), b["id"].to_numpy()
+        frames = []
+        block = max(64, min(4096, 8_000_000 // max(len(b_ids), 1)))
+        for s in range(0, len(a_ids), block):
+            e = min(s + block, len(a_ids))
+            sims = _np_round6(av[s:e] @ bv.T)
+            ai, bi = np.nonzero(sims >= threshold)
+            frames.append(pd.DataFrame({
+                "cid": a_ids[s:e][ai], "eval_id": b_ids[bi],
+                "cosine_sim": sims[ai, bi]}))
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"cid": [], "eval_id": [], "cosine_sim": []})
+
+    hits = (cb.unionByName(eb).groupBy("tbl", "bucket")
+            .applyInPandas(bucket_hits,
+                           schema=f"cid {c_t}, eval_id {c_t}, "
+                                  "cosine_sim double")
+            .dropDuplicates(["cid", "eval_id"]))
+    return hits.select(F.col("cid").cast(id_t).alias(id_col),
+                       F.col("eval_id").cast(eid_t).alias("eval_id"),
+                       "cosine_sim")
+
+
 def label_centroids(df: DataFrame, vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:
     """Element-wise mean embedding per label — the centroid/prototype

@@ -141,6 +141,31 @@ def _stage_decontaminate(spark, df, cfg, ctx):
     return df.join(dirty, ctx["id_col"], "left_anti")
 
 
+def _stage_decontaminate_semantic(spark, df, cfg, ctx):
+    """Semantic decontamination: drop docs whose EMBEDDING is within
+    ``threshold`` cosine of any eval-set embedding — catches the
+    paraphrased benchmark leakage the n-gram ``decontaminate`` stage
+    can't see (no shared 5-gram). Embeddings are side inputs
+    (``embeddings_path`` for the corpus keyed by the chain's id column,
+    ``eval_embeddings_path`` for the benchmark suite); docs without an
+    embedding row pass through ungated, like ``dedup_semantic``."""
+    from funnel_rocket_spark.operators import similarity
+
+    emb = spark.read.parquet(cfg["embeddings_path"])
+    evalset = spark.read.parquet(cfg["eval_embeddings_path"])
+    vec_id = cfg.get("vec_id_col", "vec_id")
+    vec_col = cfg.get("vec_col", "embedding")
+    live = emb.join(
+        df.select(F.col(ctx["id_col"]).alias(vec_id)), vec_id, "left_semi")
+    params = {k: v for k, v in cfg.items()
+              if k not in ("stage", "embeddings_path",
+                           "eval_embeddings_path", "vec_id_col", "vec_col")}
+    hits = similarity.semantic_contamination(
+        live, evalset, id_col=vec_id, vec_col=vec_col, **params)
+    dirty = hits.select(F.col(vec_id).alias(ctx["id_col"])).distinct()
+    return df.join(dirty, ctx["id_col"], "left_anti")
+
+
 def _stage_pii(spark, df, cfg, ctx):
     red = text.redact_pii(df, ctx["text_col"], ctx["id_col"])
     return (df.drop(ctx["text_col"])
@@ -334,6 +359,7 @@ STAGES = {
     "dedup_minhash": _stage_dedup_minhash,
     "dedup_semantic": _stage_dedup_semantic,
     "decontaminate": _stage_decontaminate,
+    "decontaminate_semantic": _stage_decontaminate_semantic,
     "pii": _stage_pii,
     "lm_gate": _stage_lm_gate,
     "classifier_gate": _stage_classifier_gate,
@@ -377,7 +403,8 @@ def _input_fingerprint(path: str) -> str:
 
 # stage-config keys that name a SECOND dataset read from disk: their
 # file contents must invalidate the stage exactly like the main input's
-_SIDE_INPUT_KEYS = ("eval_path", "target_path", "embeddings_path")
+_SIDE_INPUT_KEYS = ("eval_path", "target_path", "embeddings_path",
+                    "eval_embeddings_path")
 
 
 def _chain_hashes(config: dict) -> list[str]:

@@ -609,3 +609,57 @@ def test_pipeline_dedup_semantic_stage(spark, tmp_path):
     rep3 = run_pipeline(spark, config)
     assert not rep3["stages"][0]["resumed"]
     assert rep3["rows_out"] == 5
+
+
+def test_pipeline_decontaminate_semantic_stage(spark, tmp_path):
+    """Semantic decontamination as a chain stage: docs whose embedding
+    sits within threshold cosine of any eval embedding drop; docs
+    without an embedding row pass through; the eval side input is
+    fingerprinted (checkpoint invalidates on in-place overwrite)."""
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(5)],
+        "doc_id long, text string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    # doc 0 is a leaked eval member (cosine 1); doc 4 has no embedding
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7]),
+         (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>").write.parquet(emb_path)
+    eval_path = str(tmp_path / "eval_emb.parquet")
+    spark.createDataFrame(
+        [(100, [1.0, 0.0])],
+        "vec_id long, embedding array<float>").write.parquet(eval_path)
+    config = {
+        "input": {"path": inp, "id_col": "doc_id", "text_col": "text"},
+        "workdir": str(tmp_path / "work"),
+        "stages": [
+            {"stage": "decontaminate_semantic",
+             "embeddings_path": emb_path,
+             "eval_embeddings_path": eval_path, "threshold": 0.99},
+        ],
+    }
+    rep = run_pipeline(spark, config)
+    assert rep["rows_out"] == 4  # doc 0 dropped; 4 passes (no vector)
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        f"{tmp_path}/work/stage_00_decontaminate_semantic.parquet")
+        .collect()}
+    assert kept == {1, 2, 3, 4}
+
+    rep2 = run_pipeline(spark, config)
+    assert rep2["stages"][0]["resumed"]
+    # overwrite the EVAL embeddings in place -> stage recomputes
+    spark.createDataFrame(
+        [(100, [0.0, 1.0])],
+        "vec_id long, embedding array<float>") \
+        .write.mode("overwrite").parquet(eval_path)
+    rep3 = run_pipeline(spark, config)
+    assert not rep3["stages"][0]["resumed"]
+    assert rep3["rows_out"] == 4  # now doc 1 drops instead
+    kept3 = {r["doc_id"] for r in spark.read.parquet(
+        f"{tmp_path}/work/stage_00_decontaminate_semantic.parquet")
+        .collect()}
+    assert kept3 == {0, 2, 3, 4}

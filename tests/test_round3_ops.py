@@ -1047,3 +1047,42 @@ def test_semantic_dedup_string_ids_gemm(spark):
         emb, k=1, threshold=0.99, method="expr").collect()))
     assert gemm == expr
     assert ("url_0", "url_1", 1.0) in gemm
+
+
+def test_semantic_contamination_methods_and_ids(spark):
+    """broadcast == expr exactly (cross-set hits incl. the self-hit of a
+    leaked eval member at cosine 1); lsh is precision-1 (every emitted
+    hit is a true hit); string ids ride through both tiers; docs with
+    null vectors are ignored on either side."""
+    from funnel_rocket_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(f"doc_{i}",
+          [1.0, 0.0] if i == 0 else
+          ([0.99, 0.141] if i == 1 else [0.0, 1.0]))
+         for i in range(5)] + [("doc_null", None)],
+        "vec_id string, embedding array<float>")
+    evalset = spark.createDataFrame(
+        [("eval_a", [1.0, 0.0]), ("eval_null", None)],
+        "vec_id string, embedding array<float>")
+
+    def run(m):
+        return sorted(map(tuple, similarity.semantic_contamination(
+            corpus, evalset, threshold=0.95, method=m).collect()))
+
+    bro, expr = run("broadcast"), run("expr")
+    assert bro == expr
+    hit_ids = {t[0] for t in bro}
+    assert hit_ids == {"doc_0", "doc_1"}  # cos(doc_1, eval_a) ≈ 0.99
+    assert all(t[1] == "eval_a" and t[2] >= 0.95 for t in bro)
+    lsh = run("lsh")
+    assert set(lsh) <= set(bro)  # precision 1, recall <= 1
+
+    # auto on a tiny in-memory eval side: bounded probe -> broadcast
+    auto = sorted(map(tuple, similarity.semantic_contamination(
+        corpus, evalset, threshold=0.95).collect()))
+    assert auto == bro
+
+    import pytest
+    with pytest.raises(ValueError, match="method"):
+        similarity.semantic_contamination(corpus, evalset, method="nope")
