@@ -260,13 +260,21 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             a_mat = _unit_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
-            sims = _np_round6(a_mat @ b_mat.T)
-            ai, bi = np.nonzero(
-                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame({
-                "id_a": a_ids[ai], "id_b": b_ids[bi],
-                "cosine_sim": sims[ai, bi],
-            })
+            # BLOCKED GEMM (the lsh_bucketed_pairs bound): a full 10k-row
+            # Arrow batch against a max_index_rows=500k broadcast index
+            # would be a 40 GB float64 sims buffer per task
+            block = max(64, min(4096, 8_000_000 // max(len(b_ids), 1)))
+            for s in range(0, len(a_ids), block):
+                e = min(s + block, len(a_ids))
+                sims = _np_round6(a_mat[s:e] @ b_mat.T)
+                ai, bi = np.nonzero(
+                    (sims >= threshold)
+                    & (a_ids[s:e, None] < b_ids[None, :]))
+                if len(ai):
+                    yield pd.DataFrame({
+                        "id_a": a_ids[s:e][ai], "id_b": b_ids[bi],
+                        "cosine_sim": sims[ai, bi],
+                    })
 
     return raw.mapInPandas(
         block_pairs, schema="id_a long, id_b long, cosine_sim double")
@@ -647,11 +655,19 @@ def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
                 a_ids = pdf[id_col].to_numpy()
                 a_mat = _unit_rows(
                     np.array(list(pdf[vec_col]), dtype=np.float64))
-                sims = _np_round6(a_mat @ b_mat.T)
-                ai, bi = np.nonzero(sims >= threshold)
-                yield pd.DataFrame({
-                    id_col: a_ids[ai], "eval_id": b_ids[bi],
-                    "cosine_sim": sims[ai, bi]})
+                # BLOCKED GEMM: bound the live sims buffer to ~64 MB — a
+                # full 10k-row Arrow batch against a 40k-vector eval set
+                # is a 3.2 GB float64 matrix × 32 concurrent tasks (JVM
+                # died at the 2M rung before blocking)
+                block = max(64, min(4096, 8_000_000 // max(len(b_ids), 1)))
+                for s in range(0, len(a_ids), block):
+                    e = min(s + block, len(a_ids))
+                    sims = _np_round6(a_mat[s:e] @ b_mat.T)
+                    ai, bi = np.nonzero(sims >= threshold)
+                    if len(ai):
+                        yield pd.DataFrame({
+                            id_col: a_ids[s:e][ai], "eval_id": b_ids[bi],
+                            "cosine_sim": sims[ai, bi]})
 
         return raw.mapInPandas(hits, schema=out_schema)
 

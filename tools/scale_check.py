@@ -978,6 +978,49 @@ def hitters_main(n_rows: int) -> None:
     print(json.dumps(out))
 
 
+def semcontam_main(n_vecs: int, dim: int = 64) -> None:
+    """Round-9 rung: cross-set semantic decontamination at corpus scale.
+    The planted near-dups (vector i%50==0 ≈ vector i-1, cosine ≈0.999)
+    split into a disjoint eval set (the i%50==0 copies — n/50 vectors,
+    a realistically benchmark-sized side) and the corpus (everything
+    else), so each eval vector has exactly one planted corpus hit and
+    recall has an exact denominator. Times the broadcast tier (exact;
+    eval matrix broadcast + one zero-shuffle corpus GEMM) and the LSH
+    tier (distributed bucket join; precision 1, recall < 1 — reported,
+    not assumed)."""
+    from pyspark.sql import functions as SF
+
+    from funnel_rocket_spark.operators import similarity
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, ".scratch", f"emb_{n_vecs}.parquet")
+    spark = get_spark(app_name="scale-check-semcontam")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        synthesize_embeddings(spark, n_vecs, dim, path)
+        print(f"# synthesized {n_vecs} vectors in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    emb = spark.read.parquet(path)
+    is_eval = (SF.pmod("vec_id", SF.lit(50)) == 0) & (SF.col("vec_id") > 0)
+    evalset, corpus = emb.where(is_eval), emb.where(~is_eval)
+    n_eval = (n_vecs - 1) // 50
+
+    out = {"n_vecs": n_vecs, "dim": dim, "n_eval": n_eval,
+           "timings": {}, "recall": {}}
+    for method in ("broadcast", "lsh"):
+        t0 = time.perf_counter()
+        hits = similarity.semantic_contamination(
+            corpus, evalset, threshold=0.99, method=method)
+        planted = hits.where(
+            SF.col("eval_id") - SF.col("vec_id") == 1).count()
+        out["timings"][method] = round(time.perf_counter() - t0, 2)
+        out["recall"][method] = round(planted / n_eval, 3)
+        print(f"# {method}: {out['timings'][method]}s "
+              f"planted-recall={out['recall'][method]}", file=sys.stderr)
+    print(json.dumps(out))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_main(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
@@ -1005,6 +1048,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
         kmeans_main(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "semcontam":
+        semcontam_main(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
         pipeline_main(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
