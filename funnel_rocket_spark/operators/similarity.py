@@ -29,6 +29,24 @@ def _np_round6(sims):
     return np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
 
 
+def _unit_rows(m):
+    """Row-normalize a 2-D numpy matrix; zero rows stay zero (cosine with
+    a zero vector is defined as 0 everywhere in this module)."""
+    import numpy as np
+
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def _gemm_block(n_cols: int) -> int:
+    """Row-block size that bounds a blocked GEMM's live float64 sims
+    buffer to ~64 MB against an ``n_cols``-wide broadcast side. No lower
+    floor: at the 500k-row index cap a floor of 64 rows would quietly
+    quadruple the bound (64 × 500k × 8 B = 256 MB per task)."""
+    return max(1, min(4096, 8_000_000 // max(n_cols, 1)))
+
+
 def dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -220,9 +238,12 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
                 n = df.select(id_col).limit(max_index_rows + 1).count()
         method = "numpy" if n <= max_index_rows else "lsh"
     if method == "lsh":
-        dim = df.select(F.size(F.col(vec_col))).first()[0]
+        dim_row = df.select(F.size(F.col(vec_col))).first()
+        if dim_row is None:  # empty corpus: no pairs, nothing to bucket
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine_sim double")
         return lsh_bucketed_pairs(df, threshold=threshold, id_col=id_col,
-                                  vec_col=vec_col, dim=dim)
+                                  vec_col=vec_col, dim=dim_row[0])
     if method == "expr":
         unit = unit_normalized(df, id_col, vec_col)
         bounded_persist(unit)  # both join sides reuse the normalized vectors
@@ -237,11 +258,6 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
 
     import numpy as np
     import pandas as pd
-
-    def _unit_rows(m: "np.ndarray") -> "np.ndarray":
-        norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
-        norms[norms == 0.0] = 1.0
-        return m / norms
 
     # Normalization happens in numpy on BOTH sides (not via JVM
     # higher-order functions — those run interpreted and would re-normalize
@@ -263,7 +279,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
             # BLOCKED GEMM (the lsh_bucketed_pairs bound): a full 10k-row
             # Arrow batch against a max_index_rows=500k broadcast index
             # would be a 40 GB float64 sims buffer per task
-            block = max(64, min(4096, 8_000_000 // max(len(b_ids), 1)))
+            block = _gemm_block(len(b_ids))
             for s in range(0, len(a_ids), block):
                 e = min(s + block, len(a_ids))
                 sims = _np_round6(a_mat[s:e] @ b_mat.T)
@@ -531,7 +547,7 @@ def lsh_bucketed_pairs(df: DataFrame, threshold: float = 0.99, n_bits: int = 4,
         # full n×n float64 for a 15k-row group is 1.8 GB, and 32
         # concurrent tasks of that GC-thrash the executor (measured
         # 477 s → 60 s for tables=4/bits=12 on 1M clustered vectors).
-        block = max(64, min(4096, 8_000_000 // max(len(b_ids), 1)))
+        block = _gemm_block(len(b_ids))
         frames = []
         for s in range(0, len(a_ids), block):
             e = min(s + block, len(a_ids))
@@ -605,12 +621,14 @@ def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
     corpus = drop_null_vectors(corpus, vec_col)
     evalset = drop_null_vectors(evalset, eval_vec_col)
     if method == "auto":
-        n = eval_row_hint
-        if n is None:
+        if eval_row_hint is not None:
+            n = eval_row_hint  # caller-supplied: trusted, zero jobs
+        else:
             n = _scan_rowcount_upper_bound(evalset)
-        if n is None or n > max_broadcast_rows:
-            n = evalset.select(eval_id_col).limit(
-                max_broadcast_rows + 1).count()
+            if n is None or n > max_broadcast_rows:
+                # bound unavailable/inconclusive: one bounded probe job
+                n = evalset.select(eval_id_col).limit(
+                    max_broadcast_rows + 1).count()
         method = "broadcast" if n <= max_broadcast_rows else "lsh"
     if method == "expr":
         cu = unit_normalized(corpus, id_col, vec_col)
@@ -629,11 +647,6 @@ def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
     import numpy as np
     import pandas as pd
 
-    def _unit_rows(m: "np.ndarray") -> "np.ndarray":
-        norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
-        norms[norms == 0.0] = 1.0
-        return m / norms
-
     id_t = corpus.schema[id_col].dataType.simpleString()
     eid_t = evalset.schema[eval_id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_t}, eval_id {eid_t}, cosine_sim double"
@@ -641,6 +654,11 @@ def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
     if method == "broadcast":
         collected = _collect_corpus(
             evalset.select(eval_id_col, eval_vec_col))
+        if not collected:
+            # empty (or all-null-vector) eval set: zero hits by
+            # definition — _unit_rows on a 0-row array would AxisError
+            # on the driver before the executor-side guard could apply
+            return corpus.sparkSession.createDataFrame([], out_schema)
         e_ids = np.array([r[eval_id_col] for r in collected])
         e_mat = _unit_rows(np.array([r[eval_vec_col] for r in collected],
                                     dtype=np.float64))
@@ -659,7 +677,7 @@ def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
                 # full 10k-row Arrow batch against a 40k-vector eval set
                 # is a 3.2 GB float64 matrix × 32 concurrent tasks (JVM
                 # died at the 2M rung before blocking)
-                block = max(64, min(4096, 8_000_000 // max(len(b_ids), 1)))
+                block = _gemm_block(len(b_ids))
                 for s in range(0, len(a_ids), block):
                     e = min(s + block, len(a_ids))
                     sims = _np_round6(a_mat[s:e] @ b_mat.T)
@@ -677,7 +695,10 @@ def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
 
     # LSH tier: tag each side, bucket with the SAME deterministic
     # hyperplanes, meet in a (tbl, bucket) groupBy, cross-side GEMM.
-    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    dim_row = corpus.select(F.size(F.col(vec_col))).first()
+    if dim_row is None:  # empty corpus: zero hits, nothing to bucket
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    dim = dim_row[0]
     hmat = hyperplane_matrix(tables * n_bits, dim)
     weights = (1 << np.arange(n_bits)).astype(np.int64)
 
@@ -696,9 +717,11 @@ def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
                             bits[:, t * n_bits:(t + 1) * n_bits] @ weights})
         return gen
 
-    c_t = "string" if id_t == "string" or eid_t == "string" else id_t
-    # both ids travel in ONE union column; mixed dtypes ride as strings
-    # and are cast back on output (ids are join keys here, not values)
+    # both ids travel in ONE union column; ANY dtype mismatch rides as
+    # strings and casts back on output (ids are join keys here, not
+    # values) — picking the corpus type for, say, int-vs-bigint sides
+    # would wrap eval ids past 2^31 into silent collisions
+    c_t = id_t if id_t == eid_t else "string"
     cb = corpus.select(
         F.col(id_col).cast(c_t).alias("__i"), F.col(vec_col).alias("__v")
     ).mapInPandas(assign(0, "__i", "__v"),
@@ -722,7 +745,7 @@ def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
         bv = _unit_rows(np.array(list(b["vec"]), dtype=np.float64))
         a_ids, b_ids = a["id"].to_numpy(), b["id"].to_numpy()
         frames = []
-        block = max(64, min(4096, 8_000_000 // max(len(b_ids), 1)))
+        block = _gemm_block(len(b_ids))
         for s in range(0, len(a_ids), block):
             e = min(s + block, len(a_ids))
             sims = _np_round6(av[s:e] @ bv.T)

@@ -1086,3 +1086,43 @@ def test_semantic_contamination_methods_and_ids(spark):
     import pytest
     with pytest.raises(ValueError, match="method"):
         similarity.semantic_contamination(corpus, evalset, method="nope")
+
+
+def test_semantic_contamination_edge_shapes(spark):
+    """Empty eval set -> zero hits (not a driver AxisError); empty
+    corpus through the lsh tier -> zero hits (not a NoneType deref);
+    mismatched numeric id types ride the lsh union as strings and come
+    back in their own types (int-vs-bigint must not wrap eval ids)."""
+    from funnel_rocket_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id int, embedding array<float>")
+    empty_eval = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    assert similarity.semantic_contamination(
+        corpus, empty_eval, method="broadcast").count() == 0
+    # all-null vectors behave like empty after drop_null_vectors
+    null_eval = spark.createDataFrame(
+        [(9, None)], "vec_id int, embedding array<float>")
+    assert similarity.semantic_contamination(
+        corpus, null_eval, method="broadcast").count() == 0
+
+    empty_corpus = spark.createDataFrame(
+        [], "vec_id int, embedding array<float>")
+    big_eval = spark.createDataFrame(
+        [(2**40, [1.0, 0.0])], "vec_id bigint, embedding array<float>")
+    assert similarity.semantic_contamination(
+        empty_corpus, big_eval, method="lsh").count() == 0
+
+    # int corpus ids x bigint eval ids, past 2^31: value must round-trip
+    got = similarity.semantic_contamination(
+        corpus, big_eval, threshold=0.99, method="lsh").collect()
+    assert [(r["vec_id"], r["eval_id"]) for r in got] == [(1, 2**40)]
+    schema = dict(similarity.semantic_contamination(
+        corpus, big_eval, method="lsh").dtypes)
+    assert schema["vec_id"] == "int" and schema["eval_id"] == "bigint"
+
+    # empty corpus through embedding_dup_pairs' lsh tier too
+    assert similarity.embedding_dup_pairs(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        method="lsh").count() == 0

@@ -1015,7 +1015,8 @@ def semcontam_main(n_vecs: int, dim: int = 64) -> None:
         planted = hits.where(
             SF.col("eval_id") - SF.col("vec_id") == 1).count()
         out["timings"][method] = round(time.perf_counter() - t0, 2)
-        out["recall"][method] = round(planted / n_eval, 3)
+        out["recall"][method] = (round(planted / n_eval, 3)
+                                 if n_eval else None)
         print(f"# {method}: {out['timings'][method]}s "
               f"planted-recall={out['recall'][method]}", file=sys.stderr)
     print(json.dumps(out))
