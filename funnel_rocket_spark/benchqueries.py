@@ -114,10 +114,16 @@ _GRAMS_SQL = _grams_sql(3)
 # --------------------------------------------------------------------------- #
 # funnel-engine queries (the reference's own query shapes, SURVEY §2)
 
-def _fr_counts(query_json: dict):
+def _fr_counts(query_json: dict, sequence_strategy: str = "auto"):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, "events")
-        return _engine().plan(df, query_json).counts()
+        eng = _engine()
+        expanded = eng.expand(query_json, df)
+        from funnel_rocket_spark.planner.compiler import QueryPlan
+
+        return QueryPlan(df, expanded, eng.group_id_column,
+                         eng.timestamp_column,
+                         sequence_strategy=sequence_strategy).counts()
 
     return fn
 
@@ -2376,6 +2382,19 @@ SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
        (SELECT c FROM r)::BIGINT AS matching_group_rows
 """,
     ),
+    # the SAME sequence query through the r9 segmented-fold strategy
+    # (per-(group, ts-range-segment) partial folds + exit-table merge —
+    # the whale-group path; compiler.sequence_fold_done_segmented): one
+    # oracle, three strategies, driver-gated like any operator
+    "fr_sequence_segmented": (
+        _fr_counts(Q_SEQUENCE, sequence_strategy="fold_segmented"),
+        "WITH " + _SEQ_STEPS_SQL + """,
+m AS (SELECT user_id FROM s2),
+r AS (SELECT count(*) c FROM events WHERE user_id IN (SELECT user_id FROM m))
+SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
+       (SELECT c FROM r)::BIGINT AS matching_group_rows
+""",
+    ),
     "fr_funnel_steps": (
         _funnel_steps_fn,
         "WITH " + _SEQ_STEPS_SQL + """
@@ -3753,7 +3772,7 @@ NO_ORACLE: dict = {}
 # sampled/vectorized IVF-PQ build, the persist-ring rewrite (everything
 # that shingles), and the null-text classifier coalesce. Then the fr_*
 # reference suite re-anchors, then extension re-greens in family order.
-# Everything else follows in catalog order, so all 123 stay runnable.
+# Everything else follows in catalog order, so all 124 stay runnable.
 _DRIVER_PRIORITY = [
     # NEW r9 queries + r9-changed code paths — first driver greens
     # required: the PNG decode query (pure-numpy zlib decode,
@@ -3783,6 +3802,7 @@ _DRIVER_PRIORITY = [
     "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
     "fr_regex_filter", "fr_agg_count_per_value", "fr_agg_groups_per_value",
     "fr_agg_sum_per_value", "fr_agg_mean_per_value", "fr_sequence",
+    "fr_sequence_segmented",
     "fr_funnel_steps", "fr_funnel_step_agg", "fr_seq_multi_filter_step",
     "fr_seq_max_duration", "fr_seq_row_not_found", "fr_registration_profile",
     "fr_lineitem_engine", "fr_agg_groups_skew_path",
@@ -3795,7 +3815,7 @@ _DRIVER_PRIORITY = [
 # last driver green was r5 or earlier (union over CORRECTNESS_r01-r08),
 # then as much of the fr_* re-anchor as fits. Everything else stays
 # runnable after the window and is value-verified every round by the
-# pytest oracle-parity sweep over all 123.
+# pytest oracle-parity sweep over all 124.
 
 
 def queries() -> dict:

@@ -108,7 +108,8 @@ class QueryEngine:
                 use_window = (
                     counts["matching_groups"] > self.universe_window_threshold
                     and not (plan._seq_specs
-                             and plan.sequence_strategy == "fold")
+                             and plan.sequence_strategy
+                             in ("fold", "fold_segmented"))
                 )
                 rows_strategy = "window" if use_window else "join"
                 rows = plan.rows_of_matching_groups(strategy=rows_strategy)
@@ -133,7 +134,8 @@ class QueryEngine:
                 # broadcast scale (fold sequences stay on joins)
                 anchors_ok = not (
                     (plan._seq_specs or plan._funnel_spec is not None)
-                    and plan.sequence_strategy == "fold")
+                    and plan.sequence_strategy
+                    in ("fold", "fold_segmented"))
                 has_conditions = bool(
                     q.get("query", {}).get("conditions") or [])
                 uni = ("window" if counts["matching_groups"]

@@ -237,6 +237,17 @@ def sequence_fold_done(spec: SequenceSpec, df: DataFrame, ts_col: str) -> Column
     Not applicable to ``rowFound: false`` (needs lookahead) — the planner
     falls back to window anchors there.
     """
+    events, merge, init = _fold_parts(spec, df, ts_col, entry=0)
+    return F.aggregate(events, init, merge)["done"]
+
+
+def _fold_parts(spec: SequenceSpec, df: DataFrame, ts_col: str,
+                entry: int):
+    """(sorted-events expr, merge fn, init state) for the sequence fold,
+    parameterized by the ENTRY step — entry > 0 is the segmented path
+    resuming a group's scan mid-sequence (the anchor is then an event in
+    an earlier ts-range segment, strictly below every event here, so the
+    sentinel is exact)."""
     n = len(spec.step_preds)
     ts, sentinel = ts_numeric(df, ts_col)
     events = F.array_sort(F.collect_list(F.struct(
@@ -260,9 +271,81 @@ def sequence_fold_done(spec: SequenceSpec, df: DataFrame, ts_col: str) -> Column
             out = F.when(can, advanced).otherwise(out)
         return out
 
-    init = F.struct(F.lit(0).alias("done"), sentinel.alias("anchor"),
+    init = F.struct(F.lit(entry).alias("done"), sentinel.alias("anchor"),
                     sentinel.alias("first"))
-    return F.aggregate(events, init, merge)["done"]
+    return events, merge, init
+
+
+def sequence_fold_done_segmented(spec: SequenceSpec, df: DataFrame,
+                                 group_col: str, ts_col: str,
+                                 n_segments: int = 64) -> DataFrame:
+    """(group, __fr_rows, __fr_done) via per-(group, ts-range-segment)
+    partial folds merged through an associative exit table — the
+    whale-group rescue for the fold strategy.
+
+    Both plain strategies put an entire group in ONE task (window
+    partition sort or collect_list fold), so a bot group with tens of
+    millions of events serializes there (measured: the fold cliffs 8.4×
+    with 20% of a 100M stream in one group — README whale rung). Here a
+    group's events split across ``n_segments`` time-range segments, each
+    folded in its own task, and only the tiny per-segment EXIT TABLES
+    meet per group.
+
+    Why exit tables compose exactly: segments are ts-range buckets
+    (boundaries = global approxQuantiles; bucket is a pure function of
+    ts, so tied timestamps never split). Any entry anchor reaching
+    segment s is an event timestamp from an earlier bucket — strictly
+    below every event in s — so inside s the strict-``>`` check against
+    it always passes and the fold's outcome depends ONLY on the entry
+    step index. A segment is therefore summarized by the (n_steps+1)-
+    entry vector ``exit_done[entry]``, and the group-level merge is a
+    fold of those vectors in bucket order: ``done := exits[done]``.
+    One extra (small) exchange vs the plain fold, in exchange for
+    whale-proof task sizing.
+
+    Not expressible here: ``maxDuration`` (the exit table would depend
+    on the CONTINUOUS first-step anchor, not just the entry index) and
+    ``rowFound: false`` (same lookahead limit as the plain fold) — the
+    planner validates both at strategy-selection time.
+    """
+    n = len(spec.step_preds)
+    if spec.max_duration is not None:
+        raise ValueError(
+            "sequence_strategy='fold_segmented' cannot express "
+            "maxDuration (a segment's exit table would depend on the "
+            "continuous first-anchor, not just the entry step)")
+    ts, _ = ts_numeric(df, ts_col)
+    # global ts-quantile boundaries: one cheap scan, count-balanced even
+    # when event time is skewed. Duplicates collapse (heavy ties share a
+    # bucket by construction — required for strict-> exactness anyway).
+    probs = [i / n_segments for i in range(1, n_segments)]
+    bounds = sorted(set(
+        df.select(ts.alias("__fr_ts")).approxQuantile(
+            "__fr_ts", probs, 0.001))) if probs else []
+    seg = F.lit(0)
+    for b in bounds:
+        seg = seg + F.when(ts >= F.lit(b), 1).otherwise(0)
+
+    events, merge, _ = _fold_parts(spec, df, ts_col, entry=0)
+    seg_rows = (df.groupBy(F.col(group_col), seg.alias("__fr_seg"))
+                .agg(F.count(F.lit(1)).alias("__fr_prows"),
+                     events.alias("__fr_ev")))
+    inits = [_fold_parts(spec, df, ts_col, entry=i)[2] for i in range(n)]
+    exits = F.array(
+        *[F.aggregate(F.col("__fr_ev"), inits[i], merge)["done"]
+          for i in range(n)],
+        F.lit(n),  # entry n: already matched, stays matched
+    )
+    seg_tbl = seg_rows.select(group_col, "__fr_seg", "__fr_prows",
+                              exits.alias("__fr_x"))
+    segs_sorted = F.array_sort(F.collect_list(F.struct(
+        F.col("__fr_seg").alias("s"), F.col("__fr_x").alias("x"))))
+    done = F.aggregate(
+        segs_sorted, F.lit(0),
+        lambda acc, sg: F.element_at(sg["x"], acc + 1))
+    return seg_tbl.groupBy(group_col).agg(
+        F.sum("__fr_prows").alias(ROWS_COL),
+        done.alias(DONE_COL))
 
 
 def sequence_fold_flag(spec: SequenceSpec, df: DataFrame, ts_col: str) -> Column:
@@ -279,13 +362,25 @@ class QueryPlan:
     ``sequence_strategy``: how sequences evaluate — ``"auto"``/``"window"``
     (default) use window-min anchors everywhere (see ``_use_fold`` for
     the measurements); ``"fold"`` forces the windowless aggregate fold
-    (rejects rowFound:false, which needs anchor lookahead).
+    (rejects rowFound:false, which needs anchor lookahead);
+    ``"fold_segmented"`` splits each group across ``fold_segments``
+    ts-range segments folded in parallel tasks and merges the tiny
+    per-segment exit tables — the whale-group shape (rejects
+    rowFound:false AND maxDuration; see
+    :func:`sequence_fold_done_segmented`).
     """
 
     def __init__(self, df: DataFrame, expanded: ExpandedQuery,
                  group_col: str, ts_col: str,
-                 sequence_strategy: str = "auto"):
+                 sequence_strategy: str = "auto",
+                 fold_segments: int = 64):
+        if sequence_strategy not in ("auto", "window", "fold",
+                                     "fold_segmented"):
+            raise ValueError(
+                "sequence_strategy must be auto|window|fold|"
+                f"fold_segmented: {sequence_strategy!r}")
         self.sequence_strategy = sequence_strategy
+        self.fold_segments = fold_segments
         self.expanded = expanded
         self.group_col = group_col
         self.ts_col = ts_col
@@ -369,10 +464,23 @@ class QueryPlan:
         ``rowFound: false``, which needs lookahead only anchors express.
         """
         foldable = all(spec.row_found)
-        if self.sequence_strategy == "fold" and not foldable:
+        if (self.sequence_strategy in ("fold", "fold_segmented")
+                and not foldable):
             raise ValueError(
-                "sequence_strategy='fold' cannot express rowFound:false steps")
+                f"sequence_strategy={self.sequence_strategy!r} cannot "
+                "express rowFound:false steps")
+        if (self.sequence_strategy == "fold_segmented"
+                and spec.max_duration is not None):
+            raise ValueError(
+                "sequence_strategy='fold_segmented' cannot express "
+                "maxDuration (exit tables depend only on the entry step; "
+                "use 'window' or 'fold')")
         return self.sequence_strategy == "fold"
+
+    def _use_segmented(self, spec: SequenceSpec) -> bool:
+        """fold_segmented resolution — shares _use_fold's validation."""
+        self._use_fold(spec)  # raises on rowFound:false / maxDuration
+        return self.sequence_strategy == "fold_segmented"
 
     def _df_with_condition_anchors(self) -> DataFrame:
         df = self.df
@@ -393,9 +501,17 @@ class QueryPlan:
         ``sequence_strategy="fold"``.
         """
         aggs = [F.count(F.lit(1)).alias(ROWS_COL)]
+        segmented: list[int] = []
         for i, cond in enumerate(self._conditions):
             if "sequence" in cond:
                 spec = self._seq_specs[i]
+                if self._use_segmented(spec):
+                    # evaluated as its own two-level aggregation below,
+                    # joined back on the group key (both sides are
+                    # group-keyed aggregates — the join reuses the hash
+                    # partitioning, no extra full-table exchange)
+                    segmented.append(i)
+                    continue
                 if self._use_fold(spec):
                     flag = sequence_fold_flag(spec, self.df, self.ts_col)
                 else:
@@ -403,7 +519,20 @@ class QueryPlan:
             else:
                 flag = _target_flag(filters_to_column(cond), cond)
             aggs.append(F.coalesce(flag, F.lit(False)).alias(f"{COND_PREFIX}{i}"))
-        return self._df_with_condition_anchors().groupBy(self.group_col).agg(*aggs)
+        out = self._df_with_condition_anchors().groupBy(self.group_col).agg(*aggs)
+        for i in segmented:
+            spec = self._seq_specs[i]
+            n = len(spec.step_preds)
+            done = sequence_fold_done_segmented(
+                spec, self.df, self.group_col, self.ts_col,
+                self.fold_segments)
+            flag_df = done.select(
+                self.group_col,
+                (F.col(DONE_COL) == n).alias(f"{COND_PREFIX}{i}"))
+            out = out.join(flag_df, self.group_col, "left").withColumn(
+                f"{COND_PREFIX}{i}",
+                F.coalesce(F.col(f"{COND_PREFIX}{i}"), F.lit(False)))
+        return out
 
     def relation_column(self) -> Column:
         """Boolean Column over per_group()'s ``__cond_i`` flags (reference R2)."""
@@ -474,10 +603,11 @@ class QueryPlan:
         for i, cond in enumerate(self._conditions):
             if "sequence" in cond:
                 spec = self._seq_specs[i]
-                if self._use_fold(spec):
+                if self._use_fold(spec) or self._use_segmented(spec):
                     raise ValueError(
                         "windowed row universe requires anchor-strategy "
-                        "sequences (sequence_strategy='fold' set)")
+                        f"sequences (sequence_strategy="
+                        f"{self.sequence_strategy!r} set)")
                 flag = F.max(F.col(spec.last_anchor).isNotNull()).over(w)
             else:
                 flag = _target_flag(filters_to_column(cond), cond,
@@ -552,6 +682,10 @@ class QueryPlan:
         if spec is None:
             return None
         rows = self.rows_of_matching_groups(strategy)
+        if self._use_segmented(spec):
+            return sequence_fold_done_segmented(
+                spec, rows, self.group_col, self.ts_col,
+                self.fold_segments)
         if self._use_fold(spec):
             return rows.groupBy(self.group_col).agg(
                 F.count(F.lit(1)).alias(ROWS_COL),

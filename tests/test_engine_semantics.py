@@ -744,3 +744,107 @@ def test_kitchen_sink_query(spark):
     assert 0 < step1["matchingGroups"] <= all_groups
     assert step1["aggregations"] is not None
     assert result["funnel"]["endAggregations"] is not None
+
+
+def test_fold_segmented_equals_other_strategies(spark, seq_df):
+    """The segmented fold (per-(group, ts-range-segment) partial folds +
+    exit-table merge) must equal window AND fold exactly — on the tiny
+    fixture, on a seeded random stream with HEAVY timestamp ties (ties
+    stress the bucket-assignment invariant: tied ts must never split
+    across segments, or strict-> entry anchors would be wrong), and
+    across segment counts including the degenerate n_segments=1 (= the
+    plain fold) and n_segments far above the distinct-ts count."""
+    import random
+
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    eng = QueryEngine("id", "timestamp")
+    q = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "<=", 2]},
+        {"filter": ["category", "<", 0]}]}]}}
+    expanded = eng.expand(q, seq_df)
+    window = QueryPlan(seq_df, expanded, "id", "timestamp",
+                       sequence_strategy="window").counts().collect()
+    for n_seg in (1, 3, 64):
+        seg = QueryPlan(seq_df, expanded, "id", "timestamp",
+                        sequence_strategy="fold_segmented",
+                        fold_segments=n_seg).counts().collect()
+        assert seg == window, n_seg
+
+    rng = random.Random(42)
+    rows = [{"id": g, "timestamp": float(rng.randrange(12)),  # many ties
+             "category": rng.randrange(-1, 5), "price": 1}
+            for g in range(200) for _ in range(rng.randrange(1, 30))]
+    big = spark.createDataFrame(pd.DataFrame(rows))
+    eng2 = QueryEngine("id", "timestamp")
+    queries = [
+        {"query": {"conditions": [{"sequence": [
+            {"filter": ["category", "==", 0]},
+            {"filter": ["category", ">=", 3]}]}]}},
+        {"query": {"conditions": [
+            {"sequence": [{"filter": ["category", "==", 1]},
+                          {"filter": ["category", "==", 2]},
+                          {"filter": ["category", "==", 3]}]},
+            {"filter": ["price", ">", 0], "target": ["count", ">=", 5]}]}},
+    ]
+    for q in queries:
+        expanded = eng2.expand(q, big)
+        window = QueryPlan(big, expanded, "id", "timestamp",
+                           sequence_strategy="window").counts().collect()
+        fold = QueryPlan(big, expanded, "id", "timestamp",
+                         sequence_strategy="fold").counts().collect()
+        assert fold == window, q
+        for n_seg in (1, 4, 64):
+            seg = QueryPlan(big, expanded, "id", "timestamp",
+                            sequence_strategy="fold_segmented",
+                            fold_segments=n_seg).counts().collect()
+            assert seg == window, (q, n_seg)
+
+    # funnel step counts agree too (the per-group done vector feeds them)
+    fq = {"query": {}, "funnel": {"sequence": [
+        {"filter": ["category", ">=", 0]},
+        {"filter": ["category", "<=", 2]},
+        {"filter": ["category", "==", 1]}]}}
+    expanded = eng2.expand(fq, big)
+    key = lambda rs: [(r["step"], r["matching_groups"],  # noqa: E731
+                       r["matching_group_rows"]) for r in rs]
+    window = QueryPlan(big, expanded, "id", "timestamp",
+                       sequence_strategy="window"
+                       ).funnel_step_counts().collect()
+    seg = QueryPlan(big, expanded, "id", "timestamp",
+                    sequence_strategy="fold_segmented", fold_segments=7
+                    ).funnel_step_counts().collect()
+    assert key(seg) == key(window)
+
+
+def test_fold_segmented_rejects_unsupported(seq_df):
+    """maxDuration needs the continuous first-anchor (exit tables can't
+    carry it) and rowFound:false needs lookahead — both refused loudly;
+    unknown strategy names refused at construction."""
+    import pytest as _pytest
+
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    eng = QueryEngine("id", "timestamp")
+    qd = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "==", 1]}], "maxDuration": 3}]}}
+    expanded = eng.expand(qd, seq_df)
+    with _pytest.raises(ValueError, match="maxDuration"):
+        QueryPlan(seq_df, expanded, "id", "timestamp",
+                  sequence_strategy="fold_segmented").counts()
+
+    qr = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "==", 1], "rowFound": False}]}]}}
+    expanded = eng.expand(qr, seq_df)
+    with _pytest.raises(ValueError, match="rowFound"):
+        QueryPlan(seq_df, expanded, "id", "timestamp",
+                  sequence_strategy="fold_segmented").counts()
+
+    with _pytest.raises(ValueError, match="sequence_strategy"):
+        QueryPlan(seq_df, eng.expand({"query": {}}, seq_df), "id",
+                  "timestamp", sequence_strategy="nope")

@@ -903,7 +903,7 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
         ev = spark.read.parquet(path)
         if dist == "whale":
             out["whale_rows"] = ev.filter(F.col("user_id") == -1).count()
-        for strat in ("window", "fold"):
+        for strat in ("window", "fold", "fold_segmented"):
             for qname, q in (("sequence_3step", seq_q),
                              ("funnel_steps", fun_q)):
                 expanded = eng.expand(q, ev)
@@ -932,10 +932,11 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
         for qname in ("sequence_3step", "funnel_steps"):
             a = out["results"].get(f"{dist}.{qname}.window")
             b = out["results"].get(f"{dist}.{qname}.fold")
+            c = out["results"].get(f"{dist}.{qname}.fold_segmented")
             out["equal"][f"{dist}.{qname}"] = (
-                a == b and not isinstance(a, str))
+                a == b == c and not isinstance(a, str))
     out["skew_factor"] = {}
-    for strat in ("window", "fold"):
+    for strat in ("window", "fold", "fold_segmented"):
         for qname in ("sequence_3step", "funnel_steps"):
             u = out["timings"].get(f"uniform.{qname}.{strat}")
             w = out["timings"].get(f"whale.{qname}.{strat}")
