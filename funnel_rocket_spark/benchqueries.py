@@ -117,13 +117,9 @@ _GRAMS_SQL = _grams_sql(3)
 def _fr_counts(query_json: dict, sequence_strategy: str = "auto"):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, "events")
-        eng = _engine()
-        expanded = eng.expand(query_json, df)
-        from funnel_rocket_spark.planner.compiler import QueryPlan
-
-        return QueryPlan(df, expanded, eng.group_id_column,
-                         eng.timestamp_column,
-                         sequence_strategy=sequence_strategy).counts()
+        return _engine().plan(
+            df, query_json,
+            sequence_strategy=sequence_strategy).counts()
 
     return fn
 

@@ -61,12 +61,18 @@ class QueryEngine:
             timestamp_column=self.timestamp_column,
         )
 
-    def plan(self, df: DataFrame, query: dict, validate_schema: bool = True) -> QueryPlan:
+    def plan(self, df: DataFrame, query: dict, validate_schema: bool = True,
+             sequence_strategy: str = "auto",
+             fold_segments: int = 64) -> QueryPlan:
         expanded = self.expand(query, df if validate_schema else None)
-        return QueryPlan(df, expanded, self.group_id_column, self.timestamp_column)
+        return QueryPlan(df, expanded, self.group_id_column,
+                         self.timestamp_column,
+                         sequence_strategy=sequence_strategy,
+                         fold_segments=fold_segments)
 
     def run(self, df: DataFrame, query: dict, validate_schema: bool = True,
-            with_stats: bool = False) -> dict:
+            with_stats: bool = False, sequence_strategy: str = "auto",
+            fold_segments: int = 64) -> dict:
         """Execute and return the reference-shaped result JSON.
 
         ``with_stats`` adds a ``stats`` block shaped after the reference's
@@ -82,7 +88,9 @@ class QueryEngine:
                                                         dataset_stats)
 
         t0 = _time.perf_counter()
-        plan = self.plan(df, query, validate_schema=validate_schema)
+        plan = self.plan(df, query, validate_schema=validate_schema,
+                         sequence_strategy=sequence_strategy,
+                         fold_segments=fold_segments)
         q = plan.q
 
         query_aggs = q.get("query", {}).get("aggregations") or []

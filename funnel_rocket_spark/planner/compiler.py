@@ -278,7 +278,8 @@ def _fold_parts(spec: SequenceSpec, df: DataFrame, ts_col: str,
 
 def sequence_fold_done_segmented(spec: SequenceSpec, df: DataFrame,
                                  group_col: str, ts_col: str,
-                                 n_segments: int = 64) -> DataFrame:
+                                 n_segments: int = 64,
+                                 bounds: list | None = None) -> DataFrame:
     """(group, __fr_rows, __fr_done) via per-(group, ts-range-segment)
     partial folds merged through an associative exit table — the
     whale-group rescue for the fold strategy.
@@ -310,18 +311,25 @@ def sequence_fold_done_segmented(spec: SequenceSpec, df: DataFrame,
     """
     n = len(spec.step_preds)
     if spec.max_duration is not None:
+        # in-repo callers already raised in _use_fold; kept for direct
+        # callers of this public function
         raise ValueError(
             "sequence_strategy='fold_segmented' cannot express "
             "maxDuration (a segment's exit table would depend on the "
             "continuous first-anchor, not just the entry step)")
-    ts, _ = ts_numeric(df, ts_col)
-    # global ts-quantile boundaries: one cheap scan, count-balanced even
-    # when event time is skewed. Duplicates collapse (heavy ties share a
-    # bucket by construction — required for strict-> exactness anyway).
-    probs = [i / n_segments for i in range(1, n_segments)]
-    bounds = sorted(set(
-        df.select(ts.alias("__fr_ts")).approxQuantile(
-            "__fr_ts", probs, 0.001))) if probs else []
+    ts, sentinel = ts_numeric(df, ts_col)
+    if bounds is None:
+        # global ts-quantile boundaries: one cheap scan, count-balanced
+        # even when event time is skewed. Duplicates collapse (heavy ties
+        # share a bucket by construction — required for strict->
+        # exactness anyway). NB this runs a job NOW — plan-building
+        # callers pass memoized bounds (QueryPlan._segment_bounds) so
+        # rebuilding a frame never re-scans, and plan-equality caches
+        # see identical literals across rebuilds.
+        probs = [i / n_segments for i in range(1, n_segments)]
+        bounds = sorted(set(
+            df.select(ts.alias("__fr_ts")).approxQuantile(
+                "__fr_ts", probs, 0.001))) if probs else []
     seg = F.lit(0)
     for b in bounds:
         seg = seg + F.when(ts >= F.lit(b), 1).otherwise(0)
@@ -330,7 +338,8 @@ def sequence_fold_done_segmented(spec: SequenceSpec, df: DataFrame,
     seg_rows = (df.groupBy(F.col(group_col), seg.alias("__fr_seg"))
                 .agg(F.count(F.lit(1)).alias("__fr_prows"),
                      events.alias("__fr_ev")))
-    inits = [_fold_parts(spec, df, ts_col, entry=i)[2] for i in range(n)]
+    inits = [F.struct(F.lit(i).alias("done"), sentinel.alias("anchor"),
+                      sentinel.alias("first")) for i in range(n)]
     exits = F.array(
         *[F.aggregate(F.col("__fr_ev"), inits[i], merge)["done"]
           for i in range(n)],
@@ -381,6 +390,7 @@ class QueryPlan:
                 f"fold_segmented: {sequence_strategy!r}")
         self.sequence_strategy = sequence_strategy
         self.fold_segments = fold_segments
+        self._seg_bounds_cache: dict[int, list] = {}
         self.expanded = expanded
         self.group_col = group_col
         self.ts_col = ts_col
@@ -482,10 +492,31 @@ class QueryPlan:
         self._use_fold(spec)  # raises on rowFound:false / maxDuration
         return self.sequence_strategy == "fold_segmented"
 
+    def _segment_bounds(self, spec: SequenceSpec) -> list:
+        """Memoized ts-quantile segment boundaries for one sequence spec,
+        computed ONCE over the plan's base frame. Correctness needs only
+        a monotone pure-function-of-ts bucketing (ties never split), so
+        base-frame quantiles serve every universe built from this plan —
+        and rebuilding a funnel frame neither re-runs the quantile job
+        nor bakes different literals into plan-equality-cached plans."""
+        key = id(spec)
+        if key not in self._seg_bounds_cache:
+            ts, _ = ts_numeric(self.df, self.ts_col)
+            probs = [i / self.fold_segments
+                     for i in range(1, self.fold_segments)]
+            self._seg_bounds_cache[key] = sorted(set(
+                self.df.select(ts.alias("__fr_ts")).approxQuantile(
+                    "__fr_ts", probs, 0.001))) if probs else []
+        return self._seg_bounds_cache[key]
+
     def _df_with_condition_anchors(self) -> DataFrame:
         df = self.df
         for spec in self._seq_specs.values():
-            if not self._use_fold(spec):
+            if not (self._use_fold(spec) or self._use_segmented(spec)):
+                # segmented specs must not attach anchors either: the
+                # window expressions are unreferenced (pruned today), but
+                # any consumer touching one would re-introduce the
+                # single-task whale sort this strategy exists to avoid
                 df = with_sequence_anchors(df, spec, self.group_col, self.ts_col)
         return df
 
@@ -525,7 +556,7 @@ class QueryPlan:
             n = len(spec.step_preds)
             done = sequence_fold_done_segmented(
                 spec, self.df, self.group_col, self.ts_col,
-                self.fold_segments)
+                self.fold_segments, bounds=self._segment_bounds(spec))
             flag_df = done.select(
                 self.group_col,
                 (F.col(DONE_COL) == n).alias(f"{COND_PREFIX}{i}"))
@@ -685,7 +716,7 @@ class QueryPlan:
         if self._use_segmented(spec):
             return sequence_fold_done_segmented(
                 spec, rows, self.group_col, self.ts_col,
-                self.fold_segments)
+                self.fold_segments, bounds=self._segment_bounds(spec))
         if self._use_fold(spec):
             return rows.groupBy(self.group_col).agg(
                 F.count(F.lit(1)).alias(ROWS_COL),
@@ -747,7 +778,10 @@ class QueryPlan:
             return None
         rows = self.rows_of_matching_groups(universe_strategy)
         if step_strategy == "window":
-            if self._use_fold(spec):
+            if self._use_fold(spec) or self._use_segmented(spec):
+                # fold_segmented must refuse too, not silently attach
+                # anchors — that window sort is the whale cliff this
+                # strategy exists to avoid
                 raise ValueError(
                     "step_strategy='window' requires anchor-strategy funnels")
             anchored = with_sequence_anchors(rows, spec, self.group_col,
