@@ -187,7 +187,8 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
             try:
                 check_timeframe_scale(query, ds.min_timestamp,
                                       ds.max_timestamp)
-                result = engine.run(df, query, with_stats=True)
+                result = engine.run(df, query, with_stats=True,
+                                    max_group_rows=ds.max_group_rows)
             except Exception:
                 _prom.record_query(name, False, time.monotonic() - t0)
                 raise
@@ -211,7 +212,9 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
 
             def work():
                 try:
-                    holder["result"] = engine.run(df, query, with_stats=True)
+                    holder["result"] = engine.run(
+                        df, query, with_stats=True,
+                        max_group_rows=ds.max_group_rows)
                 except Exception as e:  # surfaced in the stream tail
                     holder["error"] = str(e)
 

@@ -81,6 +81,14 @@ class Dataset:
     validation_mode: str = "full"
     files_validated: Optional[int] = None
     files_total: Optional[int] = None
+    # Largest single group's row count over the VALIDATED files (exact for
+    # validation_mode="full", a sampled estimate otherwise). Plan-time skew
+    # routing reads this: per-group sequence/funnel paths serialize each
+    # group into one task, so a whale group past QueryPlan's
+    # whale_row_threshold flips sequence_strategy="auto" to the segmented
+    # fold (see planner.compiler.QueryPlan) — the Spark restatement of
+    # "the optimizer, not the user, picks the skew-safe plan".
+    max_group_rows: Optional[int] = None
 
     def schema_map(self) -> dict[str, str]:
         return {name: info["dtype"] for name, info in self.columns.items()}
@@ -298,6 +306,14 @@ def register_dataset(
         ds.max_timestamp = row["__max_ts"]
 
         if profile:
+            # Whale detector input: exact max rows-per-group (map-side
+            # partial counts collapse the exchange to ~n_groups rows, so
+            # this scales like any groupBy — one extra registration-time
+            # job). QueryPlan's auto sequence-strategy routing keys off it.
+            max_grp = (df_val.groupBy(group_id_column)
+                       .agg(F.count(F.lit(1)).alias("__c"))
+                       .agg(F.max("__c").alias("__m")).collect()[0]["__m"])
+            ds.max_group_rows = int(max_grp) if max_grp is not None else None
             total = max(row["__rows"], 1)
             categorical_strings = []
             for col_name, info in columns.items():

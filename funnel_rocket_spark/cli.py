@@ -138,7 +138,8 @@ def cmd_run(args) -> int:
         check_timeframe_scale(query, ds.min_timestamp, ds.max_timestamp)
         spark = get_spark()
         engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
-        result = engine.run(ds.load(spark), query)
+        result = engine.run(ds.load(spark), query,
+                            max_group_rows=ds.max_group_rows)
     except QueryValidationError as e:
         print(f"error: invalid query: {e}", file=sys.stderr)
         return 1

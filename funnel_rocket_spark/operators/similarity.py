@@ -265,6 +265,12 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
     # plan is a bare column-pruned scan into the Arrow batches.
     raw = df.select(id_col, vec_col)
     collected = _collect_corpus(raw)  # guarded by the auto size probe
+    if not collected:
+        # empty (or all-null-vector) corpus: no pairs — _unit_rows on a
+        # 0-row array would AxisError on the driver (mirror of the lsh
+        # branch's empty guard)
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double")
     ids = np.array([r[id_col] for r in collected], dtype=np.int64)
     mat = _unit_rows(np.array([r[vec_col] for r in collected],
                               dtype=np.float64))
@@ -618,6 +624,13 @@ def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
     """
     eval_id_col = eval_id_col or id_col
     eval_vec_col = eval_vec_col or vec_col
+    if id_col == "eval_id":
+        # the eval side's id is always emitted as the fixed column name
+        # "eval_id"; a corpus id literally named that would produce two
+        # identically named output columns
+        raise ValueError(
+            "id_col='eval_id' collides with the fixed eval-side output "
+            "column; rename the corpus id column before decontaminating")
     corpus = drop_null_vectors(corpus, vec_col)
     evalset = drop_null_vectors(evalset, eval_vec_col)
     if method == "auto":

@@ -377,12 +377,24 @@ class QueryPlan:
     per-segment exit tables — the whale-group shape (rejects
     rowFound:false AND maxDuration; see
     :func:`sequence_fold_done_segmented`).
+
+    ``"auto"`` is additionally SKEW-AWARE when the caller supplies
+    ``max_group_rows_hint`` (the registration profile's
+    ``Dataset.max_group_rows`` — free at plan time): a hint past
+    ``whale_row_threshold`` rows routes every segmentable plan to the
+    segmented fold automatically, so whale protection no longer requires
+    the operator to know the whale exists. Plans with rowFound:false or
+    maxDuration steps stay on window anchors (the whale-tolerant
+    strategy for shapes the exit-table merge can't express).
+    ``auto_routed_segmented`` records the decision for observability.
     """
 
     def __init__(self, df: DataFrame, expanded: ExpandedQuery,
                  group_col: str, ts_col: str,
                  sequence_strategy: str = "auto",
-                 fold_segments: int = 64):
+                 fold_segments: int = 64,
+                 max_group_rows_hint: Optional[int] = None,
+                 whale_row_threshold: int = 4_000_000):
         if sequence_strategy not in ("auto", "window", "fold",
                                      "fold_segmented"):
             raise ValueError(
@@ -390,6 +402,9 @@ class QueryPlan:
                 f"fold_segmented: {sequence_strategy!r}")
         self.sequence_strategy = sequence_strategy
         self.fold_segments = fold_segments
+        self.max_group_rows_hint = max_group_rows_hint
+        self.whale_row_threshold = whale_row_threshold
+        self.auto_routed_segmented = False
         self._seg_bounds_cache: dict[int, list] = {}
         self.expanded = expanded
         self.group_col = group_col
@@ -454,6 +469,29 @@ class QueryPlan:
             self._funnel_spec = compile_sequence(
                 funnel["sequence"], prefix="__fr_fun_",
                 max_duration=funnel.get("maxDuration"))
+
+        # Skew-aware auto routing: the per-group sequence/funnel paths
+        # serialize each group into one task (window partition sort /
+        # fold's collect_list), so a whale group past whale_row_threshold
+        # flips "auto" to the segmented fold — measured 8.4× (fold) and
+        # 1.7–2.1× (window) skew factors become 0.70–0.82× at 100M rows
+        # (tools/scale_check.py whale). The hint comes for free from the
+        # registration profile (Dataset.max_group_rows); with no hint,
+        # auto keeps today's window anchors (no plan-time probe job —
+        # planning must stay job-free for sub-second queries). Routing is
+        # all-or-nothing: every spec must be segmentable (no
+        # rowFound:false, no maxDuration) or the whole plan stays on the
+        # whale-tolerant window path rather than mixing strategies.
+        if (self.sequence_strategy == "auto"
+                and max_group_rows_hint is not None
+                and max_group_rows_hint > whale_row_threshold):
+            specs = list(self._seq_specs.values())
+            if self._funnel_spec is not None:
+                specs.append(self._funnel_spec)
+            if specs and all(all(s.row_found) and s.max_duration is None
+                             for s in specs):
+                self.sequence_strategy = "fold_segmented"
+                self.auto_routed_segmented = True
 
     # ------------------------------------------------------------------ #
 

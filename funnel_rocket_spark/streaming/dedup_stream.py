@@ -4,9 +4,10 @@ watermark-bounded state store.
 EXTENSION beyond the reference (funnel-rocket is strictly batch). This is
 the continuous twin of ``operators.dedup.exact_duplicates``: an unbounded
 document stream is filtered to first-seen content, where "seen" is the
-md5 digest of the RAW text — byte-identical to the batch digest (null and
-empty text share one class, like the curate dedup_exact stage), so a doc
-dropped here is exactly a doc the batch exact dedup would have dropped.
+md5 digest of the RAW text — byte-identical to the batch digest (null
+text hashes to the null digest, its OWN duplicate class distinct from
+``md5('')``, exactly like the batch groupBy), so a doc dropped here is
+exactly a doc the batch exact dedup would have dropped.
 Near-dup normalization (case/whitespace) belongs to the MinHash family,
 not here: an exact-dedup stream must never delete data the batch exact
 contract keeps.

@@ -53,6 +53,10 @@ def test_catalog_roundtrip(spark, tmp_path):
     assert loaded.group_id_column == "uid"
     assert loaded.columns["price"]["coltype"] == "FLOAT"
     assert loaded.columns["price"]["max"] == pytest.approx(148.5)
+    # whale-detector profile stat: 100 rows over 10 uids = 10 each,
+    # exact, and it survives the JSON roundtrip (old catalog files
+    # without the key load as None)
+    assert loaded.max_group_rows == 10
 
 
 def test_catalog_partial_validation_modes(spark, tmp_path):

@@ -848,3 +848,69 @@ def test_fold_segmented_rejects_unsupported(seq_df):
     with _pytest.raises(ValueError, match="sequence_strategy"):
         QueryPlan(seq_df, eng.expand({"query": {}}, seq_df), "id",
                   "timestamp", sequence_strategy="nope")
+
+
+def test_auto_strategy_whale_routing(spark, seq_df):
+    """sequence_strategy="auto" + a max_group_rows_hint past the whale
+    threshold routes to the segmented fold — same counts, no flag. No
+    hint (or a small one) keeps window anchors; non-segmentable shapes
+    (maxDuration / rowFound:false) stay on window even with a whale hint
+    rather than raising; the engine threads Dataset.max_group_rows
+    through run()."""
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    eng = QueryEngine("id", "timestamp")
+    q = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "<=", 2]}]}]}}
+    expanded = eng.expand(q, seq_df)
+
+    baseline = QueryPlan(seq_df, expanded, "id", "timestamp",
+                         sequence_strategy="window").counts().collect()
+
+    routed = QueryPlan(seq_df, expanded, "id", "timestamp",
+                       max_group_rows_hint=10_000, whale_row_threshold=100)
+    assert routed.sequence_strategy == "fold_segmented"
+    assert routed.auto_routed_segmented
+    assert routed.counts().collect() == baseline
+
+    for plan in (
+        QueryPlan(seq_df, expanded, "id", "timestamp"),  # no hint
+        QueryPlan(seq_df, expanded, "id", "timestamp",   # small groups
+                  max_group_rows_hint=99, whale_row_threshold=100),
+        QueryPlan(seq_df, expanded, "id", "timestamp",   # explicit window
+                  sequence_strategy="window",
+                  max_group_rows_hint=10_000, whale_row_threshold=100),
+    ):
+        assert plan.sequence_strategy in ("auto", "window")
+        assert not plan.auto_routed_segmented
+
+    # non-segmentable shapes fall back to window anchors, not a raise
+    qd = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "==", 1]}], "maxDuration": 3}]}}
+    plan = QueryPlan(seq_df, eng.expand(qd, seq_df), "id", "timestamp",
+                     max_group_rows_hint=10_000, whale_row_threshold=100)
+    assert not plan.auto_routed_segmented
+    plan.counts().collect()  # window path executes fine
+
+    qr = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "==", 1], "rowFound": False}]}]}}
+    plan = QueryPlan(seq_df, eng.expand(qr, seq_df), "id", "timestamp",
+                     max_group_rows_hint=10_000, whale_row_threshold=100)
+    assert not plan.auto_routed_segmented
+    plan.counts().collect()
+
+    # a funnel with a whale hint routes too, and end-to-end run() accepts
+    # the hint (engine → plan threading)
+    fq = {"query": {}, "funnel": {"sequence": [
+        {"filter": ["category", ">=", 0]},
+        {"filter": ["category", "<=", 2]}]}}
+    fplan = QueryPlan(seq_df, eng.expand(fq, seq_df), "id", "timestamp",
+                      max_group_rows_hint=10_000, whale_row_threshold=100)
+    assert fplan.auto_routed_segmented
+    ref = eng.run(seq_df, fq)
+    got = eng.run(seq_df, fq, max_group_rows=10**9)
+    assert got == ref

@@ -1126,3 +1126,17 @@ def test_semantic_contamination_edge_shapes(spark):
     assert similarity.embedding_dup_pairs(
         spark.createDataFrame([], "vec_id long, embedding array<float>"),
         method="lsh").count() == 0
+    # ...and through the numpy (broadcast) tier — used to AxisError on
+    # the driver in _unit_rows over a 0-row array
+    assert similarity.embedding_dup_pairs(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        method="numpy").count() == 0
+
+    # a corpus id literally named "eval_id" would collide with the fixed
+    # eval-side output column name: refused up front
+    import pytest
+    renamed = corpus.withColumnRenamed("vec_id", "eval_id")
+    with pytest.raises(ValueError, match="eval_id"):
+        similarity.semantic_contamination(
+            renamed, big_eval, id_col="eval_id", eval_id_col="vec_id",
+            method="broadcast")

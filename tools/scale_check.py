@@ -903,12 +903,26 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
         ev = spark.read.parquet(path)
         if dist == "whale":
             out["whale_rows"] = ev.filter(F.col("user_id") == -1).count()
-        for strat in ("window", "fold", "fold_segmented"):
+        # the registration profile's whale-detector stat (same job
+        # register_dataset runs): feeds the "auto" strategy below
+        hint = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c")).collect()[0][0])
+        out[f"max_group_rows.{dist}"] = hint
+        for strat in ("window", "fold", "fold_segmented", "auto"):
             for qname, q in (("sequence_3step", seq_q),
                              ("funnel_steps", fun_q)):
                 expanded = eng.expand(q, ev)
                 plan = QueryPlan(ev, expanded, "user_id", "ts",
-                                 sequence_strategy=strat)
+                                 sequence_strategy=strat,
+                                 max_group_rows_hint=(
+                                     hint if strat == "auto" else None))
+                if strat == "auto":
+                    # no flag, no operator knowledge: the hint alone must
+                    # route the whale stream to the segmented fold and
+                    # keep the uniform stream on window anchors
+                    out[f"auto_routed.{dist}.{qname}"] = (
+                        plan.sequence_strategy
+                        if plan.auto_routed_segmented else "window")
                 t0 = time.perf_counter()
                 try:
                     if qname == "funnel_steps":
@@ -933,10 +947,11 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
             a = out["results"].get(f"{dist}.{qname}.window")
             b = out["results"].get(f"{dist}.{qname}.fold")
             c = out["results"].get(f"{dist}.{qname}.fold_segmented")
+            d = out["results"].get(f"{dist}.{qname}.auto")
             out["equal"][f"{dist}.{qname}"] = (
-                a == b == c and not isinstance(a, str))
+                a == b == c == d and not isinstance(a, str))
     out["skew_factor"] = {}
-    for strat in ("window", "fold", "fold_segmented"):
+    for strat in ("window", "fold", "fold_segmented", "auto"):
         for qname in ("sequence_3step", "funnel_steps"):
             u = out["timings"].get(f"uniform.{qname}.{strat}")
             w = out["timings"].get(f"whale.{qname}.{strat}")
