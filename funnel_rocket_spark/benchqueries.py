@@ -124,10 +124,13 @@ def _fr_counts(query_json: dict, sequence_strategy: str = "auto"):
     return fn
 
 
-def _fr_groups_only(query_json: dict):
+def _fr_groups_only(query_json: dict, sequence_strategy: str = "auto"):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, "events")
-        return _engine().plan(df, query_json).counts().select("matching_groups")
+        return _engine().plan(
+            df, query_json,
+            sequence_strategy=sequence_strategy).counts().select(
+                "matching_groups")
 
     return fn
 
@@ -2432,6 +2435,20 @@ s1 AS (SELECT e.user_id FROM events e JOIN s0 ON e.user_id = s0.user_id
 SELECT count(*)::BIGINT AS matching_groups FROM s1
 """,
     ),
+    # the SAME maxDuration sequence through the r10 segmented strategy
+    # (first-anchor join + duration-windowed exit tables — the
+    # whale × maxDuration path; compiler._segmented_fold_max_duration):
+    # one oracle, two strategies, driver-gated like any operator
+    "fr_seq_max_duration_segmented": (
+        _fr_groups_only(Q_SEQ_MAXDUR, sequence_strategy="fold_segmented"),
+        """
+WITH s0 AS (SELECT user_id, min(ts) t FROM events WHERE event_type = 'signup' GROUP BY 1),
+s1 AS (SELECT e.user_id FROM events e JOIN s0 ON e.user_id = s0.user_id
+       AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 2 DAY
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT count(*)::BIGINT AS matching_groups FROM s1
+""",
+    ),
     "fr_seq_row_not_found": (
         _fr_groups_only(Q_SEQ_NOT),
         """
@@ -3770,49 +3787,47 @@ NO_ORACLE: dict = {}
 # reference suite re-anchors, then extension re-greens in family order.
 # Everything else follows in catalog order, so all 124 stay runnable.
 _DRIVER_PRIORITY = [
-    # NEW r9 queries + r9-changed code paths — first driver greens
-    # required: the PNG decode query (pure-numpy zlib decode,
-    # closed-form oracle), semantic decontamination (new cross-set
-    # embedding operator), then the three LM scorers (the join/frames
-    # re-aggregation key changed to a per-row id in r9 so duplicate doc
-    # ids keep map-path cardinality)
-    "multimodal_features_png", "decontaminate_semantic",
-    "text_lm_nll", "text_lm_nll_join", "text_lm_nll_frames",
-    # the 28 queries whose last driver green is r5 or earlier while
-    # their modules (dedup/sampling/olap/temporal/similarity) changed in
-    # r6-r8 — the r8 verdict's #2 ask, verbatim list (asof_join_clicks
-    # also carries r9's suffix-collision change)
-    "sessionize_events", "asof_join_clicks", "olap_pricing_summary",
-    "audience_segments", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_pipeline_minhash", "dedup_simhash",
-    "dedup_embedding_cosine", "sample_group_cap", "time_rollup_daily",
-    "olap_promo_share", "olap_rolling_revenue", "embedding_kmeans",
-    "dedup_semantic", "olap_top_supplier_per_part", "olap_pending_supply",
-    "olap_sales_opportunity", "dedup_incremental_lsh",
-    "interval_join_concurrent", "heavy_hitters_props", "sample_splits",
-    "text_classifier_score", "text_classifier_trained",
-    "behavior_funnel_trend", "olap_percentiles_approx", "ann_ivf_topk",
-    # fr_* re-anchor fills the window's tail (the first ~18 fit; the
-    # rest were green in r08 and stay pytest-verified every round)
-    "fr_empty_query", "fr_count_target", "fr_include_zero", "fr_sum_target",
-    "fr_multi_filter", "fr_relation_expr", "fr_timeframe", "fr_string_ops",
-    "fr_regex_filter", "fr_agg_count_per_value", "fr_agg_groups_per_value",
-    "fr_agg_sum_per_value", "fr_agg_mean_per_value", "fr_sequence",
-    "fr_sequence_segmented",
-    "fr_funnel_steps", "fr_funnel_step_agg", "fr_seq_multi_filter_step",
-    "fr_seq_max_duration", "fr_seq_row_not_found", "fr_registration_profile",
-    "fr_lineitem_engine", "fr_agg_groups_skew_path",
-    "fr_agg_groups_per_value_approx",
+    # NEW r10 query + r10-changed code paths — first driver greens
+    # required: the segmented maxDuration form (new
+    # _segmented_fold_max_duration path), the refactored segmented fold
+    # (shared _segmented_fold_frame helper + skew-aware auto routing in
+    # QueryPlan.__init__), the window-path twins those share plan code
+    # with, and the two similarity queries whose module gained the
+    # eval_id-collision / empty-corpus guards
+    "fr_seq_max_duration_segmented", "fr_sequence_segmented",
+    "fr_seq_max_duration", "fr_sequence", "fr_funnel_steps",
+    "decontaminate_semantic", "dedup_embedding_cosine",
+    # the 21 queries whose last driver green is r6 — the stalest block
+    # (union over CORRECTNESS_r01-r09), rotated per the r9 verdict's #7
+    "ann_ivfpq_topk", "ann_lsh_bucketed", "asof_join_forward",
+    "curation_pipeline", "curation_report", "decontaminate_bloom",
+    "decontaminate_ngram", "event_gap_stats", "olap_distinct",
+    "olap_join_chain", "olap_percentiles", "olap_pivot",
+    "olap_revenue_filter", "olap_rollup", "olap_top_orders",
+    "range_join_value_bands", "sample_deterministic", "sample_stratified",
+    "sample_weighted", "text_c4_clean", "text_train_perceptron",
+    # then the full r7 block (next-stalest, 22 queries) — the window's
+    # 50 slots hold exactly 7 + 21 + 22
+    "ann_cosine_topk", "ann_ivf_fullprobe", "asof_join_tolerance",
+    "behavior_attribution", "behavior_conversion_delay",
+    "behavior_funnel_step_timing", "behavior_retention_rates",
+    "behavior_retention_weekly", "behavior_session_funnel",
+    "behavior_session_funnel_bounded", "behavior_top_paths",
+    "dedup_pipeline_embedding", "embedding_centroids",
+    "multimodal_features", "olap_basket_pairs", "olap_cube",
+    "olap_customer_deciles", "olap_grouping_sets",
+    "olap_percentiles_approx_sketch", "sample_dsir", "text_gopher_filter",
+    "text_tokens",
 ]
-# Audit ledger after this rotation: the r8 window greened the new
-# join-scorer query, the five r8-changed paths, the full fr_* suite and
-# 21 of the r03-stale block. The r9 window leads with the new PNG
-# query, the three r9-touched LM scorers, then ALL 28 queries whose
-# last driver green was r5 or earlier (union over CORRECTNESS_r01-r08),
-# then as much of the fr_* re-anchor as fits. Everything else stays
-# runnable after the window and is value-verified every round by the
-# pytest oracle-parity sweep over all 124.
-
+# Audit ledger after this rotation: the r9 window greened the PNG/LM
+# head plus all 28 r5-or-earlier queries and 17 fr_* re-anchors
+# (histogram after r9: r6=21, r7=22, r8=31, r9=50 — every catalog query
+# green within 3 rounds). The r10 window leads with the new segmented
+# maxDuration query and the 6 r10-touched paths, then ALL 21 r6-stale
+# queries, then the full 22-query r7 block — after r10 nothing is
+# staler than r8. Everything else stays runnable after the window and
+# is value-verified every round by the pytest oracle-parity sweep over
+# all 125.
 
 def queries() -> dict:
     out = {name: fn for name, (fn, _sql) in QUERIES.items()}

@@ -304,19 +304,29 @@ def sequence_fold_done_segmented(spec: SequenceSpec, df: DataFrame,
     One extra (small) exchange vs the plain fold, in exchange for
     whale-proof task sizing.
 
-    Not expressible here: ``maxDuration`` (the exit table would depend
-    on the CONTINUOUS first-step anchor, not just the entry index) and
+    ``maxDuration`` takes a different (still whale-proof) shape — see
+    :func:`_segmented_fold_max_duration`. Not expressible here:
     ``rowFound: false`` (same lookahead limit as the plain fold) — the
-    planner validates both at strategy-selection time.
+    planner validates it at strategy-selection time.
     """
-    n = len(spec.step_preds)
     if spec.max_duration is not None:
-        # in-repo callers already raised in _use_fold; kept for direct
-        # callers of this public function
-        raise ValueError(
-            "sequence_strategy='fold_segmented' cannot express "
-            "maxDuration (a segment's exit table would depend on the "
-            "continuous first-anchor, not just the entry step)")
+        return _segmented_fold_max_duration(
+            spec, df, group_col, ts_col, n_segments, bounds)
+    return _segmented_fold_frame(
+        spec, df, group_col, ts_col, n_segments, bounds, init_done=0)
+
+
+def _segmented_fold_frame(spec: SequenceSpec, df: DataFrame,
+                          group_col: str, ts_col: str,
+                          n_segments: int, bounds: list | None,
+                          init_done: int) -> DataFrame:
+    """The exit-table machinery shared by the plain segmented fold
+    (``init_done=0``) and the maxDuration variant (``init_done=1`` over
+    the duration-windowed event set). ``spec.max_duration`` must be
+    None here: callers either have no duration bound or have already
+    turned it into a row filter."""
+    assert spec.max_duration is None
+    n = len(spec.step_preds)
     ts, sentinel = ts_numeric(df, ts_col)
     if bounds is None:
         # global ts-quantile boundaries: one cheap scan, count-balanced
@@ -350,11 +360,73 @@ def sequence_fold_done_segmented(spec: SequenceSpec, df: DataFrame,
     segs_sorted = F.array_sort(F.collect_list(F.struct(
         F.col("__fr_seg").alias("s"), F.col("__fr_x").alias("x"))))
     done = F.aggregate(
-        segs_sorted, F.lit(0),
+        segs_sorted, F.lit(init_done),
         lambda acc, sg: F.element_at(sg["x"], acc + 1))
     return seg_tbl.groupBy(group_col).agg(
         F.sum("__fr_prows").alias(ROWS_COL),
         done.alias(DONE_COL))
+
+
+def _segmented_fold_max_duration(spec: SequenceSpec, df: DataFrame,
+                                 group_col: str, ts_col: str,
+                                 n_segments: int,
+                                 bounds: list | None) -> DataFrame:
+    """Segmented fold for sequences WITH ``maxDuration`` — the
+    whale × maxDuration combination the exit table alone can't express.
+
+    Why it decomposes exactly: the fold's semantics are greedy-first —
+    step 0 anchors at the group's EARLIEST step-0 event and never
+    re-anchors (``_fold_parts``: a timed-out state simply stops
+    advancing). So the continuous quantity the exit table couldn't
+    carry, ``first``, is a plain per-group aggregate:
+    ``min(ts) where p0`` — map-side-combining, whale-proof. With
+    ``first`` a known per-group constant F:
+
+    * only events in ``(F, F + maxDuration]`` can advance steps ≥ 1
+      (strict-``>`` excludes ts ≤ F; the duration check excludes the
+      rest, and in the plain fold those events are no-ops for EVERY
+      step index, so dropping them changes nothing);
+    * inside that window the duration check is vacuous — the fold
+      degenerates to the duration-free fold with entry done=1, where
+      the segmented exit-table argument applies verbatim (the entry
+      anchor reaching a segment is F or an earlier-bucket event, both
+      strictly below every event in the segment).
+
+    Three group-keyed exchanges (rows count, F table, the windowed
+    two-level fold) plus joins of the event stream against the
+    per-group-scalar F table (AQE broadcasts a small F table and
+    skew-splits a whale partition on a big one). No per-group task ever
+    holds more than one segment of one group's events.
+    """
+    n = len(spec.step_preds)
+    ts, _ = ts_numeric(df, ts_col)
+    stripped = SequenceSpec(step_preds=spec.step_preds,
+                            row_found=spec.row_found,
+                            max_duration=None, prefix=spec.prefix)
+
+    rows_tbl = df.groupBy(group_col).agg(F.count(F.lit(1)).alias(ROWS_COL))
+    first_tbl = (df.filter(spec.step_preds[0])
+                 .groupBy(group_col).agg(F.min(ts).alias("__fr_first")))
+    win = (df.join(first_tbl, group_col)
+           .filter((ts > F.col("__fr_first"))
+                   & (ts <= F.col("__fr_first")
+                      + F.lit(spec.max_duration))))
+    done_tbl = _segmented_fold_frame(
+        stripped, win.drop("__fr_first"), group_col, ts_col,
+        n_segments, bounds, init_done=1).select(
+            group_col, F.col(DONE_COL).alias("__fr_wdone"))
+
+    # groups with a step-0 anchor but no in-window events sit at done=1
+    # (or n for a single-step sequence); groups with no step-0 event at 0
+    return (rows_tbl
+            .join(first_tbl.select(group_col, F.lit(True).alias("__fr_h0")),
+                  group_col, "left")
+            .join(done_tbl, group_col, "left")
+            .select(group_col, ROWS_COL,
+                    F.coalesce(
+                        F.col("__fr_wdone"),
+                        F.when(F.col("__fr_h0"), F.lit(1)),
+                        F.lit(0)).alias(DONE_COL)))
 
 
 def sequence_fold_flag(spec: SequenceSpec, df: DataFrame, ts_col: str) -> Column:
@@ -375,18 +447,19 @@ class QueryPlan:
     ``"fold_segmented"`` splits each group across ``fold_segments``
     ts-range segments folded in parallel tasks and merges the tiny
     per-segment exit tables — the whale-group shape (rejects
-    rowFound:false AND maxDuration; see
-    :func:`sequence_fold_done_segmented`).
+    rowFound:false; ``maxDuration`` takes the first-anchor-join form,
+    see :func:`sequence_fold_done_segmented` /
+    :func:`_segmented_fold_max_duration`).
 
     ``"auto"`` is additionally SKEW-AWARE when the caller supplies
     ``max_group_rows_hint`` (the registration profile's
     ``Dataset.max_group_rows`` — free at plan time): a hint past
     ``whale_row_threshold`` rows routes every segmentable plan to the
     segmented fold automatically, so whale protection no longer requires
-    the operator to know the whale exists. Plans with rowFound:false or
-    maxDuration steps stay on window anchors (the whale-tolerant
-    strategy for shapes the exit-table merge can't express).
-    ``auto_routed_segmented`` records the decision for observability.
+    the operator to know the whale exists. Plans with rowFound:false
+    steps stay on window anchors (the one shape the fold family can't
+    express). ``auto_routed_segmented`` records the decision for
+    observability.
     """
 
     def __init__(self, df: DataFrame, expanded: ExpandedQuery,
@@ -480,16 +553,16 @@ class QueryPlan:
         # auto keeps today's window anchors (no plan-time probe job —
         # planning must stay job-free for sub-second queries). Routing is
         # all-or-nothing: every spec must be segmentable (no
-        # rowFound:false, no maxDuration) or the whole plan stays on the
-        # whale-tolerant window path rather than mixing strategies.
+        # rowFound:false — maxDuration is fine, it takes the
+        # _segmented_fold_max_duration shape) or the whole plan stays on
+        # the whale-tolerant window path rather than mixing strategies.
         if (self.sequence_strategy == "auto"
                 and max_group_rows_hint is not None
                 and max_group_rows_hint > whale_row_threshold):
             specs = list(self._seq_specs.values())
             if self._funnel_spec is not None:
                 specs.append(self._funnel_spec)
-            if specs and all(all(s.row_found) and s.max_duration is None
-                             for s in specs):
+            if specs and all(all(s.row_found) for s in specs):
                 self.sequence_strategy = "fold_segmented"
                 self.auto_routed_segmented = True
 
@@ -517,12 +590,6 @@ class QueryPlan:
             raise ValueError(
                 f"sequence_strategy={self.sequence_strategy!r} cannot "
                 "express rowFound:false steps")
-        if (self.sequence_strategy == "fold_segmented"
-                and spec.max_duration is not None):
-            raise ValueError(
-                "sequence_strategy='fold_segmented' cannot express "
-                "maxDuration (exit tables depend only on the entry step; "
-                "use 'window' or 'fold')")
         return self.sequence_strategy == "fold"
 
     def _use_segmented(self, spec: SequenceSpec) -> bool:

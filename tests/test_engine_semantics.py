@@ -820,23 +820,14 @@ def test_fold_segmented_equals_other_strategies(spark, seq_df):
 
 
 def test_fold_segmented_rejects_unsupported(seq_df):
-    """maxDuration needs the continuous first-anchor (exit tables can't
-    carry it) and rowFound:false needs lookahead — both refused loudly;
-    unknown strategy names refused at construction."""
+    """rowFound:false needs lookahead — refused loudly; unknown strategy
+    names refused at construction."""
     import pytest as _pytest
 
     from funnel_rocket_spark.engine import QueryEngine
     from funnel_rocket_spark.planner.compiler import QueryPlan
 
     eng = QueryEngine("id", "timestamp")
-    qd = {"query": {"conditions": [{"sequence": [
-        {"filter": ["category", "==", 0]},
-        {"filter": ["category", "==", 1]}], "maxDuration": 3}]}}
-    expanded = eng.expand(qd, seq_df)
-    with _pytest.raises(ValueError, match="maxDuration"):
-        QueryPlan(seq_df, expanded, "id", "timestamp",
-                  sequence_strategy="fold_segmented").counts()
-
     qr = {"query": {"conditions": [{"sequence": [
         {"filter": ["category", "==", 0]},
         {"filter": ["category", "==", 1], "rowFound": False}]}]}}
@@ -886,15 +877,18 @@ def test_auto_strategy_whale_routing(spark, seq_df):
         assert plan.sequence_strategy in ("auto", "window")
         assert not plan.auto_routed_segmented
 
-    # non-segmentable shapes fall back to window anchors, not a raise
+    # maxDuration IS segmentable now (first-anchor-join form): routes
     qd = {"query": {"conditions": [{"sequence": [
         {"filter": ["category", "==", 0]},
         {"filter": ["category", "==", 1]}], "maxDuration": 3}]}}
     plan = QueryPlan(seq_df, eng.expand(qd, seq_df), "id", "timestamp",
                      max_group_rows_hint=10_000, whale_row_threshold=100)
-    assert not plan.auto_routed_segmented
-    plan.counts().collect()  # window path executes fine
+    assert plan.auto_routed_segmented
+    ref = QueryPlan(seq_df, eng.expand(qd, seq_df), "id", "timestamp",
+                    sequence_strategy="window").counts().collect()
+    assert plan.counts().collect() == ref
 
+    # non-segmentable shapes fall back to window anchors, not a raise
     qr = {"query": {"conditions": [{"sequence": [
         {"filter": ["category", "==", 0]},
         {"filter": ["category", "==", 1], "rowFound": False}]}]}}
@@ -914,3 +908,86 @@ def test_auto_strategy_whale_routing(spark, seq_df):
     ref = eng.run(seq_df, fq)
     got = eng.run(seq_df, fq, max_group_rows=10**9)
     assert got == ref
+
+
+def test_fold_segmented_max_duration_equals_window(spark, seq_df):
+    """The first-anchor-join segmented form of maxDuration must equal
+    the window path exactly: tiny fixture, seeded tie-heavy stream,
+    duration values hitting the inclusive boundary, the single-step
+    degenerate case, groups whose step-0 anchor exists but whose window
+    holds no events, and funnel step counts."""
+    import random
+
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    eng = QueryEngine("id", "timestamp")
+    for dur in (0, 1, 2, 3, 100):
+        q = {"query": {"conditions": [{"sequence": [
+            {"filter": ["category", "==", 0]},
+            {"filter": ["category", "<=", 2]}], "maxDuration": dur}]}}
+        expanded = eng.expand(q, seq_df)
+        window = QueryPlan(seq_df, expanded, "id", "timestamp",
+                           sequence_strategy="window").counts().collect()
+        fold = QueryPlan(seq_df, expanded, "id", "timestamp",
+                         sequence_strategy="fold").counts().collect()
+        assert fold == window, dur
+        for n_seg in (1, 3, 64):
+            seg = QueryPlan(seq_df, expanded, "id", "timestamp",
+                            sequence_strategy="fold_segmented",
+                            fold_segments=n_seg).counts().collect()
+            assert seg == window, (dur, n_seg)
+
+    rng = random.Random(7)
+    rows = [{"id": g, "timestamp": float(rng.randrange(12)),  # many ties
+             "category": rng.randrange(-1, 5), "price": 1}
+            for g in range(200) for _ in range(rng.randrange(1, 30))]
+    big = spark.createDataFrame(pd.DataFrame(rows))
+    queries = [
+        # 3-step with a mid-range duration: some groups time out mid-way
+        {"query": {"conditions": [{"sequence": [
+            {"filter": ["category", "==", 1]},
+            {"filter": ["category", "==", 2]},
+            {"filter": ["category", "==", 3]}], "maxDuration": 4}]}},
+        # duration 0: only same-ts follow-ups — strict > makes most fail
+        {"query": {"conditions": [{"sequence": [
+            {"filter": ["category", "==", 0]},
+            {"filter": ["category", ">=", 3]}], "maxDuration": 0}]}},
+        # single step: duration trivially satisfied at the anchor
+        {"query": {"conditions": [{"sequence": [
+            {"filter": ["category", "==", 4]}], "maxDuration": 1}]}},
+        # mixed with a plain filter condition (shared groupBy pass)
+        {"query": {"conditions": [
+            {"sequence": [{"filter": ["category", "==", 0]},
+                          {"filter": ["category", "==", 2]}],
+             "maxDuration": 3},
+            {"filter": ["price", ">", 0], "target": ["count", ">=", 5]}]}},
+    ]
+    for q in queries:
+        expanded = eng.expand(q, big)
+        window = QueryPlan(big, expanded, "id", "timestamp",
+                           sequence_strategy="window").counts().collect()
+        fold = QueryPlan(big, expanded, "id", "timestamp",
+                         sequence_strategy="fold").counts().collect()
+        assert fold == window, q
+        for n_seg in (1, 4, 64):
+            seg = QueryPlan(big, expanded, "id", "timestamp",
+                            sequence_strategy="fold_segmented",
+                            fold_segments=n_seg).counts().collect()
+            assert seg == window, (q, n_seg)
+
+    # funnel with maxDuration: per-step done vector must agree
+    fq = {"query": {}, "funnel": {"sequence": [
+        {"filter": ["category", ">=", 0]},
+        {"filter": ["category", "<=", 2]},
+        {"filter": ["category", "==", 1]}], "maxDuration": 5}}
+    expanded = eng.expand(fq, big)
+    key = lambda rs: [(r["step"], r["matching_groups"],  # noqa: E731
+                       r["matching_group_rows"]) for r in rs]
+    window = QueryPlan(big, expanded, "id", "timestamp",
+                       sequence_strategy="window"
+                       ).funnel_step_counts().collect()
+    seg = QueryPlan(big, expanded, "id", "timestamp",
+                    sequence_strategy="fold_segmented", fold_segments=7
+                    ).funnel_step_counts().collect()
+    assert key(seg) == key(window)

@@ -896,6 +896,13 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
     fun_q = {"query": {}, "funnel": {"sequence": [
         {"filter": ["event_type", "==", "view"]},
         {"filter": ["event_type", "==", "purchase"]}]}}
+    # maxDuration × whale: the r10 first-anchor-join segmented form — a
+    # 30-day bound over the 90-day stream (nanos), so it splits groups
+    dur_q = {"query": {"conditions": [
+        {"sequence": [{"filter": ["event_type", "==", "signup"]},
+                      {"filter": ["event_type", "==", "click"]},
+                      {"filter": ["event_type", "==", "purchase"]}],
+         "maxDuration": 30 * NANOS_DAY}]}}
 
     out = {"n_rows": n_rows, "whale_every": whale_every,
            "n_groups": n_groups, "timings": {}, "results": {}}
@@ -910,7 +917,8 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
         out[f"max_group_rows.{dist}"] = hint
         for strat in ("window", "fold", "fold_segmented", "auto"):
             for qname, q in (("sequence_3step", seq_q),
-                             ("funnel_steps", fun_q)):
+                             ("funnel_steps", fun_q),
+                             ("sequence_maxdur", dur_q)):
                 expanded = eng.expand(q, ev)
                 plan = QueryPlan(ev, expanded, "user_id", "ts",
                                  sequence_strategy=strat,
@@ -943,7 +951,7 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
     # cross-strategy equality per (dist, query); skew factor per strategy
     out["equal"] = {}
     for dist in ("uniform", "whale"):
-        for qname in ("sequence_3step", "funnel_steps"):
+        for qname in ("sequence_3step", "funnel_steps", "sequence_maxdur"):
             a = out["results"].get(f"{dist}.{qname}.window")
             b = out["results"].get(f"{dist}.{qname}.fold")
             c = out["results"].get(f"{dist}.{qname}.fold_segmented")
@@ -952,7 +960,7 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
                 a == b == c == d and not isinstance(a, str))
     out["skew_factor"] = {}
     for strat in ("window", "fold", "fold_segmented", "auto"):
-        for qname in ("sequence_3step", "funnel_steps"):
+        for qname in ("sequence_3step", "funnel_steps", "sequence_maxdur"):
             u = out["timings"].get(f"uniform.{qname}.{strat}")
             w = out["timings"].get(f"whale.{qname}.{strat}")
             out["skew_factor"][f"{qname}.{strat}"] = (
