@@ -65,3 +65,29 @@ def test_load_rolling_best_is_sf_keyed():
     run must never contaminate the sf0.1 drift baseline."""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     assert bench.load_rolling_best(here, 0.0042) == {}
+
+
+def test_per_query_canary_flags_lone_regression():
+    """One multi-second query regressing alone is invisible to the
+    median drift check — the per-query canary must catch it, while
+    leaving sub-second fixed-overhead jitter (2× of 0.3 s) unflagged."""
+    best = {"big": 10.0, "small": 0.3, "mid": 2.0, "fresh_no_history": 0}
+    timings = {
+        "big": 25.0,      # 2.5× of 10 s AND > best+1s: flag
+        "small": 0.9,     # 3× of 0.3 s but under best+1s floor: no flag
+        "mid": 2.9,       # 1.45×, under 2×: no flag
+        "fresh_no_history": 50.0,  # no history: no flag
+        "unknown": 1.0,   # absent from best entirely: no flag
+    }
+    flags = bench.per_query_canaries(timings, best)
+    assert set(flags) == {"big"}
+    assert flags["big"]["ratio"] == 2.5
+    assert flags["big"]["min"] == 25.0 and flags["big"]["best"] == 10.0
+
+    # boundary: exactly 2× and exactly best+1s are NOT flagged (strict >)
+    assert bench.per_query_canaries({"q": 20.0}, {"q": 10.0}) == {}
+    assert bench.per_query_canaries({"q": 1.3}, {"q": 0.3}) == {}
+    # just past both bounds: flagged
+    assert set(bench.per_query_canaries({"q": 20.1}, {"q": 10.0})) == {"q"}
+    # empty inputs degrade to no flags
+    assert bench.per_query_canaries({}, {}) == {}
