@@ -34,9 +34,21 @@ class QueryEngine:
 
     def __init__(self, group_id_column: str, timestamp_column: str,
                  universe_window_threshold: int = 4_000_000,
-                 agg_collect_threads: int = 8):
+                 agg_collect_threads: int = 8,
+                 whale_row_threshold: int = 4_000_000):
         self.group_id_column = group_id_column
         self.timestamp_column = timestamp_column
+        # max-group-rows (registration profile hint) above which
+        # sequence_strategy="auto" routes to the segmented fold. The
+        # default guards the property that matters at cluster scale —
+        # no task ever buffers a whole whale group — at a measured local
+        # premium: on local[32] at 100M rows the crossover where
+        # segmented also wins WALL-CLOCK is a ~60M-row whale (a 20M
+        # whale external-sorts in one task faster than the segmented
+        # constant), so operators tuning for single-node latency can
+        # raise this; operators running 1000-executor jobs where a
+        # whale exceeds one task's sort capacity should not.
+        self.whale_row_threshold = whale_row_threshold
         # matched-group count above which the row universe switches from
         # the semi join (broadcastable below this) to window flags — see
         # QueryPlan.rows_of_matching_groups
@@ -70,7 +82,8 @@ class QueryEngine:
                          self.timestamp_column,
                          sequence_strategy=sequence_strategy,
                          fold_segments=fold_segments,
-                         max_group_rows_hint=max_group_rows)
+                         max_group_rows_hint=max_group_rows,
+                         whale_row_threshold=self.whale_row_threshold)
 
     def run(self, df: DataFrame, query: dict, validate_schema: bool = True,
             with_stats: bool = False, sequence_strategy: str = "auto",

@@ -866,7 +866,7 @@ def _gemm_assign(e: DataFrame, centers, id_col: str, vec_col: str):
 
 def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 method: str = "auto"):
+                 method: str = "auto", init_centers: list | None = None):
     """Deterministic distributed Lloyd's k-means: returns (assigned, centers).
 
     Unlike Spark-ML KMeans (random init, engine-specific centroids), every
@@ -908,9 +908,16 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
     # Every round (and the returned assignment) re-reads this frame;
     # persist or each of the rounds+1 jobs re-scans + re-casts the corpus.
     e = bounded_persist(e)
-    seeds = (e.orderBy(id_col).limit(k)
-             .select(vec_col).collect())
-    centers = [list(r[0]) for r in seeds]
+    if init_centers is not None:
+        # resume path: centers are deterministic given (input, k,
+        # rounds), so a caller replaying persisted centers with
+        # ``rounds=0`` reproduces the assignment bit-for-bit without
+        # the training jobs (pipeline kmeans artifact cache)
+        centers = [list(c) for c in init_centers]
+    else:
+        seeds = (e.orderBy(id_col).limit(k)
+                 .select(vec_col).collect())
+        centers = [list(r[0]) for r in seeds]
     if not centers:
         # empty corpus: zero assignments, zero centers — composable, not a
         # crash (an argmax over zero centers can't even be expressed)
@@ -979,7 +986,8 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, rounds: int = 2,
 def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
                          threshold: float = 0.985, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         method: str = "gemm") -> DataFrame:
+                         method: str = "gemm",
+                         centers: list | None = None) -> DataFrame:
     """SemDeDup-style near-duplicate pairs: cluster first, compare only
     within clusters — (id_a, id_b, cosine_sim ≥ threshold).
 
@@ -1000,8 +1008,14 @@ def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
     implementation the GEMM path is differential-tested against.
     Both are deterministic and value-match the chained-CTE SQL oracle.
     """
-    assigned, _ = kmeans_lloyd(corpus, k=k, rounds=rounds,
-                               id_col=id_col, vec_col=vec_col)
+    if centers is not None:
+        # pre-trained coarse quantizer (pipeline artifact cache): pure
+        # assignment, zero training jobs
+        assigned, _ = kmeans_lloyd(corpus, k=k, rounds=0, id_col=id_col,
+                                   vec_col=vec_col, init_centers=centers)
+    else:
+        assigned, _ = kmeans_lloyd(corpus, k=k, rounds=rounds,
+                                   id_col=id_col, vec_col=vec_col)
     # Consumed twice (or grouped) downstream; persist or every consumer
     # re-runs the final assignment expression AND the upstream scan.
     assigned = bounded_persist(assigned)

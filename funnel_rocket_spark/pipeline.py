@@ -108,11 +108,18 @@ def _stage_dedup_semantic(spark, df, cfg, ctx):
     minhash stage can't see. Embeddings are a side input
     (``embeddings_path`` parquet, ``vec_id_col`` matching the chain's id
     column) — the standard deployment shape where an embedding job runs
-    upstream of curation. Only embeddings of docs still alive in the
-    chain are clustered (semi-join first: a 90%-filtered chain clusters
-    10% of the vectors), and docs WITHOUT an embedding row pass through
-    ungated — absence of a vector must not silently drop data. Survivor
-    policy is min-id per duplicate cluster, like every dedup stage."""
+    upstream of curation. The k-means coarse quantizer trains on the
+    FULL embeddings side input (not the chain-filtered subset): like
+    the lm_gate model, the centers then depend only on the side input
+    and the params, so they persist under ``workdir/models/kmeans_<key>``
+    and survive both resume and upstream-stage changes (the r9-rung
+    retrain-per-run cost). Cells also stay put when upstream filters
+    move, which keeps the candidate structure stable run-over-run.
+    Pair comparison still runs on LIVE vectors only (semi-join first):
+    a pair against an upstream-dropped doc must never decide a
+    survivor. Docs WITHOUT an embedding row pass through ungated —
+    absence of a vector must not silently drop data. Survivor policy
+    is min-id per duplicate cluster, like every dedup stage."""
     from funnel_rocket_spark.operators import similarity
 
     emb = spark.read.parquet(cfg["embeddings_path"])
@@ -126,8 +133,30 @@ def _stage_dedup_semantic(spark, df, cfg, ctx):
     params = {k: v for k, v in cfg.items()
               if k not in ("stage", "embeddings_path", "vec_id_col",
                            "vec_col")}
+    centers = None
+    cache_path = None
+    if ctx.get("workdir"):
+        key_payload = {
+            "emb": _input_fingerprint(str(cfg["embeddings_path"])),
+            "vec_id": vec_id, "vec_col": vec_col,
+            "k": params.get("k", 8), "rounds": params.get("rounds", 2)}
+        key = hashlib.md5(
+            json.dumps(key_payload, sort_keys=True).encode()).hexdigest()
+        cache_path = os.path.join(ctx["workdir"], "models",
+                                  f"kmeans_{key}.json")
+        if os.path.isfile(cache_path):
+            with open(cache_path) as fh:
+                centers = json.load(fh)["centers"]
+    if centers is None:
+        _, centers = similarity.kmeans_lloyd(
+            emb, k=params.get("k", 8), rounds=params.get("rounds", 2),
+            id_col=vec_id, vec_col=vec_col)
+        if cache_path:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            with open(cache_path, "w") as fh:
+                json.dump({"centers": centers, "key": key_payload}, fh)
     pairs = similarity.semantic_dedup_pairs(
-        live, id_col=vec_id, vec_col=vec_col, **params)
+        live, id_col=vec_id, vec_col=vec_col, centers=centers, **params)
     return dedup.apply_dedup(df, pairs, ctx["id_col"])
 
 
@@ -148,22 +177,51 @@ def _stage_decontaminate_semantic(spark, df, cfg, ctx):
     can't see (no shared 5-gram). Embeddings are side inputs
     (``embeddings_path`` for the corpus keyed by the chain's id column,
     ``eval_embeddings_path`` for the benchmark suite); docs without an
-    embedding row pass through ungated, like ``dedup_semantic``."""
+    embedding row pass through ungated, like ``dedup_semantic``.
+
+    The hit set is computed over the FULL embeddings side input and
+    persisted under ``workdir/models/contam_<key>`` (keyed by both
+    side-input fingerprints + params): contamination of a vector
+    against a fixed eval set is a pure function of the two side inputs,
+    so restricting the anti-join to chain-live docs afterwards returns
+    byte-identical output to scoring the live subset — while the
+    expensive corpus×eval GEMM runs once per (corpus, eval, params),
+    not once per chain run (the r9-rung retrain-per-run cost)."""
     from funnel_rocket_spark.operators import similarity
 
     emb = spark.read.parquet(cfg["embeddings_path"])
     evalset = spark.read.parquet(cfg["eval_embeddings_path"])
     vec_id = cfg.get("vec_id_col", "vec_id")
     vec_col = cfg.get("vec_col", "embedding")
-    live = emb.join(
-        df.select(F.col(ctx["id_col"]).alias(vec_id)), vec_id, "left_semi")
     params = {k: v for k, v in cfg.items()
               if k not in ("stage", "embeddings_path",
                            "eval_embeddings_path", "vec_id_col", "vec_col")}
-    hits = similarity.semantic_contamination(
-        live, evalset, id_col=vec_id, vec_col=vec_col, **params)
-    dirty = hits.select(F.col(vec_id).alias(ctx["id_col"])).distinct()
-    return df.join(dirty, ctx["id_col"], "left_anti")
+    cache_path = None
+    dirty = None
+    if ctx.get("workdir"):
+        key_payload = {
+            "emb": _input_fingerprint(str(cfg["embeddings_path"])),
+            "eval": _input_fingerprint(str(cfg["eval_embeddings_path"])),
+            "vec_id": vec_id, "vec_col": vec_col,
+            "params": {k: params[k] for k in sorted(params)}}
+        key = hashlib.md5(
+            json.dumps(key_payload, sort_keys=True).encode()).hexdigest()
+        cache_path = os.path.join(ctx["workdir"], "models",
+                                  f"contam_{key}.parquet")
+        if os.path.isfile(os.path.join(cache_path, "_SUCCESS")):
+            dirty = spark.read.parquet(cache_path)
+    if dirty is None:
+        hits = similarity.semantic_contamination(
+            emb, evalset, id_col=vec_id, vec_col=vec_col, **params)
+        # stored under the vec id name: the artifact is keyed by the side
+        # inputs alone, so a chain with a different id_col can reuse it
+        dirty = hits.select(vec_id).distinct()
+        if cache_path:
+            dirty.write.mode("overwrite").parquet(cache_path)
+            dirty = spark.read.parquet(cache_path)
+    return df.join(
+        dirty.select(F.col(vec_id).alias(ctx["id_col"])),
+        ctx["id_col"], "left_anti")
 
 
 def _stage_pii(spark, df, cfg, ctx):

@@ -663,3 +663,75 @@ def test_pipeline_decontaminate_semantic_stage(spark, tmp_path):
         f"{tmp_path}/work/stage_00_decontaminate_semantic.parquet")
         .collect()}
     assert kept3 == {0, 2, 3, 4}
+
+
+def test_pipeline_embedding_artifacts_survive_upstream_change(spark, tmp_path):
+    """The kmeans centers (dedup_semantic) and contamination hit set
+    (decontaminate_semantic) are side-input artifacts like the lm_gate
+    model: an UPSTREAM stage change forces both stages to recompute,
+    but the persisted artifacts are reused (no retrain / no re-GEMM);
+    overwriting a side input in place mints a new artifact key."""
+    import glob as _glob
+    import os
+
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, ("common words here " * 3) + f"doc {i}") for i in range(8)],
+        "doc_id long, text string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    vecs = [(i, [1.0 if i < 2 else 0.0, float(i)]) for i in range(6)]
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>") \
+        .write.parquet(emb_path)
+    eval_path = str(tmp_path / "eval_emb.parquet")
+    spark.createDataFrame(
+        [(100, [0.0, 1.0])],
+        "vec_id long, embedding array<float>").write.parquet(eval_path)
+
+    workdir = str(tmp_path / "work")
+    stages = [
+        {"stage": "dedup_semantic", "embeddings_path": emb_path,
+         "k": 2, "threshold": 0.999},
+        {"stage": "decontaminate_semantic", "embeddings_path": emb_path,
+         "eval_embeddings_path": eval_path, "threshold": 0.999},
+    ]
+    config = {"input": {"path": inp, "id_col": "doc_id",
+                        "text_col": "text"},
+              "workdir": workdir, "stages": list(stages)}
+    rep1 = run_pipeline(spark, config)
+    km1 = _glob.glob(os.path.join(workdir, "models", "kmeans_*.json"))
+    ct1 = _glob.glob(os.path.join(workdir, "models", "contam_*.parquet"))
+    assert len(km1) == 1 and len(ct1) == 1
+    km_mtime = os.path.getmtime(km1[0])
+
+    # prepend an upstream stage: both embedding stages recompute (chain
+    # hash moved) but the artifacts are REUSED — same single file each
+    config2 = {"input": config["input"], "workdir": workdir,
+               "stages": [{"stage": "gopher_filter", "min_words": 3,
+                           "min_stopword_hits": 0,
+                           "min_mean_word_len": 1.0}] + list(stages)}
+    rep2 = run_pipeline(spark, config2)
+    assert not rep2["stages"][1]["resumed"]  # dedup_semantic recomputed
+    km2 = _glob.glob(os.path.join(workdir, "models", "kmeans_*.json"))
+    ct2 = _glob.glob(os.path.join(workdir, "models", "contam_*.parquet"))
+    assert len(km2) == 1 and len(ct2) == 1
+    assert os.path.getmtime(km2[0]) == km_mtime  # not retrained
+    # identical survivors through both routes (artifact reuse is pure)
+    out1 = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(workdir, "stage_01_decontaminate_semantic.parquet")
+        ).collect()}
+    out2 = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(workdir, "stage_02_decontaminate_semantic.parquet")
+        ).collect()}
+    assert out1 == out2
+
+    # overwriting a side input in place mints NEW artifact keys
+    spark.createDataFrame(vecs[:4], "vec_id long, embedding array<float>") \
+        .write.mode("overwrite").parquet(emb_path)
+    run_pipeline(spark, config2)
+    assert len(_glob.glob(
+        os.path.join(workdir, "models", "kmeans_*.json"))) == 2
+    assert len(_glob.glob(
+        os.path.join(workdir, "models", "contam_*.parquet"))) == 2

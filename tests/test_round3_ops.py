@@ -407,6 +407,21 @@ def test_kmeans_gemm_expr_agree(spark, emb):
     got_g = dict(a_g.select("vec_id", "cluster").collect())
     assert got_e == got_g
 
+    # replaying persisted centers with rounds=0 reproduces the trained
+    # assignment bit-for-bit and returns the centers unchanged (the
+    # pipeline kmeans artifact cache contract)
+    a_r, c_r = similarity.kmeans_lloyd(emb, k=8, rounds=0,
+                                       init_centers=c_g)
+    assert c_r == c_g
+    assert dict(a_r.select("vec_id", "cluster").collect()) == got_g
+    # ...and semantic_dedup_pairs with pre-trained centers equals the
+    # train-in-place path
+    trained = sorted(map(tuple, similarity.semantic_dedup_pairs(
+        emb, k=8, rounds=2, threshold=0.9).collect()))
+    replayed = sorted(map(tuple, similarity.semantic_dedup_pairs(
+        emb, k=8, rounds=2, threshold=0.9, centers=c_g).collect()))
+    assert trained == replayed
+
 
 # --------------------------------------------------------------------------- #
 # incremental LSH dedup

@@ -13,6 +13,7 @@ Usage: python tools/scale_check.py [n_rows] [n_groups]
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -659,13 +660,15 @@ def bpetrain_main(n_docs: int, n_merges: int = 1_000) -> None:
 
 
 def curate_main(n_docs: int) -> None:
-    """Round-8 rung: the FULL 13-stage curate chain end-to-end at corpus
-    scale (pipeline.run_pipeline — the one-command product surface),
-    reporting per-stage seconds, then a resume-from-kill replay: the
-    state file is truncated to the first 10 stages (as a crash after
-    stage 10 would leave it) and the chain re-run — the green prefix
-    must resume from checkpoints in ~read time while only the tail
-    recomputes."""
+    """Round-8 rung (r10: now the FULL 15-stage chain, embedding stages
+    included): pipeline.run_pipeline end-to-end at corpus scale — the
+    one-command product surface — reporting per-stage seconds, then a
+    resume-from-kill replay: the state file is truncated to the first
+    12 stages (as a crash after stage 12 would leave it) and the chain
+    re-run — the green prefix must resume from checkpoints in ~read
+    time while only the tail recomputes, and the kmeans/contamination
+    artifacts must be REUSED, not retrained (r10: they persist under
+    workdir/models like the lm_gate model)."""
     import json as _json
     import shutil
 
@@ -679,18 +682,30 @@ def curate_main(n_docs: int) -> None:
     inp = os.path.join(aux, "input.parquet")
     eval_path = os.path.join(aux, "eval.parquet")
     target_path = os.path.join(aux, "target.parquet")
+    emb_path = os.path.join(aux, "emb.parquet")
+    eval_emb_path = os.path.join(aux, "eval_emb.parquet")
     if not os.path.isdir(inp):
         docs.write.mode("overwrite").parquet(inp)
         docs.where(F.col("doc_id") % 97 == 0) \
             .write.mode("overwrite").parquet(eval_path)
         docs.where(F.col("doc_id") % 10 == 3) \
             .write.mode("overwrite").parquet(target_path)
+    if not os.path.isdir(emb_path):
+        # per-doc embeddings (vec_id = doc_id) with planted near-dups
+        # every 50th; the eval embedding suite is benchmark-sized
+        # (~n/971 vectors) and a corpus subset, so each eval vector has
+        # a planted exact contamination hit
+        synthesize_embeddings(spark, n_docs, 64, emb_path)
+        (spark.read.parquet(emb_path)
+         .where(F.col("vec_id") % 971 == 0)
+         .write.mode("overwrite").parquet(eval_emb_path))
     workdir = os.path.join(here, ".scratch", f"curate_work_{n_docs}")
     shutil.rmtree(workdir, ignore_errors=True)
 
-    # All 13 stages. Synthetic docs are stopword-free "wNNN" tokens, so
+    # All 15 stages. Synthetic docs are stopword-free "wNNN" tokens, so
     # the Gopher gate runs with the stopword rule off (the rule itself
-    # is rung-timed in cleanfilters).
+    # is rung-timed in cleanfilters). SemDeDup's k scales cells to
+    # ~10k vectors (per-cell GEMM stays block-bounded).
     config = {
         "input": {"path": inp, "id_col": "doc_id", "text_col": "text"},
         "workdir": workdir,
@@ -701,7 +716,11 @@ def curate_main(n_docs: int) -> None:
              "min_stopword_hits": 0, "min_mean_word_len": 1.0},
             {"stage": "dedup_exact"},
             {"stage": "dedup_minhash", "threshold": 0.5},
+            {"stage": "dedup_semantic", "embeddings_path": emb_path,
+             "k": max(8, n_docs // 10_000), "threshold": 0.985},
             {"stage": "decontaminate", "eval_path": eval_path, "n": 5},
+            {"stage": "decontaminate_semantic", "embeddings_path": emb_path,
+             "eval_embeddings_path": eval_emb_path, "threshold": 0.99},
             {"stage": "pii"},
             {"stage": "lm_gate", "target_path": target_path,
              "keep_frac": 0.9},
@@ -734,13 +753,13 @@ def curate_main(n_docs: int) -> None:
                        "seconds": s.get("seconds")}
                       for s in rep["stages"]]}
 
-    # resume-from-kill: crash after stage 10 = state.json holds 10
-    # entries; the rerun must resume 0-9 from checkpoints and recompute
+    # resume-from-kill: crash after stage 12 = state.json holds 12
+    # entries; the rerun must resume 0-11 from checkpoints and recompute
     # only dsir/split/pack
     state_path = os.path.join(workdir, "state.json")
     with open(state_path) as fh:
         state = _json.load(fh)
-    state["stages"] = state["stages"][:10]
+    state["stages"] = state["stages"][:12]
     with open(state_path, "w") as fh:
         _json.dump(state, fh)
     t0 = time.perf_counter()
@@ -749,8 +768,14 @@ def curate_main(n_docs: int) -> None:
     out["resumed_stages"] = sum(1 for s in rep2["stages"] if s["resumed"])
     out["recomputed_stages"] = sum(
         1 for s in rep2["stages"] if not s["resumed"])
-    assert out["resumed_stages"] == 10 and out["recomputed_stages"] == 3
+    assert out["resumed_stages"] == 12 and out["recomputed_stages"] == 3
     assert rep2["rows_out"] == rep["rows_out"]
+    # embedding artifacts trained exactly once across both runs
+    out["kmeans_artifacts"] = len(glob.glob(
+        os.path.join(workdir, "models", "kmeans_*.json")))
+    out["contam_artifacts"] = len(glob.glob(
+        os.path.join(workdir, "models", "contam_*.parquet")))
+    assert out["kmeans_artifacts"] == 1 and out["contam_artifacts"] == 1
     print(_json.dumps(out))
 
 
