@@ -1265,6 +1265,19 @@ def _multimodal_png_fn(spark, sf_dir):
     return multimodal.decode_image_features(payloads)
 
 
+def _multimodal_jpeg_fn(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end: deterministic 4:2:0
+    3-component JPEGs whose constant 8x8 luma tiles + DC-quant-8 +
+    constant-128 chroma round-trip BIT-EXACTLY through the lossy format
+    (see synthesize_jpeg_payloads for the argument) → Arrow-batched
+    Huffman/IDCT decode → width/height/per-channel means. The SQL
+    oracle recomputes the closed-form tile means, value-gating the
+    whole marker/Huffman/dequant/IDCT/upsample/YCbCr path."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_jpeg_payloads(docs)
+    return multimodal.decode_image_features(payloads)
+
+
 def _multimodal_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs)
@@ -3038,6 +3051,21 @@ SELECT lang, doc_id FROM r WHERE rk <= 20
         "round(((13 * doc_id) % 256) * 1.0, 4) AS mean_b, "
         "true AS decode_ok FROM documents",
     ),
+    "multimodal_features_jpeg": (
+        _multimodal_jpeg_fn,
+        # closed-form features of the constant-tile fixture (see
+        # synthesize_jpeg_payloads): the Spark side actually
+        # Huffman-decodes + IDCTs every JPEG; the oracle recomputes
+        # what the tile grid must average to — exact because constant
+        # blocks with DC-quant 8 and 128-chroma survive the lossy
+        # format bit-for-bit
+        "SELECT doc_id AS id, (8 * (1 + doc_id % 5))::INT AS width, "
+        "(8 * (1 + doc_id % 3))::INT AS height, "
+        "round((doc_id % 179) + 2.0 * (doc_id % 3) + (doc_id % 5), 4) AS mean_r, "
+        "round((doc_id % 179) + 2.0 * (doc_id % 3) + (doc_id % 5), 4) AS mean_g, "
+        "round((doc_id % 179) + 2.0 * (doc_id % 3) + (doc_id % 5), 4) AS mean_b, "
+        "true AS decode_ok FROM documents",
+    ),
     "multimodal_features": (
         _multimodal_fn,
         "SELECT doc_id AS id, strlen(text)::BIGINT AS byte_len, md5(text) AS digest, "
@@ -3794,6 +3822,7 @@ _DRIVER_PRIORITY = [
     # QueryPlan.__init__), the window-path twins those share plan code
     # with, and the two similarity queries whose module gained the
     # eval_id-collision / empty-corpus guards
+    "multimodal_features_jpeg",
     "fr_seq_max_duration_segmented", "fr_sequence_segmented",
     "fr_seq_max_duration", "fr_sequence", "fr_funnel_steps",
     "decontaminate_semantic", "dedup_embedding_cosine",

@@ -5,15 +5,18 @@ next to them. The Spark-side machinery here is real and tested — schemas,
 Arrow-batched ``mapInPandas`` decode stage, partition-size guidance. The
 codec layer is split honestly in two:
 
-* REAL decode for the container formats that need no codec library:
-  binary PPM (P6) and uncompressed 24-bit BMP, parsed in pure numpy
-  (``decode_image``), with pixel-level feature extraction
+* REAL decode, pure stdlib + numpy, no codec library: binary PPM (P6),
+  uncompressed 24-bit BMP, PNG (stdlib zlib + scanline unfiltering, r9)
+  and baseline JPEG (markers/Huffman/dequant/IDCT/upsampling, r10 —
+  validated pixel-level against the independent JVM ImageIO decoder),
+  all through ``decode_image``, with pixel-level feature extraction
   (``decode_image_features``) and a true nearest-neighbor thumbnailer
   (``resize_decoded_images``) built on top.
-* STUB for compressed codecs (PNG/JPEG/audio/video — PIL/torchaudio/pyav
-  are not available in this environment): ``decode_image_stub`` raises
-  ``NotImplementedError`` where the real decoder plugs in, and
-  ``decode_features`` computes deterministic byte-level stand-ins.
+* HONEST SEAMS for the rest (progressive/12-bit/CMYK JPEG, WebP,
+  audio/video — PIL/torchaudio/pyav are not available in this
+  environment): ``NotImplementedError`` where a real decoder plugs in
+  (optional-PIL fall-through when installed), and ``decode_features``
+  computes deterministic byte-level stand-ins.
 
 At 100 TB: binary columns dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` for ~128 MB of *payload*, keep the
@@ -218,6 +221,593 @@ def encode_png(img) -> bytes:
             + chunk(b"IEND", b""))
 
 
+# --------------------------------------------------------------------------- #
+# Baseline JPEG (ITU T.81 / ISO 10918-1), pure stdlib + numpy — the r9 PNG
+# codec proved library-free codecs are tractable; this closes the JPEG seam
+# the optional-PIL path left untestable in this container. Supported profile:
+# baseline DCT (SOF0), 8-bit, Huffman-coded, 1 or 3 components, any
+# sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals.
+# Progressive (SOF2), arithmetic coding, 12-bit and CMYK stay honest
+# ``NotImplementedError`` seams. The encoder exists to mint deterministic
+# fixtures that prove the decoder (like ``encode_png``), writing the
+# standard Annex-K Huffman tables into DHT segments — decode never assumes
+# them, it always reads the tables from the file.
+
+_JPEG_ZIGZAG = [  # k-th zigzag coefficient -> raster index
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU T.81 Annex K.3 typical Huffman tables: (bits[1..16], values).
+_STD_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+_STD_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _dct8_matrix():
+    """Orthonormal 8-point DCT-II matrix T: coef = T @ block @ T.T,
+    block = T.T @ coef @ T — one pair of 8x8 GEMMs per block, exact
+    inverse in float64 far below the quantizer's integer grid."""
+    import numpy as np
+
+    k = np.arange(8)
+    T = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    T[0] *= 1.0 / np.sqrt(2.0)
+    return T
+
+
+def _huff_decode_map(bits, vals):
+    """Canonical Huffman (T.81 C.2): {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_map(bits, vals):
+    """Canonical Huffman, encoder direction: {symbol: (code, length)}."""
+    return {sym: (code, length)
+            for (length, code), sym in _huff_decode_map(bits, vals).items()}
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: entropy data exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_read_symbol(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: size-bit magnitude -> signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _entropy_segments(data: bytes, pos: int):
+    """Unstuff the scan's entropy bytes, split at RSTn markers.
+
+    Returns (segments, pos_after_scan). 0xFF00 unstuffs to a literal
+    0xFF; RST0-7 delimit restart intervals; any other marker ends the
+    scan."""
+    segs, cur, i = [], bytearray(), pos
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif nxt == 0xFF:  # fill byte
+            i += 1
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def _decode_jpeg(payload: bytes):
+    """REAL baseline JPEG decode — markers, Huffman, dequant, IDCT,
+    chroma upsampling, YCbCr→RGB. Returns (h, w, 3) uint8 RGB (grayscale
+    replicates, like ``_decode_png``). Unsupported JPEG *profiles*
+    raise ``NotImplementedError``; malformed streams ``ValueError``."""
+    import struct
+
+    import numpy as np
+
+    qtables: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None  # list of dicts: id, h, v, tq
+    height = width = None
+    restart_interval = 0
+    i = 2  # past SOI
+    n = len(payload)
+    scan = None
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            # parameterless markers (SOI/TEM/RSTn): no length field
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS: no image data
+            break
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        seg = payload[i + 4 : i + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("JPEG: truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant table")
+                qtables[tq] = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _huff_decode_map(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended seq.
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG: {prec}-bit precision")
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG: {nc} components (CMYK?)")
+            comps = [{"id": seg[6 + 3 * c],
+                      "h": seg[7 + 3 * c] >> 4, "v": seg[7 + 3 * c] & 15,
+                      "tq": seg[8 + 3 * c]} for c in range(nc)]
+        elif marker == 0xC2:
+            raise NotImplementedError("JPEG: progressive (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: non-baseline SOF (0xFF{marker:02X})")
+        elif marker == 0xCC:
+            raise NotImplementedError("JPEG: arithmetic coding (DAC)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [{"id": seg[1 + 2 * s], "td": seg[2 + 2 * s] >> 4,
+                     "ta": seg[2 + 2 * s] & 15} for s in range(ns)]
+            i = i + 2 + seglen
+            break
+        # APPn / COM / others: skipped
+        i += 2 + seglen
+    if scan is None or comps is None:
+        raise ValueError("JPEG: missing SOS/SOF")
+    if height == 0 or width == 0:
+        raise ValueError("JPEG: zero dimensions (DNL not supported)")
+    segs, _end = _entropy_segments(payload, i)
+
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["id"]] for s in scan]
+    for c, s in zip(order, scan):
+        c["dc"] = huff_dc.get(s["td"])
+        c["ac"] = huff_ac.get(s["ta"])
+        if c["dc"] is None or c["ac"] is None:
+            raise ValueError("JPEG: scan references undefined DHT")
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG: component references undefined DQT")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("JPEG: zero sampling factor")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    T = _dct8_matrix()
+    planes = {c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]),
+                                dtype=np.float64) for c in comps}
+    pred = {c["id"]: 0 for c in comps}
+
+    seg_idx = 0
+    reader = _JpegBitReader(segs[0])
+    mcu_in_seg = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("JPEG: missing restart segment")
+                reader = _JpegBitReader(segs[seg_idx])
+                mcu_in_seg = 0
+                for c in comps:
+                    pred[c["id"]] = 0
+            mcu_in_seg += 1
+            for c in order:
+                qt = qtables[c["tq"]]
+                plane = planes[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        s = _huff_read_symbol(reader, c["dc"])
+                        if s > 11:
+                            raise ValueError("JPEG: DC size > 11")
+                        diff = _extend(reader.receive(s), s)
+                        pred[c["id"]] += diff
+                        raster = np.zeros(64, dtype=np.float64)
+                        raster[0] = pred[c["id"]] * int(qt[0])
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read_symbol(reader, c["ac"])
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            raster[_JPEG_ZIGZAG[k]] = _extend(
+                                reader.receive(size), size) * int(qt[k])
+                            k += 1
+                        block = T.T @ raster.reshape(8, 8) @ T + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = block
+
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    Y, Cb, Cr = full
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)),
+                   0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:  # pad with 1-bits (T.81 F.1.2.3)
+            self.write(1, 1)
+
+
+def _size_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _encode_block(writer, coef_zz, pred, dc_map, ac_map):
+    """One quantized 64-coef block (zigzag order) -> bitstream."""
+    diff = int(coef_zz[0]) - pred
+    s = _size_category(diff)
+    code, length = dc_map[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_map[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = _size_category(v)
+        code, length = ac_map[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_map[0x00]  # EOB
+        writer.write(code, length)
+    return int(coef_zz[0])
+
+
+def _encode_jpeg_planes(planes, height, width, sampling, qtables,
+                        restart_interval: int = 0) -> bytes:
+    """Core JPEG writer over component PLANES (values 0-255, already in
+    the target color space): ``planes[i]`` has shape (ceil(h*v_i/vmax),
+    ceil(w*h_i/hmax)) padded by the caller to full MCUs. ``sampling`` =
+    [(h_i, v_i)], ``qtables`` = one or two 64-entry zigzag-order arrays
+    (luma, chroma). Baseline, interleaved, standard Annex-K Huffman;
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exists chiefly so the decoder's restart path has a real
+    bitstream to prove itself against)."""
+    import struct
+
+    import numpy as np
+
+    nc = len(planes)
+    T = _dct8_matrix()
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    def pad_plane(p, bh, bw):
+        py = bh * 8 - p.shape[0]
+        px = bw * 8 - p.shape[1]
+        if py or px:
+            p = np.pad(p, ((0, py), (0, px)), mode="edge")
+        return p.astype(np.float64)
+
+    padded = [pad_plane(np.asarray(p), mcuy * v, mcux * h)
+              for p, (h, v) in zip(planes, sampling)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qts = [np.asarray(q, dtype=np.int32) for q in qtables]
+    for tq, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(x) for x in q)
+    # SOF0
+    sof = struct.pack(">BHHB", 8, height, width, nc)
+    for ci, (h, v) in enumerate(sampling):
+        tq = 0 if ci == 0 else min(1, len(qts) - 1)
+        sof += bytes([ci + 1, (h << 4) | v, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT x (2 or 4)
+    tables = [(0, 0, _STD_DC_LUMA), (1, 0, _STD_AC_LUMA)]
+    if nc > 1:
+        tables += [(0, 1, _STD_DC_CHROMA), (1, 1, _STD_AC_CHROMA)]
+    for tc, th, (bits, vals) in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([nc])
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1 if nc > 1 else 0
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_maps = [_huff_encode_map(*_STD_DC_LUMA)]
+    ac_maps = [_huff_encode_map(*_STD_AC_LUMA)]
+    if nc > 1:
+        dc_maps.append(_huff_encode_map(*_STD_DC_CHROMA))
+        ac_maps.append(_huff_encode_map(*_STD_AC_CHROMA))
+    zz = np.array(_JPEG_ZIGZAG)
+    writer = _JpegBitWriter()
+    pred = [0] * nc
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                writer.flush()  # byte-align, then the restart marker
+                out_marker = bytes([0xFF, 0xD0 + rst])
+                writer.out.extend(out_marker)
+                rst = (rst + 1) % 8
+                pred = [0] * nc
+            mcu_count += 1
+            for ci in range(nc):
+                h, v = sampling[ci]
+                qt = qts[0 if ci == 0 else min(1, len(qts) - 1)]
+                ti = 0 if ci == 0 else min(1, nc - 1)
+                for by in range(v):
+                    for bx in range(h):
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = T @ (block - 128.0) @ T.T
+                        coef_zz = np.round(
+                            coef.reshape(64)[zz] / qt).astype(np.int64)
+                        pred[ci] = _encode_block(
+                            writer, coef_zz, pred[ci],
+                            dc_maps[ti], ac_maps[ti])
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# libjpeg Annex-K base quantization tables (quality scaling below)
+_JPEG_BASE_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_BASE_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _quality_qt(base, quality: int):
+    import numpy as np
+
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (np.array(base, dtype=np.int64)[np.array(_JPEG_ZIGZAG)]
+         * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def encode_jpeg(img, quality: int = 90, subsample: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) gray) → baseline JPEG bytes.
+    ``subsample``: "444" (no chroma subsampling) or "420". Like
+    ``encode_png``, this exists to mint deterministic fixtures proving
+    the decoder — lossy round-trip error is bounded by the quantizer
+    (tests pin it), not zero."""
+    import numpy as np
+
+    img = np.asarray(img)
+    if img.ndim == 2:
+        h, w = img.shape
+        return _encode_jpeg_planes(
+            [img], h, w, [(1, 1)], [_quality_qt(_JPEG_BASE_QT_LUMA,
+                                                quality)])
+    h, w = img.shape[0], img.shape[1]
+    rgb = img.astype(np.float64)
+    y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+    cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+        + 0.5 * rgb[..., 2]
+    cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+        - 0.081312 * rgb[..., 2]
+    y, cb, cr = (np.round(p) for p in (y, cb, cr))
+    if subsample == "420":
+        # 2x2 box-average chroma on an edge-padded even grid
+        def down(p):
+            pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                        mode="edge")
+            return np.round((pe[0::2, 0::2] + pe[0::2, 1::2]
+                             + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0)
+
+        return _encode_jpeg_planes(
+            [y, down(cb), down(cr)], h, w, [(2, 2), (1, 1), (1, 1)],
+            [_quality_qt(_JPEG_BASE_QT_LUMA, quality),
+             _quality_qt(_JPEG_BASE_QT_CHROMA, quality)])
+    if subsample != "444":
+        raise ValueError(f"subsample must be 444 or 420: {subsample!r}")
+    return _encode_jpeg_planes(
+        [y, cb, cr], h, w, [(1, 1), (1, 1), (1, 1)],
+        [_quality_qt(_JPEG_BASE_QT_LUMA, quality),
+         _quality_qt(_JPEG_BASE_QT_CHROMA, quality)])
+
+
+def _try_pil():
+    """The optional-PIL import, one place: the Image module when Pillow
+    is installed (deployment / test-injected fake), else None."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes):
     """REAL image decode, pure stdlib + numpy:
 
@@ -292,14 +882,23 @@ def decode_image(payload: bytes):
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(payload)
 
+    if payload[:2] == b"\xff\xd8":
+        try:
+            return _decode_jpeg(payload)
+        except NotImplementedError:
+            # unsupported JPEG PROFILE (progressive/12-bit/CMYK/
+            # arithmetic): fall through to the optional-PIL seam below;
+            # re-raised there when PIL is absent. Malformed baseline
+            # streams stay ValueError (no second decode attempt).
+            if _try_pil() is None:
+                raise
+
     # Optional-PIL seam: when Pillow is importable (deployment), any
-    # remaining compressed codec (JPEG/WebP/TIFF/...) decodes here with
-    # the same (h, w, 3) uint8 RGB contract; this container has no PIL,
-    # so the seam is exercised in tests via an injected fake module.
-    try:
-        from PIL import Image  # noqa: PLC0415
-    except ImportError:
-        Image = None
+    # remaining compressed codec (WebP/TIFF/progressive-JPEG/...)
+    # decodes here with the same (h, w, 3) uint8 RGB contract; this
+    # container has no PIL, so the seam is exercised in tests via an
+    # injected fake module.
+    Image = _try_pil()
     if Image is not None:
         import io
 
@@ -364,6 +963,53 @@ def synthesize_png_payloads(df: DataFrame,
 
     return df.select(F.col(id_col)).mapInPandas(
         build, schema="id bigint, payload binary")
+
+
+def synthesize_jpeg_payloads(df: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG fixture stream — real baseline 4:2:0 payloads
+    with CLOSED-FORM features, the lossy-codec twin of
+    ``synthesize_png_payloads``. Exactness argument: each image is a
+    grid of CONSTANT 8x8 luma tiles (a constant block's DCT is pure DC
+    = 8·(v−128); with every quantizer entry 8 the quantized DC is the
+    integer v−128, zero rounding), and chroma is constant 128 (all
+    coefficients 0; Cb=Cr=128 makes the decoder's YCbCr→RGB the
+    identity), so the decode is BIT-EXACT despite the lossy format and
+    a SQL oracle can state the means in closed form:
+
+    for id i, (1 + i%3) x (1 + i%5) tiles of 8x8 px — tile (r, c) has
+    gray value (i%179) + 4r + 2c (max 194, never wraps) — hence
+    ``width = 8·(1 + i%5)``, ``height = 8·(1 + i%3)``, and
+    ``mean_r = mean_g = mean_b = (i%179) + 2·(i%3) + (i%5)`` exactly.
+    Every payload still exercises the full baseline path: 3-component
+    interleaved MCUs, 2x2 luma sampling, Huffman DC diffs across tiles,
+    EOB, dequant, IDCT, upsampling, color transform. (Non-constant
+    blocks round-trip only within the quantizer bound — those AC paths
+    are pinned by pytest, not the oracle.)"""
+    import numpy as np
+
+    q8 = [8] * 64
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                ht, wt = 1 + i % 3, 1 + i % 5
+                h, w = 8 * ht, 8 * wt
+                tiles = ((i % 179)
+                         + 4 * np.arange(ht, dtype=np.float64)[:, None]
+                         + 2 * np.arange(wt, dtype=np.float64)[None, :])
+                y_plane = np.kron(tiles, np.ones((8, 8)))
+                c_plane = np.full((-(-h // 2), -(-w // 2)), 128.0)
+                payloads.append(_encode_jpeg_planes(
+                    [y_plane, c_plane, c_plane], h, w,
+                    [(2, 2), (1, 1), (1, 1)], [q8, q8]))
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        build, schema="id bigint, payload binary")
+
 
 
 def decode_image_features(df: DataFrame, payload_col: str = "payload",

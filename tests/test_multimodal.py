@@ -258,8 +258,11 @@ def test_png_rejects_corruption_and_exotics():
 
 def test_pil_seam_decodes_jpeg_when_available(monkeypatch):
     """The optional-PIL path: with a (fake) PIL importable, an unknown
-    format routes through Image.open(...).convert('RGB') and returns the
-    ndarray — the exact deployment contract for JPEG/WebP."""
+    format (WebP magic) routes through Image.open(...).convert('RGB')
+    and returns the ndarray; a JPEG whose PROFILE the native baseline
+    decoder rejects (progressive SOF2) falls through to the same seam
+    rather than dying on the NotImplementedError — the deployment
+    contract now that baseline JPEG decodes natively."""
     import sys
     import types
 
@@ -278,8 +281,17 @@ def test_pil_seam_decodes_jpeg_when_available(monkeypatch):
     fake_pil.Image = fake_image_mod
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
-    out = multimodal.decode_image(b"\xff\xd8\xff fake jpeg bytes")
+    out = multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPfake")
     assert np.array_equal(out, want)
+    # minimal progressive JPEG: SOI + SOF2 (len-4 segment) — the native
+    # decoder raises NotImplementedError, the seam catches it
+    progressive = b"\xff\xd8\xff\xc2\x00\x04\x08\x00"
+    out = multimodal.decode_image(progressive)
+    assert np.array_equal(out, want)
+    # MALFORMED baseline JPEG stays a native ValueError — no second
+    # decode attempt through PIL
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff truncated jpeg")
 
 
 def test_png_feature_query_decodes_fixture_corpus(spark):
@@ -328,7 +340,9 @@ def test_decode_errors_normalize_to_valueerror(monkeypatch):
         multimodal.decode_image(bytes(short))
 
     # PIL present but the payload is garbage: UnidentifiedImageError is
-    # an OSError, not a ValueError — must come out normalized
+    # an OSError, not a ValueError — must come out normalized (the
+    # progressive-JPEG prefix falls through the native decoder's
+    # NotImplementedError into the PIL seam)
     def _boom(buf):
         raise OSError("cannot identify image file")
     fake_image_mod = types.SimpleNamespace(open=_boom)
@@ -337,4 +351,206 @@ def test_decode_errors_normalize_to_valueerror(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
     with pytest.raises(ValueError, match="PIL decode failed"):
-        multimodal.decode_image(b"\xff\xd8\xff truncated jpeg")
+        multimodal.decode_image(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")
+
+
+def test_jpeg_fixture_roundtrip_exact():
+    """The oracle fixture's exactness claim, asserted pixel-level:
+    constant 8x8 luma tiles + all-8 quant + constant-128 chroma survive
+    the lossy format bit-for-bit (constant block -> pure DC = 8(v-128),
+    quantizer 8 -> integer, chroma all-zero coefficients)."""
+    import numpy as np
+
+    q8 = [8] * 64
+    for i in (0, 1, 7, 23, 123, 178):
+        ht, wt = 1 + i % 3, 1 + i % 5
+        h, w = 8 * ht, 8 * wt
+        tiles = ((i % 179) + 4 * np.arange(ht)[:, None]
+                 + 2 * np.arange(wt)[None, :]).astype(np.float64)
+        y_plane = np.kron(tiles, np.ones((8, 8)))
+        c_plane = np.full((-(-h // 2), -(-w // 2)), 128.0)
+        payload = multimodal._encode_jpeg_planes(
+            [y_plane, c_plane, c_plane], h, w,
+            [(2, 2), (1, 1), (1, 1)], [q8, q8])
+        img = multimodal.decode_image(payload)
+        assert img.shape == (h, w, 3)
+        want = y_plane.astype(np.uint8)
+        for ch in range(3):
+            assert np.array_equal(img[..., ch], want), (i, ch)
+
+
+def test_jpeg_roundtrip_error_bounded():
+    """AC-coefficient paths (runs, EOB, ZRL) via lossy round-trips:
+    smooth gradients reconstruct within a few levels at q95; a sparse
+    spike image (long zero runs -> ZRL symbols) and pure noise stay
+    within the quantizer's worst-case bound; grayscale single-component
+    decode replicates to 3 channels."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    ys, xs = np.mgrid[0:40, 0:56]
+    smooth = np.stack([(ys * 2 + xs) % 200 + 20, (xs * 3) % 180 + 30,
+                       np.full_like(ys, 77)], axis=2).astype(np.uint8)
+    dec = multimodal.decode_image(
+        multimodal.encode_jpeg(smooth, quality=95, subsample="444"))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 4
+
+    spikes = np.full((24, 24, 3), 128, dtype=np.uint8)
+    spikes[5, 17], spikes[20, 3] = (250, 10, 90), (0, 255, 128)
+    dec = multimodal.decode_image(
+        multimodal.encode_jpeg(spikes, quality=95, subsample="444"))
+    assert np.abs(dec.astype(int) - spikes.astype(int)).max() <= 48
+
+    noise = rng.randint(0, 256, (37, 53, 3)).astype(np.uint8)
+    for sub in ("444", "420"):
+        dec = multimodal.decode_image(
+            multimodal.encode_jpeg(noise, quality=95, subsample=sub))
+        assert dec.shape == noise.shape
+        # luma-ish bound: noise chroma at 420 is unrecoverable by design,
+        # but the decoded mean must track closely
+        assert abs(float(dec.mean()) - float(noise.mean())) <= 3.0
+
+    g = rng.randint(0, 256, (17, 29)).astype(np.uint8)
+    dec = multimodal.decode_image(multimodal.encode_jpeg(g, quality=90))
+    assert dec.shape == (17, 29, 3)
+    assert np.array_equal(dec[..., 0], dec[..., 1])
+    assert np.abs(dec[..., 0].astype(int) - g.astype(int)).max() <= 16
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: the same image encoded with restart intervals decodes
+    identically to the unsegmented stream (predictors reset per
+    interval, entropy segments re-aligned)."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:24, 0:40]
+    img = np.stack([(ys * 5 + xs * 2) % 230, (xs * 4) % 220,
+                    (ys * 3) % 210], axis=2).astype(np.uint8)
+    plain = multimodal.decode_image(
+        multimodal.encode_jpeg(img, quality=90, subsample="444"))
+    for ri in (1, 2, 5):
+        rgb = img.astype(np.float64)
+        y = np.round(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                     + 0.114 * rgb[..., 2])
+        cb = np.round(128.0 - 0.168736 * rgb[..., 0]
+                      - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2])
+        cr = np.round(128.0 + 0.5 * rgb[..., 0]
+                      - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2])
+        payload = multimodal._encode_jpeg_planes(
+            [y, cb, cr], 24, 40, [(1, 1), (1, 1), (1, 1)],
+            [multimodal._quality_qt(multimodal._JPEG_BASE_QT_LUMA, 90),
+             multimodal._quality_qt(multimodal._JPEG_BASE_QT_CHROMA, 90)],
+            restart_interval=ri)
+        assert b"\xff\xdd" in payload  # DRI present
+        dec = multimodal.decode_image(payload)
+        assert np.array_equal(dec, plain), ri
+
+
+def test_jpeg_decodes_real_world_files():
+    """Spark ships real libjpeg-produced baseline JPEGs in its mllib
+    test data — decode them and pin shape + stability. (Pixel-level
+    agreement vs the JVM ImageIO decoder is asserted in
+    test_jpeg_matches_imageio, which needs the spark fixture.)"""
+    import glob as _glob
+
+    import numpy as np
+
+    files = sorted(_glob.glob(
+        "/opt/spark-*/data/mllib/images/origin/kittens/*.jpg"))
+    if not files:
+        pytest.skip("pyspark distribution images not present")
+    decoded = 0
+    for f in files:
+        data = open(f, "rb").read()
+        img = multimodal.decode_image(data)
+        assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+        decoded += 1
+    assert decoded >= 3
+
+
+def test_jpeg_matches_imageio(spark):
+    """Independent-decoder agreement: the JVM ImageIO decode (Spark's
+    `image` data source) vs this pure-numpy decoder on real baseline
+    JPEGs — within the small variance two conforming decoders may have
+    (IDCT rounding ±1; chroma upsampling: ImageIO interpolates, we
+    replicate like libjpeg -nosmooth)."""
+    import glob as _glob
+
+    import numpy as np
+
+    dirs = _glob.glob("/opt/spark-*/data/mllib/images/origin/kittens")
+    if not dirs:
+        pytest.skip("pyspark distribution images not present")
+    rows = (spark.read.format("image").load(dirs[0])
+            .select("image.origin", "image.height", "image.width",
+                    "image.nChannels", "image.data").collect())
+    checked = 0
+    for r in rows:
+        f = r["origin"].replace("file:", "")
+        if not f.endswith(".jpg"):
+            continue
+        try:
+            mine = multimodal._decode_jpeg(open(f, "rb").read())
+        except NotImplementedError:
+            continue  # progressive etc. — not the contract under test
+        ref = np.frombuffer(bytes(r["data"]), dtype=np.uint8).reshape(
+            r["height"], r["width"], r["nChannels"])[..., ::-1]
+        assert mine.shape == ref.shape
+        d = np.abs(mine.astype(int) - ref.astype(int))
+        assert d.mean() < 1.0, f
+        assert np.percentile(d, 99.9) <= 8, f
+        checked += 1
+    assert checked >= 3
+
+
+def test_jpeg_rejects_unsupported_and_malformed():
+    """Profile seams raise NotImplementedError; malformed streams raise
+    ValueError — the extractor catch contract."""
+    import struct
+
+    # progressive (SOF2)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        multimodal._decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")
+    # arithmetic coding conditioning (DAC)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        multimodal._decode_jpeg(b"\xff\xd8\xff\xcc\x00\x04\x00\x00")
+    # 12-bit precision SOF0
+    sof12 = b"\x0c" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        multimodal._decode_jpeg(
+            b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(sof12)) + sof12)
+    # 4-component (CMYK-ish) SOF0
+    sof4 = b"\x08" + struct.pack(">HH", 8, 8) + b"\x04" + \
+        b"".join(bytes([c + 1, 0x11, 0]) for c in range(4))
+    with pytest.raises(NotImplementedError, match="components"):
+        multimodal._decode_jpeg(
+            b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(sof4)) + sof4)
+    # truncated segment / missing SOS / entropy exhaustion
+    with pytest.raises(ValueError):
+        multimodal._decode_jpeg(b"\xff\xd8\xff\xdb\xff\xff")
+    with pytest.raises(ValueError, match="SOS"):
+        multimodal._decode_jpeg(b"\xff\xd8\xff\xd9\x00\x00")
+    import numpy as np
+    good = multimodal.encode_jpeg(
+        np.full((8, 8, 3), 99, dtype=np.uint8), quality=90)
+    with pytest.raises(ValueError):
+        multimodal._decode_jpeg(good[:len(good) // 2])
+    # the progressive profile seam surfaces through decode_image too
+    # (no PIL in this container)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")
+
+
+def test_jpeg_feature_query_decodes_fixture_corpus(spark):
+    """The catalog fixture end-to-end at unit scale: synthesized
+    constant-tile JPEGs decode back to their closed-form features."""
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    feats = multimodal.decode_image_features(
+        multimodal.synthesize_jpeg_payloads(docs)).collect()
+    assert len(feats) == 30
+    for r in feats:
+        i = r["id"]
+        want = float((i % 179) + 2 * (i % 3) + (i % 5))
+        assert r["decode_ok"] and r["width"] == 8 * (1 + i % 5)
+        assert r["height"] == 8 * (1 + i % 3)
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"] == want
