@@ -1278,6 +1278,17 @@ def _multimodal_jpeg_fn(spark, sf_dir):
     return multimodal.decode_image_features(payloads)
 
 
+def _multimodal_wav_fn(spark, sf_dir):
+    """REAL audio decode end-to-end: deterministic square-wave PCM WAVs
+    (odd amplitudes — provably no 6dp rounding ties, see
+    synthesize_wav_payloads) → Arrow-batched RIFF parse + sample
+    features. rms = peak = amplitude exactly; the SQL oracle recomputes
+    the closed forms."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_wav_payloads(docs)
+    return multimodal.decode_audio_features(payloads)
+
+
 def _multimodal_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs)
@@ -3066,6 +3077,21 @@ SELECT lang, doc_id FROM r WHERE rk <= 20
         "round((doc_id % 179) + 2.0 * (doc_id % 3) + (doc_id % 5), 4) AS mean_b, "
         "true AS decode_ok FROM documents",
     ),
+    "multimodal_audio_wav": (
+        _multimodal_wav_fn,
+        # closed-form features of the square-wave fixture (see
+        # synthesize_wav_payloads): the Spark side actually parses the
+        # RIFF container and computes rms/peak/zero-crossings from the
+        # decoded samples; the oracle restates the closed forms
+        "SELECT doc_id AS id, (8000 * (1 + doc_id % 3))::INT AS sample_rate, "
+        "1::INT AS channels, (64 * (1 + doc_id % 8))::BIGINT AS n_samples, "
+        "((64 * (1 + doc_id % 8)) * 1000 // (8000 * (1 + doc_id % 3)))::BIGINT"
+        " AS duration_ms, "
+        "round((101 + 2 * (doc_id % 450)) / 32768.0, 6) AS rms, "
+        "round((101 + 2 * (doc_id % 450)) / 32768.0, 6) AS peak, "
+        "(64 * (1 + doc_id % 8) - 1)::BIGINT AS zero_crossings, "
+        "true AS decode_ok FROM documents",
+    ),
     "multimodal_features": (
         _multimodal_fn,
         "SELECT doc_id AS id, strlen(text)::BIGINT AS byte_len, md5(text) AS digest, "
@@ -3822,7 +3848,7 @@ _DRIVER_PRIORITY = [
     # QueryPlan.__init__), the window-path twins those share plan code
     # with, and the two similarity queries whose module gained the
     # eval_id-collision / empty-corpus guards
-    "multimodal_features_jpeg",
+    "multimodal_features_jpeg", "multimodal_audio_wav",
     "fr_seq_max_duration_segmented", "fr_sequence_segmented",
     "fr_seq_max_duration", "fr_sequence", "fr_funnel_steps",
     "decontaminate_semantic", "dedup_embedding_cosine",

@@ -1012,6 +1012,189 @@ def synthesize_jpeg_payloads(df: DataFrame,
 
 
 
+# --------------------------------------------------------------------------- #
+# Audio: PCM WAV is a codec-free container (RIFF chunks + raw samples) — the
+# audio twin of PPM/BMP, decoded for REAL in pure stdlib + numpy. Compressed
+# audio (MP3/AAC/OGG/FLAC) stays an honest NotImplementedError seam for
+# torchaudio/pyav in deployment; the Spark-side stage (schema, Arrow
+# batching, degrade path) is identical either way.
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM decode → (samples float64 in [-1, 1) shaped
+    (n, channels), sample_rate). Supports 8/16/24/32-bit integer PCM
+    (format 1) and 32/64-bit IEEE float (format 3), any channel count;
+    compressed formats (MP3 inside WAV, ADPCM, …) raise
+    ``NotImplementedError``; malformed payloads ``ValueError``."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("WAV: not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("WAV: truncated chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("WAV: short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format == 0xFFFE and len(payload) >= 0:  # WAVE_FORMAT_EXTENSIBLE
+        raise NotImplementedError("WAV: extensible format")
+    if audio_format not in (1, 3):
+        raise NotImplementedError(
+            f"WAV: compressed audio format {audio_format} "
+            "(install torchaudio/pyav to decode)")
+    if channels < 1:
+        raise ValueError("WAV: zero channels")
+    if audio_format == 3:
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"WAV: float PCM with {bits} bits")
+    elif bits == 8:  # unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3).astype(np.uint32)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v = v.astype(np.int32)
+        v[v >= (1 << 23)] -= 1 << 24
+        x = v.astype(np.float64) / float(1 << 23)
+    elif bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) \
+            / float(1 << 31)
+    else:
+        raise ValueError(f"WAV: integer PCM with {bits} bits")
+    frames = len(x) // channels
+    return x[: frames * channels].reshape(frames, channels), sample_rate
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """(n,) or (n, channels) float in [-1, 1] → 16-bit PCM WAV bytes —
+    the fixture-minting twin of ``decode_wav`` (like ``encode_png``)."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    channels = x.shape[1]
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.reshape(-1).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "id bigint, sample_rate int, channels int, n_samples bigint, "
+    "duration_ms bigint, rms double, peak double, zero_crossings bigint, "
+    "decode_ok boolean"
+)
+
+
+def decode_audio_features(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "id") -> DataFrame:
+    """Sample-level audio features over a binary WAV column — the REAL
+    audio decode stage: per-payload (sample_rate, channels, n_samples,
+    duration_ms, rms, peak, zero_crossings), with the same
+    decode_ok=false degrade path as the image extractors (a corrupt or
+    compressed blob must not kill the stage). rms/peak are over the
+    mono mixdown (channel mean), rounded to 6dp; zero_crossings counts
+    strict sign changes."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": pdf[id_col], "sample_rate": [], "channels": [],
+                   "n_samples": [], "duration_ms": [], "rms": [],
+                   "peak": [], "zero_crossings": [], "decode_ok": []}
+            for payload in pdf[payload_col]:
+                try:
+                    x, sr = decode_wav(bytes(payload or b""))
+                    mono = x.mean(axis=1)
+                    out["sample_rate"].append(sr)
+                    out["channels"].append(x.shape[1])
+                    out["n_samples"].append(x.shape[0])
+                    out["duration_ms"].append(
+                        x.shape[0] * 1000 // sr if sr else 0)
+                    out["rms"].append(
+                        round(float(np.sqrt(np.mean(mono ** 2))), 6)
+                        if len(mono) else 0.0)
+                    out["peak"].append(
+                        round(float(np.abs(mono).max()), 6)
+                        if len(mono) else 0.0)
+                    s = np.sign(mono)
+                    s = s[s != 0]
+                    out["zero_crossings"].append(
+                        int(np.sum(s[1:] != s[:-1])) if len(s) else 0)
+                    out["decode_ok"].append(True)
+                except (NotImplementedError, ValueError, IndexError):
+                    for k in ("sample_rate", "channels", "n_samples",
+                              "duration_ms", "rms", "peak",
+                              "zero_crossings"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def synthesize_wav_payloads(df: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV fixture stream with CLOSED-FORM features, the
+    audio twin of ``synthesize_jpeg_payloads``: for id i, a square wave
+    alternating ±a where ``a = (101 + 2·(i % 450))/32768`` — an ODD
+    integer PCM value, which provably never lands on an exact 6-decimal
+    rounding tie (a tie needs k·15625 ≡ 256 mod 512, impossible for odd
+    k), so Python's round-half-even and SQL's round-half-away agree on
+    every id. ``n = 64·(1 + i%8)`` samples (even → mean 0), mono,
+    ``sample_rate = 8000·(1 + i%3)``. Hence rms = peak = a exactly
+    (alternating ±a squares to the constant a²; IEEE sqrt of an exact
+    square is exact), zero_crossings = n−1, duration_ms = n·1000 // sr
+    — all closed-form for the SQL oracle."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                a = (101 + 2 * (i % 450)) / 32768.0
+                n_samp = 64 * (1 + i % 8)
+                sr = 8000 * (1 + i % 3)
+                wave = np.where(np.arange(n_samp) % 2 == 0, a, -a)
+                payloads.append(encode_wav(wave, sr))
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        build, schema="id bigint, payload binary")
+
+
 def decode_image_features(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "id") -> DataFrame:
     """Pixel-level feature extraction over a binary image column — the

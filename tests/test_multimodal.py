@@ -554,3 +554,83 @@ def test_jpeg_feature_query_decodes_fixture_corpus(spark):
         assert r["decode_ok"] and r["width"] == 8 * (1 + i % 5)
         assert r["height"] == 8 * (1 + i % 3)
         assert r["mean_r"] == r["mean_g"] == r["mean_b"] == want
+
+
+def test_wav_roundtrip_and_bit_depths():
+    """16-bit encode round-trips within 1 LSB; 8/24/32-bit integer and
+    32/64-bit float payloads (hand-packed, independent of the encoder)
+    decode to the same normalized samples."""
+    import struct
+
+    import numpy as np
+
+    x = np.sin(np.arange(500) * 0.1) * 0.7
+    y, sr = multimodal.decode_wav(multimodal.encode_wav(x, 16000))
+    assert sr == 16000 and y.shape == (500, 1)
+    assert np.abs(y[:, 0] - x).max() <= 1.0 / 32768
+
+    st = np.stack([x, -x], axis=1)
+    y, sr = multimodal.decode_wav(multimodal.encode_wav(st, 44100))
+    assert y.shape == (500, 2)
+    assert np.abs(y[:, 1] + y[:, 0]).max() <= 2.0 / 32768
+
+    def wav(fmt_code, bits, data, channels=1, sr=8000):
+        fmt = struct.pack("<HHIIHH", fmt_code, channels, sr,
+                          sr * channels * bits // 8,
+                          channels * bits // 8, bits)
+        return (b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    # 8-bit unsigned: 128 -> 0.0, 255 -> ~+1, 0 -> -1
+    y, _ = multimodal.decode_wav(wav(1, 8, bytes([128, 255, 0])))
+    assert y[0, 0] == 0.0 and y[1, 0] > 0.99 and y[2, 0] == -1.0
+    # 24-bit: max positive / min negative / zero
+    d24 = b"\xff\xff\x7f" + b"\x00\x00\x80" + b"\x00\x00\x00"
+    y, _ = multimodal.decode_wav(wav(1, 24, d24))
+    assert y[0, 0] > 0.999 and y[1, 0] == -1.0 and y[2, 0] == 0.0
+    # 32-bit int and floats
+    y, _ = multimodal.decode_wav(wav(1, 32, struct.pack("<i", -(1 << 31))))
+    assert y[0, 0] == -1.0
+    y, _ = multimodal.decode_wav(wav(3, 32, struct.pack("<f", 0.25)))
+    assert y[0, 0] == 0.25
+    y, _ = multimodal.decode_wav(wav(3, 64, struct.pack("<d", -0.5)))
+    assert y[0, 0] == -0.5
+
+    # seams: compressed formats NotImplementedError, malformed ValueError
+    with pytest.raises(NotImplementedError, match="compressed"):
+        multimodal.decode_wav(wav(85, 16, b"\x00\x00"))  # MP3-in-WAV
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"not audio at all")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav(
+            b"RIFF\xff\x00\x00\x00WAVEfmt " + struct.pack("<I", 99))
+
+
+def test_wav_feature_query_decodes_fixture_corpus(spark):
+    """The catalog fixture end-to-end at unit scale: square-wave WAVs
+    decode back to their closed-form features (rms = peak = the exact
+    odd-amplitude value, zero_crossings = n-1), and a corrupt payload
+    degrades to decode_ok=false instead of killing the stage."""
+    docs = spark.range(25).select(F.col("id").alias("doc_id"))
+    feats = multimodal.decode_audio_features(
+        multimodal.synthesize_wav_payloads(docs)).collect()
+    assert len(feats) == 25
+    for r in feats:
+        i = r["id"]
+        a = round((101 + 2 * (i % 450)) / 32768.0, 6)
+        n = 64 * (1 + i % 8)
+        sr = 8000 * (1 + i % 3)
+        assert r["decode_ok"] and r["sample_rate"] == sr
+        assert r["channels"] == 1 and r["n_samples"] == n
+        assert r["duration_ms"] == n * 1000 // sr
+        assert r["rms"] == a == r["peak"]
+        assert r["zero_crossings"] == n - 1
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04compressed mp3 bytes"))],
+        "id long, payload binary")
+    row = multimodal.decode_audio_features(bad).collect()[0]
+    assert row["decode_ok"] is False and row["rms"] is None
