@@ -13,6 +13,6 @@ Semantics parity targets are cited throughout as ``reference file:line``.
 from funnel_rocket_spark.engine.engine import QueryEngine
 from funnel_rocket_spark.catalog import Dataset, register_dataset
 
-__version__ = "0.9.0"  # keep in lockstep with pyproject.toml
+__version__ = "0.10.0"  # keep in lockstep with pyproject.toml
 
 __all__ = ["QueryEngine", "Dataset", "register_dataset", "__version__"]
