@@ -1289,6 +1289,17 @@ def _multimodal_wav_fn(spark, sf_dir):
     return multimodal.decode_audio_features(payloads)
 
 
+def _multimodal_y4m_fn(spark, sf_dir):
+    """REAL video decode end-to-end (1-to-many frame explosion):
+    deterministic constant-gray Y4M clips (gray → Cb=Cr=128 exactly
+    under the JPEG matrix, so values survive YCbCr bit-for-bit) →
+    Arrow-batched planar-YUV parse → per-frame pixel means. The SQL
+    oracle restates the closed forms over a per-id frame series."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_y4m_payloads(docs)
+    return multimodal.decode_video_frames(payloads)
+
+
 def _multimodal_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs)
@@ -3092,6 +3103,22 @@ SELECT lang, doc_id FROM r WHERE rk <= 20
         "(64 * (1 + doc_id % 8) - 1)::BIGINT AS zero_crossings, "
         "true AS decode_ok FROM documents",
     ),
+    "multimodal_video_y4m": (
+        _multimodal_y4m_fn,
+        # closed-form per-frame features of the constant-gray clip
+        # fixture (see synthesize_y4m_payloads): the Spark side actually
+        # parses the YUV planes of every frame; the oracle unnests a
+        # frame series per doc and restates the gray ramp
+        "SELECT doc_id AS id, f::INT AS frame_idx, "
+        "(8 * (1 + doc_id % 3))::INT AS width, "
+        "(8 * (1 + doc_id % 2))::INT AS height, "
+        "(1 + doc_id % 4)::INT AS n_frames, 25.0 AS fps, "
+        "round((doc_id % 200) + 10.0 * f, 4) AS mean_r, "
+        "round((doc_id % 200) + 10.0 * f, 4) AS mean_g, "
+        "round((doc_id % 200) + 10.0 * f, 4) AS mean_b, "
+        "true AS decode_ok FROM documents, "
+        "UNNEST(generate_series(0, (doc_id % 4)::BIGINT)) AS t(f)",
+    ),
     "multimodal_features": (
         _multimodal_fn,
         "SELECT doc_id AS id, strlen(text)::BIGINT AS byte_len, md5(text) AS digest, "
@@ -3849,6 +3876,7 @@ _DRIVER_PRIORITY = [
     # with, and the two similarity queries whose module gained the
     # eval_id-collision / empty-corpus guards
     "multimodal_features_jpeg", "multimodal_audio_wav",
+    "multimodal_video_y4m",
     "fr_seq_max_duration_segmented", "fr_sequence_segmented",
     "fr_seq_max_duration", "fr_sequence", "fr_funnel_steps",
     "decontaminate_semantic", "dedup_embedding_cosine",

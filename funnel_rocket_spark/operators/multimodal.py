@@ -1195,6 +1195,186 @@ def synthesize_wav_payloads(df: DataFrame,
         build, schema="id bigint, payload binary")
 
 
+# --------------------------------------------------------------------------- #
+# Video: Y4M (yuv4mpeg2) is the codec-free video container — a text header
+# plus raw planar YUV frames, the video twin of PPM/WAV. Decoded for REAL in
+# pure numpy; compressed video (H.264/VP9/AV1) stays an honest
+# NotImplementedError seam for pyav in deployment.
+
+
+def decode_y4m(payload: bytes):
+    """YUV4MPEG2 decode → (frames (n, h, w, 3) uint8 RGB, fps float).
+    Supports C420/C420jpeg/C420mpeg2/C420paldv (chroma nearest-upsampled)
+    and C444, full-range JPEG-style YCbCr→RGB (the same matrix as the
+    JPEG decoder — Cb=Cr=128 is the identity on gray). Interlaced
+    streams and other colorspaces raise ``NotImplementedError``;
+    malformed streams ``ValueError``."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("Y4M: missing YUV4MPEG2 signature")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M: unterminated stream header")
+    w = h = None
+    fps = 30.0
+    chroma = "420jpeg"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = int(num) / max(int(den), 1)
+        elif t[0] == "C":
+            chroma = t[1:]
+        elif t[0] == "I" and t[1:] not in ("p",):
+            raise NotImplementedError(f"Y4M: interlaced ({t})")
+    if not w or not h:
+        raise ValueError("Y4M: missing W/H in stream header")
+    if chroma.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("Y4M: odd dimensions with 420 chroma")
+        cw, ch_ = w // 2, h // 2
+    elif chroma == "444":
+        cw, ch_ = w, h
+    else:
+        raise NotImplementedError(f"Y4M: colorspace C{chroma}")
+    frame_bytes = w * h + 2 * cw * ch_
+
+    frames = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("Y4M: bad FRAME header")
+        pos = fnl + 1
+        raw = payload[pos : pos + frame_bytes]
+        if len(raw) != frame_bytes:
+            raise ValueError("Y4M: truncated frame")
+        pos += frame_bytes
+        y = np.frombuffer(raw[: w * h], dtype=np.uint8) \
+            .reshape(h, w).astype(np.float64)
+        cb = np.frombuffer(raw[w * h : w * h + cw * ch_], dtype=np.uint8) \
+            .reshape(ch_, cw).astype(np.float64)
+        cr = np.frombuffer(raw[w * h + cw * ch_ :], dtype=np.uint8) \
+            .reshape(ch_, cw).astype(np.float64)
+        if chroma.startswith("420"):
+            cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[:h, :w]
+            cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[:h, :w]
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        frames.append(np.clip(np.round(np.stack([r, g, b], axis=2)),
+                              0, 255).astype(np.uint8))
+    if not frames:
+        raise ValueError("Y4M: no frames")
+    return np.stack(frames), fps
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 RGB → Y4M bytes (C444, full-range JPEG YCbCr)
+    — the fixture-minting twin of ``decode_y4m``."""
+    import numpy as np
+
+    x = np.asarray(frames, dtype=np.float64)
+    n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    head = f"YUV4MPEG2 W{w} H{h} F{int(fps)}:1 Ip A1:1 C444\n".encode()
+    out = bytearray(head)
+    for f in range(n):
+        rgb = x[f]
+        y = np.round(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                     + 0.114 * rgb[..., 2])
+        cb = np.round(128.0 - 0.168736 * rgb[..., 0]
+                      - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2])
+        cr = np.round(128.0 + 0.5 * rgb[..., 0]
+                      - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2])
+        out += b"FRAME\n"
+        for p in (y, cb, cr):
+            out += np.clip(p, 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "id bigint, frame_idx int, width int, height int, n_frames int, "
+    "fps double, mean_r double, mean_g double, mean_b double, "
+    "decode_ok boolean"
+)
+
+
+def decode_video_frames(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "id") -> DataFrame:
+    """Per-FRAME pixel features over a binary Y4M column — the REAL
+    video decode stage (1-to-many: one output row per frame), with the
+    image extractors' decode_ok degrade path (an undecodable payload
+    yields ONE decode_ok=false row, never a dead stage)."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("id", "frame_idx", "width", "height", "n_frames",
+                     "fps", "mean_r", "mean_g", "mean_b", "decode_ok")}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames, fps = decode_y4m(bytes(payload or b""))
+                except (NotImplementedError, ValueError, IndexError):
+                    rows["id"].append(i)
+                    rows["frame_idx"].append(None)
+                    for k in ("width", "height", "n_frames", "fps",
+                              "mean_r", "mean_g", "mean_b"):
+                        rows[k].append(None)
+                    rows["decode_ok"].append(False)
+                    continue
+                n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+                means = frames.reshape(n, -1, 3).mean(axis=1)
+                for f in range(n):
+                    rows["id"].append(i)
+                    rows["frame_idx"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(n)
+                    rows["fps"].append(float(fps))
+                    rows["mean_r"].append(round(float(means[f, 0]), 4))
+                    rows["mean_g"].append(round(float(means[f, 1]), 4))
+                    rows["mean_b"].append(round(float(means[f, 2]), 4))
+                    rows["decode_ok"].append(True)
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, schema=VIDEO_FRAME_SCHEMA)
+
+
+def synthesize_y4m_payloads(df: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Y4M fixture stream with CLOSED-FORM per-frame
+    features: for id i, ``1 + i%4`` frames of ``8·(1+i%3)`` ×
+    ``8·(1+i%2)`` px, frame f a CONSTANT gray ``(i%200) + 10·f`` (max
+    229, never clips; gray → Cb=Cr=128 exactly under the JPEG matrix,
+    so YCbCr round-trips the value bit-for-bit). Hence every frame's
+    mean_r = mean_g = mean_b = (i%200) + 10·f exactly — the SQL oracle
+    restates it with a per-id frame series. fps fixed at 25."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n, w, h = 1 + i % 4, 8 * (1 + i % 3), 8 * (1 + i % 2)
+                frames = np.stack([
+                    np.full((h, w, 3), (i % 200) + 10 * f, dtype=np.uint8)
+                    for f in range(n)])
+                payloads.append(encode_y4m(frames, fps=25))
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        build, schema="id bigint, payload binary")
+
+
 def decode_image_features(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "id") -> DataFrame:
     """Pixel-level feature extraction over a binary image column — the

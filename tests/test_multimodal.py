@@ -634,3 +634,66 @@ def test_wav_feature_query_decodes_fixture_corpus(spark):
         "id long, payload binary")
     row = multimodal.decode_audio_features(bad).collect()[0]
     assert row["decode_ok"] is False and row["rms"] is None
+
+
+def test_y4m_roundtrip_and_profiles():
+    """Constant-gray frames survive the YCbCr round-trip bit-for-bit;
+    arbitrary RGB round-trips within 1 level (C444); a hand-packed
+    C420 stream (independent of the encoder) decodes with nearest
+    chroma upsampling; seams and malformed streams raise correctly."""
+    import numpy as np
+
+    frames = np.stack([np.full((16, 24, 3), 50 + 10 * f, dtype=np.uint8)
+                       for f in range(4)])
+    dec, fps = multimodal.decode_y4m(multimodal.encode_y4m(frames, 25))
+    assert fps == 25.0 and np.array_equal(dec, frames)
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (2, 12, 10, 3)).astype(np.uint8)
+    dec, _ = multimodal.decode_y4m(multimodal.encode_y4m(rgb, 30))
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 1
+
+    # hand-packed C420: 4x2 gray-128 frame -> chroma planes 2x1 of 128
+    head = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+    frame = b"FRAME\n" + bytes([128] * 8) + bytes([128] * 2) + \
+        bytes([128] * 2)
+    dec, _ = multimodal.decode_y4m(head + frame)
+    assert dec.shape == (1, 2, 4, 3)
+    assert np.all(dec == 128)
+
+    with pytest.raises(NotImplementedError, match="colorspace"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W4 H2 C422\nFRAME\n" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W4 H2 It\nFRAME\n" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_y4m(b"not video")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_y4m(head + b"FRAME\n" + bytes(5))
+    with pytest.raises(ValueError, match="odd"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W3 H2 C420\nFRAME\n" + bytes(9))
+    with pytest.raises(ValueError, match="no frames"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W4 H2 C420\n")
+
+
+def test_y4m_frame_query_decodes_fixture_corpus(spark):
+    """The catalog fixture end-to-end at unit scale: per-frame rows
+    with the closed-form gray ramp; a corrupt payload degrades to one
+    decode_ok=false row."""
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    rows = multimodal.decode_video_frames(
+        multimodal.synthesize_y4m_payloads(docs)).collect()
+    assert len(rows) == sum(1 + i % 4 for i in range(20))
+    for r in rows:
+        i, f = r["id"], r["frame_idx"]
+        assert r["decode_ok"] and r["fps"] == 25.0
+        assert r["width"] == 8 * (1 + i % 3)
+        assert r["height"] == 8 * (1 + i % 2)
+        assert r["n_frames"] == 1 + i % 4
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"] == (i % 200) + 10 * f
+
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"\x00\x00\x01\xba mpeg-ps bytes"))],
+        "id long, payload binary")
+    out = multimodal.decode_video_frames(bad).collect()
+    assert len(out) == 1 and out[0]["decode_ok"] is False
+    assert out[0]["frame_idx"] is None
