@@ -188,7 +188,8 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                 check_timeframe_scale(query, ds.min_timestamp,
                                       ds.max_timestamp)
                 result = engine.run(df, query, with_stats=True,
-                                    max_group_rows=ds.max_group_rows)
+                                    max_group_rows=ds.max_group_rows,
+                                    total_rows=ds.total_rows or None)
             except Exception:
                 _prom.record_query(name, False, time.monotonic() - t0)
                 raise
@@ -214,7 +215,8 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                 try:
                     holder["result"] = engine.run(
                         df, query, with_stats=True,
-                        max_group_rows=ds.max_group_rows)
+                        max_group_rows=ds.max_group_rows,
+                        total_rows=ds.total_rows or None)
                 except Exception as e:  # surfaced in the stream tail
                     holder["error"] = str(e)
 

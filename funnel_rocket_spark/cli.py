@@ -139,7 +139,8 @@ def cmd_run(args) -> int:
         spark = get_spark()
         engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
         result = engine.run(ds.load(spark), query,
-                            max_group_rows=ds.max_group_rows)
+                            max_group_rows=ds.max_group_rows,
+                            total_rows=ds.total_rows or None)
     except QueryValidationError as e:
         print(f"error: invalid query: {e}", file=sys.stderr)
         return 1

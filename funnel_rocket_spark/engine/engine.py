@@ -76,19 +76,22 @@ class QueryEngine:
     def plan(self, df: DataFrame, query: dict, validate_schema: bool = True,
              sequence_strategy: str = "auto",
              fold_segments: int = 64,
-             max_group_rows: Optional[int] = None) -> QueryPlan:
+             max_group_rows: Optional[int] = None,
+             total_rows: Optional[int] = None) -> QueryPlan:
         expanded = self.expand(query, df if validate_schema else None)
         return QueryPlan(df, expanded, self.group_id_column,
                          self.timestamp_column,
                          sequence_strategy=sequence_strategy,
                          fold_segments=fold_segments,
                          max_group_rows_hint=max_group_rows,
-                         whale_row_threshold=self.whale_row_threshold)
+                         whale_row_threshold=self.whale_row_threshold,
+                         total_rows_hint=total_rows)
 
     def run(self, df: DataFrame, query: dict, validate_schema: bool = True,
             with_stats: bool = False, sequence_strategy: str = "auto",
             fold_segments: int = 64,
-            max_group_rows: Optional[int] = None) -> dict:
+            max_group_rows: Optional[int] = None,
+            total_rows: Optional[int] = None) -> dict:
         """Execute and return the reference-shaped result JSON.
 
         ``with_stats`` adds a ``stats`` block shaped after the reference's
@@ -107,7 +110,8 @@ class QueryEngine:
         plan = self.plan(df, query, validate_schema=validate_schema,
                          sequence_strategy=sequence_strategy,
                          fold_segments=fold_segments,
-                         max_group_rows=max_group_rows)
+                         max_group_rows=max_group_rows,
+                         total_rows=total_rows)
         q = plan.q
 
         query_aggs = q.get("query", {}).get("aggregations") or []

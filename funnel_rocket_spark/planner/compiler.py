@@ -467,7 +467,9 @@ class QueryPlan:
                  sequence_strategy: str = "auto",
                  fold_segments: int = 64,
                  max_group_rows_hint: Optional[int] = None,
-                 whale_row_threshold: int = 4_000_000):
+                 whale_row_threshold: int = 4_000_000,
+                 total_rows_hint: Optional[int] = None,
+                 whale_task_multiple: float = 4.0):
         if sequence_strategy not in ("auto", "window", "fold",
                                      "fold_segmented"):
             raise ValueError(
@@ -556,9 +558,29 @@ class QueryPlan:
         # rowFound:false — maxDuration is fine, it takes the
         # _segmented_fold_max_duration shape) or the whole plan stays on
         # the whale-tolerant window path rather than mixing strategies.
+        # The threshold is SCALE-RELATIVE when the dataset's total rows
+        # are known (the registration profile has them): a whale only
+        # hurts when its group is several times a task's uniform share —
+        # at 1T rows across 8000 shuffle partitions a task already holds
+        # ~125M rows, and a "4M whale" is noise the window sort absorbs
+        # for free, while routing it to segmented would pay the
+        # uniform-stream premium for nothing. effective = max(absolute
+        # floor, whale_task_multiple × total_rows / shuffle_partitions).
+        eff_threshold = whale_row_threshold
+        if total_rows_hint:
+            try:
+                parts = int(df.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions"))
+            except Exception:
+                parts = 0
+            if parts > 0:
+                eff_threshold = max(
+                    eff_threshold,
+                    int(whale_task_multiple * total_rows_hint / parts))
+        self.effective_whale_threshold = eff_threshold
         if (self.sequence_strategy == "auto"
                 and max_group_rows_hint is not None
-                and max_group_rows_hint > whale_row_threshold):
+                and max_group_rows_hint > eff_threshold):
             specs = list(self._seq_specs.values())
             if self._funnel_spec is not None:
                 specs.append(self._funnel_spec)

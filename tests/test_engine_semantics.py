@@ -991,3 +991,45 @@ def test_fold_segmented_max_duration_equals_window(spark, seq_df):
                     sequence_strategy="fold_segmented", fold_segments=7
                     ).funnel_step_counts().collect()
     assert key(seg) == key(window)
+
+
+def test_whale_threshold_scales_with_dataset(spark, seq_df):
+    """The routing threshold is relative when total rows are known: a
+    'whale' that is small relative to a task's uniform share must NOT
+    route (at 1T rows a 5M group is noise), while one several times the
+    per-task share still does. effective = max(absolute floor,
+    whale_task_multiple × total_rows / shuffle_partitions)."""
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    eng = QueryEngine("id", "timestamp")
+    q = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "<=", 2]}]}]}}
+    expanded = eng.expand(q, seq_df)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # hint 10k > absolute floor 100, but the dataset is "huge": per-task
+    # share = 10M/parts, ×4 multiple >> 10k -> stays window
+    plan = QueryPlan(seq_df, expanded, "id", "timestamp",
+                     max_group_rows_hint=10_000, whale_row_threshold=100,
+                     total_rows_hint=10_000_000)
+    assert not plan.auto_routed_segmented
+    assert plan.effective_whale_threshold == max(100, 4 * 10_000_000 // parts)
+
+    # same hint, tiny dataset: relative term is below the floor -> routes
+    plan = QueryPlan(seq_df, expanded, "id", "timestamp",
+                     max_group_rows_hint=10_000, whale_row_threshold=100,
+                     total_rows_hint=parts)  # per-task share = 1 row
+    assert plan.auto_routed_segmented
+
+    # no total hint: absolute floor alone (back-compat)
+    plan = QueryPlan(seq_df, expanded, "id", "timestamp",
+                     max_group_rows_hint=10_000, whale_row_threshold=100)
+    assert plan.auto_routed_segmented
+    assert plan.effective_whale_threshold == 100
+
+    # engine threads total_rows through run()
+    ref = eng.run(seq_df, q)
+    assert eng.run(seq_df, q, max_group_rows=10**9,
+                   total_rows=10**12) == ref

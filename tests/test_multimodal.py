@@ -697,3 +697,25 @@ def test_y4m_frame_query_decodes_fixture_corpus(spark):
     out = multimodal.decode_video_frames(bad).collect()
     assert len(out) == 1 and out[0]["decode_ok"] is False
     assert out[0]["frame_idx"] is None
+
+
+def test_jpeg_encoder_interop_with_imageio(spark, tmp_path):
+    """The ENCODER writes standards-conformant files: the independent
+    JVM ImageIO decoder (not our code) must accept them and reproduce
+    the source image — this is the check that a self-cancelling
+    encode→decode round-trip can't provide (a typo'd Huffman table
+    would round-trip fine through our own decoder and fail here)."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:40, 0:56]
+    img = np.stack([(ys * 2 + xs) % 200 + 20, (xs * 3) % 180 + 30,
+                    np.full_like(ys, 77)], axis=2).astype(np.uint8)
+    p = tmp_path / "interop.jpg"
+    p.write_bytes(multimodal.encode_jpeg(img, quality=90, subsample="444"))
+    row = (spark.read.format("image").load(str(tmp_path))
+           .select("image.height", "image.width", "image.nChannels",
+                   "image.data").collect()[0])
+    assert (row["height"], row["width"]) == (40, 56)  # not refused (-1)
+    ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+        40, 56, row["nChannels"])[..., ::-1]
+    assert np.abs(ref.astype(int) - img.astype(int)).max() <= 4

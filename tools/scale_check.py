@@ -948,7 +948,9 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
                 plan = QueryPlan(ev, expanded, "user_id", "ts",
                                  sequence_strategy=strat,
                                  max_group_rows_hint=(
-                                     hint if strat == "auto" else None))
+                                     hint if strat == "auto" else None),
+                                 total_rows_hint=(
+                                     n_rows if strat == "auto" else None))
                 if strat == "auto":
                     # no flag, no operator knowledge: the hint alone must
                     # route the whale stream to the segmented fold and
