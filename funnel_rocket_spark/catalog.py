@@ -313,6 +313,16 @@ def register_dataset(
             max_grp = (df_val.groupBy(group_id_column)
                        .agg(F.count(F.lit(1)).alias("__c"))
                        .agg(F.max("__c").alias("__m")).collect()[0]["__m"])
+            if max_grp is not None and partial:
+                # partial validation scanned a file SUBSET: the subset
+                # max UNDERestimates a whale (unsafe direction — the
+                # whale stays unrouted). Extrapolate assuming the whale
+                # spreads uniformly across files (true for hash- or
+                # round-robin-partitioned layouts; a whale concentrated
+                # in the unscanned files is undetectable from any
+                # sample). Errs toward protection, which costs a bounded
+                # premium; the miss costs an unbounded task.
+                max_grp = max_grp * len(files) // max(len(val_files), 1)
             ds.max_group_rows = int(max_grp) if max_grp is not None else None
             total = max(row["__rows"], 1)
             categorical_strings = []

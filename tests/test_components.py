@@ -93,6 +93,11 @@ def test_catalog_partial_validation_modes(spark, tmp_path):
     assert ds.total_rows == 600
     assert (ds.validation_mode, ds.files_validated, ds.files_total) == \
         ("first_last", 2, 6)
+    # whale estimate EXTRAPOLATES under partial validation (a subset max
+    # underestimates in the unsafe direction): subset max is 40 rows/uid
+    # over 2 files -> x6/2 = 120, matching the true full-scan 100/uid
+    # within the uniform-spread assumption (and erring protective)
+    assert ds.max_group_rows == 40 * 6 // 2
 
     # single: only part-0
     ds2 = register_dataset(spark, "p2", str(src), "uid", "ts",

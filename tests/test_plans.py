@@ -343,3 +343,25 @@ def test_bpe_tokenize_reads_only_needed_columns(spark, tmp_path):
     assert "Exchange" not in plan
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert rs and "lang" not in rs[0] and "extra" not in rs[0]
+
+
+def test_segmented_max_duration_plan_is_window_free(events, engine):
+    """The maxDuration segmented form must keep the whale-proof
+    property: no Window node anywhere (the first-anchor is a groupBy
+    min, the duration bound a row filter, the fold a groupBy
+    aggregate), with partial aggregation (map-side combine) on the
+    group-keyed aggregates."""
+    from funnel_rocket_spark import benchqueries as bq_mod
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    plan = QueryPlan(events, engine.expand(bq_mod.Q_SEQ_MAXDUR, events),
+                     "user_id", "ts", sequence_strategy="fold_segmented")
+    counts = plan.counts()
+    explained = counts._sc._jvm.PythonSQLUtils.explainString(
+        counts._jdf.queryExecution(), "simple")
+    assert "Window" not in explained, explained
+    assert "partial_count" in explained or "HashAggregate" in explained
+    # and the auto-routed twin compiles to the same strategy
+    routed = QueryPlan(events, engine.expand(bq_mod.Q_SEQ_MAXDUR, events),
+                       "user_id", "ts", max_group_rows_hint=10**9)
+    assert routed.sequence_strategy == "fold_segmented"
