@@ -1300,6 +1300,15 @@ def _multimodal_y4m_fn(spark, sf_dir):
     return multimodal.decode_video_frames(payloads)
 
 
+def _multimodal_spectral_fn(spark, sf_dir):
+    """FFT stage end-to-end: pure period-4 tones whose DFT is a single
+    line at bin n/4 — the oracle checks the transform put the energy
+    exactly where the algebra says (see synthesize_tone_wav_payloads)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_tone_wav_payloads(docs)
+    return multimodal.audio_spectral_features(payloads)
+
+
 def _multimodal_fn(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs)
@@ -3119,6 +3128,15 @@ SELECT lang, doc_id FROM r WHERE rk <= 20
         "true AS decode_ok FROM documents, "
         "UNNEST(generate_series(0, (doc_id % 4)::BIGINT)) AS t(f)",
     ),
+    "multimodal_audio_spectral": (
+        _multimodal_spectral_fn,
+        # closed-form single-line spectrum (see synthesize_tone_wav_payloads)
+        "SELECT doc_id AS id, (64 * (1 + doc_id % 8))::BIGINT AS n_samples, "
+        "(16 * (1 + doc_id % 8))::INT AS dominant_bin, "
+        "round(2000.0 * (1 + doc_id % 3), 4) AS dominant_freq_hz, "
+        "round(2000.0 * (1 + doc_id % 3), 2) AS spectral_centroid_hz, "
+        "true AS decode_ok FROM documents",
+    ),
     "multimodal_features": (
         _multimodal_fn,
         "SELECT doc_id AS id, strlen(text)::BIGINT AS byte_len, md5(text) AS digest, "
@@ -3876,7 +3894,7 @@ _DRIVER_PRIORITY = [
     # with, and the two similarity queries whose module gained the
     # eval_id-collision / empty-corpus guards
     "multimodal_features_jpeg", "multimodal_audio_wav",
-    "multimodal_video_y4m",
+    "multimodal_video_y4m", "multimodal_audio_spectral",
     "fr_seq_max_duration_segmented", "fr_sequence_segmented",
     "fr_seq_max_duration", "fr_sequence", "fr_funnel_steps",
     "decontaminate_semantic", "dedup_embedding_cosine",

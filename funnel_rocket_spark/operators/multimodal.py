@@ -976,6 +976,83 @@ IMAGE_FEATURE_SCHEMA = (
 )
 
 
+AUDIO_SPECTRAL_SCHEMA = (
+    "id bigint, n_samples bigint, dominant_bin int, dominant_freq_hz double, "
+    "spectral_centroid_hz double, decode_ok boolean"
+)
+
+
+def audio_spectral_features(df: DataFrame, payload_col: str = "payload",
+                            id_col: str = "id") -> DataFrame:
+    """Frequency-domain audio features over a binary WAV column: one
+    rfft per payload (mono mixdown), reporting the dominant non-DC bin,
+    its frequency, and the spectral centroid over non-DC bins — the
+    map-only FFT stage every audio-quality or music/speech gate builds
+    on. Same decode_ok degrade path as the sample-domain extractor."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": pdf[id_col], "n_samples": [], "dominant_bin": [],
+                   "dominant_freq_hz": [], "spectral_centroid_hz": [],
+                   "decode_ok": []}
+            for payload in pdf[payload_col]:
+                try:
+                    x, sr = decode_wav(bytes(payload or b""))
+                    mono = x.mean(axis=1)
+                    if len(mono) < 2:
+                        raise ValueError("too short for a spectrum")
+                    mag = np.abs(np.fft.rfft(mono))
+                    freqs = np.fft.rfftfreq(len(mono), d=1.0 / sr)
+                    m, f = mag[1:], freqs[1:]  # DC excluded
+                    k = int(np.argmax(m)) + 1
+                    tot = float(m.sum())
+                    cen = float((f * m).sum() / tot) if tot > 0 else 0.0
+                    out["n_samples"].append(len(mono))
+                    out["dominant_bin"].append(k)
+                    out["dominant_freq_hz"].append(
+                        round(float(freqs[k]), 4))
+                    out["spectral_centroid_hz"].append(round(cen, 2))
+                    out["decode_ok"].append(True)
+                except (NotImplementedError, ValueError, IndexError):
+                    for key in ("n_samples", "dominant_bin",
+                                "dominant_freq_hz", "spectral_centroid_hz"):
+                        out[key].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
+def synthesize_tone_wav_payloads(df: DataFrame,
+                                 id_col: str = "doc_id") -> DataFrame:
+    """WAV fixture with a CLOSED-FORM spectrum: a pure period-4 tone
+    ``tile([a, 0, -a, 0])`` (every sample ±a or 0 — exact in 16-bit
+    PCM; ``a`` odd like the square-wave fixture) whose DFT is a single
+    line at bin n/4. Hence dominant_bin = n/4, dominant_freq =
+    spectral_centroid = sr/4 exactly — an oracle that actually checks
+    the FFT put the energy where the algebra says (a broken transform
+    misplaces the argmax). n = 64·(1+i%8), sr = 8000·(1+i%3), a =
+    (101 + 2·(i%450))/32768."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                a = (101 + 2 * (i % 450)) / 32768.0
+                n_samp = 64 * (1 + i % 8)
+                sr = 8000 * (1 + i % 3)
+                wave = np.tile([a, 0.0, -a, 0.0], n_samp // 4)
+                payloads.append(encode_wav(wave, sr))
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        build, schema="id bigint, payload binary")
+
+
 
 def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
     """Round-robin the id column across the session's default

@@ -719,3 +719,24 @@ def test_jpeg_encoder_interop_with_imageio(spark, tmp_path):
     ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
         40, 56, row["nChannels"])[..., ::-1]
     assert np.abs(ref.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_audio_spectral_features_fixture_and_degrade(spark):
+    """The FFT stage end-to-end at unit scale: the period-4 tone's
+    energy lands exactly at bin n/4 (dominant freq = centroid = sr/4),
+    and a corrupt payload degrades to decode_ok=false."""
+    docs = spark.range(16).select(F.col("id").alias("doc_id"))
+    rows = multimodal.audio_spectral_features(
+        multimodal.synthesize_tone_wav_payloads(docs)).collect()
+    assert len(rows) == 16
+    for r in rows:
+        i = r["id"]
+        n, sr = 64 * (1 + i % 8), 8000 * (1 + i % 3)
+        assert r["decode_ok"] and r["n_samples"] == n
+        assert r["dominant_bin"] == n // 4
+        assert r["dominant_freq_hz"] == sr / 4 == r["spectral_centroid_hz"]
+
+    bad = spark.createDataFrame([(1, bytearray(b"OggS not pcm"))],
+                                "id long, payload binary")
+    out = multimodal.audio_spectral_features(bad).collect()
+    assert len(out) == 1 and out[0]["decode_ok"] is False
