@@ -445,6 +445,285 @@ def _entropy_segments(data: bytes, pos: int):
     return segs, i
 
 
+def _decode_jpeg_progressive(payload: bytes):
+    """Progressive JPEG (SOF2) decode: spectral-selection + successive-
+    approximation scans accumulate per-component COEFFICIENT arrays
+    (DC first/refine, AC first with EOB runs, AC refine with correction
+    bits), then one dequant + IDCT pass renders the final image — the
+    remaining common JPEG profile after r10's baseline decoder.
+    Validated against the JVM ImageIO decoder on real files."""
+    import struct
+
+    import numpy as np
+
+    qtables: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, list] = {}
+    huff_ac: dict[int, list] = {}
+    comps = None
+    height = width = None
+    ri = 0
+    scans = []  # (scan_comp_ids, per-comp (dc_lut, ac_lut), Ss, Se, Ah, Al, ri, segs)
+    i = 2
+    n = len(payload)
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        if marker == 0xFF:
+            i += 1
+            continue
+        if i + 4 > n:
+            raise ValueError("JPEG: truncated segment")
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        seg = payload[i + 4 : i + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("JPEG: truncated segment")
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant table")
+                qtables[tq] = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _huff_lut(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC2:
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("JPEG: short SOF segment")
+            if seg[0] != 8:
+                raise NotImplementedError(f"JPEG: {seg[0]}-bit precision")
+            height, width = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG: {nc} components (CMYK?)")
+            comps = [{"id": seg[6 + 3 * c],
+                      "h": seg[7 + 3 * c] >> 4, "v": seg[7 + 3 * c] & 15,
+                      "tq": seg[8 + 3 * c]} for c in range(nc)]
+        elif marker == 0xCC:
+            raise NotImplementedError("JPEG: arithmetic coding (DAC)")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = seg[0]
+            sel = []
+            for s in range(ns):
+                cid = seg[1 + 2 * s]
+                td, ta = seg[2 + 2 * s] >> 4, seg[2 + 2 * s] & 15
+                sel.append((cid, huff_dc.get(td), huff_ac.get(ta)))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            segs, i = _entropy_segments(payload, i + 2 + seglen)
+            scans.append((sel, ss, se, ahal >> 4, ahal & 15, ri, segs))
+            continue
+        i += 2 + seglen
+    if comps is None or not scans:
+        raise ValueError("JPEG: missing SOS/SOF")
+    if height == 0 or width == 0:
+        raise ValueError("JPEG: zero dimensions (DNL not supported)")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    for c in comps:
+        c["bw_pad"], c["bh_pad"] = mcux * c["h"], mcuy * c["v"]
+        # true (unpadded) block dims for non-interleaved scans (T.81 A.2.2)
+        cw = -(-width * c["h"] // hmax)
+        ch_ = -(-height * c["v"] // vmax)
+        c["bw"], c["bh"] = -(-cw // 8), -(-ch_ // 8)
+        # coefficients stored in ZIGZAG order (the scan's native order;
+        # finalization maps zigzag -> raster once, together with the
+        # zigzag-ordered quant table)
+        c["coef"] = np.zeros((c["bh_pad"], c["bw_pad"], 64), dtype=np.int64)
+        c["pred"] = 0
+
+    zig = _JPEG_ZIGZAG
+    for sel, ss, se, ah, al, scan_ri, segs in scans:
+        scomps = []
+        for cid, dc_lut, ac_lut in sel:
+            if cid not in by_id:
+                raise ValueError("JPEG: scan references unknown component")
+            scomps.append((by_id[cid], dc_lut, ac_lut))
+        for c, _d, _a in scomps:
+            c["pred"] = 0
+        seg_idx = 0
+        reader = _JpegBitReader(segs[0])
+        eobrun = 0
+        units = 0  # MCUs (interleaved) or blocks (single-component)
+
+        def restart_if_due():
+            nonlocal seg_idx, reader, eobrun, units
+            if scan_ri and units and units % scan_ri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("JPEG: missing restart segment")
+                reader = _JpegBitReader(segs[seg_idx])
+                eobrun = 0
+                for c, _d, _a in scomps:
+                    c["pred"] = 0
+
+        if ss == 0:  # DC scan (interleaved or single-component)
+            if se != 0:
+                raise ValueError("JPEG: DC scan with Se != 0")
+            interleaved = len(scomps) > 1
+
+            def dc_block(c, dc_lut, by, bx):
+                blk = c["coef"][by, bx]
+                if ah == 0:
+                    if dc_lut is None:
+                        raise ValueError("JPEG: scan references undefined DHT")
+                    s = _huff_read_symbol(reader, dc_lut)
+                    if s > 11:
+                        raise ValueError("JPEG: DC size > 11")
+                    c["pred"] += _extend(reader.receive(s), s)
+                    blk[0] = c["pred"] << al
+                else:
+                    if reader.receive(1):
+                        blk[0] = int(blk[0]) | (1 << al)
+
+            if interleaved:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        restart_if_due()
+                        units += 1
+                        for c, dc_lut, _a in scomps:
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    dc_block(c, dc_lut,
+                                             my * c["v"] + by,
+                                             mx * c["h"] + bx)
+            else:
+                c, dc_lut, _a = scomps[0]
+                for by in range(c["bh"]):
+                    for bx in range(c["bw"]):
+                        restart_if_due()
+                        units += 1
+                        dc_block(c, dc_lut, by, bx)
+            continue
+
+        # AC scan: always single-component (T.81 B.2.3)
+        if len(scomps) != 1:
+            raise ValueError("JPEG: interleaved AC scan")
+        c, _d, ac_lut = scomps[0]
+        if ac_lut is None:
+            raise ValueError("JPEG: scan references undefined DHT")
+        p1, m1 = 1 << al, -1 << al
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                restart_if_due()
+                units += 1
+                blk = c["coef"][by, bx]
+                if ah == 0:  # first pass for this band
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_read_symbol(reader, ac_lut)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            k += 16
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG: AC index overflow")
+                        blk[k] = _extend(
+                            reader.receive(s), s) << al
+                        k += 1
+                else:  # refinement pass
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_read_symbol(reader, ac_lut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.receive(r)
+                                    break
+                                val = 0  # ZRL: skip 16 zero-history slots
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "JPEG: bad refinement size")
+                                val = p1 if reader.receive(1) else m1
+                            while k <= se:
+                                cur = int(blk[k])
+                                if cur != 0:
+                                    if reader.receive(1) and not (cur & p1):
+                                        blk[k] = cur + (
+                                            p1 if cur >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s and k <= se:
+                                blk[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            cur = int(blk[k])
+                            if cur != 0:
+                                if reader.receive(1) and not (cur & p1):
+                                    blk[k] = cur + (
+                                        p1 if cur >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+
+    # finalize: dequant + IDCT every padded block, upsample, color
+    T = _dct8_matrix()
+    zz = np.array(zig)
+    full = []
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG: component references undefined DQT")
+        qt = qtables[c["tq"]].astype(np.float64)
+        plane = np.zeros((c["bh_pad"] * 8, c["bw_pad"] * 8))
+        deq = np.zeros(64)
+        for by in range(c["bh_pad"]):
+            for bx in range(c["bw_pad"]):
+                deq[zz] = c["coef"][by, bx] * qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = \
+                    T.T @ deq.reshape(8, 8) @ T + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        full.append(plane[:height, :width])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    Y, Cb, Cr = full
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)),
+                   0, 255).astype(np.uint8)
+
+
 def _decode_jpeg(payload: bytes):
     """REAL baseline JPEG decode — markers, Huffman, dequant, IDCT,
     chroma upsampling, YCbCr→RGB. Returns (h, w, 3) uint8 RGB (grayscale
@@ -500,6 +779,8 @@ def _decode_jpeg(payload: bytes):
                     _huff_lut(bits, vals)
                 p += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended seq.
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("JPEG: short SOF segment")
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG: {prec}-bit precision")
@@ -511,7 +792,7 @@ def _decode_jpeg(payload: bytes):
                       "h": seg[7 + 3 * c] >> 4, "v": seg[7 + 3 * c] & 15,
                       "tq": seg[8 + 3 * c]} for c in range(nc)]
         elif marker == 0xC2:
-            raise NotImplementedError("JPEG: progressive (SOF2)")
+            return _decode_jpeg_progressive(payload)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(

@@ -283,10 +283,11 @@ def test_pil_seam_decodes_jpeg_when_available(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
     out = multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPfake")
     assert np.array_equal(out, want)
-    # minimal progressive JPEG: SOI + SOF2 (len-4 segment) — the native
-    # decoder raises NotImplementedError, the seam catches it
-    progressive = b"\xff\xd8\xff\xc2\x00\x04\x08\x00"
-    out = multimodal.decode_image(progressive)
+    # minimal LOSSLESS JPEG (SOF3) — a profile the native decoder
+    # rejects (baseline AND progressive decode natively since r10), so
+    # it falls through to the seam
+    lossless = b"\xff\xd8\xff\xc3\x00\x04\x08\x00"
+    out = multimodal.decode_image(lossless)
     assert np.array_equal(out, want)
     # MALFORMED baseline JPEG stays a native ValueError — no second
     # decode attempt through PIL
@@ -351,7 +352,7 @@ def test_decode_errors_normalize_to_valueerror(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
     with pytest.raises(ValueError, match="PIL decode failed"):
-        multimodal.decode_image(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")
+        multimodal.decode_image(b"\xff\xd8\xff\xc3\x00\x04\x08\x00")
 
 
 def test_jpeg_fixture_roundtrip_exact():
@@ -508,9 +509,13 @@ def test_jpeg_rejects_unsupported_and_malformed():
     ValueError — the extractor catch contract."""
     import struct
 
-    # progressive (SOF2)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # progressive (SOF2) is SUPPORTED since r10 — a headers-only
+    # fragment is a malformed STREAM now, not an unsupported profile
+    with pytest.raises(ValueError, match="SOF"):
         multimodal._decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")
+    # lossless (SOF3) stays an honest profile seam
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        multimodal._decode_jpeg(b"\xff\xd8\xff\xc3\x00\x04\x08\x00")
     # arithmetic coding conditioning (DAC)
     with pytest.raises(NotImplementedError, match="arithmetic"):
         multimodal._decode_jpeg(b"\xff\xd8\xff\xcc\x00\x04\x00\x00")
@@ -535,10 +540,10 @@ def test_jpeg_rejects_unsupported_and_malformed():
         np.full((8, 8, 3), 99, dtype=np.uint8), quality=90)
     with pytest.raises(ValueError):
         multimodal._decode_jpeg(good[:len(good) // 2])
-    # the progressive profile seam surfaces through decode_image too
+    # an unsupported-profile seam surfaces through decode_image too
     # (no PIL in this container)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xc2\x00\x04\x08\x00")
+        multimodal.decode_image(b"\xff\xd8\xff\xc3\x00\x04\x08\x00")
 
 
 def test_jpeg_feature_query_decodes_fixture_corpus(spark):
@@ -740,3 +745,29 @@ def test_audio_spectral_features_fixture_and_degrade(spark):
                                 "id long, payload binary")
     out = multimodal.audio_spectral_features(bad).collect()
     assert len(out) == 1 and out[0]["decode_ok"] is False
+
+
+def test_jpeg_progressive_matches_imageio(spark):
+    """Progressive JPEG (SOF2 — spectral selection + successive
+    approximation, DC/AC first and refinement scans, EOB runs) decodes
+    within IDCT rounding (±1) of the independent JVM ImageIO decoder on
+    the real progressive file shipped with Spark."""
+    import glob as _glob
+
+    import numpy as np
+
+    files = _glob.glob(
+        "/opt/spark-*/data/mllib/images/origin/multi-channel/grayscale.jpg")
+    if not files:
+        pytest.skip("pyspark distribution images not present")
+    f = files[0]
+    row = (spark.read.format("image").load(f)
+           .select("image.height", "image.width", "image.nChannels",
+                   "image.data").collect()[0])
+    ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+        row["height"], row["width"], row["nChannels"])[..., 0]
+    mine = multimodal.decode_image(open(f, "rb").read())
+    assert mine.shape == (row["height"], row["width"], 3)
+    assert np.array_equal(mine[..., 0], mine[..., 1])  # gray replicates
+    d = np.abs(mine[..., 0].astype(int) - ref.astype(int))
+    assert d.max() <= 1 and d.mean() < 0.05
