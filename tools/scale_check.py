@@ -1073,6 +1073,43 @@ def semcontam_main(n_vecs: int, dim: int = 64) -> None:
     print(json.dumps(out))
 
 
+
+def multimodal_main(n_docs: int) -> None:
+    """Round-10 rung: codec THROUGHPUT at corpus scale — the catalog's
+    multimodal queries run at 500 docs/sf0.01; this times the same
+    encode→decode chains (pure-Python JPEG Huffman/IDCT, WAV, Y4M,
+    spectral FFT) at n_docs payloads spread over all cores, reporting
+    wall seconds and payloads/sec so the per-payload Python cost is a
+    measured number, not a guess. Linear-in-docs is the pass criterion
+    (map-only stages; no shuffle beyond the fixture spread)."""
+    from funnel_rocket_spark.operators import multimodal as mm
+
+    spark = get_spark(app_name="scale-check-multimodal")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    out = {"n_docs": n_docs, "timings": {}, "rate_per_sec": {}}
+
+    def run(name, frame):
+        t0 = time.perf_counter()
+        n = frame.count()
+        dt = round(time.perf_counter() - t0, 2)
+        out["timings"][name] = dt
+        out["rate_per_sec"][name] = int(n / dt) if dt else None
+        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+
+    run("jpeg_encode_decode", mm.decode_image_features(
+        mm.synthesize_jpeg_payloads(docs)).where("decode_ok"))
+    run("png_encode_decode", mm.decode_image_features(
+        mm.synthesize_png_payloads(docs)).where("decode_ok"))
+    run("wav_encode_decode", mm.decode_audio_features(
+        mm.synthesize_wav_payloads(docs)).where("decode_ok"))
+    run("wav_spectral_fft", mm.audio_spectral_features(
+        mm.synthesize_tone_wav_payloads(docs)).where("decode_ok"))
+    run("y4m_encode_decode_frames", mm.decode_video_frames(
+        mm.synthesize_y4m_payloads(docs)).where("decode_ok"))
+    print(json.dumps(out))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "docs":
         docs_main(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
@@ -1114,6 +1151,9 @@ def main() -> None:
         report_variance_main(
             int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000,
             runs=int(sys.argv[3]) if len(sys.argv) > 3 else 5)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "multimodal":
+        multimodal_main(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "whale":
         whale_main(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000,
