@@ -3907,8 +3907,12 @@ _DRIVER_PRIORITY = [
     "olap_revenue_filter", "olap_rollup", "olap_top_orders",
     "range_join_value_bands", "sample_deterministic", "sample_stratified",
     "sample_weighted", "text_c4_clean", "text_train_perceptron",
-    # then the full r7 block (next-stalest, 22 queries) — the window's
-    # 50 slots hold exactly 7 + 21 + 22
+    # then the full r7 block (next-stalest, 22 queries). The head grew
+    # to 11 as the round added operators (audio/video/spectral), so the
+    # window's 50 slots now hold 11 + 21 + the FIRST 18 of these 22 —
+    # the last 4 (olap_percentiles_approx_sketch, sample_dsir,
+    # text_gopher_filter, text_tokens) stay r7-anchored for the r11
+    # window, pytest-oracled every round meanwhile
     "ann_cosine_topk", "ann_ivf_fullprobe", "asof_join_tolerance",
     "behavior_attribution", "behavior_conversion_delay",
     "behavior_funnel_step_timing", "behavior_retention_rates",
@@ -3926,9 +3930,10 @@ _DRIVER_PRIORITY = [
 # green within 3 rounds). The r10 window leads with the new segmented
 # maxDuration query and the 6 r10-touched paths, then ALL 21 r6-stale
 # queries, then the full 22-query r7 block — after r10 nothing is
-# staler than r8. Everything else stays runnable after the window and
-# is value-verified every round by the pytest oracle-parity sweep over
-# all 125.
+# staler than r8 except the 4 r7 entries the 11-query r10 head pushed
+# past slot 50 (named above — first in line for r11). Everything else
+# stays runnable after the window and is value-verified every round by
+# the pytest oracle-parity sweep over all 129.
 
 def queries() -> dict:
     out = {name: fn for name, (fn, _sql) in QUERIES.items()}
