@@ -250,6 +250,17 @@ class QueryEngine:
                     "engine": "spark",
                     "success": True,
                     "totalSeconds": round(_time.perf_counter() - t0, 4),
+                    # which physical plans the optimizer actually chose —
+                    # the observability that makes the r10 skew routing
+                    # auditable from a result JSON alone
+                    "strategies": {
+                        "sequence": plan.sequence_strategy,
+                        "autoRoutedSegmented": plan.auto_routed_segmented,
+                        "effectiveWhaleThreshold":
+                            plan.effective_whale_threshold,
+                        "maxGroupRowsHint": plan.max_group_rows_hint,
+                        "rowUniverse": rows_strategy,
+                    },
                     "usedColumns": plan.expanded.used_columns,
                     "sparkAppId": df.sparkSession.sparkContext.applicationId,
                     "defaultParallelism":

@@ -1033,3 +1033,27 @@ def test_whale_threshold_scales_with_dataset(spark, seq_df):
     ref = eng.run(seq_df, q)
     assert eng.run(seq_df, q, max_group_rows=10**9,
                    total_rows=10**12) == ref
+
+
+def test_stats_expose_chosen_strategies(spark, seq_df):
+    """with_stats reports WHICH physical plans ran — the routing
+    decision must be auditable from the result JSON alone."""
+    from funnel_rocket_spark.engine import QueryEngine
+
+    eng = QueryEngine("id", "timestamp", whale_row_threshold=100)
+    q = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "<=", 2]}]}],
+        "aggregations": [{"column": "category", "type": "count"}]}}
+    res = eng.run(seq_df, q, with_stats=True)
+    st = res["stats"]["strategies"]
+    assert st["sequence"] == "auto" and not st["autoRoutedSegmented"]
+    assert st["rowUniverse"] == "join"
+    assert st["effectiveWhaleThreshold"] == 100
+
+    routed = eng.run(seq_df, q, with_stats=True, max_group_rows=10**9)
+    st2 = routed["stats"]["strategies"]
+    assert st2["sequence"] == "fold_segmented" and st2["autoRoutedSegmented"]
+    assert st2["maxGroupRowsHint"] == 10**9
+    # routing never changes answers
+    assert routed["query"] == res["query"]
