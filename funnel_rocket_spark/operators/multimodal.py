@@ -1467,7 +1467,7 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV: missing fmt/data chunk")
     audio_format, channels, sample_rate, _brate, _align, bits = fmt
-    if audio_format == 0xFFFE and len(payload) >= 0:  # WAVE_FORMAT_EXTENSIBLE
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
         raise NotImplementedError("WAV: extensible format")
     if audio_format not in (1, 3):
         raise NotImplementedError(

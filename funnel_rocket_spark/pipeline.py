@@ -132,10 +132,19 @@ def _stage_dedup_semantic(spark, df, cfg, ctx):
     # with defaults while still invalidating the chain hash
     params = {k: v for k, v in cfg.items()
               if k not in ("stage", "embeddings_path", "vec_id_col",
-                           "vec_col")}
+                           "vec_col", "train_on")}
+    # BEHAVIOR CHANGE (r10, docs/pipeline.md): the quantizer trains on
+    # the FULL side input by default. "train_on": "live" restores the
+    # pre-r10 chain-filtered training set for operators pinning
+    # run-over-run outputs; live centers depend on chain state, so that
+    # mode never reads or writes the kmeans_<key> artifact cache.
+    train_on = cfg.get("train_on", "side_input")
+    if train_on not in ("side_input", "live"):
+        raise ValueError(f"dedup_semantic train_on={train_on!r} "
+                         "(side_input|live)")
     centers = None
     cache_path = None
-    if ctx.get("workdir"):
+    if ctx.get("workdir") and train_on == "side_input":
         key_payload = {
             "emb": _input_fingerprint(str(cfg["embeddings_path"])),
             "vec_id": vec_id, "vec_col": vec_col,
@@ -144,12 +153,17 @@ def _stage_dedup_semantic(spark, df, cfg, ctx):
             json.dumps(key_payload, sort_keys=True).encode()).hexdigest()
         cache_path = os.path.join(ctx["workdir"], "models",
                                   f"kmeans_{key}.json")
-        if os.path.isfile(cache_path):
+        # resume=False must bypass MODEL caches too, not only chain
+        # checkpoints: a remote (non-fingerprintable) embeddings path
+        # falls back to a bare-path key, and --no-resume is the
+        # documented escape hatch for an overwritten remote input
+        if ctx.get("resume", True) and os.path.isfile(cache_path):
             with open(cache_path) as fh:
                 centers = json.load(fh)["centers"]
     if centers is None:
         _, centers = similarity.kmeans_lloyd(
-            emb, k=params.get("k", 8), rounds=params.get("rounds", 2),
+            emb if train_on == "side_input" else live,
+            k=params.get("k", 8), rounds=params.get("rounds", 2),
             id_col=vec_id, vec_col=vec_col)
         if cache_path:
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
@@ -208,7 +222,9 @@ def _stage_decontaminate_semantic(spark, df, cfg, ctx):
             json.dumps(key_payload, sort_keys=True).encode()).hexdigest()
         cache_path = os.path.join(ctx["workdir"], "models",
                                   f"contam_{key}.parquet")
-        if os.path.isfile(os.path.join(cache_path, "_SUCCESS")):
+        # see _stage_dedup_semantic: resume=False bypasses model caches
+        if ctx.get("resume", True) and os.path.isfile(
+                os.path.join(cache_path, "_SUCCESS")):
             dirty = spark.read.parquet(cache_path)
     if dirty is None:
         hits = similarity.semantic_contamination(
@@ -287,7 +303,9 @@ def _stage_lm_gate(spark, df, cfg, ctx):
         key = hashlib.md5(
             json.dumps(key_payload, sort_keys=True).encode()).hexdigest()
         cache_dir = os.path.join(ctx["workdir"], "models", f"lm_{key}")
-        if os.path.isfile(os.path.join(cache_dir, "meta.json")):
+        # see _stage_dedup_semantic: resume=False bypasses model caches
+        if ctx.get("resume", True) and os.path.isfile(
+                os.path.join(cache_dir, "meta.json")):
             model = lm_model_load(spark, cache_dir)
     if model is None:
         target = spark.read.parquet(cfg["target_path"])
@@ -437,7 +455,10 @@ def _input_fingerprint(path: str) -> str:
     from checkpoints computed on the OLD data and report success.
     Non-local inputs (object-store URIs, paths not visible from the
     driver) fall back to the bare path string — documented as "changed
-    remote input requires --no-resume or a fresh workdir"."""
+    remote input requires --no-resume or a fresh workdir". resume=False
+    bypasses chain checkpoints AND the workdir/models artifact caches
+    (kmeans_/contam_/lm_ — see ctx["resume"] in run_pipeline), so that
+    escape hatch is real for both cache layers."""
     if not os.path.exists(path):
         return f"path:{path}"
     entries = []
@@ -524,7 +545,12 @@ def run_pipeline(spark: SparkSession, config: dict,
     workdir = config["workdir"]
     ctx = {"id_col": inp.get("id_col", "doc_id"),
            "text_col": inp.get("text_col", "text"),
-           "workdir": workdir}
+           "workdir": workdir,
+           # stages honor this for their MODEL-artifact caches
+           # (kmeans_/contam_/lm_ under workdir/models): resume=False
+           # means "trust nothing on disk", including artifacts keyed
+           # by a bare-path fingerprint of a remote side input
+           "resume": resume}
     os.makedirs(workdir, exist_ok=True)
     stage_cfgs = config.get("stages", [])
     for st in stage_cfgs:

@@ -398,15 +398,25 @@ def _segmented_fold_max_duration(spec: SequenceSpec, df: DataFrame,
     skew-splits a whale partition on a big one). No per-group task ever
     holds more than one segment of one group's events.
     """
-    n = len(spec.step_preds)
     ts, _ = ts_numeric(df, ts_col)
     stripped = SequenceSpec(step_preds=spec.step_preds,
                             row_found=spec.row_found,
                             max_duration=None, prefix=spec.prefix)
 
-    rows_tbl = df.groupBy(group_col).agg(F.count(F.lit(1)).alias(ROWS_COL))
-    first_tbl = (df.filter(spec.step_preds[0])
-                 .groupBy(group_col).agg(F.min(ts).alias("__fr_first")))
+    # ONE base aggregate serves both consumers — the duration-window
+    # join and the final coalesce join: per-group row count + the greedy
+    # first anchor (min ts where p0; groups with no p0 row get NULL).
+    # Both references share the identical exchange+partial-aggregate
+    # subtree, so Spark's ReuseExchange / AQE stage reuse executes the
+    # full-stream aggregate ONCE per query (plan-gated by
+    # tests/test_plans.py::test_segmented_max_duration_reuses_base_agg);
+    # the previous shape aggregated the anchor table twice — once as a
+    # bare rows_tbl, once filtered — with no reusable subtree.
+    base = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias(ROWS_COL),
+        F.min(F.when(spec.step_preds[0], ts)).alias("__fr_first"))
+    first_tbl = (base.filter(F.col("__fr_first").isNotNull())
+                 .select(group_col, "__fr_first"))
     win = (df.join(first_tbl, group_col)
            .filter((ts > F.col("__fr_first"))
                    & (ts <= F.col("__fr_first")
@@ -418,14 +428,12 @@ def _segmented_fold_max_duration(spec: SequenceSpec, df: DataFrame,
 
     # groups with a step-0 anchor but no in-window events sit at done=1
     # (or n for a single-step sequence); groups with no step-0 event at 0
-    return (rows_tbl
-            .join(first_tbl.select(group_col, F.lit(True).alias("__fr_h0")),
-                  group_col, "left")
+    return (base
             .join(done_tbl, group_col, "left")
             .select(group_col, ROWS_COL,
                     F.coalesce(
                         F.col("__fr_wdone"),
-                        F.when(F.col("__fr_h0"), F.lit(1)),
+                        F.when(F.col("__fr_first").isNotNull(), F.lit(1)),
                         F.lit(0)).alias(DONE_COL)))
 
 

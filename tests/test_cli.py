@@ -735,3 +735,83 @@ def test_pipeline_embedding_artifacts_survive_upstream_change(spark, tmp_path):
         os.path.join(workdir, "models", "kmeans_*.json"))) == 2
     assert len(_glob.glob(
         os.path.join(workdir, "models", "contam_*.parquet"))) == 2
+
+
+def test_pipeline_no_resume_bypasses_model_caches(spark, tmp_path):
+    """resume=False must bypass the workdir/models artifact caches, not
+    only the chain checkpoints: for a remote side input the fingerprint
+    falls back to the bare path string, and --no-resume is the
+    documented escape hatch after overwriting such an input in place —
+    a run that silently reloads stale kmeans centers (or a stale
+    contamination hit set) would defeat it (r10 ADVICE finding)."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with words") for i in range(6)],
+        "doc_id long, text string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [1.0 if i < 2 else 0.0, float(i)]) for i in range(6)],
+        "vec_id long, embedding array<float>").write.parquet(emb_path)
+
+    workdir = str(tmp_path / "work")
+    config = {"input": {"path": inp, "id_col": "doc_id",
+                        "text_col": "text"},
+              "workdir": workdir,
+              "stages": [{"stage": "dedup_semantic",
+                          "embeddings_path": emb_path,
+                          "k": 2, "threshold": 0.999}]}
+    run_pipeline(spark, config)
+    [km] = _glob.glob(os.path.join(workdir, "models", "kmeans_*.json"))
+    with open(km) as fh:
+        trained = _json.load(fh)
+
+    # poison the artifact; resume=True must LOAD it (cache is live)...
+    poisoned = dict(trained, centers=[[9e9, 9e9], [-9e9, -9e9]])
+    with open(km, "w") as fh:
+        _json.dump(poisoned, fh)
+    run_pipeline(spark, config)
+    with open(km) as fh:
+        assert _json.load(fh)["centers"] == poisoned["centers"]
+
+    # ...and resume=False must retrain and overwrite it
+    run_pipeline(spark, config, resume=False)
+    with open(km) as fh:
+        assert _json.load(fh)["centers"] == trained["centers"]
+
+
+def test_pipeline_dedup_semantic_train_on_live(spark, tmp_path):
+    """"train_on": "live" restores the pre-r10 chain-filtered quantizer
+    training set; live centers depend on chain state, so the mode must
+    not read or write the kmeans artifact cache."""
+    import glob as _glob
+    import os
+
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with words") for i in range(6)],
+        "doc_id long, text string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [1.0 if i < 2 else 0.0, float(i)]) for i in range(6)],
+        "vec_id long, embedding array<float>").write.parquet(emb_path)
+
+    config = {"input": {"path": inp, "id_col": "doc_id",
+                        "text_col": "text"},
+              "workdir": str(tmp_path / "work"),
+              "stages": [{"stage": "dedup_semantic",
+                          "embeddings_path": emb_path, "train_on": "live",
+                          "k": 2, "threshold": 0.999}]}
+    rep = run_pipeline(spark, config)
+    assert rep["rows_out"] > 0
+    assert not _glob.glob(
+        os.path.join(str(tmp_path / "work"), "models", "kmeans_*.json"))

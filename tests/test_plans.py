@@ -365,3 +365,22 @@ def test_segmented_max_duration_plan_is_window_free(events, engine):
     routed = QueryPlan(events, engine.expand(bq_mod.Q_SEQ_MAXDUR, events),
                        "user_id", "ts", max_group_rows_hint=10**9)
     assert routed.sequence_strategy == "fold_segmented"
+
+
+def test_segmented_max_duration_reuses_base_agg(events, engine):
+    """_segmented_fold_max_duration references its base aggregate (rows
+    count + first anchor) twice — duration-window join and final
+    coalesce. Both must resolve to ONE executed aggregate via exchange /
+    query-stage reuse, or the full-stream aggregate runs twice per query
+    (the r10 ADVICE finding)."""
+    import re
+
+    from funnel_rocket_spark import benchqueries as bq_mod
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    plan = QueryPlan(events, engine.expand(bq_mod.Q_SEQ_MAXDUR, events),
+                     "user_id", "ts", sequence_strategy="fold_segmented")
+    counts = plan.counts()
+    counts.collect()  # AQE finalizes stage reuse only on execution
+    executed = counts._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Reused(Exchange|QueryStage)", executed), executed
