@@ -187,9 +187,11 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
             try:
                 check_timeframe_scale(query, ds.min_timestamp,
                                       ds.max_timestamp)
-                result = engine.run(df, query, with_stats=True,
-                                    max_group_rows=ds.max_group_rows,
-                                    total_rows=ds.total_rows or None)
+                result = engine.run(
+                    df, query, with_stats=True,
+                    max_group_rows=ds.max_group_rows,
+                    total_rows=ds.total_rows or None,
+                    group_rows_topk=getattr(ds, "group_rows_topk", None))
             except Exception:
                 _prom.record_query(name, False, time.monotonic() - t0)
                 raise
@@ -216,7 +218,9 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                     holder["result"] = engine.run(
                         df, query, with_stats=True,
                         max_group_rows=ds.max_group_rows,
-                        total_rows=ds.total_rows or None)
+                        total_rows=ds.total_rows or None,
+                        group_rows_topk=getattr(ds, "group_rows_topk",
+                                                None))
                 except Exception as e:  # surfaced in the stream tail
                     holder["error"] = str(e)
 

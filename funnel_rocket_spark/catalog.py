@@ -35,6 +35,7 @@ SUPPORTED_TYPES = {
 }
 
 CATEGORICAL_RATIO = 0.1  # reference config 'dataset.categorical.ratio'
+GROUP_TOPK = 16  # histogram head size for Dataset.group_rows_topk
 TOP_VALUES_COUNT = 20    # reference config 'dataset.categorical.top.count'
 
 
@@ -89,6 +90,15 @@ class Dataset:
     # fold (see planner.compiler.QueryPlan) — the Spark restatement of
     # "the optimizer, not the user, picks the skew-safe plan".
     max_group_rows: Optional[int] = None
+    # Top-K largest group sizes descending (group_rows_topk[0] ==
+    # max_group_rows) — the r11 group-size HISTOGRAM head. With this +
+    # total_rows the planner routes sequence strategies on MODELED task
+    # cost (estimated slowest window task vs the segmented fold's bounded
+    # task × measured premium) instead of the binary max>threshold test,
+    # which over-routed a 20M whale the external sort absorbs 3× faster
+    # (tools/rung_whale_100m_r10.json). Same sampled-extrapolation rule
+    # as max_group_rows under partial validation.
+    group_rows_topk: Optional[list[int]] = None
 
     def schema_map(self) -> dict[str, str]:
         return {name: info["dtype"] for name, info in self.columns.items()}
@@ -306,24 +316,31 @@ def register_dataset(
         ds.max_timestamp = row["__max_ts"]
 
         if profile:
-            # Whale detector input: exact max rows-per-group (map-side
-            # partial counts collapse the exchange to ~n_groups rows, so
-            # this scales like any groupBy — one extra registration-time
-            # job). QueryPlan's auto sequence-strategy routing keys off it.
-            max_grp = (df_val.groupBy(group_id_column)
-                       .agg(F.count(F.lit(1)).alias("__c"))
-                       .agg(F.max("__c").alias("__m")).collect()[0]["__m"])
-            if max_grp is not None and partial:
+            # Whale detector input: the TOP-K largest rows-per-group
+            # counts (map-side partial counts collapse the exchange to
+            # ~n_groups rows, then orderBy+limit is a TakeOrdered — top-K
+            # per partition merged on the driver, never a full sort; one
+            # extra registration-time job). QueryPlan's auto
+            # sequence-strategy routing models task cost from this
+            # histogram head; max_group_rows stays as topk[0] for
+            # backward compatibility with saved catalogs.
+            topk = [r["__c"] for r in
+                    (df_val.groupBy(group_id_column)
+                     .agg(F.count(F.lit(1)).alias("__c"))
+                     .orderBy(F.desc("__c")).limit(GROUP_TOPK).collect())]
+            if topk and partial:
                 # partial validation scanned a file SUBSET: the subset
-                # max UNDERestimates a whale (unsafe direction — the
-                # whale stays unrouted). Extrapolate assuming the whale
+                # counts UNDERestimate a whale (unsafe direction — the
+                # whale stays unrouted). Extrapolate assuming each group
                 # spreads uniformly across files (true for hash- or
                 # round-robin-partitioned layouts; a whale concentrated
                 # in the unscanned files is undetectable from any
                 # sample). Errs toward protection, which costs a bounded
                 # premium; the miss costs an unbounded task.
-                max_grp = max_grp * len(files) // max(len(val_files), 1)
-            ds.max_group_rows = int(max_grp) if max_grp is not None else None
+                scale = len(files) / max(len(val_files), 1)
+                topk = [int(c * scale) for c in topk]
+            ds.group_rows_topk = [int(c) for c in topk] or None
+            ds.max_group_rows = int(topk[0]) if topk else None
             total = max(row["__rows"], 1)
             categorical_strings = []
             for col_name, info in columns.items():

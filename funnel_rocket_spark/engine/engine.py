@@ -35,20 +35,20 @@ class QueryEngine:
     def __init__(self, group_id_column: str, timestamp_column: str,
                  universe_window_threshold: int = 4_000_000,
                  agg_collect_threads: int = 8,
-                 whale_row_threshold: int = 4_000_000):
+                 whale_row_threshold: int = 4_000_000,
+                 segmented_cost_premium: float = 20.0,
+                 whale_hard_cap_rows: int = 2_000_000_000):
         self.group_id_column = group_id_column
         self.timestamp_column = timestamp_column
-        # max-group-rows (registration profile hint) above which
-        # sequence_strategy="auto" routes to the segmented fold. The
-        # default guards the property that matters at cluster scale —
-        # no task ever buffers a whole whale group — at a measured local
-        # premium: on local[32] at 100M rows the crossover where
-        # segmented also wins WALL-CLOCK is a ~60M-row whale (a 20M
-        # whale external-sorts in one task faster than the segmented
-        # constant), so operators tuning for single-node latency can
-        # raise this; operators running 1000-executor jobs where a
-        # whale exceeds one task's sort capacity should not.
+        # Legacy-path knob (max-only hint): max-group-rows above which
+        # sequence_strategy="auto" routes to the segmented fold. With
+        # the r11 histogram hint (group_rows_topk) routing is a COST
+        # MODEL instead — see QueryPlan.__init__ and docs/operating.md
+        # for the two knobs below (the measured interpreted-fold
+        # premium per row, and the absolute task-size stall guard).
         self.whale_row_threshold = whale_row_threshold
+        self.segmented_cost_premium = segmented_cost_premium
+        self.whale_hard_cap_rows = whale_hard_cap_rows
         # matched-group count above which the row universe switches from
         # the semi join (broadcastable below this) to window flags — see
         # QueryPlan.rows_of_matching_groups
@@ -77,7 +77,8 @@ class QueryEngine:
              sequence_strategy: str = "auto",
              fold_segments: int = 64,
              max_group_rows: Optional[int] = None,
-             total_rows: Optional[int] = None) -> QueryPlan:
+             total_rows: Optional[int] = None,
+             group_rows_topk: Optional[list[int]] = None) -> QueryPlan:
         expanded = self.expand(query, df if validate_schema else None)
         return QueryPlan(df, expanded, self.group_id_column,
                          self.timestamp_column,
@@ -85,13 +86,17 @@ class QueryEngine:
                          fold_segments=fold_segments,
                          max_group_rows_hint=max_group_rows,
                          whale_row_threshold=self.whale_row_threshold,
-                         total_rows_hint=total_rows)
+                         total_rows_hint=total_rows,
+                         group_rows_topk_hint=group_rows_topk,
+                         segmented_cost_premium=self.segmented_cost_premium,
+                         whale_hard_cap_rows=self.whale_hard_cap_rows)
 
     def run(self, df: DataFrame, query: dict, validate_schema: bool = True,
             with_stats: bool = False, sequence_strategy: str = "auto",
             fold_segments: int = 64,
             max_group_rows: Optional[int] = None,
-            total_rows: Optional[int] = None) -> dict:
+            total_rows: Optional[int] = None,
+            group_rows_topk: Optional[list[int]] = None) -> dict:
         """Execute and return the reference-shaped result JSON.
 
         ``with_stats`` adds a ``stats`` block shaped after the reference's
@@ -111,7 +116,8 @@ class QueryEngine:
                          sequence_strategy=sequence_strategy,
                          fold_segments=fold_segments,
                          max_group_rows=max_group_rows,
-                         total_rows=total_rows)
+                         total_rows=total_rows,
+                         group_rows_topk=group_rows_topk)
         q = plan.q
 
         query_aggs = q.get("query", {}).get("aggregations") or []
@@ -256,9 +262,12 @@ class QueryEngine:
                     "strategies": {
                         "sequence": plan.sequence_strategy,
                         "autoRoutedSegmented": plan.auto_routed_segmented,
+                        "autoRouteReason": plan.auto_route_reason,
+                        "routeEstimates": plan.route_estimates,
                         "effectiveWhaleThreshold":
                             plan.effective_whale_threshold,
                         "maxGroupRowsHint": plan.max_group_rows_hint,
+                        "groupRowsTopkHint": plan.group_rows_topk_hint,
                         "rowUniverse": rows_strategy,
                     },
                     "usedColumns": plan.expanded.used_columns,

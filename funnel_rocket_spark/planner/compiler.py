@@ -477,7 +477,10 @@ class QueryPlan:
                  max_group_rows_hint: Optional[int] = None,
                  whale_row_threshold: int = 4_000_000,
                  total_rows_hint: Optional[int] = None,
-                 whale_task_multiple: float = 4.0):
+                 whale_task_multiple: float = 4.0,
+                 group_rows_topk_hint: Optional[list[int]] = None,
+                 segmented_cost_premium: float = 20.0,
+                 whale_hard_cap_rows: int = 2_000_000_000):
         if sequence_strategy not in ("auto", "window", "fold",
                                      "fold_segmented"):
             raise ValueError(
@@ -487,7 +490,12 @@ class QueryPlan:
         self.fold_segments = fold_segments
         self.max_group_rows_hint = max_group_rows_hint
         self.whale_row_threshold = whale_row_threshold
+        self.group_rows_topk_hint = group_rows_topk_hint
+        self.segmented_cost_premium = segmented_cost_premium
+        self.whale_hard_cap_rows = whale_hard_cap_rows
         self.auto_routed_segmented = False
+        self.auto_route_reason: Optional[str] = None
+        self.route_estimates: Optional[dict] = None
         self._seg_bounds_cache: dict[int, list] = {}
         self.expanded = expanded
         self.group_col = group_col
@@ -555,40 +563,75 @@ class QueryPlan:
 
         # Skew-aware auto routing: the per-group sequence/funnel paths
         # serialize each group into one task (window partition sort /
-        # fold's collect_list), so a whale group past whale_row_threshold
-        # flips "auto" to the segmented fold — measured 8.4× (fold) and
-        # 1.7–2.1× (window) skew factors become 0.70–0.82× at 100M rows
-        # (tools/scale_check.py whale). The hint comes for free from the
-        # registration profile (Dataset.max_group_rows); with no hint,
-        # auto keeps today's window anchors (no plan-time probe job —
-        # planning must stay job-free for sub-second queries). Routing is
-        # all-or-nothing: every spec must be segmentable (no
-        # rowFound:false — maxDuration is fine, it takes the
-        # _segmented_fold_max_duration shape) or the whole plan stays on
-        # the whale-tolerant window path rather than mixing strategies.
-        # The threshold is SCALE-RELATIVE when the dataset's total rows
-        # are known (the registration profile has them): a whale only
-        # hurts when its group is several times a task's uniform share —
-        # at 1T rows across 8000 shuffle partitions a task already holds
-        # ~125M rows, and a "4M whale" is noise the window sort absorbs
-        # for free, while routing it to segmented would pay the
-        # uniform-stream premium for nothing. effective = max(absolute
-        # floor, whale_task_multiple × total_rows / shuffle_partitions).
+        # fold's collect_list), so a whale group can flip "auto" to the
+        # segmented fold. Hints come for free from the registration
+        # profile; with no hint, auto keeps today's window anchors (no
+        # plan-time probe job — planning must stay job-free for
+        # sub-second queries). Routing is all-or-nothing: every spec
+        # must be segmentable (no rowFound:false — maxDuration is fine,
+        # it takes the _segmented_fold_max_duration shape) or the whole
+        # plan stays on the whale-tolerant window path rather than
+        # mixing strategies.
+        #
+        # With the r11 HISTOGRAM hint (Dataset.group_rows_topk + total
+        # rows), the decision is a COST MODEL, not a threshold: the
+        # window strategy's wall-clock is its slowest task, estimated by
+        # greedy-packing the top-K group sizes onto shuffle partitions
+        # over the uniform remainder; the segmented fold's tasks are
+        # bounded (uniform share + top1/fold_segments) but each row
+        # costs ~segmented_cost_premium more (measured ~20× on the 100M
+        # rung: ~22 µs/row interpreted two-level fold vs ~1 µs/row
+        # codegen external sort — tools/rung_whale_100m_r10.json, where
+        # the r10 max>threshold test routed a 20M-row whale to the
+        # segmented fold at 73.5 s when the window sort absorbs it in
+        # 23.2 s). Route segmented only when modeled window wall-clock
+        # exceeds premium × segmented task bound, or past
+        # whale_hard_cap_rows — the task size where one straggler's
+        # spill (~100 GB at 1e9 rows) risks stalling an executor
+        # regardless of modeled speed. Knobs in docs/operating.md.
+        #
+        # Legacy path (max-only hint, e.g. a pre-r11 saved catalog):
+        # the scale-relative threshold — max(absolute floor,
+        # whale_task_multiple × total_rows / shuffle_partitions).
+        try:
+            parts = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except Exception:
+            parts = 0
         eff_threshold = whale_row_threshold
-        if total_rows_hint:
-            try:
-                parts = int(df.sparkSession.conf.get(
-                    "spark.sql.shuffle.partitions"))
-            except Exception:
-                parts = 0
-            if parts > 0:
-                eff_threshold = max(
-                    eff_threshold,
-                    int(whale_task_multiple * total_rows_hint / parts))
+        if total_rows_hint and parts > 0:
+            eff_threshold = max(
+                eff_threshold,
+                int(whale_task_multiple * total_rows_hint / parts))
         self.effective_whale_threshold = eff_threshold
-        if (self.sequence_strategy == "auto"
-                and max_group_rows_hint is not None
-                and max_group_rows_hint > eff_threshold):
+
+        topk = sorted((int(c) for c in (group_rows_topk_hint or [])
+                       if c and int(c) > 0), reverse=True)
+        route = False
+        if self.sequence_strategy == "auto":
+            if topk and total_rows_hint and parts > 0:
+                total = max(int(total_rows_hint), sum(topk))
+                base = (total - sum(topk)) / parts
+                bins = [base] * max(1, min(parts, len(topk)))
+                for c in topk:  # greedy LPT: largest into lightest bin
+                    bins[bins.index(min(bins))] += c
+                window_task = max(bins)
+                seg_task = total / parts + topk[0] / max(fold_segments, 1)
+                self.route_estimates = {
+                    "window_task_rows": int(window_task),
+                    "segmented_task_rows": int(seg_task),
+                    "premium": segmented_cost_premium,
+                }
+                if topk[0] > whale_hard_cap_rows:
+                    route, self.auto_route_reason = True, "hard_cap"
+                elif window_task > segmented_cost_premium * seg_task:
+                    route, self.auto_route_reason = True, "cost_model"
+                else:
+                    self.auto_route_reason = "cost_model_window"
+            elif (max_group_rows_hint is not None
+                  and max_group_rows_hint > eff_threshold):
+                route, self.auto_route_reason = True, "legacy_threshold"
+        if route:
             specs = list(self._seq_specs.values())
             if self._funnel_spec is not None:
                 specs.append(self._funnel_spec)
@@ -748,12 +791,23 @@ class QueryPlan:
         of 10M groups matching). The engine picks per query using the
         matched-group count it has already computed (see
         ``QueryEngine.run``).
+
+        ``strategy="hash_join"``: the semi join with a ``shuffle_hash``
+        hint — the big side shuffles but is NEVER sorted (the matched
+        side builds per-partition hash tables). This is the
+        many-groups-match shape for FOLD-FAMILY sequence plans, whose
+        condition flags aren't window-expressible without re-introducing
+        the whale partition sort the fold was chosen to avoid; it keeps
+        the window universe's no-big-sort property at the price of one
+        extra small exchange (r11; rung: tools/scale_check.py universe).
         """
         if not self._conditions:
             return self.df
         if strategy == "window":
             return self._rows_windowed()
         matched = self.matched_groups().select(self.group_col)
+        if strategy == "hash_join":
+            matched = matched.hint("shuffle_hash")
         return self.df.join(matched, on=self.group_col, how="left_semi")
 
     def _rows_windowed(self) -> DataFrame:

@@ -57,6 +57,9 @@ def test_catalog_roundtrip(spark, tmp_path):
     # exact, and it survives the JSON roundtrip (old catalog files
     # without the key load as None)
     assert loaded.max_group_rows == 10
+    # r11 histogram head: all 10 groups (≤ GROUP_TOPK) descending,
+    # max_group_rows stays its first entry
+    assert loaded.group_rows_topk == [10] * 10
 
 
 def test_catalog_partial_validation_modes(spark, tmp_path):
@@ -98,6 +101,8 @@ def test_catalog_partial_validation_modes(spark, tmp_path):
     # over 2 files -> x6/2 = 120, matching the true full-scan 100/uid
     # within the uniform-spread assumption (and erring protective)
     assert ds.max_group_rows == 40 * 6 // 2
+    # the whole histogram head extrapolates the same way
+    assert ds.group_rows_topk == [40 * 6 // 2] * 5
 
     # single: only part-0
     ds2 = register_dataset(spark, "p2", str(src), "uid", "ts",

@@ -1035,6 +1035,80 @@ def test_whale_threshold_scales_with_dataset(spark, seq_df):
                    total_rows=10**12) == ref
 
 
+def test_histogram_cost_model_routing(spark, seq_df):
+    """With the r11 histogram hint (group_rows_topk + total rows) auto
+    routing is a COST MODEL — estimated slowest window task (greedy
+    whale packing over the uniform remainder) vs the segmented fold's
+    bounded task × the measured per-row premium — not the binary
+    max>threshold test that over-routed the r10 rung's 20M whale
+    (window sort 23.2s vs segmented 73.5s)."""
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    eng = QueryEngine("id", "timestamp")
+    q = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "<=", 2]}]}]}}
+    expanded = eng.expand(q, seq_df)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def plan(**kw):
+        return QueryPlan(seq_df, expanded, "id", "timestamp", **kw)
+
+    # the r10 rung shape: 20M whale in 100M rows. The old threshold
+    # test routed it; the cost model must NOT (window task ≈ uniform
+    # share + whale << premium × segmented task bound).
+    p = plan(group_rows_topk_hint=[20_000_000], total_rows_hint=10**8,
+             max_group_rows_hint=20_000_000)
+    assert not p.auto_routed_segmented
+    assert p.auto_route_reason == "cost_model_window"
+    est = p.route_estimates
+    assert est["window_task_rows"] == int(80_000_000 / parts) + 20_000_000
+    assert est["segmented_task_rows"] == int(10**8 / parts + 20_000_000 / 64)
+
+    # ...while the legacy max-only hint still routes once past its
+    # threshold (pre-r11 catalog: no histogram to model cost from)
+    legacy = plan(max_group_rows_hint=20_000_000)
+    assert legacy.auto_routed_segmented
+    assert legacy.auto_route_reason == "legacy_threshold"
+
+    # a whale that dominates modeled wall-clock routes (premium pinned
+    # low so the crossover is reachable at the test's partition count)
+    p = plan(group_rows_topk_hint=[95_000_000], total_rows_hint=10**8,
+             segmented_cost_premium=1.5)
+    assert p.auto_routed_segmented and p.auto_route_reason == "cost_model"
+    assert p.counts().collect() == plan(
+        sequence_strategy="window").counts().collect()
+
+    # many mid-size whales spread across partitions: no single task
+    # dominates, so no routing (the max-only test can't see this)
+    p = plan(group_rows_topk_hint=[4_000_000] * 16, total_rows_hint=10**8,
+             segmented_cost_premium=1.5)
+    assert not p.auto_routed_segmented
+
+    # the hard cap fires on stall-scale whales even when modeled
+    # wall-clock still favors the window sort
+    p = plan(group_rows_topk_hint=[3 * 10**9], total_rows_hint=6 * 10**9)
+    assert p.auto_routed_segmented and p.auto_route_reason == "hard_cap"
+
+    # histogram without total rows can't model cost -> legacy fallback
+    p = plan(group_rows_topk_hint=[10**9])
+    assert not p.auto_routed_segmented
+
+    # engine threads the histogram + its knobs through run(); stats
+    # expose the decision inputs; routing never changes answers
+    tuned = QueryEngine("id", "timestamp", segmented_cost_premium=1.5)
+    ref = tuned.run(seq_df, q, with_stats=True)
+    got = tuned.run(seq_df, q, with_stats=True, max_group_rows=95_000_000,
+                    total_rows=10**8, group_rows_topk=[95_000_000])
+    assert got["query"] == ref["query"]
+    st = got["stats"]["strategies"]
+    assert st["sequence"] == "fold_segmented"
+    assert st["autoRouteReason"] == "cost_model"
+    assert st["groupRowsTopkHint"] == [95_000_000]
+    assert st["routeEstimates"]["premium"] == 1.5
+
+
 def test_stats_expose_chosen_strategies(spark, seq_df):
     """with_stats reports WHICH physical plans ran — the routing
     decision must be auditable from the result JSON alone."""

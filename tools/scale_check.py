@@ -935,11 +935,15 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
         ev = spark.read.parquet(path)
         if dist == "whale":
             out["whale_rows"] = ev.filter(F.col("user_id") == -1).count()
-        # the registration profile's whale-detector stat (same job
-        # register_dataset runs): feeds the "auto" strategy below
-        hint = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-                .agg(F.max("c")).collect()[0][0])
+        # the registration profile's whale-detector stats (same job
+        # register_dataset runs): the r11 histogram head feeds the
+        # "auto" cost model below
+        topk = [r["c"] for r in
+                (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+                 .orderBy(F.desc("c")).limit(16).collect())]
+        hint = topk[0] if topk else None
         out[f"max_group_rows.{dist}"] = hint
+        out[f"group_rows_topk.{dist}"] = topk[:3]
         for strat in ("window", "fold", "fold_segmented", "auto"):
             for qname, q in (("sequence_3step", seq_q),
                              ("funnel_steps", fun_q),
@@ -950,14 +954,22 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
                                  max_group_rows_hint=(
                                      hint if strat == "auto" else None),
                                  total_rows_hint=(
-                                     n_rows if strat == "auto" else None))
+                                     n_rows if strat == "auto" else None),
+                                 group_rows_topk_hint=(
+                                     topk if strat == "auto" else None))
                 if strat == "auto":
-                    # no flag, no operator knowledge: the hint alone must
-                    # route the whale stream to the segmented fold and
-                    # keep the uniform stream on window anchors
+                    # no flag, no operator knowledge: the histogram cost
+                    # model decides. r11 acceptance: auto must run within
+                    # 1.1x of the best single strategy on BOTH streams
+                    # (the r10 max>threshold hint routed the 20M whale to
+                    # the segmented fold, 3x off the window sort)
                     out[f"auto_routed.{dist}.{qname}"] = (
                         plan.sequence_strategy
                         if plan.auto_routed_segmented else "window")
+                    out[f"auto_route_reason.{dist}.{qname}"] = \
+                        plan.auto_route_reason
+                    out[f"route_estimates.{dist}.{qname}"] = \
+                        plan.route_estimates
                 t0 = time.perf_counter()
                 try:
                     if qname == "funnel_steps":
@@ -992,6 +1004,17 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
             w = out["timings"].get(f"whale.{qname}.{strat}")
             out["skew_factor"][f"{qname}.{strat}"] = (
                 round(w / u, 2) if u and w else None)
+    # r11 acceptance metric: auto vs the best single strategy per
+    # (stream, query) — the cost model is judged on never being far
+    # from the best pick, on uniform AND whale
+    out["auto_vs_best"] = {}
+    for dist in ("uniform", "whale"):
+        for qname in ("sequence_3step", "funnel_steps", "sequence_maxdur"):
+            best = min((out["timings"].get(f"{dist}.{qname}.{s}") or 1e18)
+                       for s in ("window", "fold", "fold_segmented"))
+            a = out["timings"].get(f"{dist}.{qname}.auto")
+            out["auto_vs_best"][f"{dist}.{qname}"] = (
+                round(a / best, 2) if a and best < 1e18 else None)
     del out["results"]  # counts only matter for the equality verdict
     print(json.dumps(out))
 
