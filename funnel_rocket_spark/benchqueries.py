@@ -189,6 +189,14 @@ Q_SEQ_NOT = {"query": {"conditions": [{"sequence": [
     {"filter": ["event_type", "==", "signup"]},
     {"filter": ["event_type", "==", "error"], "rowFound": False},
     {"filter": ["event_type", "==", "purchase"]}]}]}}
+# a SELECTIVE absence step (high-value errors only), so matches are
+# non-zero at the driver's sf0.01 (18 groups) — a 0-row gate would pass
+# on "nothing matches" without exercising the absence machinery
+Q_SEQ_NOT_SEL = {"query": {"conditions": [{"sequence": [
+    {"filter": ["event_type", "==", "signup"]},
+    {"filters": [["event_type", "==", "error"], ["value", ">", 90.0]],
+     "rowFound": False},
+    {"filter": ["event_type", "==", "purchase"]}]}]}}
 Q_FUNNEL = {"funnel": {"sequence": [
     {"filter": ["event_type", "==", "signup"]},
     {"filter": ["event_type", "==", "click"]},
@@ -2500,6 +2508,24 @@ WITH s0 AS (SELECT user_id, min(ts) t FROM events WHERE event_type = 'signup' GR
 ok1 AS (SELECT s0.user_id, s0.t FROM s0 WHERE NOT EXISTS (
         SELECT 1 FROM events e WHERE e.user_id = s0.user_id
         AND e.event_type = 'error' AND e.ts > s0.t)),
+s2 AS (SELECT e.user_id FROM events e JOIN ok1 ON e.user_id = ok1.user_id
+       AND e.ts > ok1.t WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT count(*)::BIGINT AS matching_groups FROM s2
+""",
+    ),
+    # an absence-step sequence through the r11 anchor-chain form
+    # (chained per-group min aggregates — the whale-safe rowFound:false
+    # path; compiler.sequence_anchor_chain, reached via
+    # sequence_strategy="fold_segmented"). The absence step is SELECTIVE
+    # (high-value errors) so the gate verifies non-zero matches (18
+    # groups at sf0.01) rather than passing on an all-excluded stream.
+    "fr_seq_row_not_found_segmented": (
+        _fr_groups_only(Q_SEQ_NOT_SEL, sequence_strategy="fold_segmented"),
+        """
+WITH s0 AS (SELECT user_id, min(ts) t FROM events WHERE event_type = 'signup' GROUP BY 1),
+ok1 AS (SELECT s0.user_id, s0.t FROM s0 WHERE NOT EXISTS (
+        SELECT 1 FROM events e WHERE e.user_id = s0.user_id
+        AND e.event_type = 'error' AND e.value > 90.0 AND e.ts > s0.t)),
 s2 AS (SELECT e.user_id FROM events e JOIN ok1 ON e.user_id = ok1.user_id
        AND e.ts > ok1.t WHERE e.event_type = 'purchase' GROUP BY 1)
 SELECT count(*)::BIGINT AS matching_groups FROM s2

@@ -129,8 +129,20 @@ class QueryEngine:
         if with_stats:
             metrics_mgr = JobGroupMetrics(df.sparkSession)
             metrics_mgr.__enter__()
+        matched = None
         try:
-            counts = plan.counts().collect()[0]
+            if plan._conditions and (query_aggs or funnel is not None):
+                # the matched-group frame feeds counts AND every
+                # join-universe build side below: persist it so the
+                # condition pass runs ONCE per query, not once per
+                # consumer. Before r11 the semi-join universe re-ran the
+                # whole per-group aggregation (for a fold_segmented plan,
+                # the most expensive stage in the query) as its build
+                # side. The frame is one row per matched group — bounded
+                # by n_groups, column-pruned to (group, __fr_rows, flags).
+                matched = plan.matched_groups()
+                matched.persist(StorageLevel.MEMORY_AND_DISK)
+            counts = plan.counts(matched).collect()[0]
             if query_aggs:  # the universe feeds query aggregations only;
                 # the funnel branch derives its own per-group frame
                 # adaptive universe: the matched-group count is already in
@@ -138,16 +150,23 @@ class QueryEngine:
                 # too big to broadcast would sort-merge the whole table, so
                 # evaluate the same conditions as window flags instead —
                 # join-free, measured 2.9× at 100M rows with 71% of groups
-                # matching. Fold-strategy sequences stay on the join path
-                # (their flags aren't window-expressible).
-                use_window = (
-                    counts["matching_groups"] > self.universe_window_threshold
-                    and not (plan._seq_specs
-                             and plan.sequence_strategy
-                             in ("fold", "fold_segmented"))
-                )
-                rows_strategy = "window" if use_window else "join"
-                rows = plan.rows_of_matching_groups(strategy=rows_strategy)
+                # matching. Fold-family sequences can't window their flags
+                # (that would re-introduce the whale partition sort the
+                # fold was chosen to avoid), so past the threshold they
+                # take the shuffle_hash semi join — big side shuffled but
+                # never sorted (r11; within ~1.1× of the windowed
+                # universe on the 100M rung, tools/scale_check.py
+                # universe).
+                many = (counts["matching_groups"]
+                        > self.universe_window_threshold)
+                fold_family = (plan._seq_specs
+                               and plan.sequence_strategy
+                               in ("fold", "fold_segmented"))
+                rows_strategy = (
+                    ("hash_join" if fold_family else "window")
+                    if many else "join")
+                rows = plan.rows_of_matching_groups(strategy=rows_strategy,
+                                                    matched=matched)
                 if len(query_aggs) > 1:
                     # caching the universe pays only when several
                     # aggregations read it; for one consumer the
@@ -166,19 +185,21 @@ class QueryEngine:
             if funnel is not None:
                 # the funnel universe reuses the adaptive policy: windowed
                 # condition flags when the matched-group set is beyond
-                # broadcast scale (fold sequences stay on joins)
+                # broadcast scale; fold-family plans take the
+                # shuffle_hash semi join there instead (no big-side sort)
                 anchors_ok = not (
                     (plan._seq_specs or plan._funnel_spec is not None)
                     and plan.sequence_strategy
                     in ("fold", "fold_segmented"))
                 has_conditions = bool(
                     q.get("query", {}).get("conditions") or [])
-                uni = ("window" if counts["matching_groups"]
-                       > self.universe_window_threshold and anchors_ok
-                       and has_conditions else "join")
+                many_f = (counts["matching_groups"]
+                          > self.universe_window_threshold)
+                uni = ("window" if anchors_ok else "hash_join") \
+                    if many_f and has_conditions else "join"
                 # One row per group; step counts and every step-rows semi
                 # join derive from it (plan-equal rebuilds hit this cache).
-                frows = plan.funnel_per_group(uni)
+                frows = plan.funnel_per_group(uni, matched=matched)
                 frows.persist(StorageLevel.MEMORY_AND_DISK)
                 step_aggs = funnel.get("stepAggregations") or []
                 end_aggs = funnel.get("endAggregations") or []
@@ -194,23 +215,28 @@ class QueryEngine:
                                       + (1 if end_aggs else 0))
                 if universe_consumers > 1 and not (
                         rows_persisted and rows_strategy == uni):
-                    funnel_universe = plan.rows_of_matching_groups(uni)
+                    funnel_universe = plan.rows_of_matching_groups(
+                        uni, matched=matched)
                     funnel_universe.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     step_counts = {
                         r["step"]: r
-                        for r in plan.funnel_step_counts(uni).collect()
+                        for r in plan.funnel_step_counts(
+                            uni, matched=matched).collect()
                     }
 
                     def step_rows(i: int):
                         # per-step adaptive: many groups pass → anchor
-                        # filter (join-free); few → semi join against the
-                        # cached per-group frame
+                        # filter (join-free) or, for fold-family plans,
+                        # the shuffle_hash semi join; few → semi join
+                        # against the cached per-group frame
                         many = (step_counts[i]["matching_groups"]
                                 > self.universe_window_threshold)
-                        strat = "window" if many and anchors_ok else "join"
+                        strat = ("window" if anchors_ok
+                                 else "hash_join") if many else "join"
                         return plan.funnel_step_rows(
-                            i, universe_strategy=uni, step_strategy=strat)
+                            i, universe_strategy=uni, step_strategy=strat,
+                            matched=matched)
 
                     if (step_aggs and n_steps > 1
                             and self.agg_collect_threads > 1):
@@ -284,6 +310,8 @@ class QueryEngine:
                 metrics_mgr.__exit__(None, None, None)
             if rows_persisted:
                 rows.unpersist()
+            if matched is not None:
+                matched.unpersist()
 
     @staticmethod
     def _pool_map(df: DataFrame, n_workers: int, fn, items) -> list:

@@ -276,6 +276,77 @@ def _fold_parts(spec: SequenceSpec, df: DataFrame, ts_col: str,
     return events, merge, init
 
 
+def sequence_anchor_chain(spec: SequenceSpec, df: DataFrame,
+                          group_col: str, ts_col: str) -> DataFrame:
+    """(group, __fr_rows, __fr_done) via n CHAINED per-group MIN
+    aggregates — the whale-safe plan for sequences WITH ``rowFound:
+    false`` steps (r11), which neither fold form can express (the fold
+    needs lookahead; the exit table can't carry "nothing matched
+    anywhere after the anchor" across segments).
+
+    Key observation: the window-anchor semantics (reference W1/W3,
+    ``with_sequence_anchors``) are already a RECURRENCE of per-group
+    scalars — ``anchor_i = min(ts where pred_i ∧ ts > anchor_{i-1}
+    [∧ ts ≤ first + maxDuration])`` for found steps, pass-through /
+    NULL for absence steps — evaluated as whole-group MINs, not a
+    sequential scan. So each step is one map-side-combining groupBy
+    aggregate over events joined to the previous per-group anchor
+    scalars: no window, no partition sort, no per-group array — no
+    task ever holds more than its uniform share of one step's events.
+    Cost: n event-table scans and n group-keyed exchanges (the anchor
+    tables are ~n_groups rows; AQE broadcasts small ones), vs the exit
+    table's 2 — the price of lookahead, paid only by absence plans.
+
+    ``done`` is the matched-prefix length: anchors propagate NULL by
+    construction, so it is simply the count of non-null anchors.
+    """
+    n = len(spec.step_preds)
+    ts, sentinel = ts_numeric(df, ts_col)
+    # step 0: prev = sentinel (non-null, below every ts), so scope is
+    # just the step predicate. Absence-first steps anchor AT the
+    # sentinel when nothing matches (pass-through), NULL otherwise.
+    m0 = F.min(F.when(spec.step_preds[0], ts))
+    a0 = m0 if spec.row_found[0] else F.when(m0.isNull(), sentinel)
+    acc = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias(ROWS_COL), a0.alias("__fr_ca0"))
+    # the maxDuration window starts at the first FOUND step's anchor
+    # (same rule as with_sequence_anchors: an absence-first step passes
+    # the sentinel through, and anchoring the duration window THERE
+    # would make every later step impossible)
+    first_idx = next((i for i, fnd in enumerate(spec.row_found) if fnd),
+                     None)
+    for i in range(1, n):
+        prev_col = f"__fr_ca{i - 1}"
+        scal_cols = [F.col(prev_col).alias("__fr_prev")]
+        with_dur = (spec.max_duration is not None
+                    and first_idx is not None and first_idx < i)
+        if with_dur:
+            scal_cols.append(
+                F.col(f"__fr_ca{first_idx}").alias("__fr_dur0"))
+        # only groups still alive join back against the events — dead
+        # groups (NULL prev) stay NULL for every later anchor
+        scal = (acc.filter(F.col(prev_col).isNotNull())
+                .select(group_col, *scal_cols))
+        scoped = (spec.step_preds[i] & (ts > F.col("__fr_prev")))
+        if with_dur:
+            scoped = scoped & (ts <= F.col("__fr_dur0")
+                               + F.lit(spec.max_duration))
+        m = (df.join(scal, group_col)
+             .groupBy(group_col)
+             .agg(F.min(F.when(scoped, ts)).alias("__fr_m")))
+        acc = acc.join(m, group_col, "left")
+        if spec.row_found[i]:
+            a_i = F.col("__fr_m")
+        else:  # absence: anchor passes through iff nothing matched
+            a_i = F.when(F.col(prev_col).isNotNull()
+                         & F.col("__fr_m").isNull(), F.col(prev_col))
+        acc = acc.withColumn(f"__fr_ca{i}", a_i).drop("__fr_m")
+    done = reduce(operator.add,
+                  [F.col(f"__fr_ca{i}").isNotNull().cast("int")
+                   for i in range(n)])
+    return acc.select(group_col, ROWS_COL, done.alias(DONE_COL))
+
+
 def sequence_fold_done_segmented(spec: SequenceSpec, df: DataFrame,
                                  group_col: str, ts_col: str,
                                  n_segments: int = 64,
@@ -305,10 +376,12 @@ def sequence_fold_done_segmented(spec: SequenceSpec, df: DataFrame,
     whale-proof task sizing.
 
     ``maxDuration`` takes a different (still whale-proof) shape — see
-    :func:`_segmented_fold_max_duration`. Not expressible here:
-    ``rowFound: false`` (same lookahead limit as the plain fold) — the
-    planner validates it at strategy-selection time.
+    :func:`_segmented_fold_max_duration`; ``rowFound: false`` takes a
+    third (r11) — see :func:`sequence_anchor_chain` (the exit table
+    can't express lookahead, the anchor recurrence can).
     """
+    if not all(spec.row_found):
+        return sequence_anchor_chain(spec, df, group_col, ts_col)
     if spec.max_duration is not None:
         return _segmented_fold_max_duration(
             spec, df, group_col, ts_col, n_segments, bounds)
@@ -635,7 +708,10 @@ class QueryPlan:
             specs = list(self._seq_specs.values())
             if self._funnel_spec is not None:
                 specs.append(self._funnel_spec)
-            if specs and all(all(s.row_found) for s in specs):
+            # every spec shape is segmentable since r11 (rowFound:false
+            # takes the anchor-chain form), so a whale verdict always has
+            # a whale-safe plan to route to
+            if specs:
                 self.sequence_strategy = "fold_segmented"
                 self.auto_routed_segmented = True
 
@@ -657,17 +733,16 @@ class QueryPlan:
         non-sequence conditions and the input isn't sorted); it rejects
         ``rowFound: false``, which needs lookahead only anchors express.
         """
-        foldable = all(spec.row_found)
-        if (self.sequence_strategy in ("fold", "fold_segmented")
-                and not foldable):
+        if self.sequence_strategy == "fold" and not all(spec.row_found):
             raise ValueError(
-                f"sequence_strategy={self.sequence_strategy!r} cannot "
-                "express rowFound:false steps")
+                "sequence_strategy='fold' cannot express rowFound:false "
+                "steps (use fold_segmented: its anchor-chain form can)")
         return self.sequence_strategy == "fold"
 
     def _use_segmented(self, spec: SequenceSpec) -> bool:
-        """fold_segmented resolution — shares _use_fold's validation."""
-        self._use_fold(spec)  # raises on rowFound:false / maxDuration
+        """fold_segmented resolution. Since r11 it accepts EVERY spec:
+        maxDuration takes the first-anchor-join form, rowFound:false the
+        anchor-chain form (see sequence_fold_done_segmented)."""
         return self.sequence_strategy == "fold_segmented"
 
     def _segment_bounds(self, spec: SequenceSpec) -> list:
@@ -756,13 +831,16 @@ class QueryPlan:
         """Groups satisfying the relation; columns: group, __fr_rows."""
         return self.per_group().filter(self.relation_column())
 
-    def counts(self) -> DataFrame:
+    def counts(self, matched: Optional[DataFrame] = None) -> DataFrame:
         """1-row DataFrame: matching_groups, matching_group_rows (reference A11).
 
         No join needed — group count and row count both fall out of the
-        per-group frame.
+        per-group frame. ``matched`` lets the engine aggregate a frame it
+        has PERSISTED (see ``QueryEngine.run``): counts and the semi-join
+        universe then share one condition evaluation instead of two.
         """
-        return self.matched_groups().agg(
+        mg = matched if matched is not None else self.matched_groups()
+        return mg.agg(
             F.count(F.lit(1)).alias("matching_groups"),
             F.coalesce(F.sum(ROWS_COL), F.lit(0)).alias("matching_group_rows"),
         )
@@ -774,7 +852,9 @@ class QueryPlan:
         """
         return self.matched_groups().select(self.group_col)
 
-    def rows_of_matching_groups(self, strategy: str = "join") -> DataFrame:
+    def rows_of_matching_groups(self, strategy: str = "join",
+                                matched: Optional[DataFrame] = None
+                                ) -> DataFrame:
         """All rows of matching groups (reference F5/J1 semi-filter,
         ``helpers/pandas.py:20-37``): the universe for aggregations + funnel.
 
@@ -800,12 +880,19 @@ class QueryPlan:
         the whale partition sort the fold was chosen to avoid; it keeps
         the window universe's no-big-sort property at the price of one
         extra small exchange (r11; rung: tools/scale_check.py universe).
+
+        ``matched``: a pre-computed (typically PERSISTED) matched-groups
+        frame to join against, so the join paths reuse the condition
+        evaluation the engine already ran for counts instead of
+        re-running it as the semi join's build side.
         """
         if not self._conditions:
             return self.df
         if strategy == "window":
             return self._rows_windowed()
-        matched = self.matched_groups().select(self.group_col)
+        if matched is None:
+            matched = self.matched_groups()
+        matched = matched.select(self.group_col)
         if strategy == "hash_join":
             matched = matched.hint("shuffle_hash")
         return self.df.join(matched, on=self.group_col, how="left_semi")
@@ -876,17 +963,20 @@ class QueryPlan:
 
     # ------------------------------- funnel ---------------------------- #
 
-    def funnel_rows(self) -> Optional[DataFrame]:
+    def funnel_rows(self, matched: Optional[DataFrame] = None
+                    ) -> Optional[DataFrame]:
         """Row universe with funnel anchor columns attached (reference W2 —
         funnel runs over rows of groups matching the query conditions,
         ``query_engine.py:102-104``)."""
         if self._funnel_spec is None:
             return None
         return with_sequence_anchors(
-            self.rows_of_matching_groups(), self._funnel_spec,
-            self.group_col, self.ts_col)
+            self.rows_of_matching_groups(matched=matched),
+            self._funnel_spec, self.group_col, self.ts_col)
 
-    def funnel_per_group(self, strategy: str = "join") -> Optional[DataFrame]:
+    def funnel_per_group(self, strategy: str = "join",
+                         matched: Optional[DataFrame] = None
+                         ) -> Optional[DataFrame]:
         """(group, __fr_rows, __fr_done): row count + completed-step count
         per group of the funnel universe. ``strategy`` picks the universe
         construction (see ``rows_of_matching_groups``).
@@ -901,7 +991,7 @@ class QueryPlan:
         spec = self._funnel_spec
         if spec is None:
             return None
-        rows = self.rows_of_matching_groups(strategy)
+        rows = self.rows_of_matching_groups(strategy, matched=matched)
         if self._use_segmented(spec):
             return sequence_fold_done_segmented(
                 spec, rows, self.group_col, self.ts_col,
@@ -922,7 +1012,9 @@ class QueryPlan:
                        for i in range(len(spec.step_preds))])
         return pg.select(self.group_col, ROWS_COL, done.alias(DONE_COL))
 
-    def funnel_step_counts(self, strategy: str = "join") -> Optional[DataFrame]:
+    def funnel_step_counts(self, strategy: str = "join",
+                           matched: Optional[DataFrame] = None
+                           ) -> Optional[DataFrame]:
         """Per-step (step, matching_groups, matching_group_rows).
 
         ONE aggregate over the per-group frame producing all steps' counts
@@ -940,7 +1032,7 @@ class QueryPlan:
                         .alias(f"__g{i}"))
             aggs.append(F.coalesce(F.sum(F.when(passed, F.col(ROWS_COL))),
                                    F.lit(0)).alias(f"__r{i}"))
-        one = self.funnel_per_group(strategy).agg(*aggs)
+        one = self.funnel_per_group(strategy, matched=matched).agg(*aggs)
         return one.select(F.inline(F.array(*[
             F.struct(F.lit(i).alias("step"),
                      F.col(f"__g{i}").alias("matching_groups"),
@@ -948,7 +1040,9 @@ class QueryPlan:
             for i in range(n)])))
 
     def funnel_step_rows(self, step: int, universe_strategy: str = "join",
-                         step_strategy: str = "join") -> Optional[DataFrame]:
+                         step_strategy: str = "join",
+                         matched: Optional[DataFrame] = None
+                         ) -> Optional[DataFrame]:
         """All rows of groups that passed funnel step ``step``.
 
         ``step_strategy="join"``: semi join against the per-group frame
@@ -961,11 +1055,16 @@ class QueryPlan:
         simply ``anchor(i) IS NOT NULL`` — a pure filter, no join, for the
         many-groups-pass case where the semi join would sort-merge the
         whole universe.
+
+        ``step_strategy="hash_join"``: the semi join with a
+        ``shuffle_hash`` hint — the fold-family twin of "window" (see
+        ``rows_of_matching_groups``): universe shuffled, never sorted.
         """
         spec = self._funnel_spec
         if spec is None:
             return None
-        rows = self.rows_of_matching_groups(universe_strategy)
+        rows = self.rows_of_matching_groups(universe_strategy,
+                                            matched=matched)
         if step_strategy == "window":
             if self._use_fold(spec) or self._use_segmented(spec):
                 # fold_segmented must refuse too, not silently attach
@@ -978,7 +1077,9 @@ class QueryPlan:
             return (anchored
                     .filter(F.col(spec.anchor(step)).isNotNull())
                     .select(*rows.columns))
-        passed = (self.funnel_per_group(universe_strategy)
+        passed = (self.funnel_per_group(universe_strategy, matched=matched)
                   .filter(F.col(DONE_COL) > F.lit(step))
                   .select(self.group_col))
+        if step_strategy == "hash_join":
+            passed = passed.hint("shuffle_hash")
         return rows.join(passed, on=self.group_col, how="left_semi")

@@ -888,14 +888,17 @@ def test_auto_strategy_whale_routing(spark, seq_df):
                     sequence_strategy="window").counts().collect()
     assert plan.counts().collect() == ref
 
-    # non-segmentable shapes fall back to window anchors, not a raise
+    # rowFound:false is segmentable since r11 (anchor-chain form): a
+    # whale hint routes it too, and values match the window path
     qr = {"query": {"conditions": [{"sequence": [
         {"filter": ["category", "==", 0]},
         {"filter": ["category", "==", 1], "rowFound": False}]}]}}
     plan = QueryPlan(seq_df, eng.expand(qr, seq_df), "id", "timestamp",
                      max_group_rows_hint=10_000, whale_row_threshold=100)
-    assert not plan.auto_routed_segmented
-    plan.counts().collect()
+    assert plan.auto_routed_segmented
+    ref = QueryPlan(seq_df, eng.expand(qr, seq_df), "id", "timestamp",
+                    sequence_strategy="window").counts().collect()
+    assert plan.counts().collect() == ref
 
     # a funnel with a whale hint routes too, and end-to-end run() accepts
     # the hint (engine → plan threading)
@@ -991,6 +994,80 @@ def test_fold_segmented_max_duration_equals_window(spark, seq_df):
                     sequence_strategy="fold_segmented", fold_segments=7
                     ).funnel_step_counts().collect()
     assert key(seg) == key(window)
+
+
+def test_anchor_chain_equals_window_for_absence_steps(spark):
+    """rowFound:false under fold_segmented takes the r11 anchor-chain
+    form (chained per-group min aggregates — no window, no per-group
+    array): it must equal the window-anchor path exactly across absence
+    position (first/mid/last/all/single), maxDuration interaction, a
+    tie-heavy stream, and funnel step counts."""
+    import random
+
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    rng = random.Random(42)
+    rows = [{"id": g, "timestamp": float(rng.randrange(12)),  # many ties
+             "category": rng.randrange(-1, 5), "price": 1}
+            for g in range(300) for _ in range(rng.randrange(1, 30))]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    eng = QueryEngine("id", "timestamp")
+    seqs = [
+        # absence mid-step
+        [{"filter": ["category", "==", 0]},
+         {"filter": ["category", "==", 1], "rowFound": False},
+         {"filter": ["category", "==", 2]}],
+        # absence-first (anchors the sentinel through)
+        [{"filter": ["category", "==", 4], "rowFound": False},
+         {"filter": ["category", "==", 1]},
+         {"filter": ["category", "==", 2]}],
+        # absence-last
+        [{"filter": ["category", "==", 0]},
+         {"filter": ["category", "==", 3], "rowFound": False}],
+        # all-absence
+        [{"filter": ["category", "==", 4], "rowFound": False},
+         {"filter": ["category", "==", -1], "rowFound": False}],
+        # single absence step
+        [{"filter": ["category", "==", 4], "rowFound": False}],
+    ]
+    cases = [{"sequence": s} for s in seqs] + [
+        # maxDuration × absence: mid-step and absence-first (the
+        # duration window must anchor at the first FOUND step)
+        {"sequence": seqs[0], "maxDuration": 4},
+        {"sequence": seqs[1], "maxDuration": 3},
+    ]
+    for cond in cases:
+        q = {"query": {"conditions": [cond]}}
+        expanded = eng.expand(q, df)
+        w = QueryPlan(df, expanded, "id", "timestamp",
+                      sequence_strategy="window").counts().collect()
+        for n_seg in (1, 4, 64):
+            s = QueryPlan(df, expanded, "id", "timestamp",
+                          sequence_strategy="fold_segmented",
+                          fold_segments=n_seg).counts().collect()
+            assert s == w, (cond, n_seg)
+
+    # funnel with an absence step under fold_segmented
+    fq = {"query": {}, "funnel": {"sequence": [
+        {"filter": ["category", ">=", 0]},
+        {"filter": ["category", "==", 4], "rowFound": False},
+        {"filter": ["category", "<=", 2]}]}}
+    expanded = eng.expand(fq, df)
+    key = lambda rs: [(r["step"], r["matching_groups"],  # noqa: E731
+                       r["matching_group_rows"]) for r in rs]
+    w = QueryPlan(df, expanded, "id", "timestamp",
+                  sequence_strategy="window").funnel_step_counts().collect()
+    s = QueryPlan(df, expanded, "id", "timestamp",
+                  sequence_strategy="fold_segmented"
+                  ).funnel_step_counts().collect()
+    assert key(s) == key(w)
+
+    # plain fold still rejects absence steps (no lookahead)
+    with pytest.raises(ValueError, match="rowFound"):
+        QueryPlan(df, eng.expand({"query": {"conditions": [cases[0]]}}, df),
+                  "id", "timestamp",
+                  sequence_strategy="fold").counts().collect()
 
 
 def test_whale_threshold_scales_with_dataset(spark, seq_df):

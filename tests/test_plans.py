@@ -367,6 +367,61 @@ def test_segmented_max_duration_plan_is_window_free(events, engine):
     assert routed.sequence_strategy == "fold_segmented"
 
 
+def test_fold_family_universe_hash_join_never_sorts_big_side(events, engine):
+    """Fold-family plans can't window their row universe (flags aren't
+    window-expressible without the whale sort), so the many-groups-match
+    shape is the shuffle_hash semi join: the big side must hash, never
+    sort-merge — and values must equal the plain join universe."""
+    from funnel_rocket_spark import benchqueries as bq_mod
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    plan = QueryPlan(events, engine.expand(bq_mod.Q_SEQUENCE, events),
+                     "user_id", "ts", sequence_strategy="fold_segmented")
+    hashed = plan.rows_of_matching_groups(strategy="hash_join")
+    n = hashed.count()  # finalize AQE
+    executed = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in executed, executed
+    assert "SortMergeJoin" not in executed, executed
+    assert n == plan.rows_of_matching_groups(strategy="join").count()
+
+
+def test_engine_picks_hash_join_universe_for_fold_family(events):
+    """Adaptive universe: many matched groups + fold-family sequence →
+    rowUniverse=hash_join (was: silent fall-back to the sort-merge
+    join); anchor-strategy plans keep the windowed universe."""
+    from funnel_rocket_spark import benchqueries as bq_mod
+
+    eng = QueryEngine("user_id", "ts", universe_window_threshold=0)
+    q = dict(bq_mod.Q_SEQUENCE)
+    q = {"query": {"conditions": q["query"]["conditions"],
+                   "aggregations": [{"column": "event_type",
+                                     "type": "countPerValue"}]}}
+    ref = eng.run(events, q, with_stats=True)
+    assert ref["stats"]["strategies"]["rowUniverse"] == "window"
+    folded = eng.run(events, q, with_stats=True,
+                     sequence_strategy="fold_segmented")
+    assert folded["stats"]["strategies"]["rowUniverse"] == "hash_join"
+    assert folded["query"] == ref["query"]
+
+
+def test_anchor_chain_plan_is_window_free(events, engine):
+    """rowFound:false under fold_segmented (the r11 anchor-chain form)
+    must keep the whale-proof property: no Window node, no collect_list
+    — the anchors are chained per-group MIN aggregates with map-side
+    partial combine."""
+    from funnel_rocket_spark import benchqueries as bq_mod
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    plan = QueryPlan(events, engine.expand(bq_mod.Q_SEQ_NOT, events),
+                     "user_id", "ts", sequence_strategy="fold_segmented")
+    counts = plan.counts()
+    explained = counts._sc._jvm.PythonSQLUtils.explainString(
+        counts._jdf.queryExecution(), "simple")
+    assert "Window" not in explained, explained
+    assert "collect_list" not in explained, explained
+    assert "partial_min" in explained or "HashAggregate" in explained
+
+
 def test_segmented_max_duration_reuses_base_agg(events, engine):
     """_segmented_fold_max_duration references its base aggregate (rows
     count + first anchor) twice — duration-window join and final

@@ -362,8 +362,10 @@ def test_universe_strategies_agree_on_random_queries(spark, engine, rows,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(rows=data_st,
-       steps=st.lists(st.sampled_from(["red", "green", "blue"]),
-                      min_size=1, max_size=3),
+       steps=st.lists(
+           st.tuples(st.sampled_from(["red", "green", "blue"]),
+                     st.sampled_from([True, True, True, False])),
+           min_size=1, max_size=3),
        max_dur=st.one_of(st.none(), st.integers(min_value=0, max_value=15)),
        n_seg=st.sampled_from([1, 3, 16]))
 def test_all_strategies_agree_on_random_sequences(spark, engine, rows,
@@ -372,16 +374,21 @@ def test_all_strategies_agree_on_random_sequences(spark, engine, rows,
     segmented fold (random segment counts — including 1, the degenerate
     plain fold, and counts above the distinct-ts count), and the
     auto-routed segmented plan must produce identical counts on random
-    tie-heavy streams, with and without maxDuration. This is the
-    property the r10 skew routing rests on: routing can never change
-    answers, only plan shape."""
+    tie-heavy streams, with and without maxDuration, and with random
+    ``rowFound:false`` steps (the r11 anchor-chain form of
+    fold_segmented; the plain fold is only asserted on all-found specs,
+    which it requires). This is the property the skew routing rests on:
+    routing can never change answers, only plan shape."""
     from funnel_rocket_spark.planner.compiler import QueryPlan
 
     pdf = pd.DataFrame(rows)
     pdf["price"] = pdf["price"].astype("float64")
     sdf = spark.createDataFrame(
         pdf, schema="id string, timestamp bigint, price double, cat string")
-    cond: dict = {"sequence": [{"filter": ["cat", "==", s]} for s in steps]}
+    cond: dict = {"sequence": [
+        {"filter": ["cat", "==", s]} if found
+        else {"filter": ["cat", "==", s], "rowFound": False}
+        for s, found in steps]}
     if max_dur is not None:
         cond["maxDuration"] = max_dur
     q = {"query": {"conditions": [cond]}}
@@ -392,7 +399,8 @@ def test_all_strategies_agree_on_random_sequences(spark, engine, rows,
                          **kw).counts().collect()
 
     window = counts(sequence_strategy="window")
-    assert counts(sequence_strategy="fold") == window
+    if all(found for _, found in steps):
+        assert counts(sequence_strategy="fold") == window
     seg = counts(sequence_strategy="fold_segmented", fold_segments=n_seg)
     assert seg == window, (rows, steps, max_dur, n_seg)
     routed_plan = QueryPlan(sdf, expanded, "id", "timestamp",

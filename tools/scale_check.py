@@ -928,6 +928,15 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
                       {"filter": ["event_type", "==", "click"]},
                       {"filter": ["event_type", "==", "purchase"]}],
          "maxDuration": 30 * NANOS_DAY}]}}
+    # rowFound:false × whale: the r11 anchor-chain segmented form —
+    # fold/fold_segmented-as-exit-table can't express lookahead, so this
+    # row is the evidence that absence plans now have a whale-safe shape
+    # (and what the window path costs on the same whale)
+    abs_q = {"query": {"conditions": [
+        {"sequence": [{"filter": ["event_type", "==", "signup"]},
+                      {"filter": ["event_type", "==", "error"],
+                       "rowFound": False},
+                      {"filter": ["event_type", "==", "purchase"]}]}]}}
 
     out = {"n_rows": n_rows, "whale_every": whale_every,
            "n_groups": n_groups, "timings": {}, "results": {}}
@@ -947,7 +956,10 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
         for strat in ("window", "fold", "fold_segmented", "auto"):
             for qname, q in (("sequence_3step", seq_q),
                              ("funnel_steps", fun_q),
-                             ("sequence_maxdur", dur_q)):
+                             ("sequence_maxdur", dur_q),
+                             ("sequence_absence", abs_q)):
+                if qname == "sequence_absence" and strat == "fold":
+                    continue  # plain fold rejects rowFound:false
                 expanded = eng.expand(q, ev)
                 plan = QueryPlan(ev, expanded, "user_id", "ts",
                                  sequence_strategy=strat,
@@ -989,17 +1001,19 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
 
     # cross-strategy equality per (dist, query); skew factor per strategy
     out["equal"] = {}
+    qnames = ("sequence_3step", "funnel_steps", "sequence_maxdur",
+              "sequence_absence")
     for dist in ("uniform", "whale"):
-        for qname in ("sequence_3step", "funnel_steps", "sequence_maxdur"):
-            a = out["results"].get(f"{dist}.{qname}.window")
-            b = out["results"].get(f"{dist}.{qname}.fold")
-            c = out["results"].get(f"{dist}.{qname}.fold_segmented")
-            d = out["results"].get(f"{dist}.{qname}.auto")
+        for qname in qnames:
+            vals = [out["results"].get(f"{dist}.{qname}.{s_}")
+                    for s_ in ("window", "fold", "fold_segmented", "auto")
+                    if f"{dist}.{qname}.{s_}" in out["results"]]
             out["equal"][f"{dist}.{qname}"] = (
-                a == b == c == d and not isinstance(a, str))
+                all(v == vals[0] for v in vals)
+                and not isinstance(vals[0], str))
     out["skew_factor"] = {}
     for strat in ("window", "fold", "fold_segmented", "auto"):
-        for qname in ("sequence_3step", "funnel_steps", "sequence_maxdur"):
+        for qname in qnames:
             u = out["timings"].get(f"uniform.{qname}.{strat}")
             w = out["timings"].get(f"whale.{qname}.{strat}")
             out["skew_factor"][f"{qname}.{strat}"] = (
@@ -1009,13 +1023,77 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
     # from the best pick, on uniform AND whale
     out["auto_vs_best"] = {}
     for dist in ("uniform", "whale"):
-        for qname in ("sequence_3step", "funnel_steps", "sequence_maxdur"):
+        for qname in qnames:
             best = min((out["timings"].get(f"{dist}.{qname}.{s}") or 1e18)
                        for s in ("window", "fold", "fold_segmented"))
             a = out["timings"].get(f"{dist}.{qname}.auto")
             out["auto_vs_best"][f"{dist}.{qname}"] = (
                 round(a / best, 2) if a and best < 1e18 else None)
     del out["results"]  # counts only matter for the equality verdict
+    print(json.dumps(out))
+
+
+def universe_main(n_rows: int) -> None:
+    """Round-11 rung: the MANY-GROUPS-MATCH row universe across sequence
+    strategies. Anchor-strategy plans get the join-free windowed
+    universe; fold-family plans can't (their flags aren't
+    window-expressible without the whale sort), so past the broadcast
+    threshold they take the shuffle_hash semi join — this rung measures
+    that path against both the windowed universe (the bar: within
+    ~1.2×) and the sort-merge join it replaces, on an aggregation query
+    whose sequence condition matches most groups."""
+    n_groups = max(1, n_rows // 100)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, ".scratch",
+                        f"events_{n_rows}_{n_groups}.parquet")
+    spark = get_spark(app_name="scale-check-universe",
+                      extra_conf={"spark.driver.memory": os.environ.get(
+                          "SPARK_DRIVER_MEM", "16g")})
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        synthesize(spark, n_rows, n_groups, path)
+        print(f"# synthesized {path}: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+    ev = spark.read.parquet(path)
+
+    # ~100 events/group: a 2-step view→click sequence matches nearly
+    # every group — exactly the shape where the semi join stops
+    # broadcasting
+    q = {"query": {"conditions": [
+        {"sequence": [{"filter": ["event_type", "==", "view"]},
+                      {"filter": ["event_type", "==", "click"]}]}],
+        "aggregations": [{"column": "event_type", "type": "countPerValue",
+                          "top": 10}]}}
+    variants = {
+        # engine's anchor-strategy pick: windowed universe (the bar)
+        "window.window_universe": (0, "window"),
+        # fold-family before r11: forced sort-merge semi join
+        "fold_segmented.join_universe": (2**62, "fold_segmented"),
+        # fold-family r11: shuffle_hash semi join
+        "fold_segmented.hash_join_universe": (0, "fold_segmented"),
+    }
+    out = {"n_rows": n_rows, "n_groups": n_groups, "timings": {},
+           "universe": {}}
+    results = {}
+    for name, (threshold, strat) in variants.items():
+        eng = QueryEngine("user_id", "ts",
+                          universe_window_threshold=threshold)
+        res = eng.run(ev, q, with_stats=True, sequence_strategy=strat)
+        results[name] = res["query"]
+        out["universe"][name] = res["stats"]["strategies"]["rowUniverse"]
+        t0 = time.perf_counter()
+        res = eng.run(ev, q, sequence_strategy=strat)
+        out["timings"][name] = round(time.perf_counter() - t0, 2)
+        out["matched_groups"] = res["query"]["matchingGroups"]
+        print(f"# {name}: {out['timings'][name]}s "
+              f"(universe={out['universe'][name]})", file=sys.stderr)
+    vals = list(results.values())
+    out["equal"] = all(v == vals[0] for v in vals)
+    w = out["timings"]["window.window_universe"]
+    h = out["timings"]["fold_segmented.hash_join_universe"]
+    out["hash_join_vs_window"] = round(h / w, 2) if w else None
+    out["match_fraction"] = round(out["matched_groups"] / n_groups, 3)
     print(json.dumps(out))
 
 
@@ -1181,6 +1259,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "whale":
         whale_main(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000,
                    int(sys.argv[3]) if len(sys.argv) > 3 else 5)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "universe":
+        universe_main(int(sys.argv[2]) if len(sys.argv) > 2
+                      else 100_000_000)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "hitters":
         hitters_main(int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000)
