@@ -3912,54 +3912,47 @@ NO_ORACLE: dict = {}
 # reference suite re-anchors, then extension re-greens in family order.
 # Everything else follows in catalog order, so all 124 stay runnable.
 _DRIVER_PRIORITY = [
-    # NEW r10 query + r10-changed code paths — first driver greens
-    # required: the segmented maxDuration form (new
-    # _segmented_fold_max_duration path), the refactored segmented fold
-    # (shared _segmented_fold_frame helper + skew-aware auto routing in
-    # QueryPlan.__init__), the window-path twins those share plan code
-    # with, and the two similarity queries whose module gained the
-    # eval_id-collision / empty-corpus guards
-    "multimodal_features_jpeg", "multimodal_audio_wav",
-    "multimodal_video_y4m", "multimodal_audio_spectral",
-    "fr_seq_max_duration_segmented", "fr_sequence_segmented",
-    "fr_seq_max_duration", "fr_sequence", "fr_funnel_steps",
-    "decontaminate_semantic", "dedup_embedding_cosine",
-    # the 21 queries whose last driver green is r6 — the stalest block
-    # (union over CORRECTNESS_r01-r09), rotated per the r9 verdict's #7
-    "ann_ivfpq_topk", "ann_lsh_bucketed", "asof_join_forward",
-    "curation_pipeline", "curation_report", "decontaminate_bloom",
-    "decontaminate_ngram", "event_gap_stats", "olap_distinct",
-    "olap_join_chain", "olap_percentiles", "olap_pivot",
-    "olap_revenue_filter", "olap_rollup", "olap_top_orders",
-    "range_join_value_bands", "sample_deterministic", "sample_stratified",
-    "sample_weighted", "text_c4_clean", "text_train_perceptron",
-    # then the full r7 block (next-stalest, 22 queries). The head grew
-    # to 11 as the round added operators (audio/video/spectral), so the
-    # window's 50 slots now hold 11 + 21 + the FIRST 18 of these 22 —
-    # the last 4 (olap_percentiles_approx_sketch, sample_dsir,
-    # text_gopher_filter, text_tokens) stay r7-anchored for the r11
-    # window, pytest-oracled every round meanwhile
-    "ann_cosine_topk", "ann_ivf_fullprobe", "asof_join_tolerance",
-    "behavior_attribution", "behavior_conversion_delay",
-    "behavior_funnel_step_timing", "behavior_retention_rates",
-    "behavior_retention_weekly", "behavior_session_funnel",
-    "behavior_session_funnel_bounded", "behavior_top_paths",
-    "dedup_pipeline_embedding", "embedding_centroids",
-    "multimodal_features", "olap_basket_pairs", "olap_cube",
-    "olap_customer_deciles", "olap_grouping_sets",
+    # r11 window head: the 4 r7-stale queries the r10 ledger comment
+    # promised FIRST (the only entries older than r8 after r10)
     "olap_percentiles_approx_sketch", "sample_dsir", "text_gopher_filter",
     "text_tokens",
+    # NEW r11 query + r11-changed code paths: the anchor-chain absence
+    # strategy (fr_seq_row_not_found_segmented is brand new;
+    # fr_seq_row_not_found is its window-path twin), the histogram
+    # cost-model auto routing + single-base-aggregate segmented
+    # maxDuration (all sequence/funnel plans share QueryPlan.__init__
+    # routing and the persisted matched-frame + hash-join universe in
+    # engine.run), the pipeline resume=False artifact-cache bypass +
+    # train_on knob (both curation composites), and decode_wav's guard
+    "fr_seq_row_not_found_segmented", "fr_seq_row_not_found",
+    "fr_seq_max_duration_segmented", "fr_sequence_segmented",
+    "fr_seq_max_duration", "fr_sequence", "fr_funnel_steps",
+    "fr_multi_filter", "curation_pipeline", "curation_report",
+    "multimodal_audio_wav",
+    # then the full r8-stale block (29 queries — the 30th,
+    # fr_seq_row_not_found, already leads the touched group above;
+    # next-stalest after the head, union over CORRECTNESS_r01-r10).
+    # 4 + 11 + 29 = 44 of the window's 50 slots; the remainder
+    # re-anchors the r9 block in catalog order.
+    "fr_agg_groups_per_value_approx", "fr_agg_groups_skew_path",
+    "fr_lineitem_engine", "fr_registration_profile",
+    "fr_seq_multi_filter_step", "olap_late_orders", "olap_nation_share",
+    "olap_part_avg_filter", "olap_winsorized_mean",
+    "resample_temperature", "s5_denorm_join", "sample_mixture",
+    "sample_mixture_upsampled", "text_bpe_learned", "text_chunks",
+    "text_entropy", "text_exact_substrings", "text_fingerprint",
+    "text_langid", "text_pack_blocks", "text_pii_redact", "text_quality",
+    "text_remove_dup_spans", "text_repetition", "text_stats",
+    "text_tfidf", "text_tokens_bpe", "text_vocab", "top_docs_per_lang",
 ]
-# Audit ledger after this rotation: the r9 window greened the PNG/LM
-# head plus all 28 r5-or-earlier queries and 17 fr_* re-anchors
-# (histogram after r9: r6=21, r7=22, r8=31, r9=50 — every catalog query
-# green within 3 rounds). The r10 window leads with the new segmented
-# maxDuration query and the 6 r10-touched paths, then ALL 21 r6-stale
-# queries, then the full 22-query r7 block — after r10 nothing is
-# staler than r8 except the 4 r7 entries the 11-query r10 head pushed
-# past slot 50 (named above — first in line for r11). Everything else
-# stays runnable after the window and is value-verified every round by
-# the pytest oracle-parity sweep over all 129.
+# Audit ledger after this rotation: after r10 the staleness histogram
+# was r7=4, r8=30, r9=45, r10=50 (union over CORRECTNESS_r01-r10).
+# The r11 window clears the r7 stragglers in slots 1-4, first-greens
+# the new absence-segmented query, re-anchors every plan that shares
+# the r11-changed routing/universe/pipeline code, and absorbs the
+# ENTIRE r8 block — after r11 nothing is staler than r9. Everything
+# else stays runnable after the window and is value-verified every
+# round by the pytest oracle-parity sweep over all 130.
 
 def queries() -> dict:
     out = {name: fn for name, (fn, _sql) in QUERIES.items()}

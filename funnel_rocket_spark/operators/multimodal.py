@@ -6,7 +6,9 @@ Arrow-batched ``mapInPandas`` decode stage, partition-size guidance. The
 codec layer is split honestly in two:
 
 * REAL decode, pure stdlib + numpy, no codec library: binary PPM (P6),
-  uncompressed 24-bit BMP, PNG (stdlib zlib + scanline unfiltering, r9)
+  uncompressed 24-bit BMP, PNG (stdlib zlib + scanline unfiltering, r9;
+  since r11 the FULL static profile — 1/2/4/8/16-bit, gray/RGB/palette/
+  gray+alpha/RGBA, Adam7 interlacing)
   and baseline JPEG (markers/Huffman/dequant/IDCT/upsampling, r10 —
   validated pixel-level against the independent JVM ImageIO decoder),
   all through ``decode_image``, with pixel-level feature extraction
@@ -69,16 +71,29 @@ def decode_image_stub(payload: bytes) -> dict:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, bpp: int):
-    """Reverse PNG scanline filtering (types 0-4) → (h, w*bpp) uint8.
+_PNG_ADAM7 = [  # per-pass (x_start, y_start, x_step, y_step)
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+# legal bit depths per color type (PNG spec table 11.1) — anything else
+# in IHDR is a MALFORMED file (ValueError), not an unsupported profile
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+_PNG_SPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # samples per pixel
 
-    Sub is a per-channel cumulative sum (vectorized); Average/Paeth are
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse PNG scanline filtering (types 0-4) → (h, stride) uint8.
+
+    ``stride`` is the filtered byte count per scanline (filter byte
+    excluded); ``bpp`` is the filter's byte distance — bytes per complete
+    pixel rounded up to 1 (so sub-byte depths filter at distance 1).
+    Sub is a per-pixel cumulative sum (vectorized); Average/Paeth are
     inherently sequential in x (each byte needs the reconstructed left
     neighbor) so they loop — fine for the fixture-scale images this
     pure-python decoder exists for."""
     import numpy as np
 
-    stride = w * bpp
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     out = np.zeros((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
@@ -88,7 +103,8 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int):
         if f == 0:
             rec = cur
         elif f == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp]
-            rec = np.cumsum(cur.reshape(w, bpp), axis=0).reshape(-1) % 256
+            rec = np.cumsum(cur.reshape(stride // bpp, bpp),
+                            axis=0).reshape(-1) % 256
         elif f == 2:  # Up
             rec = (cur + prev) % 256
         elif f == 3:  # Average
@@ -113,20 +129,44 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int):
     return out.astype(np.uint8)
 
 
+def _png_unpack(rec, ph: int, pw: int, spp: int, depth: int):
+    """(ph, stride) unfiltered bytes → (ph, pw, spp) int32 raw samples.
+
+    depth 8/16 are byte slices; sub-byte depths unpack MSB-first bits
+    (np.unpackbits) and weigh each ``depth``-bit group — all vectorized
+    across the whole pass, no per-row python loop."""
+    import numpy as np
+
+    if depth == 8:
+        return rec[:, : pw * spp].astype(np.int32).reshape(ph, pw, spp)
+    if depth == 16:
+        hi = rec[:, 0 : 2 * pw * spp : 2].astype(np.int32)
+        lo = rec[:, 1 : 2 * pw * spp : 2].astype(np.int32)
+        return ((hi << 8) | lo).reshape(ph, pw, spp)
+    bits = np.unpackbits(rec.astype(np.uint8), axis=1)[:, : pw * spp * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+    return (bits.reshape(ph, pw * spp, depth) * weights).sum(
+        axis=2, dtype=np.int32).reshape(ph, pw, spp)
+
+
 def _decode_png(payload: bytes):
     """REAL PNG decode, stdlib-zlib + numpy — no codec library needed.
 
-    Supports the overwhelmingly common profile: 8-bit depth, color type
-    0 (gray), 2 (RGB) or 6 (RGBA, alpha dropped), non-interlaced, all
-    five scanline filters, CRC-verified chunks. Anything else raises
-    ``NotImplementedError`` (16-bit/palette/interlaced) or ``ValueError``
-    (malformed)."""
+    Full static-image profile since r11: every legal IHDR combination —
+    bit depths 1/2/4/8/16, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha) and 6 (RGBA) — both interlace methods (none and
+    Adam7), all five scanline filters, CRC-verified chunks. Alpha is
+    dropped (the decode contract is (h, w, 3) uint8 RGB); 16-bit samples
+    scale with round-half-up ``(v*255 + 32767) // 65535``; sub-byte gray
+    scales exactly (255 is divisible by 1, 3 and 15). Malformed streams
+    — including spec-illegal depth/color combinations — raise
+    ``ValueError``."""
     import struct
     import zlib
 
     import numpy as np
 
-    pos, w = len(_PNG_SIG), None
+    pos, w, palette = len(_PNG_SIG), None, None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -144,51 +184,99 @@ def _decode_png(payload: bytes):
                     struct.unpack(">IIBBBBB", data)
             except struct.error as ex:  # CRC-valid but short IHDR
                 raise ValueError(f"PNG: malformed IHDR ({ex})") from ex
-            if depth != 8:
-                raise NotImplementedError(f"PNG: bit depth {depth}")
-            if color not in (0, 2, 6):
-                raise NotImplementedError(f"PNG: color type {color}")
-            if interlace != 0:
-                raise NotImplementedError("PNG: interlaced (Adam7)")
-            bpp = {0: 1, 2: 3, 6: 4}[color]
+            if color not in _PNG_DEPTHS or depth not in _PNG_DEPTHS[color]:
+                raise ValueError(
+                    f"PNG: illegal depth/color combination ({depth}/{color})")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG: bad interlace method {interlace}")
+            spp = _PNG_SPP[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("PNG: bad PLTE length")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if w is None:
         raise ValueError("PNG: missing IHDR")
+    if color == 3 and palette is None:
+        raise ValueError("PNG: palette image missing PLTE")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as ex:  # zlib.error is NOT a ValueError — a file
         # truncated at a chunk boundary (empty/partial IDAT) must still
         # honor the malformed→ValueError contract the extractors catch
         raise ValueError(f"PNG: bad deflate stream ({ex})") from ex
-    if len(raw) != h * (1 + w * bpp):
+
+    samples = np.zeros((h, w, spp), dtype=np.int32)
+    fbpp = max(1, (spp * depth) // 8)
+    off = 0
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _PNG_ADAM7
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty Adam7 pass contributes zero bytes
+        stride = (pw * spp * depth + 7) // 8
+        need = ph * (1 + stride)
+        if off + need > len(raw):
+            raise ValueError("PNG: decompressed size mismatch")
+        rec = _png_unfilter(raw[off : off + need], ph, stride, fbpp)
+        off += need
+        samples[y0::dy, x0::dx] = _png_unpack(rec, ph, pw, spp, depth)
+    if off != len(raw):
         raise ValueError("PNG: decompressed size mismatch")
-    px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
-    if bpp == 1:
-        return np.repeat(px, 3, axis=2)
+
+    if color == 3:
+        if int(samples.max(initial=0)) >= len(palette):
+            raise ValueError("PNG: palette index out of range")
+        return palette[samples[..., 0]]
+    if depth < 8:  # gray only; 255/(2^d - 1) is exact for d in 1,2,4
+        px = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    elif depth == 8:
+        px = samples.astype(np.uint8)
+    else:
+        px = ((samples * 255 + 32767) // 65535).astype(np.uint8)
+    if color in (0, 4):  # gray / gray+alpha: replicate, drop alpha
+        return np.repeat(px[..., :1], 3, axis=2)
     return px[..., :3]  # RGBA: alpha dropped (decode contract is RGB)
 
 
-def encode_png(img) -> bytes:
-    """(h, w, 3) uint8 RGB → PNG bytes, rotating the scanline filter
-    (row y uses type y % 5) so a decode of anything taller than 4 rows
-    exercises the FULL filter bank — the encoder exists to make
-    deterministic fixtures that prove the decoder, not to compress."""
-    import struct
-    import zlib
+def _png_pack(samples, depth: int):
+    """(ph, pw, spp) raw sample ints → (ph, stride) packed scanline bytes.
 
+    depth 16 is big-endian byte pairs; sub-byte depths emit MSB-first
+    bits and ``np.packbits`` pads each row to a byte boundary with zero
+    bits — exactly the PNG row-padding rule."""
     import numpy as np
 
-    h, w = img.shape[0], img.shape[1]
-    bpp = 3
-    z = np.zeros(bpp, dtype=np.int32)
-    raw = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int32)
-    for y in range(h):
-        cur = img[y].reshape(-1).astype(np.int32)
-        a = np.concatenate([z, cur[:-bpp]]) if w * bpp > bpp else \
+    ph = samples.shape[0]
+    flat = samples.reshape(ph, -1).astype(np.int64)
+    if depth == 8:
+        return flat.astype(np.uint8)
+    if depth == 16:
+        out = np.empty((ph, flat.shape[1] * 2), dtype=np.uint8)
+        out[:, 0::2] = (flat >> 8).astype(np.uint8)
+        out[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+        return out
+    bits = ((flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1)
+    return np.packbits(bits.reshape(ph, -1).astype(np.uint8), axis=1)
+
+
+def _png_filter_pass(packed, fbpp: int) -> bytes:
+    """Filter one (sub-)image's packed scanlines, rotating the filter
+    (row y of the pass uses type y % 5) so any fixture taller than 4
+    rows exercises the FULL filter bank."""
+    import numpy as np
+
+    out = bytearray()
+    stride = packed.shape[1]
+    z = np.zeros(fbpp, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(packed.shape[0]):
+        cur = packed[y].astype(np.int32)
+        a = np.concatenate([z, cur[:-fbpp]]) if stride > fbpp else \
             np.zeros_like(cur)
         f = y % 5
         if f == 0:
@@ -200,25 +288,67 @@ def encode_png(img) -> bytes:
         elif f == 3:
             filt = (cur - ((a + prev) >> 1)) % 256
         else:
-            c = np.concatenate([z, prev[:-bpp]]) if w * bpp > bpp else \
+            c = np.concatenate([z, prev[:-fbpp]]) if stride > fbpp else \
                 np.zeros_like(prev)
             p = a + prev - c
             pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
             pr = np.where((pa <= pb) & (pa <= pc), a,
                           np.where(pb <= pc, prev, c))
             filt = (cur - pr) % 256
-        raw.append(f)
-        raw.extend(filt.astype(np.uint8).tobytes())
+        out.append(f)
+        out.extend(filt.astype(np.uint8).tobytes())
         prev = cur
+    return bytes(out)
+
+
+def _encode_png_ex(samples, color: int, depth: int, palette=None,
+                   interlace: int = 0) -> bytes:
+    """Fixture-minting encoder for EVERY legal PNG profile the decoder
+    claims: ``samples`` is (h, w, spp) raw sample values (palette
+    indices for color type 3) in [0, 2**depth); ``palette`` is (n, 3)
+    uint8 for color type 3; ``interlace`` 1 writes Adam7 passes. Exists
+    to prove the decoder with deterministic bytes, not to compress."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    samples = np.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w, spp = samples.shape
+    if color not in _PNG_DEPTHS or depth not in _PNG_DEPTHS[color]:
+        raise ValueError(f"illegal depth/color combination {depth}/{color}")
+    if spp != _PNG_SPP[color]:
+        raise ValueError(f"color type {color} needs {_PNG_SPP[color]} "
+                         f"samples/pixel, got {spp}")
+    fbpp = max(1, (spp * depth) // 8)
+    raw = bytearray()
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _PNG_ADAM7
+    for x0, y0, dx, dy in passes:
+        sub = samples[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw.extend(_png_filter_pass(_png_pack(sub, depth), fbpp))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(raw)))
-            + chunk(b"IEND", b""))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color == 3:
+        out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(
+        b"IEND", b"")
+
+
+def encode_png(img) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes, rotating the scanline filter
+    (row y uses type y % 5) so a decode of anything taller than 4 rows
+    exercises the FULL filter bank — the encoder exists to make
+    deterministic fixtures that prove the decoder, not to compress."""
+    return _encode_png_ex(img, color=2, depth=8)
 
 
 # --------------------------------------------------------------------------- #

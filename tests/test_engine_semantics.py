@@ -820,8 +820,10 @@ def test_fold_segmented_equals_other_strategies(spark, seq_df):
 
 
 def test_fold_segmented_rejects_unsupported(seq_df):
-    """rowFound:false needs lookahead — refused loudly; unknown strategy
-    names refused at construction."""
+    """Plain fold still refuses rowFound:false loudly (the shared-scan
+    fold has no lookahead); fold_segmented takes the anchor-chain form
+    since r11 and must MATCH the window path instead of raising; unknown
+    strategy names refused at construction."""
     import pytest as _pytest
 
     from funnel_rocket_spark.engine import QueryEngine
@@ -834,7 +836,13 @@ def test_fold_segmented_rejects_unsupported(seq_df):
     expanded = eng.expand(qr, seq_df)
     with _pytest.raises(ValueError, match="rowFound"):
         QueryPlan(seq_df, expanded, "id", "timestamp",
-                  sequence_strategy="fold_segmented").counts()
+                  sequence_strategy="fold").counts()
+
+    ref = QueryPlan(seq_df, expanded, "id", "timestamp",
+                    sequence_strategy="window").counts().collect()
+    got = QueryPlan(seq_df, expanded, "id", "timestamp",
+                    sequence_strategy="fold_segmented").counts().collect()
+    assert got == ref
 
     with _pytest.raises(ValueError, match="sequence_strategy"):
         QueryPlan(seq_df, eng.expand({"query": {}}, seq_df), "id",
@@ -844,10 +852,10 @@ def test_fold_segmented_rejects_unsupported(seq_df):
 def test_auto_strategy_whale_routing(spark, seq_df):
     """sequence_strategy="auto" + a max_group_rows_hint past the whale
     threshold routes to the segmented fold — same counts, no flag. No
-    hint (or a small one) keeps window anchors; non-segmentable shapes
-    (maxDuration / rowFound:false) stay on window even with a whale hint
-    rather than raising; the engine threads Dataset.max_group_rows
-    through run()."""
+    hint (or a small one) keeps window anchors; since r11 EVERY spec
+    shape is segmentable (maxDuration via the first-anchor join,
+    rowFound:false via the anchor chain) so whale hints route them all;
+    the engine threads Dataset.max_group_rows through run()."""
     from funnel_rocket_spark.engine import QueryEngine
     from funnel_rocket_spark.planner.compiler import QueryPlan
 

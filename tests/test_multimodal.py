@@ -248,12 +248,133 @@ def test_png_rejects_corruption_and_exotics():
     bad[20] ^= 0xFF  # flip a byte inside IHDR → CRC mismatch
     with _pytest.raises(ValueError, match="CRC"):
         multimodal.decode_image(bytes(bad))
-    # 16-bit depth: honest NotImplementedError, not a wrong decode
-    png16 = _png_chunks([
-        (b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)),
-        (b"IDAT", zlib.compress(b"\x00" * 7)), (b"IEND", b"")])
-    with _pytest.raises(NotImplementedError, match="depth"):
-        multimodal.decode_image(png16)
+    # every LEGAL profile decodes since r11; spec-ILLEGAL combinations
+    # are malformed files (ValueError), not unsupported profiles
+    for depth, color in [(16, 3), (3, 0), (8, 5), (2, 2)]:
+        png = _png_chunks([
+            (b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, 0)),
+            (b"IDAT", zlib.compress(b"\x00\x00\x00")), (b"IEND", b"")])
+        with _pytest.raises(ValueError, match="illegal depth/color"):
+            multimodal.decode_image(png)
+    # interlace method outside {0 none, 1 Adam7}
+    png = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)),
+        (b"IDAT", zlib.compress(b"\x00\x00")), (b"IEND", b"")])
+    with _pytest.raises(ValueError, match="interlace"):
+        multimodal.decode_image(png)
+    # palette image without a PLTE chunk
+    png = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)),
+        (b"IDAT", zlib.compress(b"\x00\x00")), (b"IEND", b"")])
+    with _pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_image(png)
+    # palette index past the PLTE table
+    png = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)),
+        (b"PLTE", b"\x01\x02\x03"),  # 1 entry, index 0 only
+        (b"IDAT", zlib.compress(b"\x00\x07")), (b"IEND", b"")])
+    with _pytest.raises(ValueError, match="palette index"):
+        multimodal.decode_image(png)
+
+
+def _png_expected_rgb(samples, color, depth, palette):
+    """The decode contract, computed independently in numpy: palette
+    lookup, exact sub-byte gray scaling (255 divisible by 1/3/15),
+    round-half-up 16→8, alpha dropped, gray replicated."""
+    import numpy as np
+
+    if color == 3:
+        return palette[samples[..., 0]]
+    if depth < 8:
+        px = samples * (255 // ((1 << depth) - 1))
+    elif depth == 8:
+        px = samples
+    else:
+        px = (samples * 255 + 32767) // 65535
+    px = px.astype(np.uint8)
+    if color in (0, 4):
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]
+
+
+@pytest.mark.parametrize("color,depth", [
+    (c, d) for c, ds in sorted(multimodal._PNG_DEPTHS.items()) for d in ds])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_png_full_profile_roundtrip(color, depth, interlace):
+    """r11: EVERY legal IHDR (color, depth) × both interlace methods
+    round-trips exactly through _encode_png_ex → _decode_png across
+    sizes that exercise empty Adam7 passes (1x1), partial passes and
+    multi-block images — filter rotation inside each pass covers the
+    full filter bank."""
+    import numpy as np
+
+    rng = np.random.default_rng(color * 100 + depth + interlace)
+    spp = multimodal._PNG_SPP[color]
+    for (h, w) in [(1, 1), (2, 3), (7, 5), (9, 16), (13, 11)]:
+        hi = 1 << depth
+        if color == 3:
+            n = min(hi, 16)
+            samples = rng.integers(0, n, size=(h, w, 1))
+            palette = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+        else:
+            samples = rng.integers(0, hi, size=(h, w, spp))
+            palette = None
+        png = multimodal._encode_png_ex(samples, color, depth, palette,
+                                        interlace)
+        got = multimodal._decode_png(png)
+        want = _png_expected_rgb(samples, color, depth, palette)
+        assert np.array_equal(got, want), (color, depth, interlace, h, w)
+
+
+def test_png_matches_imageio(spark, tmp_path):
+    """Independent-decoder agreement for the r11 profiles: the JVM
+    ImageIO decode (Spark's `image` source) must reproduce our pixels
+    EXACTLY on palette (8/4-bit, plain + Adam7), sub-byte gray, RGB
+    Adam7, gray+alpha and 16-bit RGB. (16-bit GRAY is excluded —
+    ImageIO surfaces it as a raw 16-bit raster Spark's ImageSchema
+    can't carry; the contract test above covers it, and 16-bit RGB
+    confirms the same round-half-up scaling against ImageIO.)"""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(11, 13, 1))
+    idx4 = rng.integers(0, 16, size=(9, 7, 1))
+    cases = {
+        "pal.png": multimodal._encode_png_ex(idx, 3, 8, pal, 0),
+        "pal_i.png": multimodal._encode_png_ex(idx, 3, 8, pal, 1),
+        "pal4.png": multimodal._encode_png_ex(idx4, 3, 4, pal, 0),
+        "pal4_i.png": multimodal._encode_png_ex(idx4, 3, 4, pal, 1),
+        "rgb_i.png": multimodal._encode_png_ex(
+            rng.integers(0, 256, size=(12, 10, 3)), 2, 8, None, 1),
+        "ga.png": multimodal._encode_png_ex(
+            rng.integers(0, 256, size=(6, 5, 2)), 4, 8, None, 0),
+        "rgb16_i.png": multimodal._encode_png_ex(
+            rng.integers(0, 65536, size=(5, 6, 3)), 2, 16, None, 1),
+    }
+    for d in (1, 2, 4):
+        g = rng.integers(0, 1 << d, size=(8, 9, 1))
+        cases[f"g{d}.png"] = multimodal._encode_png_ex(g, 0, d, None, 0)
+        cases[f"g{d}_i.png"] = multimodal._encode_png_ex(g, 0, d, None, 1)
+    for name, png in cases.items():
+        (tmp_path / name).write_bytes(png)
+    rows = (spark.read.format("image").load(str(tmp_path))
+            .select("image.origin", "image.height", "image.width",
+                    "image.nChannels", "image.data").collect())
+    assert len(rows) == len(cases)
+    for r in rows:
+        name = os.path.basename(r["origin"])
+        assert r["height"] > 0, f"ImageIO failed to decode {name}"
+        ref = np.frombuffer(bytes(r["data"]), dtype=np.uint8).reshape(
+            r["height"], r["width"], r["nChannels"])
+        if r["nChannels"] >= 3:
+            ref = ref[..., :3][..., ::-1]  # OpenCV-style BGR → RGB
+        else:
+            ref = np.repeat(ref[..., :1], 3, axis=2)
+        mine = multimodal._decode_png(cases[name])
+        assert np.array_equal(mine, ref), name
 
 
 def test_pil_seam_decodes_jpeg_when_available(monkeypatch):
