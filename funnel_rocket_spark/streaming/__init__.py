@@ -12,6 +12,9 @@ from funnel_rocket_spark.streaming.rollup import (
     nanos_to_timestamp,
     streaming_time_rollup,
 )
+from funnel_rocket_spark.streaming.sequence_stream import (
+    watermarked_sequence_match,
+)
 from funnel_rocket_spark.streaming.sessions import streaming_session_stats
 
 __all__ = [
@@ -24,4 +27,5 @@ __all__ = [
     "streaming_session_stats",
     "streaming_time_rollup",
     "streaming_value_counts",
+    "watermarked_sequence_match",
 ]

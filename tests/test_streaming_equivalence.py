@@ -259,6 +259,172 @@ def test_streaming_session_stats_equals_batch(spark, tmp_path):
     prop()
 
 
+# --------------------------------------------------------------------- #
+# Watermarked sequence conditions (r11): stream ≡ batch for ARBITRARY
+# arrival order — hypothesis permutes the rows before cutting them into
+# micro-batches, so early batches routinely carry LATER events than
+# following batches (the case incremental_funnel cannot handle). The
+# watermark delay exceeds the event-time span, so nothing is ever
+# late-dropped, and two far-future heartbeat batches drive the final
+# drain (see sequence_stream draining note). Ties (duplicate ts) and
+# events matching several steps at once are drawn freely.
+
+WSEQ = [{"filter": ["etype", "==", "view"]},
+        {"filter": ["etype", "==", "click"]},
+        {"filter": ["etype", "==", "purchase"]}]
+_H1 = {"user_id": 999, "ts": "2026-01-02 00:00:00", "etype": "hb"}
+_H2 = {"user_id": 999, "ts": "2026-01-03 00:00:00", "etype": "hb"}
+
+
+def _wseq_stream(spark, indir):
+    return (spark.readStream
+            .schema("user_id long, ts string, etype string")
+            .option("maxFilesPerTrigger", "1").parquet(str(indir))
+            .select("user_id", F.to_timestamp("ts").alias("ts"), "etype"))
+
+
+def _wseq_batch_want(spark, rows, max_duration_ns=None):
+    """Batch-engine oracle: per-group furthest step (0-step groups have
+    no update rows to compare against)."""
+    funnel = {"sequence": WSEQ}
+    if max_duration_ns is not None:
+        funnel["maxDuration"] = max_duration_ns
+    df = (spark.createDataFrame(pd.DataFrame(rows))
+          .select("user_id", F.to_timestamp("ts").alias("ts"), "etype"))
+    plan = QueryEngine("user_id", "ts").plan(df, {"funnel": funnel})
+    return {r["user_id"]: r["__fr_done"]
+            for r in plan.funnel_per_group().collect() if r["__fr_done"] > 0}
+
+
+def _run_wseq(spark, indir, ckpt, name, max_duration=None):
+    from funnel_rocket_spark.streaming import watermarked_sequence_match
+
+    out = watermarked_sequence_match(
+        _wseq_stream(spark, indir), WSEQ, "user_id", "ts",
+        watermark="3600 seconds", max_duration=max_duration)
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return {r["group_id"]: r["m"] for r in spark.sql(
+        f"SELECT group_id, max(steps_completed) AS m FROM {name} "
+        "WHERE group_id != 999 GROUP BY group_id").collect()}
+
+
+wseq_events_st = st.lists(
+    st.tuples(st.integers(1, 3),                      # user
+              st.integers(0, 9),                      # ts second (dups ok)
+              st.sampled_from(["view", "click", "purchase", "other"])),
+    min_size=1, max_size=14)
+
+
+def test_watermarked_sequence_equals_batch_any_arrival_order(
+        spark, tmp_path):
+    run_no = [0]
+
+    @settings(max_examples=7, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(events=wseq_events_st,
+           order=st.randoms(use_true_random=False),
+           cuts=st.lists(st.integers(0, 14), max_size=3),
+           dur_s=st.sampled_from([None, None, 3, 6]))
+    def prop(events, order, cuts, dur_s):
+        run_no[0] += 1
+        base = tmp_path / f"w{run_no[0]}"
+        indir = base / "in"
+        indir.mkdir(parents=True)
+        rows = [{"user_id": u, "ts": f"2026-01-01 00:00:{t:02d}",
+                 "etype": e} for u, t, e in events]
+        arrival = rows[:]
+        order.shuffle(arrival)                 # ARBITRARY arrival order
+        chunks = _split(arrival, cuts) + [[_H1], [_H2]]
+        for i, chunk in enumerate(chunks):
+            pd.DataFrame(chunk).to_parquet(indir / f"b{i:02d}.parquet")
+
+        got = _run_wseq(spark, indir, base / "ckpt",
+                        f"wseq_eq_{run_no[0]}", max_duration=dur_s)
+        want = _wseq_batch_want(
+            spark, rows,
+            None if dur_s is None else int(dur_s * 1e9))
+        assert got == want, (rows, arrival, cuts, dur_s, got, want)
+
+    prop()
+
+
+def test_watermarked_sequence_checkpoint_resume(spark, tmp_path):
+    """Kill the query between micro-batches and restart from the same
+    checkpoint: buffered out-of-order events and fold scalars must come
+    back from the state store, and the final result must still equal the
+    batch engine. (foreachBatch sink — the memory sink refuses
+    checkpoint recovery.)"""
+    from funnel_rocket_spark.streaming import watermarked_sequence_match
+
+    indir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    indir.mkdir(parents=True)
+    rows = [
+        {"user_id": 1, "ts": "2026-01-01 00:00:05", "etype": "click"},
+        {"user_id": 1, "ts": "2026-01-01 00:00:01", "etype": "view"},
+        {"user_id": 1, "ts": "2026-01-01 00:00:05", "etype": "purchase"},
+        {"user_id": 2, "ts": "2026-01-01 00:00:03", "etype": "view"},
+        {"user_id": 2, "ts": "2026-01-01 00:00:02", "etype": "click"},
+        {"user_id": 2, "ts": "2026-01-01 00:00:07", "etype": "click"},
+        {"user_id": 2, "ts": "2026-01-01 00:00:07", "etype": "purchase"},
+    ]
+    got: dict = {}
+
+    def _run_phase():
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                if r["group_id"] != 999:
+                    got[r["group_id"]] = max(got.get(r["group_id"], 0),
+                                             r["steps_completed"])
+        out = watermarked_sequence_match(
+            _wseq_stream(spark, indir), WSEQ, "user_id", "ts",
+            watermark="3600 seconds")
+        q = (out.writeStream.foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    # phase 1: the out-of-order head only (arrival ≠ event order), then
+    # stop — state holds buffered pairs, nothing sealed yet
+    pd.DataFrame(rows[:2]).to_parquet(indir / "b00.parquet")
+    pd.DataFrame(rows[2:4]).to_parquet(indir / "b01.parquet")
+    _run_phase()
+    # phase 2: remaining events + heartbeats, SAME checkpoint — the
+    # restarted query must resume from the state store, not re-read b00
+    pd.DataFrame(rows[4:]).to_parquet(indir / "b02.parquet")
+    pd.DataFrame([_H1]).to_parquet(indir / "b03.parquet")
+    pd.DataFrame([_H2]).to_parquet(indir / "b04.parquet")
+    _run_phase()
+    want = _wseq_batch_want(spark, rows)
+    assert got == want, (got, want)
+    # user 1: view@1 arrived after click@5; strict > anchor then allows
+    # click@5, and purchase@5 must NOT chain on the tied timestamp
+    assert want[1] == 2
+
+
+def test_watermarked_sequence_rejects_unsupported(spark):
+    import pytest as _pytest
+
+    from funnel_rocket_spark.streaming import watermarked_sequence_match
+
+    stream = (spark.readStream.format("rate").load()
+              .select(F.col("value").alias("user_id"),
+                      F.col("timestamp").alias("ts"),
+                      F.lit("view").alias("etype")))
+    with _pytest.raises(NotImplementedError, match="rowFound"):
+        watermarked_sequence_match(
+            stream, [{"filter": ["etype", "==", "view"]},
+                     {"filter": ["etype", "==", "x"], "rowFound": False}],
+            "user_id", "ts")
+    bad = stream.select("user_id", F.lit(5).alias("ts"), "etype")
+    with _pytest.raises(ValueError, match="TIMESTAMP"):
+        watermarked_sequence_match(
+            bad, [{"filter": ["etype", "==", "view"]}], "user_id", "ts")
+
+
 docs_st = st.lists(
     st.tuples(st.integers(0, 4),                      # content class
               st.integers(0, 9)),                     # event-time second
