@@ -230,11 +230,12 @@ def main() -> None:
     run_times: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
 
-    def time_query(name: str, n_runs: int) -> list[float]:
+    def time_query(name: str, n_runs: int, in_dir: str | None = None
+                   ) -> list[float]:
         samples: list[float] = []
         for _ in range(n_runs):
             start = time.perf_counter()
-            rows = all_queries[name](spark, sf_dir).collect()
+            rows = all_queries[name](spark, in_dir or sf_dir).collect()
             _ = len(rows)
             samples.append(time.perf_counter() - start)
             # Each run builds FRESH DataFrames, so frames persisted
@@ -334,6 +335,89 @@ def main() -> None:
     with open(ledger_path, "w") as f:
         json.dump(ledger, f, indent=1, sort_keys=True)
 
+    # ---- sf1.0 tier (r11): the slowest cohort re-timed at 10x scale ----
+    # Everything above is sf0.1; this is the first direct evidence of how
+    # the plans behave when the data 10xes. The input is the DETERMINISTIC
+    # tools/make_sf1.py replication of the driver's sf0.1 (disjoint key
+    # ranges, within-replica geometry preserved — see that file's
+    # docstring), regenerated on demand (~4 s) since .scratch is
+    # untracked. Per-query scaling exponents log10(t_sf1/t_sf0.1) land in
+    # BENCH_DETAIL (1.0 = linear; sub-linear means fixed overhead still
+    # dominates); the sf-keyed ledger gets a "1.0" block so the same
+    # drift machinery guards this tier from r12 on. Time-boxed and
+    # self-describing: queries that don't fit the budget are NAMED, not
+    # silently dropped. SPARK_GRAFT_SF1=0 disables.
+    sf1_detail: dict = {}
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(here, ".scratch", "sf1.0"))
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            if not os.path.exists(os.path.join(sf1_dir,
+                                               "lineitem.parquet")):
+                import subprocess
+                subprocess.run(
+                    [sys.executable,
+                     os.path.join(here, "tools", "make_sf1.py"),
+                     sf_dir, sf1_dir],
+                    check=True, capture_output=True, timeout=600)
+            sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2"))
+            sf1_n = int(os.environ.get("SPARK_GRAFT_SF1_COUNT", "15"))
+            sf1_budget = float(os.environ.get(
+                "SPARK_GRAFT_SF1_BUDGET_S", "600"))
+            cohort = sorted(timings, key=lambda q: -timings[q])[:sf1_n]
+            sf1_best = load_rolling_best(here, 1.0)
+            sf1_timings: dict[str, float] = {}
+            sf1_runs_all: dict[str, list[float]] = {}
+            sf1_errors: dict[str, str] = {}
+            tier_start = time.perf_counter()
+            omitted: list[str] = []
+            for name in cohort:
+                if time.perf_counter() - tier_start > sf1_budget:
+                    omitted.append(name)
+                    continue
+                try:
+                    samples = time_query(name, sf1_runs, in_dir=sf1_dir)
+                    sf1_timings[name] = round(min(samples), 4)
+                    sf1_runs_all[name] = [round(s, 4) for s in samples]
+                except Exception as e:
+                    sf1_errors[name] = str(e)[:200]
+            exponents = {
+                q: round(math.log10(sf1_timings[q] / timings[q]), 3)
+                for q in sf1_timings if timings.get(q, 0) > 0}
+            sf1_drift, sf1_ratios = drift_vs_best(sf1_timings, sf1_best,
+                                                  min_common=5)
+            for q, t in sf1_timings.items():
+                if t > 0:
+                    sf1_best[q] = min(sf1_best.get(q, float("inf")), t)
+            try:
+                with open(ledger_path) as f:
+                    ledger = json.load(f)
+                if not isinstance(ledger, dict):
+                    ledger = {}
+            except (OSError, ValueError):
+                ledger = {}
+            ledger["1.0"] = {q: round(t, 4)
+                             for q, t in sorted(sf1_best.items())
+                             if t != float("inf")}
+            with open(ledger_path, "w") as f:
+                json.dump(ledger, f, indent=1, sort_keys=True)
+            sf1_detail = {
+                "dir": sf1_dir,
+                "queries": sf1_timings,
+                "query_runs": sf1_runs_all,
+                "runs_per_query": sf1_runs,
+                "scaling_exponents": exponents,
+                "drift_median_vs_best": sf1_drift,
+                "drift_ratios": sf1_ratios,
+                "budget_s": sf1_budget,
+                "budget_omitted": omitted,
+                "total": round(sum(sf1_timings.values()), 4),
+            }
+            if sf1_errors:
+                sf1_detail["errors"] = sf1_errors
+        except Exception as e:  # the tier must never sink the sf0.1 report
+            sf1_detail = {"error": str(e)[:300]}
+
     # Fixture-amortized queries: first run builds a persisted index the
     # later runs reuse — publish build vs steady-state probe separately
     # so the trend tracks the operator, not the fixture (r8 finding #2).
@@ -380,6 +464,8 @@ def main() -> None:
         "noisy": noisy,
         "fixture_splits": fixture_splits,
     }
+    if sf1_detail:
+        detail["sf1_tier"] = sf1_detail
     if errors:
         detail["errors"] = errors
     # Full per-query detail for the judge (no size limit on a repo file)
@@ -412,6 +498,20 @@ def main() -> None:
         report["query_flags"] = {q: f["ratio"] for q, f in
                                  sorted(query_flags.items(),
                                         key=lambda kv: -kv[1]["ratio"])[:5]}
+    if sf1_detail and "queries" in sf1_detail:
+        exps = sf1_detail["scaling_exponents"]
+        report["sf1"] = {
+            "total": sf1_detail["total"],
+            "n": len(sf1_detail["queries"]),
+            "omitted": len(sf1_detail["budget_omitted"]),
+            "drift_median": sf1_detail["drift_median_vs_best"],
+            # the 3 steepest scale-ups — sub-linear (<1.0) means fixed
+            # overhead still dominates at sf1
+            "worst_exponents": dict(sorted(exps.items(),
+                                           key=lambda kv: -kv[1])[:3]),
+        }
+    elif sf1_detail:
+        report["sf1"] = {"error": sf1_detail.get("error", "?")[:80]}
     # The per-round headline can't hold all timings inside the driver's
     # 2000-char window, so it publishes the SLOWEST-N by time — a
     # self-describing selection (r9 finding #4: an arbitrary
