@@ -32,10 +32,15 @@ no event is later than the watermark delay. Events later than that are
 folded on arrival (never retroactively) or dropped by Spark's late-data
 filter — the documented watermark trade-off.
 
-``rowFound: false`` stays an honest seam: absence-over-future is only
-decidable once the watermark passes ``maxDuration`` past the anchor, and
-the batch semantics of an UNBOUNDED absence window are not expressible
-under finite state.
+``rowFound: false`` (absence steps) is supported when ``maxDuration``
+bounds the window and the first step is a found step: the group buffers
+its duration window ``(first_anchor, first_anchor + maxDuration]`` and
+resolves ONCE — with full lookahead, exactly the batch window-anchor
+recurrence — when the watermark passes the horizon (after which no
+in-window event can arrive, so "no row matched" is final). State for
+such groups is bounded by the duration window. UNBOUNDED absence (no
+``maxDuration``) stays an honest ``NotImplementedError`` seam: "no
+matching row, ever" is not decidable under finite state.
 """
 
 from __future__ import annotations
@@ -105,10 +110,19 @@ def watermarked_sequence_match(
     data for them or not. Always-on streams need no heartbeats as long
     as events keep flowing.
     """
-    for step in sequence:
-        if step.get("rowFound", True) is False:
-            raise NotImplementedError(
-                "rowFound:false cannot be evaluated incrementally")
+    row_found = [step.get("rowFound", True) is not False
+                 for step in sequence]
+    has_absence = not all(row_found)
+    if has_absence and (max_duration is None or not row_found[0]):
+        # UNBOUNDED absence stays the honest seam: "no matching row,
+        # ever" is not decidable under finite state. With maxDuration
+        # and a found first step, every scope is bounded by
+        # first_anchor + maxDuration and the bounded-absence path below
+        # resolves exactly.
+        raise NotImplementedError(
+            "rowFound:false needs a bounded window to be evaluated "
+            "incrementally: set maxDuration and keep the first step a "
+            "found step")
     if not isinstance(events.schema[ts_col].dataType, T.TimestampType):
         raise ValueError(
             f"{ts_col} must be TIMESTAMP for watermarking — convert "
@@ -135,6 +149,75 @@ def watermarked_sequence_match(
                        _step_mask_column(sequence).alias("__mask"))
                .withWatermark("__wm_ts", watermark))
 
+    def _resolve_absence(window_evs: list, first: int) -> tuple[int, int]:
+        """The window-anchor recurrence over one group's fully-sealed
+        duration window (first, first + maxDuration] — the same
+        semantics the batch ``with_sequence_anchors`` evaluates: found
+        steps anchor at the min matching ts past the previous anchor;
+        an absence step passes iff NO row matches past the previous
+        anchor (within the window), anchor passing through. Returns
+        (steps_completed, last_anchor)."""
+        a_prev, done = first, 1
+        for i in range(1, n_steps):
+            if row_found[i]:
+                cand = [t for t, m in window_evs
+                        if (m >> i) & 1 and t > a_prev]
+                if not cand:
+                    break
+                a_prev = min(cand)
+            elif any((m >> i) & 1 and t > a_prev for t, m in window_evs):
+                break  # a matching row anywhere in scope kills absence
+            done += 1
+        return done, a_prev
+
+    def _absence_update(key, buf, state):
+        """Bounded-absence path: buffer the duration window, resolve
+        ONCE when the watermark passes ``first + maxDuration`` (then the
+        whole window is sealed — lookahead is safe), and drop the group
+        from the store. State is bounded by the window: while the first
+        anchor is unknown, sealed no-step-0 events are dropped (the
+        eventual anchor can only be ≥ the watermark, so they can never
+        land in scope); once known, only (first, first+maxDuration]
+        events are kept."""
+        seal_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists and state.get[0] != 0:
+            # already resolved: the batch first anchor is the GLOBAL
+            # min step-0 ts, so later events can never re-open the
+            # group — the tombstone stops a bogus second match
+            return
+        first = state.get[2] if state.exists else LONG_MIN
+        if first == LONG_MIN:
+            sealed_a0 = [t for t, m in buf if t < seal_us and m & 1]
+            if sealed_a0:
+                first = min(sealed_a0)
+        if first != LONG_MIN:
+            horizon = first + max_dur_us
+            buf = [(t, m) for t, m in buf if first < t <= horizon]
+            if seal_us > horizon:  # ts == horizon is in scope: strict
+                done, anch = _resolve_absence(sorted(buf), first)
+                # tombstone: resolved groups keep only the scalar fold
+                # state (like matched groups on the found-only path)
+                state.update((done, anch, first, [], []))
+                yield pd.DataFrame(
+                    {"group_id": [key[0]], "steps_completed": [done],
+                     "anchor_ts": [anch], "matched": [done >= n_steps]})
+                return
+        else:
+            # no step-0 match sealed yet → any future anchor is ≥ the
+            # watermark, so sealed events can never be in its scope
+            buf = [(t, m) for t, m in buf if t >= seal_us]
+        if buf or first != LONG_MIN:
+            state.update((0, LONG_MIN, first,
+                          [t for t, _ in buf], [m for _, m in buf]))
+            # resolution fires when the watermark passes the horizon;
+            # before the anchor exists, when it passes the oldest
+            # buffered event (both strictly > current watermark)
+            arm = (first + max_dur_us if first != LONG_MIN
+                   else min(t for t, _ in buf))
+            state.setTimeoutTimestamp(arm // 1000 + 1)
+        elif state.exists:
+            state.remove()
+
     def update(
         key: Tuple,
         batches: Iterator[pd.DataFrame],
@@ -150,13 +233,18 @@ def watermarked_sequence_match(
                 pdf = pdf[pdf["__mask"] != 0]  # no-step rows are inert
                 buf.extend(zip(pdf["__ts"].astype("int64"),
                                pdf["__mask"].astype("int64")))
+        buf = [(int(t), int(m)) for t, m in buf]
+
+        if has_absence:
+            yield from _absence_update(key, buf, state)
+            return
 
         # Spark's watermark guarantee: no future row's event time is
         # below the current watermark, so the strictly-below prefix is
         # final — fold it in exact event-time order and drop it
         seal_us = state.getCurrentWatermarkMs() * 1000
-        sealed = sorted((int(t), int(m)) for t, m in buf if t < seal_us)
-        buf = [(int(t), int(m)) for t, m in buf if t >= seal_us]
+        sealed = sorted((t, m) for t, m in buf if t < seal_us)
+        buf = [(t, m) for t, m in buf if t >= seal_us]
 
         advanced = False
         for t, m in sealed:

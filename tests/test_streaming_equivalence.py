@@ -405,6 +405,74 @@ def test_watermarked_sequence_checkpoint_resume(spark, tmp_path):
     assert want[1] == 2
 
 
+ABSEQ = [{"filter": ["etype", "==", "view"]},
+         {"filter": ["etype", "==", "error"], "rowFound": False},
+         {"filter": ["etype", "==", "purchase"]}]
+
+
+def test_watermarked_sequence_bounded_absence_equals_batch(
+        spark, tmp_path):
+    """rowFound:false under a maxDuration bound: the streaming operator
+    buffers each group's duration window and resolves it with full
+    lookahead once the watermark passes first_anchor + maxDuration —
+    the MATCHED-GROUP SET must equal the batch engine's for arbitrary
+    arrival order, across duration bounds that land events exactly ON
+    the inclusive horizon."""
+    from funnel_rocket_spark.streaming import watermarked_sequence_match
+
+    run_no = [0]
+
+    @settings(max_examples=7, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(events=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 9),
+                  st.sampled_from(["view", "error", "purchase", "other"])),
+        min_size=1, max_size=14),
+        order=st.randoms(use_true_random=False),
+        cuts=st.lists(st.integers(0, 14), max_size=3),
+        dur_s=st.sampled_from([2, 5, 100]))
+    def prop(events, order, cuts, dur_s):
+        run_no[0] += 1
+        base = tmp_path / f"a{run_no[0]}"
+        indir = base / "in"
+        indir.mkdir(parents=True)
+        rows = [{"user_id": u, "ts": f"2026-01-01 00:00:{t:02d}",
+                 "etype": e} for u, t, e in events]
+        arrival = rows[:]
+        order.shuffle(arrival)
+        chunks = _split(arrival, cuts) + [[_H1], [_H2]]
+        for i, chunk in enumerate(chunks):
+            pd.DataFrame(chunk).to_parquet(indir / f"b{i:02d}.parquet")
+
+        out = watermarked_sequence_match(
+            _wseq_stream(spark, indir), ABSEQ, "user_id", "ts",
+            watermark="3600 seconds", max_duration=dur_s)
+        name = f"wabs_eq_{run_no[0]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", str(base / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {r["group_id"] for r in spark.sql(
+            f"SELECT group_id FROM {name} "
+            "WHERE matched AND group_id != 999").collect()}
+
+        df = (spark.createDataFrame(pd.DataFrame(rows))
+              .select("user_id", F.to_timestamp("ts").alias("ts"),
+                      "etype"))
+        plan = QueryEngine("user_id", "ts").plan(df, {"query": {
+            "conditions": [{"sequence": [
+                {"filter": s["filter"],
+                 **({"rowFound": False} if s.get("rowFound") is False
+                    else {})} for s in ABSEQ],
+                "maxDuration": int(dur_s * 1e9)}]}})
+        want = {r["user_id"]
+                for r in plan.matched_groups().select("user_id").collect()}
+        assert got == want, (rows, arrival, cuts, dur_s, got, want)
+
+    prop()
+
+
 def test_watermarked_sequence_rejects_unsupported(spark):
     import pytest as _pytest
 
@@ -414,11 +482,18 @@ def test_watermarked_sequence_rejects_unsupported(spark):
               .select(F.col("value").alias("user_id"),
                       F.col("timestamp").alias("ts"),
                       F.lit("view").alias("etype")))
+    # absence without a maxDuration bound: unbounded window, refused
     with _pytest.raises(NotImplementedError, match="rowFound"):
         watermarked_sequence_match(
             stream, [{"filter": ["etype", "==", "view"]},
                      {"filter": ["etype", "==", "x"], "rowFound": False}],
             "user_id", "ts")
+    # absence-FIRST: the duration window has no anchor to start from
+    with _pytest.raises(NotImplementedError, match="rowFound"):
+        watermarked_sequence_match(
+            stream, [{"filter": ["etype", "==", "x"], "rowFound": False},
+                     {"filter": ["etype", "==", "view"]}],
+            "user_id", "ts", max_duration=5)
     bad = stream.select("user_id", F.lit(5).alias("ts"), "etype")
     with _pytest.raises(ValueError, match="TIMESTAMP"):
         watermarked_sequence_match(
