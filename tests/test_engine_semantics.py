@@ -1166,8 +1166,11 @@ def test_histogram_cost_model_routing(spark, seq_df):
         sequence_strategy="window").counts().collect()
 
     # many mid-size whales spread across partitions: no single task
-    # dominates, so no routing (the max-only test can't see this)
-    p = plan(group_rows_topk_hint=[4_000_000] * 16, total_rows_hint=10**8,
+    # dominates, so no routing (the max-only test can't see this).
+    # Shape chosen so the window side wins for any partition count the
+    # suite might run under (1M whales: LPT gives whale + uniform share
+    # per task, under the 1.5x-premium segmented bound up to ~64 parts)
+    p = plan(group_rows_topk_hint=[1_000_000] * 16, total_rows_hint=10**8,
              segmented_cost_premium=1.5)
     assert not p.auto_routed_segmented
 
