@@ -1097,6 +1097,134 @@ def universe_main(n_rows: int) -> None:
     print(json.dumps(out))
 
 
+def streamseq_main(n_rows: int, n_batches: int = 20) -> None:
+    """Round-11 rung: the watermarked streaming sequence operator at
+    scale. Arrival order = event time + bounded jitter (≤1 day, under
+    the 2-day watermark), split into ``n_batches`` micro-batch files —
+    the realistic always-on profile where sealing is PROGRESSIVE (state
+    holds only each group's in-flight window, not the stream). Measures
+    wall-clock, rows/s through the state store, peak state rows, and
+    asserts the matched-group count equals the batch engine's on the
+    same data — plus the bounded-absence variant (rowFound:false under
+    a 7-day maxDuration)."""
+    n_groups = max(1, n_rows // 100)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(here, ".scratch",
+                       f"events_{n_rows}_{n_groups}.parquet")
+    sdir = os.path.join(here, ".scratch", f"stream_seq_{n_rows}")
+    indir = os.path.join(sdir, "in")
+
+    spark = get_spark(app_name="scale-check-streamseq",
+                      extra_conf={"spark.driver.memory": os.environ.get(
+                          "SPARK_DRIVER_MEM", "16g")})
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(src):
+        t0 = time.perf_counter()
+        synthesize(spark, n_rows, n_groups, src)
+        print(f"# synthesized {src}: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+    ev = spark.read.parquet(src)
+
+    base, span = 1_700_000_000_000_000_000, 91 * NANOS_DAY
+    if not os.path.exists(indir):
+        os.makedirs(indir)
+        t0 = time.perf_counter()
+        jit = F.pmod(F.xxhash64("event_id", F.lit(9)), F.lit(NANOS_DAY))
+        arr = ev.withColumn("__arrival", F.col("ts") + jit)
+        bucket = F.least(F.lit(n_batches - 1),
+                         ((F.col("__arrival") - F.lit(base))
+                          * n_batches / F.lit(span)).cast("int"))
+        # ONE file per micro-batch (repartition on the bucket column so
+        # each bucket's rows land in a single writer task — without it
+        # partitionBy emits ~cores part-files per bucket and
+        # maxFilesPerTrigger=1 turns 20 intended batches into 600)
+        (arr.withColumn("__b", bucket)
+            .select("__b", "user_id", "ts", "event_type")
+            .repartition(n_batches, "__b")
+            .write.mode("overwrite").partitionBy("__b")
+            .parquet(sdir + "/staged"))
+        # FileStreamSource takes files in MODIFICATION-TIME order, and
+        # the parallel writer's part files carry effectively random
+        # mtimes — pin them to arrival order or a late bucket processed
+        # first freezes the watermark and the earlier buckets all drop
+        # as late data (observed: 7 of 10 files 100% late-dropped)
+        t_base = time.time() - 3600
+        for i in range(n_batches):
+            part = glob.glob(f"{sdir}/staged/__b={i}/*.parquet")
+            assert len(part) == 1, (i, part)
+            dst = os.path.join(indir, f"b{i:03d}.parquet")
+            os.rename(part[0], dst)
+            os.utime(dst, (t_base + i, t_base + i))
+        import pandas as _pd
+        for j, day in enumerate((120, 150)):  # heartbeat drain pair
+            hb = os.path.join(indir, f"zz_hb{j}.parquet")
+            _pd.DataFrame([{"user_id": -9, "ts": base + day * NANOS_DAY,
+                            "event_type": "hb"}]).to_parquet(hb)
+            os.utime(hb, (t_base + n_batches + j,) * 2)
+        print(f"# staged {n_batches} arrival files: "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    from funnel_rocket_spark.streaming import watermarked_sequence_match
+
+    seq = [{"filter": ["event_type", "==", "signup"]},
+           {"filter": ["event_type", "==", "click"]},
+           {"filter": ["event_type", "==", "purchase"]}]
+    abseq = [{"filter": ["event_type", "==", "signup"]},
+             {"filter": ["event_type", "==", "error"], "rowFound": False},
+             {"filter": ["event_type", "==", "purchase"]}]
+    # Spark timestamps are MICROSECOND-resolution: the streaming axis
+    # truncates the synthetic int64-nano ts, changing sub-µs tie
+    # structure — so the batch oracle must run on the SAME µs axis
+    # (integer div; a double division would wobble at 1.7e18)
+    ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
+    eng = QueryEngine("user_id", "ts_us")
+    micros_day = 86_400_000_000
+    out = {"n_rows": n_rows, "n_groups": n_groups, "n_batches": n_batches,
+           "watermark": "2 days", "jitter": "1 day"}
+
+    for name, sseq, dur_s, dur_us in (
+            ("seq3", seq, None, None),
+            ("absence_maxdur", abseq, 7 * 86400, 7 * micros_day)):
+        ckpt = os.path.join(sdir, f"ckpt_{name}")
+        stream = (spark.readStream
+                  .schema("user_id long, ts long, event_type string")
+                  .option("maxFilesPerTrigger", "1").parquet(indir)
+                  .select("user_id", "event_type",
+                          F.timestamp_micros(F.expr("ts div 1000"))
+                          .alias("ts_t")))
+        t0 = time.perf_counter()
+        q = (watermarked_sequence_match(
+                stream, sseq, "user_id", "ts_t",
+                watermark="172800 seconds", max_duration=dur_s)
+             .writeStream.format("memory").queryName(f"ss_{name}")
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(3600)
+        wall = round(time.perf_counter() - t0, 2)
+        state_peak = max((p["stateOperators"][0]["numRowsTotal"]
+                          for p in q.recentProgress
+                          if p["stateOperators"]), default=None)
+        got = spark.sql(
+            f"SELECT count(DISTINCT group_id) AS c FROM ss_{name} "
+            "WHERE matched AND group_id != -9").collect()[0]["c"]
+        cond = {"sequence": sseq}
+        if dur_us is not None:
+            cond["maxDuration"] = dur_us
+        want = eng.run(ev, {"query": {"conditions": [cond]}})[
+            "query"]["matchingGroups"]
+        out[f"{name}.wall_s"] = wall
+        out[f"{name}.rows_per_s"] = int(n_rows / wall)
+        out[f"{name}.state_peak_rows"] = state_peak
+        out[f"{name}.matched_stream"] = got
+        out[f"{name}.matched_batch"] = want
+        out[f"{name}.equal"] = bool(got == want)
+        print(f"# {name}: {wall}s ({int(n_rows/wall)} rows/s, "
+              f"state peak {state_peak}, stream {got} vs batch {want})",
+              file=sys.stderr)
+    print(json.dumps(out))
+
+
 def hitters_main(n_rows: int) -> None:
     """Exact-heavy-hitters evidence: a zipf-ish high-cardinality column at
     n_rows (deterministic hash-power synthesis, ~n_rows/5 distinct values)
@@ -1263,6 +1391,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "universe":
         universe_main(int(sys.argv[2]) if len(sys.argv) > 2
                       else 100_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "streamseq":
+        streamseq_main(int(sys.argv[2]) if len(sys.argv) > 2
+                       else 10_000_000,
+                       int(sys.argv[3]) if len(sys.argv) > 3 else 20)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "hitters":
         hitters_main(int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000)
