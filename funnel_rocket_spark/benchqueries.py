@@ -399,6 +399,51 @@ def _ann_ivf_full_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_iter=1, init_mode="random")
 
 
+_IVF_INDEX_CACHE: dict = {}
+
+
+def _ann_ivf_persisted_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN amortization shape (r11): the IVF index is
+    built ONCE per process, persisted via ``similarity.save_ivf_index``
+    (cell-partitioned parquet + centers.json, crash-safe ordering),
+    loaded back, and searched with ``prune_cells=True`` — so the probe
+    reads ONLY the probed cells' files (parquet partition pruning; the
+    plan gate in tests/test_ivf.py pins it). Same self-certifying
+    score-based recall@k contract as ``ann_ivf_topk``; of bench.py's 3
+    timed runs, runs 2-3 pay only load + pruned search + the in-plan
+    brute-force certification."""
+    k, bound = 10, 0.2
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cached = _IVF_INDEX_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        assigned, centers = similarity.ivf_index(
+            emb, n_clusters=16, max_iter=8)
+        path = tempfile.mkdtemp(prefix="frs_ivf_index_") + "/idx"
+        similarity.save_ivf_index(assigned, centers, path)
+        cached = path
+        _IVF_INDEX_CACHE[sf_dir] = cached
+    assigned, centers = similarity.load_ivf_index(spark, cached)
+    ivf = similarity.ivf_search(assigned, centers, queries, k=k,
+                                n_probe=4, prune_cells=True)
+    brute = similarity.cosine_topk(emb, queries, k=k)
+    kth = brute.groupBy("query_id").agg(F.min("cosine_sim").alias("__kth"))
+    per_q = (ivf.join(F.broadcast(kth), "query_id")
+             .groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_returned"),
+                  F.sum(F.when(F.col("cosine_sim") >= F.col("__kth"), 1)
+                        .otherwise(0)).alias("__hits")))
+    return (queries.select(F.col("vec_id").alias("query_id"))
+            .join(F.broadcast(per_q), "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_returned"), F.lit(0))
+                    .alias("n_returned"),
+                    (F.coalesce(F.col("__hits"), F.lit(0)) / k >= bound)
+                    .alias("recall_ok")))
+
+
 _PQ_INDEX_CACHE: dict = {}
 
 
@@ -3878,6 +3923,13 @@ SELECT vec_id AS query_id, 10::BIGINT AS n_returned, true AS recall_ok
 FROM embeddings WHERE vec_id < 5
 """,
     ),
+    "ann_ivf_persisted": (
+        _ann_ivf_persisted_fn,
+        """
+SELECT vec_id AS query_id, 10::BIGINT AS n_returned, true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+""",
+    ),
     "ann_ivfpq_topk": (
         _ann_ivfpq_fn,
         """
@@ -3928,11 +3980,12 @@ _DRIVER_PRIORITY = [
     "fr_seq_max_duration_segmented", "fr_sequence_segmented",
     "fr_seq_max_duration", "fr_sequence", "fr_funnel_steps",
     "fr_multi_filter", "curation_pipeline", "curation_report",
-    "multimodal_audio_wav",
+    "multimodal_audio_wav", "ann_ivf_persisted",
     # then the full r8-stale block (29 queries — the 30th,
     # fr_seq_row_not_found, already leads the touched group above;
     # next-stalest after the head, union over CORRECTNESS_r01-r10).
-    # 4 + 11 + 29 = 44 of the window's 50 slots; the remainder
+    # 4 + 12 + 29 = 45 of the window's 50 slots (ann_ivf_persisted is
+    # NEW r11 and needs its first driver green); the remainder
     # re-anchors the r9 block in catalog order.
     "fr_agg_groups_per_value_approx", "fr_agg_groups_skew_path",
     "fr_lineitem_engine", "fr_registration_profile",
@@ -3952,7 +4005,7 @@ _DRIVER_PRIORITY = [
 # the r11-changed routing/universe/pipeline code, and absorbs the
 # ENTIRE r8 block — after r11 nothing is staler than r9. Everything
 # else stays runnable after the window and is value-verified every
-# round by the pytest oracle-parity sweep over all 130.
+# round by the pytest oracle-parity sweep over all 131.
 
 def queries() -> dict:
     out = {name: fn for name, (fn, _sql) in QUERIES.items()}
@@ -3982,7 +4035,7 @@ BENCH_VARIANTS: dict = {
 # BENCH_DETAIL's "fixture_splits", so the round-over-round trend tracks
 # the OPERATOR (probe), not the fixture build. The headline min-of-N
 # already reflects probe (the build run never wins the min).
-FIXTURE_AMORTIZED = ["dedup_incremental_lsh"]
+FIXTURE_AMORTIZED = ["dedup_incremental_lsh", "ann_ivf_persisted"]
 
 
 def oracle_sql() -> dict[str, str]:

@@ -332,10 +332,50 @@ def ivf_index(corpus: DataFrame, n_clusters: int = 16, seed: int = 42,
     return assigned, model.clusterCenters()
 
 
+def save_ivf_index(assigned: DataFrame, centers, path: str) -> None:
+    """Persist an IVF index: the cell-assigned corpus partitioned by
+    ``__cell`` (so a pruned probe reads ONLY its cells' files) plus the
+    tiny center list as JSON. Crash-safe ordering like the LSH band
+    index: data lands under a temp dir, the centers file is written
+    LAST and marks the index complete — :func:`load_ivf_index` refuses
+    a directory without it."""
+    import json
+    import os
+
+    tmp = path.rstrip("/") + ".__tmp__"
+    (assigned.write.mode("overwrite").partitionBy("__cell").parquet(
+        os.path.join(tmp, "cells")))
+    with open(os.path.join(tmp, "centers.json"), "w") as fh:
+        json.dump([[float(x) for x in c] for c in centers], fh)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def load_ivf_index(spark, path: str):
+    """(assigned, centers) back from :func:`save_ivf_index` — the
+    cell-partitioned layout means :func:`ivf_search` with
+    ``prune_cells=True`` turns probe routing into parquet PARTITION
+    PRUNING: only the probed cells' files are read at all."""
+    import json
+    import os
+
+    cpath = os.path.join(path, "centers.json")
+    if not os.path.exists(cpath):
+        raise ValueError(f"not a complete IVF index (no centers.json): "
+                         f"{path}")
+    with open(cpath) as fh:
+        centers = json.load(fh)
+    return spark.read.parquet(os.path.join(path, "cells")), centers
+
+
 def ivf_search(assigned: DataFrame, centers, queries: DataFrame, k: int = 10,
                n_probe: int = 4, id_col: str = "vec_id",
                vec_col: str = "embedding",
-               query_id_col: str = "query_id") -> DataFrame:
+               query_id_col: str = "query_id",
+               prune_cells: bool = False) -> DataFrame:
     """Search an IVF index: route each query to its ``n_probe`` nearest
     cells, score only those cells, rank per query.
 
@@ -343,6 +383,13 @@ def ivf_search(assigned: DataFrame, centers, queries: DataFrame, k: int = 10,
     shuffles (the cell equi-join uses the index's layout). Recall/cost tunes
     with ``n_probe``/``n_clusters`` exactly like FAISS IVF. Deterministic
     for a fixed index. Returns (query_id, vec_id, cosine_sim).
+
+    ``prune_cells=True`` additionally computes the distinct probe-cell
+    set driver-side (bounded by n_clusters ints — the probe pass over
+    the small query side runs twice) and filters the corpus with it
+    BEFORE the join: on a :func:`save_ivf_index` layout that is parquet
+    partition pruning — unprobed cells are never read from disk, the
+    property that makes a persisted index pay at 100 TB.
     """
     import numpy as np
 
@@ -367,6 +414,11 @@ def ivf_search(assigned: DataFrame, centers, queries: DataFrame, k: int = 10,
         schema=f"{id_col} long, {vec_col} array<double>, __cell int")
     q = probed.select(F.col(id_col).alias(query_id_col),
                       F.col(vec_col).alias("__qvec"), "__cell")
+    if prune_cells:
+        # bounded collect: <= n_clusters distinct ints
+        cells = [r["__cell"] for r in probed.select("__cell")
+                 .distinct().collect()]
+        assigned = assigned.where(F.col("__cell").isin(cells))
 
     scored = (
         assigned.join(F.broadcast(q), on="__cell")

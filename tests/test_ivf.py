@@ -61,6 +61,41 @@ def test_ivf_index_reuse(spark, tmp_path):
     assert direct == reloaded
 
 
+def test_ivf_save_load_and_pruned_search(spark, tmp_path):
+    """r11 persistence surface: save_ivf_index/load_ivf_index round-trip
+    (crash-safe: a directory without centers.json is refused), and
+    prune_cells=True returns IDENTICAL results while the physical scan
+    carries a partition filter on __cell — on the cell-partitioned
+    layout, unprobed cells are never read."""
+    import pytest as _pytest
+
+    emb = bq.load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 3)
+    assigned, centers = similarity.ivf_index(emb, n_clusters=8)
+    direct = _result_sets(similarity.ivf_search(assigned, centers, queries,
+                                                k=5, n_probe=2))
+    path = str(tmp_path / "idx")
+    similarity.save_ivf_index(assigned, centers, path)
+    loaded, centers2 = similarity.load_ivf_index(spark, path)
+    assert [[round(x, 9) for x in c] for c in centers2] == \
+        [[round(float(x), 9) for x in c] for c in centers]
+    pruned_df = similarity.ivf_search(loaded, centers2, queries,
+                                      k=5, n_probe=2, prune_cells=True)
+    assert _result_sets(pruned_df) == direct
+    # the probe's cell set must reach the SCAN as a partition filter —
+    # Spark applies PartitionFilters at file listing, so unprobed cells'
+    # files are never opened (inputFiles() can't show this: it reports
+    # the relation's full file list, filters ignored)
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan[:2000]
+    # incomplete index (no centers.json) refused loudly
+    (tmp_path / "bad").mkdir()
+    with _pytest.raises(ValueError, match="centers.json"):
+        similarity.load_ivf_index(spark, str(tmp_path / "bad"))
+
+
 def test_embedding_dup_methods_agree(spark):
     """The numpy-GEMM path and the pure-Column-expression path are
     independent implementations of the same operator — pin them together."""
