@@ -1039,7 +1039,8 @@ def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
                          threshold: float = 0.985, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          method: str = "gemm",
-                         centers: list | None = None) -> DataFrame:
+                         centers: list | None = None,
+                         assigned: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style near-duplicate pairs: cluster first, compare only
     within clusters — (id_a, id_b, cosine_sim ≥ threshold).
 
@@ -1060,7 +1061,16 @@ def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
     implementation the GEMM path is differential-tested against.
     Both are deterministic and value-match the chained-CTE SQL oracle.
     """
-    if centers is not None:
+    if assigned is not None:
+        # pre-ASSIGNED cells (r11 persisted-IVF pipeline artifact): the
+        # caller supplies (id, vec, cluster) — zero training AND zero
+        # assignment jobs. Per-vector nearest-center assignment is
+        # independent of the rest of the corpus, so a persisted
+        # full-side-input assignment restricted to any subset equals
+        # assigning that subset directly (test-pinned).
+        assigned = assigned.select(F.col(id_col), F.col(vec_col),
+                                   F.col("cluster"))
+    elif centers is not None:
         # pre-trained coarse quantizer (pipeline artifact cache): pure
         # assignment, zero training jobs
         assigned, _ = kmeans_lloyd(corpus, k=k, rounds=0, id_col=id_col,

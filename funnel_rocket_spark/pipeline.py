@@ -142,8 +142,26 @@ def _stage_dedup_semantic(spark, df, cfg, ctx):
     if train_on not in ("side_input", "live"):
         raise ValueError(f"dedup_semantic train_on={train_on!r} "
                          "(side_input|live)")
+    # "persist_index": true (r11) upgrades the artifact from centers-only
+    # to the FULL persisted IVF index (cell-partitioned side-input
+    # assignments via similarity.save_ivf_index): resumed runs then skip
+    # the per-run assignment GEMM too, not just the training rounds —
+    # the pair stage starts from a semi-join against the stored cells.
+    # Opt-in because the index is a full copy of the embeddings side
+    # input under workdir/models. Assignment is per-vector (independent
+    # of the rest of the corpus), so restricting the stored full-corpus
+    # assignment to chain-live ids is byte-identical to assigning the
+    # live subset with the same centers (test-pinned).
+    persist_index = bool(cfg.get("persist_index", False))
+    params.pop("persist_index", None)
+    if persist_index and train_on == "live":
+        raise ValueError(
+            "dedup_semantic persist_index requires train_on=side_input: "
+            "live assignments depend on chain state and must not persist")
     centers = None
+    assigned_live = None
     cache_path = None
+    index_path = None
     if ctx.get("workdir") and train_on == "side_input":
         key_payload = {
             "emb": _input_fingerprint(str(cfg["embeddings_path"])),
@@ -153,24 +171,51 @@ def _stage_dedup_semantic(spark, df, cfg, ctx):
             json.dumps(key_payload, sort_keys=True).encode()).hexdigest()
         cache_path = os.path.join(ctx["workdir"], "models",
                                   f"kmeans_{key}.json")
+        index_path = os.path.join(ctx["workdir"], "models", f"ivf_{key}")
         # resume=False must bypass MODEL caches too, not only chain
         # checkpoints: a remote (non-fingerprintable) embeddings path
         # falls back to a bare-path key, and --no-resume is the
         # documented escape hatch for an overwritten remote input
-        if ctx.get("resume", True) and os.path.isfile(cache_path):
-            with open(cache_path) as fh:
-                centers = json.load(fh)["centers"]
+        if ctx.get("resume", True):
+            if persist_index and os.path.isfile(
+                    os.path.join(index_path, "centers.json")):
+                full_assigned, centers = similarity.load_ivf_index(
+                    spark, index_path)
+                assigned_live = (
+                    full_assigned
+                    .withColumnRenamed("__cell", "cluster")
+                    .join(df.select(F.col(ctx["id_col"]).alias(vec_id)),
+                          vec_id, "left_semi"))
+            elif os.path.isfile(cache_path):
+                with open(cache_path) as fh:
+                    centers = json.load(fh)["centers"]
     if centers is None:
-        _, centers = similarity.kmeans_lloyd(
-            emb if train_on == "side_input" else live,
-            k=params.get("k", 8), rounds=params.get("rounds", 2),
+        train = emb if train_on == "side_input" else live
+        full_assigned, centers = similarity.kmeans_lloyd(
+            train, k=params.get("k", 8), rounds=params.get("rounds", 2),
             id_col=vec_id, vec_col=vec_col)
-        if cache_path:
+        if index_path and persist_index:
+            similarity.save_ivf_index(
+                full_assigned.withColumnRenamed("cluster", "__cell")
+                .select(vec_id, vec_col, "__cell"),
+                centers, index_path)
+            loaded, _ = similarity.load_ivf_index(spark, index_path)
+            assigned_live = (
+                loaded.withColumnRenamed("__cell", "cluster")
+                .join(df.select(F.col(ctx["id_col"]).alias(vec_id)),
+                      vec_id, "left_semi"))
+        elif cache_path:
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
             with open(cache_path, "w") as fh:
                 json.dump({"centers": centers, "key": key_payload}, fh)
-    pairs = similarity.semantic_dedup_pairs(
-        live, id_col=vec_id, vec_col=vec_col, centers=centers, **params)
+    if assigned_live is not None:
+        pairs = similarity.semantic_dedup_pairs(
+            live, id_col=vec_id, vec_col=vec_col, centers=centers,
+            assigned=assigned_live, **params)
+    else:
+        pairs = similarity.semantic_dedup_pairs(
+            live, id_col=vec_id, vec_col=vec_col, centers=centers,
+            **params)
     return dedup.apply_dedup(df, pairs, ctx["id_col"])
 
 

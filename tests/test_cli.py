@@ -611,6 +611,89 @@ def test_pipeline_dedup_semantic_stage(spark, tmp_path):
     assert rep3["rows_out"] == 5
 
 
+def test_pipeline_dedup_semantic_persist_index(spark, tmp_path):
+    """persist_index=true (r11): the FULL cell-partitioned IVF index
+    lands under workdir/models/ivf_<key>; a later run reuses it WITHOUT
+    any kmeans job (pinned by poisoning kmeans_lloyd); survivors are
+    byte-identical to the centers-only path; resume=False bypasses the
+    index artifact like every model cache; train_on=live refuses."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from funnel_rocket_spark.operators import similarity as sim
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(6)],
+        "doc_id long, text string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    vecs = [(0, [1.0, 0.0, 0.0]), (1, [0.9999, 0.001, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0]),
+            (4, [0.5, 0.5, 0.0])]
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>") \
+        .write.parquet(emb_path)
+
+    def cfg(workdir, **extra):
+        return {"input": {"path": inp, "id_col": "doc_id",
+                          "text_col": "text"},
+                "workdir": str(tmp_path / workdir),
+                "stages": [{"stage": "dedup_semantic",
+                            "embeddings_path": emb_path,
+                            "k": 1, "threshold": 0.99, **extra}]}
+
+    def survivors(workdir):
+        return {r["doc_id"] for r in spark.read.parquet(
+            f"{tmp_path}/{workdir}/stage_00_dedup_semantic.parquet")
+            .collect()}
+
+    run_pipeline(spark, cfg("w_plain"))
+    run_pipeline(spark, cfg("w_idx", persist_index=True))
+    assert survivors("w_idx") == survivors("w_plain") == {0, 2, 3, 4, 5}
+    idx_dirs = _glob.glob(f"{tmp_path}/w_idx/models/ivf_*")
+    assert len(idx_dirs) == 1
+    assert _glob.glob(f"{idx_dirs[0]}/cells/__cell=*")  # cell-partitioned
+
+    # second run in a FRESH chain workdir pointing at the same models
+    # dir: poison kmeans — the index artifact alone must carry the stage
+    orig = sim.kmeans_lloyd
+    sim.kmeans_lloyd = None  # any call would TypeError
+    try:
+        rep2 = run_pipeline(spark, cfg("w_idx", persist_index=True))
+        assert rep2["stages"][0]["resumed"]  # checkpoint hit, no work
+        # force the stage body to run again against the cached index:
+        # new workdir, models copied over
+        import shutil
+
+        shutil.copytree(f"{tmp_path}/w_idx/models",
+                        f"{tmp_path}/w_idx2/models")
+        run_pipeline(spark, cfg("w_idx2", persist_index=True))
+        assert survivors("w_idx2") == {0, 2, 3, 4, 5}
+    finally:
+        sim.kmeans_lloyd = orig
+
+    # resume=False bypasses the index cache (kmeans must run again)
+    calls = []
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    sim.kmeans_lloyd = counting
+    try:
+        run_pipeline(spark, cfg("w_idx2", persist_index=True),
+                     resume=False)
+        assert calls  # retrained despite the artifact on disk
+    finally:
+        sim.kmeans_lloyd = orig
+
+    with _pytest.raises(ValueError, match="persist_index"):
+        run_pipeline(spark, cfg("w_live", persist_index=True,
+                                train_on="live"))
+
+
 def test_pipeline_decontaminate_semantic_stage(spark, tmp_path):
     """Semantic decontamination as a chain stage: docs whose embedding
     sits within threshold cosine of any eval embedding drop; docs
