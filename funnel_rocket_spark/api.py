@@ -91,7 +91,8 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                 catalog_dir=app.config["CATALOG_DIR"],
                 table=body.get("table"),
                 pattern=body.get("pattern", "*.parquet"),
-                validation_mode=body.get("validation", "full"))
+                validation_mode=body.get("validation", "full"),
+                calibrate_premium=bool(body.get("calibratePremium", False)))
         except Exception:
             _prom.record_query(body.get("name", ""), False,
                                time.monotonic() - t0, job_type="register")
@@ -191,7 +192,9 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                     df, query, with_stats=True,
                     max_group_rows=ds.max_group_rows,
                     total_rows=ds.total_rows or None,
-                    group_rows_topk=getattr(ds, "group_rows_topk", None))
+                    group_rows_topk=getattr(ds, "group_rows_topk", None),
+                    segmented_cost_premium=getattr(
+                        ds, "segmented_cost_premium", None))
             except Exception:
                 _prom.record_query(name, False, time.monotonic() - t0)
                 raise
@@ -220,7 +223,9 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                         max_group_rows=ds.max_group_rows,
                         total_rows=ds.total_rows or None,
                         group_rows_topk=getattr(ds, "group_rows_topk",
-                                                None))
+                                                None),
+                        segmented_cost_premium=getattr(
+                            ds, "segmented_cost_premium", None))
                 except Exception as e:  # surfaced in the stream tail
                     holder["error"] = str(e)
 

@@ -78,7 +78,8 @@ class QueryEngine:
              fold_segments: int = 64,
              max_group_rows: Optional[int] = None,
              total_rows: Optional[int] = None,
-             group_rows_topk: Optional[list[int]] = None) -> QueryPlan:
+             group_rows_topk: Optional[list[int]] = None,
+             segmented_cost_premium: Optional[float] = None) -> QueryPlan:
         expanded = self.expand(query, df if validate_schema else None)
         return QueryPlan(df, expanded, self.group_id_column,
                          self.timestamp_column,
@@ -88,7 +89,13 @@ class QueryEngine:
                          whale_row_threshold=self.whale_row_threshold,
                          total_rows_hint=total_rows,
                          group_rows_topk_hint=group_rows_topk,
-                         segmented_cost_premium=self.segmented_cost_premium,
+                         # per-dataset premium measured at registration
+                         # (catalog.measure_segmented_premium) wins over
+                         # the engine's global default
+                         segmented_cost_premium=(
+                             segmented_cost_premium
+                             if segmented_cost_premium is not None
+                             else self.segmented_cost_premium),
                          whale_hard_cap_rows=self.whale_hard_cap_rows)
 
     def run(self, df: DataFrame, query: dict, validate_schema: bool = True,
@@ -96,7 +103,8 @@ class QueryEngine:
             fold_segments: int = 64,
             max_group_rows: Optional[int] = None,
             total_rows: Optional[int] = None,
-            group_rows_topk: Optional[list[int]] = None) -> dict:
+            group_rows_topk: Optional[list[int]] = None,
+            segmented_cost_premium: Optional[float] = None) -> dict:
         """Execute and return the reference-shaped result JSON.
 
         ``with_stats`` adds a ``stats`` block shaped after the reference's
@@ -117,7 +125,8 @@ class QueryEngine:
                          fold_segments=fold_segments,
                          max_group_rows=max_group_rows,
                          total_rows=total_rows,
-                         group_rows_topk=group_rows_topk)
+                         group_rows_topk=group_rows_topk,
+                         segmented_cost_premium=segmented_cost_premium)
         q = plan.q
 
         query_aggs = q.get("query", {}).get("aggregations") or []

@@ -12,6 +12,14 @@ from funnel_rocket_spark.streaming.rollup import (
     nanos_to_timestamp,
     streaming_time_rollup,
 )
+from funnel_rocket_spark.streaming.sequence_aggs import (
+    compact_latest,
+    group_value_partials,
+    read_latest,
+    sequence_step_counts,
+    sequence_step_value_aggs,
+    upsert_latest,
+)
 from funnel_rocket_spark.streaming.sequence_stream import (
     watermarked_sequence_match,
 )
@@ -19,13 +27,18 @@ from funnel_rocket_spark.streaming.sessions import streaming_session_stats
 
 __all__ = [
     "compact_band_index",
+    "compact_latest",
     "content_digest",
+    "group_value_partials",
     "incremental_funnel",
     "nanos_to_timestamp",
+    "read_latest",
+    "sequence_step_counts",
+    "sequence_step_value_aggs",
     "streaming_exact_dedup",
     "streaming_incremental_dedup",
     "streaming_session_stats",
     "streaming_time_rollup",
     "streaming_value_counts",
-    "watermarked_sequence_match",
+    "upsert_latest",
 ]

@@ -473,6 +473,169 @@ def test_watermarked_sequence_bounded_absence_equals_batch(
     prop()
 
 
+# --------------------------------------------------------------------- #
+# Streaming sequence AGGREGATIONS (r12): the match stream upserted into
+# a latest-value store + a per-(group, value) partial-counts stream
+# (plain JVM update-mode agg) — read-time join yields the batch
+# engine's step counts and per-value aggregations. Equivalence is
+# end-of-stream (all events sealed); arrival order arbitrary.
+
+wsagg_events_st = st.lists(
+    st.tuples(st.integers(1, 3),                      # user
+              st.integers(0, 9),                      # ts second (dups ok)
+              st.sampled_from(["view", "click", "purchase", "other"]),
+              st.integers(-3, 5)),                    # metric (negatives!)
+    min_size=1, max_size=14)
+
+
+def _run_wseq_agg_stores(spark, base, rows_arrival, cuts, run_no):
+    """Write the arrival chunks + heartbeats, run the match query and
+    the partials query into upsert stores, return the store paths."""
+    from funnel_rocket_spark.streaming import (group_value_partials,
+                                               upsert_latest,
+                                               watermarked_sequence_match)
+
+    indir = base / "in"
+    indir.mkdir(parents=True)
+    chunks = _split(rows_arrival, cuts) + [
+        [dict(_H1, metric=0.0)], [dict(_H2, metric=0.0)]]
+    for i, chunk in enumerate(chunks):
+        pd.DataFrame(chunk).to_parquet(indir / f"b{i:02d}.parquet")
+
+    def stream():
+        return (spark.readStream
+                .schema("user_id long, ts string, etype string, "
+                        "metric double")
+                .option("maxFilesPerTrigger", "1").parquet(str(indir))
+                .select("user_id", F.to_timestamp("ts").alias("ts"),
+                        "etype", "metric"))
+
+    matches_path = str(base / "matches")
+    partials_path = str(base / "partials")
+    q1 = (watermarked_sequence_match(stream(), WSEQ, "user_id", "ts",
+                                     watermark="3600 seconds")
+          .writeStream.foreachBatch(upsert_latest(matches_path))
+          .outputMode("update")
+          .option("checkpointLocation", str(base / "ckpt_m"))
+          .trigger(availableNow=True).start())
+    q1.awaitTermination(180)
+    q2 = (group_value_partials(stream(), "user_id", "etype",
+                               metric_col="metric")
+          .writeStream.foreachBatch(upsert_latest(partials_path))
+          .outputMode("update")
+          .option("checkpointLocation", str(base / "ckpt_p"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    return matches_path, partials_path
+
+
+def test_sequence_step_counts_stream_equals_batch(spark, tmp_path):
+    """sequence_step_counts over the two stores ≡ the batch engine's
+    funnel_step_counts on the same rows, arbitrary arrival order.
+    Heartbeat group 999 never advances a step, so the matches-store
+    join excludes it without special-casing."""
+    from funnel_rocket_spark.streaming import (compact_latest,
+                                               sequence_step_counts)
+
+    run_no = [0]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(events=wsagg_events_st,
+           order=st.randoms(use_true_random=False),
+           cuts=st.lists(st.integers(0, 14), max_size=3))
+    def prop(events, order, cuts):
+        run_no[0] += 1
+        base = tmp_path / f"sc{run_no[0]}"
+        rows = [{"user_id": u, "ts": f"2026-01-01 00:00:{t:02d}",
+                 "etype": e, "metric": float(v)}
+                for u, t, e, v in events]
+        arrival = rows[:]
+        order.shuffle(arrival)
+        mp, pp = _run_wseq_agg_stores(spark, base, arrival, cuts, run_no)
+
+        got = {r["step"]: (r["matching_groups"], r["matching_group_rows"])
+               for r in sequence_step_counts(spark, mp, pp,
+                                             len(WSEQ)).collect()}
+        df = (spark.createDataFrame(pd.DataFrame(rows))
+              .select("user_id", F.to_timestamp("ts").alias("ts"),
+                      "etype", "metric"))
+        plan = QueryEngine("user_id", "ts").plan(
+            df, {"funnel": {"sequence": WSEQ}})
+        want = {r["step"]: (r["matching_groups"], r["matching_group_rows"])
+                for r in plan.funnel_step_counts().collect()}
+        assert got == want, (rows, cuts, got, want)
+        # compaction must not change the answer (latest batch id wins)
+        compact_latest(spark, pp, ["group_id", "value"])
+        got2 = {r["step"]: (r["matching_groups"],
+                            r["matching_group_rows"])
+                for r in sequence_step_counts(spark, mp, pp,
+                                              len(WSEQ)).collect()}
+        assert got2 == want, (got2, want)
+
+    prop()
+
+
+def test_sequence_step_value_aggs_stream_equals_batch(spark, tmp_path):
+    """Per-value battery (countPerValue / groupsPerValue / sumPerValue /
+    meanPerValue over rows of groups passing each step) ≡ a pandas
+    oracle built from the batch engine's own per-group funnel frame.
+    Negative metrics exercise the max_by store resolution (cumulative
+    sums are NOT monotone, so a max-per-key reader would be wrong)."""
+    from funnel_rocket_spark.streaming import sequence_step_value_aggs
+
+    run_no = [0]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(events=wsagg_events_st,
+           order=st.randoms(use_true_random=False),
+           cuts=st.lists(st.integers(0, 14), max_size=3))
+    def prop(events, order, cuts):
+        run_no[0] += 1
+        base = tmp_path / f"sv{run_no[0]}"
+        rows = [{"user_id": u, "ts": f"2026-01-01 00:00:{t:02d}",
+                 "etype": e, "metric": float(v)}
+                for u, t, e, v in events]
+        arrival = rows[:]
+        order.shuffle(arrival)
+        mp, pp = _run_wseq_agg_stores(spark, base, arrival, cuts, run_no)
+
+        out = sequence_step_value_aggs(spark, mp, pp, len(WSEQ)).collect()
+        got = {(r["step"], r["value"]):
+               (r["count"], r["groups"], r["sum"], r["mean"])
+               for r in out}
+
+        df = (spark.createDataFrame(pd.DataFrame(rows))
+              .select("user_id", F.to_timestamp("ts").alias("ts"),
+                      "etype", "metric"))
+        plan = QueryEngine("user_id", "ts").plan(
+            df, {"funnel": {"sequence": WSEQ}})
+        done = {r["user_id"]: r["__fr_done"]
+                for r in plan.funnel_per_group().collect()}
+        want = {}
+        for i in range(len(WSEQ)):
+            passing = {u for u, d in done.items() if d > i}
+            sub = [r for r in rows if r["user_id"] in passing]
+            by_val: dict = {}
+            for r in sub:
+                c, g, s = by_val.get(r["etype"], (0, set(), 0.0))
+                by_val[r["etype"]] = (c + 1, g | {r["user_id"]},
+                                      s + r["metric"])
+            for val, (c, g, s) in by_val.items():
+                want[(i, val)] = (c, len(g), s, s / c)
+        # float sums: compare with tolerance
+        assert set(got) == set(want), (rows, cuts, got, want)
+        for k in want:
+            gc, gg, gs, gm = got[k]
+            wc, wg, ws, wm = want[k]
+            assert (gc, gg) == (wc, wg), (k, got[k], want[k])
+            assert abs(gs - ws) < 1e-9 and abs(gm - wm) < 1e-9, \
+                (k, got[k], want[k])
+
+    prop()
+
+
 def test_watermarked_sequence_rejects_unsupported(spark):
     import pytest as _pytest
 

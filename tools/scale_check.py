@@ -939,7 +939,10 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
                       {"filter": ["event_type", "==", "purchase"]}]}]}}
 
     out = {"n_rows": n_rows, "whale_every": whale_every,
-           "n_groups": n_groups, "timings": {}, "results": {}}
+           "n_groups": n_groups, "timings": {}, "timings_runs": {},
+           "timing_spread": {}, "results": {}}
+    qlist = (("sequence_3step", seq_q), ("funnel_steps", fun_q),
+             ("sequence_maxdur", dur_q), ("sequence_absence", abs_q))
     for dist, path in (("uniform", upath), ("whale", wpath)):
         ev = spark.read.parquet(path)
         if dist == "whale":
@@ -953,51 +956,81 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
         hint = topk[0] if topk else None
         out[f"max_group_rows.{dist}"] = hint
         out[f"group_rows_topk.{dist}"] = topk[:3]
-        for strat in ("window", "fold", "fold_segmented", "auto"):
-            for qname, q in (("sequence_3step", seq_q),
-                             ("funnel_steps", fun_q),
-                             ("sequence_maxdur", dur_q),
-                             ("sequence_absence", abs_q)):
-                if qname == "sequence_absence" and strat == "fold":
-                    continue  # plain fold rejects rowFound:false
-                expanded = eng.expand(q, ev)
-                plan = QueryPlan(ev, expanded, "user_id", "ts",
-                                 sequence_strategy=strat,
-                                 max_group_rows_hint=(
-                                     hint if strat == "auto" else None),
-                                 total_rows_hint=(
-                                     n_rows if strat == "auto" else None),
-                                 group_rows_topk_hint=(
-                                     topk if strat == "auto" else None))
-                if strat == "auto":
-                    # no flag, no operator knowledge: the histogram cost
-                    # model decides. r11 acceptance: auto must run within
-                    # 1.1x of the best single strategy on BOTH streams
-                    # (the r10 max>threshold hint routed the 20M whale to
-                    # the segmented fold, 3x off the window sort)
-                    out[f"auto_routed.{dist}.{qname}"] = (
-                        plan.sequence_strategy
-                        if plan.auto_routed_segmented else "window")
-                    out[f"auto_route_reason.{dist}.{qname}"] = \
-                        plan.auto_route_reason
-                    out[f"route_estimates.{dist}.{qname}"] = \
-                        plan.route_estimates
-                t0 = time.perf_counter()
+
+        def run_once(strat, qname, q, record_route):
+            expanded = eng.expand(q, ev)
+            plan = QueryPlan(ev, expanded, "user_id", "ts",
+                             sequence_strategy=strat,
+                             max_group_rows_hint=(
+                                 hint if strat == "auto" else None),
+                             total_rows_hint=(
+                                 n_rows if strat == "auto" else None),
+                             group_rows_topk_hint=(
+                                 topk if strat == "auto" else None))
+            if strat == "auto" and record_route:
+                # no flag, no operator knowledge: the histogram cost
+                # model decides. r11 acceptance: auto must run within
+                # 1.1x of the best single strategy on BOTH streams
+                # (the r10 max>threshold hint routed the 20M whale to
+                # the segmented fold, 3x off the window sort)
+                out[f"auto_routed.{dist}.{qname}"] = (
+                    plan.sequence_strategy
+                    if plan.auto_routed_segmented else "window")
+                out[f"auto_route_reason.{dist}.{qname}"] = \
+                    plan.auto_route_reason
+                out[f"route_estimates.{dist}.{qname}"] = \
+                    plan.route_estimates
+            t0 = time.perf_counter()
+            if qname == "funnel_steps":
+                rows = plan.funnel_step_counts().collect()
+                res = [(r["step"], r["matching_groups"],
+                        r["matching_group_rows"]) for r in rows]
+            else:
+                rows = plan.counts().collect()
+                res = sorted(map(tuple, rows))
+            return round(time.perf_counter() - t0, 2), res
+
+        # Measurement hygiene (r12; VERDICT r11 finding #1): the r11 rung
+        # timed each (strategy, query) ONCE in fixed strategy-major order,
+        # so the first combos paid page-cache + codegen warm-up that the
+        # later ones didn't — identical plans timed 4.5x apart
+        # (uniform.sequence_3step: window 35.09s vs auto=window 7.68s),
+        # contaminating the premium calibration and making auto_vs_best<1
+        # claims physically meaningless. Fix: (a) one UNTIMED warm-up pass
+        # per stream that scans every column the queries touch; (b) every
+        # combo runs twice — round 2 in reversed order, so each combo runs
+        # once early and once late — and the reported timing is the min;
+        # (c) timing_spread = max/min per combo is printed so the rung
+        # itself proves same-plan runs now agree (acceptance: ~1.2x).
+        t0 = time.perf_counter()
+        ev.groupBy("event_type").agg(
+            F.count(F.lit(1)), F.max("ts"), F.max("user_id"),
+            F.max("event_id")).collect()
+        _, _ = run_once("window", "sequence_3step", seq_q, False)
+        print(f"# {dist}: warm-up {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+        combos = [(strat, qname, q)
+                  for strat in ("window", "fold", "fold_segmented", "auto")
+                  for qname, q in qlist
+                  if not (qname == "sequence_absence" and strat == "fold")]
+        for rnd, order in enumerate((combos, list(reversed(combos)))):
+            for strat, qname, q in order:
+                key = f"{dist}.{qname}.{strat}"
                 try:
-                    if qname == "funnel_steps":
-                        rows = plan.funnel_step_counts().collect()
-                        res = [(r["step"], r["matching_groups"],
-                                r["matching_group_rows"]) for r in rows]
-                    else:
-                        rows = plan.counts().collect()
-                        res = sorted(map(tuple, rows))
-                    out["timings"][f"{dist}.{qname}.{strat}"] = round(
-                        time.perf_counter() - t0, 2)
-                    out["results"][f"{dist}.{qname}.{strat}"] = res
+                    t, res = run_once(strat, qname, q, rnd == 0)
+                    out["timings_runs"].setdefault(key, []).append(t)
+                    if key not in out["results"]:
+                        out["results"][key] = res
+                    print(f"# run{rnd} {key}: {t}s", file=sys.stderr)
                 except Exception as e:
-                    out["timings"][f"{dist}.{qname}.{strat}"] = None
-                    out["results"][f"{dist}.{qname}.{strat}"] = \
-                        f"ERROR: {str(e)[:120]}"
+                    out["timings_runs"].setdefault(key, []).append(None)
+                    out["results"][key] = f"ERROR: {str(e)[:120]}"
+        for key, runs in out["timings_runs"].items():
+            ok = [t for t in runs if t is not None]
+            out["timings"][key] = min(ok) if ok else None
+            out["timing_spread"][key] = (
+                round(max(ok) / min(ok), 2) if len(ok) > 1 and min(ok) > 0
+                else None)
 
     # cross-strategy equality per (dist, query); skew factor per strategy
     out["equal"] = {}
@@ -1029,6 +1062,31 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
             a = out["timings"].get(f"{dist}.{qname}.auto")
             out["auto_vs_best"][f"{dist}.{qname}"] = (
                 round(a / best, 2) if a and best < 1e18 else None)
+    # Re-derive the segmented cost premium from the CLEAN timings
+    # (r12): premium = per-row cost of the segmented fold's slowest
+    # task over the window sort's slowest task, using the cost model's
+    # own task-row estimates. The r11 constant (20.0) was fit on
+    # order-contaminated single runs; this block reports what min-of-2
+    # interleaved runs actually support, per (stream, query) and as a
+    # median — planner default and the per-dataset calibration bounds
+    # (planner/compiler.py) should track the median here.
+    out["premium_measured"] = {}
+    samples = []
+    for dist in ("uniform", "whale"):
+        for qname in qnames:
+            est = out.get(f"route_estimates.{dist}.{qname}")
+            t_w = out["timings"].get(f"{dist}.{qname}.window")
+            t_s = out["timings"].get(f"{dist}.{qname}.fold_segmented")
+            if not (est and t_w and t_s):
+                continue
+            p = ((t_s / est["segmented_task_rows"])
+                 / (t_w / est["window_task_rows"]))
+            out["premium_measured"][f"{dist}.{qname}"] = round(p, 2)
+            samples.append(p)
+    if samples:
+        samples.sort()
+        out["premium_measured"]["median"] = round(
+            samples[len(samples) // 2], 2)
     del out["results"]  # counts only matter for the equality verdict
     print(json.dumps(out))
 
