@@ -219,6 +219,76 @@ def _stage_dedup_semantic(spark, df, cfg, ctx):
     return dedup.apply_dedup(df, pairs, ctx["id_col"])
 
 
+def _stage_retrieval(spark, df, cfg, ctx):
+    """Nearest-benchmark-neighbors REPORTING stage (r12): for each
+    benchmark query vector (``queries_path`` parquet), retrieve its
+    ``top_k`` nearest LIVE chain documents by cosine over the persisted
+    IVF index, and write the neighbor table to
+    ``workdir/reports/<report_name>.parquet``. The chain frame passes
+    through UNCHANGED — this is the "which training docs sit closest to
+    my benchmark" audit (contamination forensics, nearest-neighbor
+    attribution), not a filter.
+
+    The index artifact is the SAME ``workdir/models/ivf_<key>`` the
+    ``dedup_semantic persist_index:true`` stage writes (identical key
+    payload: embeddings fingerprint + vec/id columns + k/rounds), so a
+    pipeline running both stages builds the index ONCE and both resume
+    from it; assignment is per-vector, so restricting the stored
+    full-corpus assignments to chain-live ids is exactly assigning the
+    live subset (the dedup_semantic test pins this). Search runs with
+    ``prune_cells=True`` — on the cell-partitioned layout only probed
+    cells' files are read at all (parquet partition pruning; the 100 TB
+    property). Resume semantics: a green chain checkpoint skips the
+    stage entirely (same chain ⇒ same report, already on disk); a
+    recompute reuses the index artifact and pays only the pruned
+    search."""
+    from funnel_rocket_spark.operators import similarity
+
+    emb = spark.read.parquet(cfg["embeddings_path"])
+    vec_id = cfg.get("vec_id_col", "vec_id")
+    vec_col = cfg.get("vec_col", "embedding")
+    top_k = int(cfg.get("top_k", 10))
+    n_probe = int(cfg.get("n_probe", 4))
+    k = int(cfg.get("k", 8))
+    rounds = int(cfg.get("rounds", 2))
+    queries = spark.read.parquet(cfg["queries_path"])
+
+    full_assigned = centers = None
+    index_path = None
+    if ctx.get("workdir"):
+        key_payload = {
+            "emb": _input_fingerprint(str(cfg["embeddings_path"])),
+            "vec_id": vec_id, "vec_col": vec_col,
+            "k": k, "rounds": rounds}
+        key = hashlib.md5(
+            json.dumps(key_payload, sort_keys=True).encode()).hexdigest()
+        index_path = os.path.join(ctx["workdir"], "models", f"ivf_{key}")
+        if ctx.get("resume", True) and os.path.isfile(
+                os.path.join(index_path, "centers.json")):
+            full_assigned, centers = similarity.load_ivf_index(
+                spark, index_path)
+    if centers is None:
+        assigned, centers = similarity.kmeans_lloyd(
+            emb, k=k, rounds=rounds, id_col=vec_id, vec_col=vec_col)
+        full_assigned = (assigned.withColumnRenamed("cluster", "__cell")
+                         .select(vec_id, vec_col, "__cell"))
+        if index_path:
+            similarity.save_ivf_index(full_assigned, centers, index_path)
+            full_assigned, centers = similarity.load_ivf_index(
+                spark, index_path)
+    live = full_assigned.join(
+        df.select(F.col(ctx["id_col"]).alias(vec_id)), vec_id, "left_semi")
+    hits = similarity.ivf_search(
+        live, centers, queries, k=top_k, n_probe=n_probe,
+        id_col=vec_id, vec_col=vec_col, prune_cells=True)
+    report_dir = os.path.join(ctx["workdir"] or ".", "reports")
+    os.makedirs(report_dir, exist_ok=True)
+    out = os.path.join(report_dir,
+                       f"{cfg.get('report_name', 'retrieval')}.parquet")
+    hits.write.mode("overwrite").parquet(out)
+    return df
+
+
 def _stage_decontaminate(spark, df, cfg, ctx):
     evalset = spark.read.parquet(cfg["eval_path"])
     params = {k: v for k, v in cfg.items()
@@ -479,6 +549,7 @@ STAGES = {
     "dedup_exact": _stage_dedup_exact,
     "dedup_minhash": _stage_dedup_minhash,
     "dedup_semantic": _stage_dedup_semantic,
+    "retrieval": _stage_retrieval,
     "decontaminate": _stage_decontaminate,
     "decontaminate_semantic": _stage_decontaminate_semantic,
     "pii": _stage_pii,

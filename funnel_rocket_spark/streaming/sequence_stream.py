@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from typing import Iterable, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -241,22 +242,36 @@ def watermarked_sequence_match(
 
         # Spark's watermark guarantee: no future row's event time is
         # below the current watermark, so the strictly-below prefix is
-        # final — fold it in exact event-time order and drop it
+        # final — fold it and drop it. The greedy event-order fold
+        # ("each event advances at most one step, strict ts > anchor")
+        # is equivalent to ITERATED MASKED MIN — for each step, the
+        # earliest sealed event matching the step bit strictly past the
+        # previous anchor (an event tied with the anchor can never
+        # chain, min > anchor excludes it exactly like the ordered
+        # walk) — so the fold is n_steps numpy reductions instead of a
+        # Python loop + sort over every sealed event (r12; the replay
+        # throughput boundary in docs/operators.md).
         seal_us = state.getCurrentWatermarkMs() * 1000
-        sealed = sorted((t, m) for t, m in buf if t < seal_us)
-        buf = [(t, m) for t, m in buf if t >= seal_us]
+        if buf:
+            ts_arr = np.fromiter((t for t, _ in buf), dtype=np.int64,
+                                 count=len(buf))
+            mk_arr = np.fromiter((m for _, m in buf), dtype=np.int64,
+                                 count=len(buf))
+            sealed_sel = ts_arr < seal_us
+            s_ts, s_mk = ts_arr[sealed_sel], mk_arr[sealed_sel]
+            buf = [(int(t), int(m)) for t, m in
+                   zip(ts_arr[~sealed_sel], mk_arr[~sealed_sel])]
+        else:
+            s_ts = s_mk = None
 
         advanced = False
-        for t, m in sealed:
-            if steps >= n_steps:
+        while (s_ts is not None and len(s_ts) and steps < n_steps):
+            ok = ((s_mk >> steps) & 1).astype(bool) & (s_ts > anchor)
+            if max_dur_us is not None and steps > 0:
+                ok &= s_ts <= first + max_dur_us
+            if not ok.any():
                 break
-            # one event advances at most one step; strict ts > anchor
-            # prevents same-timestamp chaining (batch parity)
-            if not (m >> steps) & 1 or t <= anchor:
-                continue
-            if (max_dur_us is not None and steps > 0
-                    and t > first + max_dur_us):
-                continue
+            t = int(s_ts[ok].min())
             if steps == 0:
                 first = t  # greedy first anchor (earliest step-0 match)
             anchor = t

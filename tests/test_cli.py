@@ -694,6 +694,79 @@ def test_pipeline_dedup_semantic_persist_index(spark, tmp_path):
                                 train_on="live"))
 
 
+def test_pipeline_retrieval_stage(spark, tmp_path):
+    """retrieval stage (r12): nearest-benchmark-neighbors report on the
+    persisted IVF index — exact vs brute force under a covering probe
+    (k=1 cluster, n_probe=1); restricted to LIVE chain ids (a corpus
+    vector without a chain doc must never appear); chain frame passes
+    through unchanged; the ivf_<key> artifact alone carries a rerun
+    (kmeans poisoned); a green checkpoint skips the stage."""
+    import glob as _glob
+
+    from funnel_rocket_spark.operators import similarity as sim
+    from funnel_rocket_spark.pipeline import run_pipeline
+
+    # doc 3 exists as a VECTOR but not as a chain doc -> not live
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in (0, 1, 2, 4)],
+        "doc_id long, text string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    vecs = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.9, 0.1]),
+            (4, [0.0, 0.0, 1.0])]
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>") \
+        .write.parquet(emb_path)
+    qs = [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])]
+    q_path = str(tmp_path / "queries.parquet")
+    spark.createDataFrame(qs, "vec_id long, embedding array<float>") \
+        .write.parquet(q_path)
+
+    def cfg(workdir):
+        return {"input": {"path": inp, "id_col": "doc_id",
+                          "text_col": "text"},
+                "workdir": str(tmp_path / workdir),
+                "stages": [{"stage": "retrieval",
+                            "embeddings_path": emb_path,
+                            "queries_path": q_path,
+                            "k": 1, "top_k": 2, "n_probe": 1}]}
+
+    rep = run_pipeline(spark, cfg("w"))
+    assert rep["rows_out"] == 4  # pass-through, chain unchanged
+    hits = spark.read.parquet(
+        f"{tmp_path}/w/reports/retrieval.parquet")
+    by_q = {}
+    for r in sorted(hits.collect(),
+                    key=lambda r: (r["query_id"], -r["cosine_sim"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    # covering probe == brute force; vec 3 (closest-but-dead for 101)
+    # must be absent
+    assert by_q == {100: [0, 1], 101: [2, 1]}, by_q
+    idx_dirs = _glob.glob(f"{tmp_path}/w/models/ivf_*")
+    assert len(idx_dirs) == 1
+
+    # rerun: green checkpoint skips the stage body entirely
+    rep2 = run_pipeline(spark, cfg("w"))
+    assert rep2["stages"][0]["resumed"]
+
+    # fresh chain workdir + copied models, kmeans poisoned: the index
+    # artifact alone must carry the stage
+    import shutil
+
+    shutil.copytree(f"{tmp_path}/w/models", f"{tmp_path}/w2/models")
+    orig = sim.kmeans_lloyd
+    sim.kmeans_lloyd = None
+    try:
+        run_pipeline(spark, cfg("w2"))
+    finally:
+        sim.kmeans_lloyd = orig
+    hits2 = spark.read.parquet(
+        f"{tmp_path}/w2/reports/retrieval.parquet")
+    assert sorted(map(tuple, hits2.collect())) == \
+        sorted(map(tuple, hits.collect()))
+
+
 def test_pipeline_decontaminate_semantic_stage(spark, tmp_path):
     """Semantic decontamination as a chain stage: docs whose embedding
     sits within threshold cosine of any eval embedding drop; docs
