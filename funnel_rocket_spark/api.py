@@ -194,7 +194,8 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                     total_rows=ds.total_rows or None,
                     group_rows_topk=getattr(ds, "group_rows_topk", None),
                     segmented_cost_premium=getattr(
-                        ds, "segmented_cost_premium", None))
+                        ds, "segmented_cost_premium", None),
+                    layout=getattr(ds, "layout", None))
             except Exception:
                 _prom.record_query(name, False, time.monotonic() - t0)
                 raise
@@ -225,7 +226,8 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                         group_rows_topk=getattr(ds, "group_rows_topk",
                                                 None),
                         segmented_cost_premium=getattr(
-                            ds, "segmented_cost_premium", None))
+                            ds, "segmented_cost_premium", None),
+                        layout=getattr(ds, "layout", None))
                 except Exception as e:  # surfaced in the stream tail
                     holder["error"] = str(e)
 

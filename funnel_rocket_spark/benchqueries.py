@@ -496,6 +496,41 @@ def _retrieval_stage_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall_ok")))
 
 
+_SORTED_LAYOUT_CACHE: dict = {}
+
+
+def _fr_sequence_sorted_layout_fn(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The r12 declared-layout path end-to-end: events written once per
+    sf_dir as a ``bucketBy(user_id) sortBy(user_id, ts)`` table
+    (``sources.write_bucketed`` aligns one file per bucket —
+    FIXTURE_AMORTIZED), then the standard 3-step sequence planned WITH
+    the catalog layout record. The plan must stay on window anchors
+    (``sorted_layout_window`` routing), contain NO Sort node, and
+    return exactly the plain-parquet answer — the oracle checks the
+    values, the ``sort_free`` column self-certifies the plan shape."""
+    from funnel_rocket_spark.plans import count_sorts
+    from funnel_rocket_spark.sources.ingest import write_bucketed
+
+    tbl = _SORTED_LAYOUT_CACHE.get(sf_dir)
+    if tbl is None:
+        tbl = "events_sorted_layout_" + "".join(
+            c if c.isalnum() else "_" for c in sf_dir).strip("_")
+        if not spark.catalog.tableExists(tbl):
+            write_bucketed(load_table(spark, sf_dir, "events"), tbl,
+                           "user_id", num_buckets=8, sort_col="ts")
+        _SORTED_LAYOUT_CACHE[sf_dir] = tbl
+    layout = {"buckets": 8, "bucket_columns": ["user_id"],
+              "sort_columns": ["user_id", "ts"]}
+    plan = _engine().plan(spark.table(tbl), Q_SEQUENCE, layout=layout,
+                          total_rows=10**8, group_rows_topk=[5_000_000])
+    counts = plan.counts()
+    sort_free = (count_sorts(counts) == 0
+                 and plan.auto_route_reason == "sorted_layout_window")
+    return counts.select("matching_groups", "matching_group_rows",
+                         F.lit(sort_free).alias("sort_free"))
+
+
 _PQ_INDEX_CACHE: dict = {}
 
 
@@ -2530,6 +2565,20 @@ SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
        (SELECT c FROM r)::BIGINT AS matching_group_rows
 """,
     ),
+    # the SAME sequence query off a declared bucketBy(user_id)
+    # sortBy(user_id, ts) layout (r12): window anchors ride the scan's
+    # own clustering + order — no exchange, no sort; sort_free
+    # self-certifies the plan shape alongside the value oracle
+    "fr_sequence_sorted_layout": (
+        _fr_sequence_sorted_layout_fn,
+        "WITH " + _SEQ_STEPS_SQL + """,
+m AS (SELECT user_id FROM s2),
+r AS (SELECT count(*) c FROM events WHERE user_id IN (SELECT user_id FROM m))
+SELECT (SELECT count(*) FROM m)::BIGINT AS matching_groups,
+       (SELECT c FROM r)::BIGINT AS matching_group_rows,
+       true AS sort_free
+""",
+    ),
     # the SAME sequence query through the r9 segmented-fold strategy
     # (per-(group, ts-range-segment) partial folds + exit-table merge —
     # the whale-group path; compiler.sequence_fold_done_segmented): one
@@ -4023,48 +4072,50 @@ NO_ORACLE: dict = {}
 # reference suite re-anchors, then extension re-greens in family order.
 # Everything else follows in catalog order, so all 124 stay runnable.
 _DRIVER_PRIORITY = [
-    # r11 window head: the 4 r7-stale queries the r10 ledger comment
-    # promised FIRST (the only entries older than r8 after r10)
-    "olap_percentiles_approx_sketch", "sample_dsir", "text_gopher_filter",
-    "text_tokens",
-    # NEW r11 query + r11-changed code paths: the anchor-chain absence
-    # strategy (fr_seq_row_not_found_segmented is brand new;
-    # fr_seq_row_not_found is its window-path twin), the histogram
-    # cost-model auto routing + single-base-aggregate segmented
-    # maxDuration (all sequence/funnel plans share QueryPlan.__init__
-    # routing and the persisted matched-frame + hash-join universe in
-    # engine.run), the pipeline resume=False artifact-cache bypass +
-    # train_on knob (both curation composites), and decode_wav's guard
-    "fr_seq_row_not_found_segmented", "fr_seq_row_not_found",
-    "fr_seq_max_duration_segmented", "fr_sequence_segmented",
-    "fr_seq_max_duration", "fr_sequence", "fr_funnel_steps",
-    "fr_multi_filter", "curation_pipeline", "curation_report",
-    "multimodal_audio_wav", "ann_ivf_persisted",
-    # then the full r8-stale block (29 queries — the 30th,
-    # fr_seq_row_not_found, already leads the touched group above;
-    # next-stalest after the head, union over CORRECTNESS_r01-r10).
-    # 4 + 12 + 29 = 45 of the window's 50 slots (ann_ivf_persisted is
-    # NEW r11 and needs its first driver green); the remainder
-    # re-anchors the r9 block in catalog order.
-    "fr_agg_groups_per_value_approx", "fr_agg_groups_skew_path",
-    "fr_lineitem_engine", "fr_registration_profile",
-    "fr_seq_multi_filter_step", "olap_late_orders", "olap_nation_share",
-    "olap_part_avg_filter", "olap_winsorized_mean",
-    "resample_temperature", "s5_denorm_join", "sample_mixture",
-    "sample_mixture_upsampled", "text_bpe_learned", "text_chunks",
-    "text_entropy", "text_exact_substrings", "text_fingerprint",
-    "text_langid", "text_pack_blocks", "text_pii_redact", "text_quality",
-    "text_remove_dup_spans", "text_repetition", "text_stats",
-    "text_tfidf", "text_tokens_bpe", "text_vocab", "top_docs_per_lang",
+    # r12 window head: the two NEW queries needing their first driver
+    # green — the staged persisted-IVF retrieval report and the
+    # declared bucketBy(group)+sortBy(group, ts) layout path (window
+    # anchors sort-free off the scan; engine prefers the window row
+    # universe unconditionally on such layouts — both r12)
+    "retrieval_stage", "fr_sequence_sorted_layout",
+    # the full r9-stale block (39 queries — after r11 the union
+    # staleness histogram was r9=39, r10=42, r11=50; this window
+    # absorbs ALL of r9, moving the floor to r10). Several of these
+    # also share the r12-changed engine.run universe selection
+    # (sorted-layout branch threaded through every aggregation/funnel
+    # run) and the registration premium calibration.
+    "ann_ivf_topk", "asof_join_clicks", "audience_segments",
+    "behavior_funnel_trend", "dedup_exact", "dedup_incremental_lsh",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_pipeline_minhash",
+    "dedup_semantic", "dedup_simhash", "embedding_kmeans",
+    "fr_agg_count_per_value", "fr_agg_groups_per_value",
+    "fr_agg_mean_per_value", "fr_agg_sum_per_value", "fr_funnel_step_agg",
+    "fr_regex_filter", "fr_string_ops", "fr_timeframe",
+    "heavy_hitters_props", "interval_join_concurrent",
+    "multimodal_features_png", "olap_pending_supply",
+    "olap_percentiles_approx", "olap_pricing_summary", "olap_promo_share",
+    "olap_rolling_revenue", "olap_sales_opportunity",
+    "olap_top_supplier_per_part", "sample_group_cap", "sample_splits",
+    "sessionize_events", "text_classifier_score",
+    "text_classifier_trained", "text_lm_nll", "text_lm_nll_frames",
+    "text_lm_nll_join", "time_rollup_daily",
+    # registration profiling gained the premium-calibration fields
+    # (catalog.measure_segmented_premium) this round
+    "fr_registration_profile",
+    # the remaining 8 slots start on the r10 block (all equally stale;
+    # heavy plans first so regressions surface where they cost most)
+    "ann_cosine_topk", "ann_ivf_fullprobe", "ann_ivfpq_topk",
+    "ann_lsh_bucketed", "olap_percentiles", "olap_basket_pairs",
+    "olap_join_chain", "olap_top_orders",
 ]
-# Audit ledger after this rotation: after r10 the staleness histogram
-# was r7=4, r8=30, r9=45, r10=50 (union over CORRECTNESS_r01-r10).
-# The r11 window clears the r7 stragglers in slots 1-4, first-greens
-# the new absence-segmented query, re-anchors every plan that shares
-# the r11-changed routing/universe/pipeline code, and absorbs the
-# ENTIRE r8 block — after r11 nothing is staler than r9. Everything
-# else stays runnable after the window and is value-verified every
-# round by the pytest oracle-parity sweep over all 131.
+# Audit ledger after this rotation: after r11 the staleness histogram
+# was r9=39, r10=42, r11=50 (union over CORRECTNESS_r01-r11). The r12
+# window first-greens the two NEW queries (retrieval_stage,
+# fr_sequence_sorted_layout), absorbs the ENTIRE r9 block (39), and
+# starts on r10 — after r12 nothing should be staler than r10.
+# Everything else stays runnable after the window and is
+# value-verified every round by the pytest oracle-parity sweep over
+# all 133.
 
 def queries() -> dict:
     out = {name: fn for name, (fn, _sql) in QUERIES.items()}
@@ -4095,7 +4146,7 @@ BENCH_VARIANTS: dict = {
 # the OPERATOR (probe), not the fixture build. The headline min-of-N
 # already reflects probe (the build run never wins the min).
 FIXTURE_AMORTIZED = ["dedup_incremental_lsh", "ann_ivf_persisted",
-                     "retrieval_stage"]
+                     "retrieval_stage", "fr_sequence_sorted_layout"]
 
 
 def oracle_sql() -> dict[str, str]:

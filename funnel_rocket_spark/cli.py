@@ -147,7 +147,8 @@ def cmd_run(args) -> int:
                             group_rows_topk=getattr(ds, "group_rows_topk",
                                                     None),
                             segmented_cost_premium=getattr(
-                                ds, "segmented_cost_premium", None))
+                                ds, "segmented_cost_premium", None),
+                            layout=getattr(ds, "layout", None))
     except QueryValidationError as e:
         print(f"error: invalid query: {e}", file=sys.stderr)
         return 1

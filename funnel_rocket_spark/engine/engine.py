@@ -79,7 +79,11 @@ class QueryEngine:
              max_group_rows: Optional[int] = None,
              total_rows: Optional[int] = None,
              group_rows_topk: Optional[list[int]] = None,
-             segmented_cost_premium: Optional[float] = None) -> QueryPlan:
+             segmented_cost_premium: Optional[float] = None,
+             layout: Optional[dict] = None) -> QueryPlan:
+        sorted_layout = self._sorted_layout(layout)
+        if sorted_layout:
+            self._enable_sorted_scan(df)
         expanded = self.expand(query, df if validate_schema else None)
         return QueryPlan(df, expanded, self.group_id_column,
                          self.timestamp_column,
@@ -96,7 +100,40 @@ class QueryEngine:
                              segmented_cost_premium
                              if segmented_cost_premium is not None
                              else self.segmented_cost_premium),
-                         whale_hard_cap_rows=self.whale_hard_cap_rows)
+                         whale_hard_cap_rows=self.whale_hard_cap_rows,
+                         sorted_layout_hint=sorted_layout)
+
+    def _sorted_layout(self, layout: Optional[dict]) -> bool:
+        """True when the dataset's declared layout
+        (``Dataset.layout``, recorded from the bucketed table's
+        DESCRIBE at registration) clusters AND orders rows the way the
+        per-group engine consumes them: ``bucketBy(group_id)`` with
+        ``sortBy(group_id, ts)``. On that layout the scan itself
+        satisfies the window-anchor pass's required distribution and
+        ordering — no exchange, no sort (Spark reports the file order
+        only for single-file buckets; ``sources.write_bucketed``
+        aligns one file per bucket for exactly this reason)."""
+        if not layout:
+            return False
+        sort = layout.get("sort_columns") or []
+        return (layout.get("bucket_columns") == [self.group_id_column]
+                and sort[:2] == [self.group_id_column,
+                                 self.timestamp_column])
+
+    @staticmethod
+    def _enable_sorted_scan(df: DataFrame) -> None:
+        """Since Spark 3.0 a bucketed scan reports its sortBy order only
+        under ``spark.sql.legacy.bucketedTableScan.outputOrdering`` —
+        gated off by default because the plan then depends on the
+        files-per-bucket count (SPARK-28595). It stays CORRECT with the
+        flag on: Spark still refuses to report ordering for multi-file
+        buckets, and ``sources.write_bucketed`` aligns one file per
+        bucket precisely so this reports. Enabled at the engine
+        chokepoint (dynamic session conf) whenever a declared sorted
+        layout reaches plan() — without it the first Window re-sorts
+        the data the layout already ordered."""
+        df.sparkSession.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 
     def run(self, df: DataFrame, query: dict, validate_schema: bool = True,
             with_stats: bool = False, sequence_strategy: str = "auto",
@@ -104,7 +141,8 @@ class QueryEngine:
             max_group_rows: Optional[int] = None,
             total_rows: Optional[int] = None,
             group_rows_topk: Optional[list[int]] = None,
-            segmented_cost_premium: Optional[float] = None) -> dict:
+            segmented_cost_premium: Optional[float] = None,
+            layout: Optional[dict] = None) -> dict:
         """Execute and return the reference-shaped result JSON.
 
         ``with_stats`` adds a ``stats`` block shaped after the reference's
@@ -126,7 +164,9 @@ class QueryEngine:
                          max_group_rows=max_group_rows,
                          total_rows=total_rows,
                          group_rows_topk=group_rows_topk,
-                         segmented_cost_premium=segmented_cost_premium)
+                         segmented_cost_premium=segmented_cost_premium,
+                         layout=layout)
+        sorted_layout = plan.sorted_layout_hint
         q = plan.q
 
         query_aggs = q.get("query", {}).get("aggregations") or []
@@ -174,6 +214,15 @@ class QueryEngine:
                 rows_strategy = (
                     ("hash_join" if fold_family else "window")
                     if many else "join")
+                if sorted_layout and not fold_family:
+                    # declared bucketBy(group)+sortBy(group, ts) layout:
+                    # the window flags pass is exchange-free AND
+                    # sort-free straight off the scan, beating the semi
+                    # join at EVERY matched-set size (measured —
+                    # tools/scale_check.py bucketed), so the
+                    # matched-count threshold no longer picks the
+                    # universe
+                    rows_strategy = "window"
                 rows = plan.rows_of_matching_groups(strategy=rows_strategy,
                                                     matched=matched)
                 if len(query_aggs) > 1:
@@ -206,6 +255,8 @@ class QueryEngine:
                           > self.universe_window_threshold)
                 uni = ("window" if anchors_ok else "hash_join") \
                     if many_f and has_conditions else "join"
+                if sorted_layout and anchors_ok and has_conditions:
+                    uni = "window"  # same sorted-layout rule as above
                 # One row per group; step counts and every step-rows semi
                 # join derive from it (plan-equal rebuilds hit this cache).
                 frows = plan.funnel_per_group(uni, matched=matched)
@@ -243,6 +294,11 @@ class QueryEngine:
                                 > self.universe_window_threshold)
                         strat = ("window" if anchors_ok
                                  else "hash_join") if many else "join"
+                        if sorted_layout and anchors_ok:
+                            # sorted layout: the anchor columns came free
+                            # off the scan — "passed step i" is a pure
+                            # filter at any passed-set size
+                            strat = "window"
                         return plan.funnel_step_rows(
                             i, universe_strategy=uni, step_strategy=strat,
                             matched=matched)
@@ -304,6 +360,7 @@ class QueryEngine:
                         "maxGroupRowsHint": plan.max_group_rows_hint,
                         "groupRowsTopkHint": plan.group_rows_topk_hint,
                         "rowUniverse": rows_strategy,
+                        "sortedLayout": sorted_layout,
                     },
                     "usedColumns": plan.expanded.used_columns,
                     "sparkAppId": df.sparkSession.sparkContext.applicationId,

@@ -553,7 +553,8 @@ class QueryPlan:
                  whale_task_multiple: float = 4.0,
                  group_rows_topk_hint: Optional[list[int]] = None,
                  segmented_cost_premium: float = 20.0,
-                 whale_hard_cap_rows: int = 2_000_000_000):
+                 whale_hard_cap_rows: int = 2_000_000_000,
+                 sorted_layout_hint: bool = False):
         if sequence_strategy not in ("auto", "window", "fold",
                                      "fold_segmented"):
             raise ValueError(
@@ -566,6 +567,7 @@ class QueryPlan:
         self.group_rows_topk_hint = group_rows_topk_hint
         self.segmented_cost_premium = segmented_cost_premium
         self.whale_hard_cap_rows = whale_hard_cap_rows
+        self.sorted_layout_hint = sorted_layout_hint
         self.auto_routed_segmented = False
         self.auto_route_reason: Optional[str] = None
         self.route_estimates: Optional[dict] = None
@@ -682,7 +684,22 @@ class QueryPlan:
                        if c and int(c) > 0), reverse=True)
         route = False
         if self.sequence_strategy == "auto":
-            if topk and total_rows_hint and parts > 0:
+            if sorted_layout_hint and not (topk
+                                           and topk[0] > whale_hard_cap_rows):
+                # Declared bucketBy(group) + sortBy(group, ts) layout
+                # (r12): the scan itself delivers group-clustered,
+                # ts-ordered rows, so the window-anchor pass pays NO
+                # exchange and NO sort — the whale sort cliff the
+                # segmented fold exists to dodge isn't there, while the
+                # fold still pays its interpreted per-row premium. Stay
+                # on window anchors regardless of the histogram verdict
+                # (rung: tools/scale_check.py bucketed). The hard cap
+                # still wins above: WindowExec buffers each group's rows
+                # (spilling past a threshold), so a single group beyond
+                # whale_hard_cap_rows keeps its straggler-spill risk even
+                # sort-free.
+                self.auto_route_reason = "sorted_layout_window"
+            elif topk and total_rows_hint and parts > 0:
                 total = max(int(total_rows_hint), sum(topk))
                 base = (total - sum(topk)) / parts
                 bins = [base] * max(1, min(parts, len(topk)))

@@ -1,5 +1,6 @@
 from funnel_rocket_spark.plans.inspect import (
     count_exchanges,
+    count_sorts,
     formatted_plan,
     pushed_filters,
     read_schema_columns,
@@ -10,4 +11,5 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "count_exchanges",
+    "count_sorts",
 ]

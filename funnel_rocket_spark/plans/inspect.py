@@ -54,3 +54,14 @@ def count_exchanges(df: DataFrame) -> int:
     # formatted mode lists each node twice (tree + "(N) Exchange" detail
     # header); count the numbered detail headers only
     return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
+
+
+def count_sorts(df: DataFrame) -> int:
+    """Number of Sort operators in the physical plan.
+
+    The gate for declared-layout reads: a ``bucketBy(group)
+    sortBy(group, ts)`` table must satisfy window/groupBy ordering
+    straight off the scan — a Sort appearing there means the layout
+    declaration was lost (e.g. multi-file buckets) and the query went
+    back to paying the whale partition sort at scale."""
+    return len(re.findall(r"\(\d+\) Sort\b", formatted_plan(df)))

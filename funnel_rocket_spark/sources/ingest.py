@@ -74,7 +74,18 @@ def write_bucketed(
     to Catalyst, so ``groupBy(group)`` / group-keyed joins skip their
     exchange entirely — the 100 TB-scale parity with the reference's
     partitioning invariant, but declared instead of hand-maintained.
+
+    With ``sort_col`` the data is first repartitioned to exactly one
+    writer task per bucket (both sides hash with Murmur3 on
+    ``group_col``, so partition *i* holds exactly bucket *i*'s rows):
+    Spark trusts a bucket's ``sortBy`` order at SCAN time only when the
+    bucket is a single file, and that declared (group, ts) order is what
+    lets the engine's window-anchor pass run exchange-free AND sort-free
+    (``QueryEngine._sorted_layout``). Write parallelism = num_buckets;
+    size the bucket count for the table, not the writing cluster.
     """
+    if sort_col is not None:
+        df = df.repartition(num_buckets, F.col(group_col))
     writer = df.write.mode(mode).bucketBy(num_buckets, group_col)
     if sort_col is not None:
         writer = writer.sortBy(group_col, sort_col)

@@ -1197,6 +1197,56 @@ def test_histogram_cost_model_routing(spark, seq_df):
     assert st["routeEstimates"]["premium"] == 1.5
 
 
+def test_sorted_layout_hint_keeps_window_anchors(spark, seq_df):
+    """r12: a declared bucketBy(group)+sortBy(group, ts) layout removes
+    the whale sort the segmented fold exists to dodge, so auto routing
+    stays on window anchors even when the histogram cost model would
+    route — EXCEPT past the hard cap, where WindowExec's per-group row
+    buffer (spilled, not sorted) keeps the straggler risk."""
+    from funnel_rocket_spark.engine import QueryEngine
+    from funnel_rocket_spark.planner.compiler import QueryPlan
+
+    eng = QueryEngine("id", "timestamp")
+    q = {"query": {"conditions": [{"sequence": [
+        {"filter": ["category", "==", 0]},
+        {"filter": ["category", "<=", 2]}]}]}}
+    expanded = eng.expand(q, seq_df)
+
+    def plan(**kw):
+        return QueryPlan(seq_df, expanded, "id", "timestamp", **kw)
+
+    # the cost-model-routes shape from test_histogram_cost_model_routing
+    # ... unless the layout is declared sorted
+    routed = plan(group_rows_topk_hint=[95_000_000], total_rows_hint=10**8,
+                  segmented_cost_premium=1.5)
+    assert routed.auto_routed_segmented
+    p = plan(group_rows_topk_hint=[95_000_000], total_rows_hint=10**8,
+             segmented_cost_premium=1.5, sorted_layout_hint=True)
+    assert not p.auto_routed_segmented
+    assert p.auto_route_reason == "sorted_layout_window"
+
+    # hard cap still wins over the layout
+    p = plan(group_rows_topk_hint=[3 * 10**9], total_rows_hint=6 * 10**9,
+             sorted_layout_hint=True)
+    assert p.auto_routed_segmented and p.auto_route_reason == "hard_cap"
+
+    # the legacy max-only hint is also overridden
+    p = plan(max_group_rows_hint=20_000_000, sorted_layout_hint=True)
+    assert not p.auto_routed_segmented
+
+    # engine derives the hint from the catalog layout record; only the
+    # (bucket=group, sort=(group, ts)) shape qualifies
+    assert eng._sorted_layout({"buckets": 4, "bucket_columns": ["id"],
+                               "sort_columns": ["id", "timestamp"]})
+    assert not eng._sorted_layout(None)
+    assert not eng._sorted_layout({"buckets": 4, "bucket_columns": ["id"],
+                                   "sort_columns": ["timestamp"]})
+    assert not eng._sorted_layout({"buckets": 4,
+                                   "bucket_columns": ["category"],
+                                   "sort_columns": ["category",
+                                                    "timestamp"]})
+
+
 def test_stats_expose_chosen_strategies(spark, seq_df):
     """with_stats reports WHICH physical plans ran — the routing
     decision must be auditable from the result JSON alone."""

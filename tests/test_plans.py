@@ -77,6 +77,50 @@ def test_bucketed_layout_eliminates_group_shuffle(spark, tmp_path_factory, engin
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_sorted_bucketed_layout_is_sort_free(spark, engine):
+    """r12: write_bucketed(sort_col) aligns one file per bucket, so the
+    scan DECLARES (group, ts) ordering and the window-anchor sequence
+    plan contains no Sort node at all — the layout that makes window
+    anchors whale-flat (the partition sort was the whale cliff). The
+    engine, told the layout, must (a) keep auto on window anchors and
+    (b) take the window row universe at every matched-set size."""
+    from funnel_rocket_spark.plans import count_sorts
+    from funnel_rocket_spark.sources.ingest import write_bucketed
+
+    events = bq.load_table(spark, SF, "events")
+    table = "events_sorted_bucketed_plan_test"
+    write_bucketed(events, table, "user_id", num_buckets=4, sort_col="ts")
+    layout = {"buckets": 4, "bucket_columns": ["user_id"],
+              "sort_columns": ["user_id", "ts"]}
+    try:
+        bdf = spark.table(table)
+        seq = engine.plan(bdf, bq.Q_SEQUENCE, layout=layout)
+        assert not seq.auto_routed_segmented
+        assert count_sorts(seq.counts()) == 0, formatted_plan(seq.counts())
+        assert count_exchanges(seq.counts()) == 1  # final reduce only
+
+        # same query WITHOUT the sorted layout pays the window sort
+        plain = engine.plan(bq.load_table(spark, SF, "events"),
+                            bq.Q_SEQUENCE)
+        assert count_sorts(plain.counts()) >= 1
+
+        # engine run: the row universe is the window pass even though
+        # the matched set is tiny (the threshold no longer decides)
+        q = {**bq.Q_SEQUENCE,
+             "query": {**bq.Q_SEQUENCE["query"],
+                       "aggregations": [{"type": "count",
+                                         "column": "event_type"}]}}
+        got = engine.run(bdf, q, with_stats=True, layout=layout)
+        ref = engine.run(bq.load_table(spark, SF, "events"), q,
+                         with_stats=True)
+        assert got["query"] == ref["query"]
+        assert got["stats"]["strategies"]["sortedLayout"] is True
+        assert got["stats"]["strategies"]["rowUniverse"] == "window"
+        assert ref["stats"]["strategies"]["rowUniverse"] == "join"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_denorm_join_broadcasts(spark):
     df = bq.QUERIES["s5_denorm_join"][0](spark, SF)
     assert "BroadcastHashJoin" in df._sc._jvm.PythonSQLUtils.explainString(

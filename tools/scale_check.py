@@ -1091,6 +1091,190 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
     print(json.dumps(out))
 
 
+def bucketed_main(n_rows: int, whale_every: int = 5) -> None:
+    """r12 rung: the DECLARED-LAYOUT preference (VERDICT r11 ask #7).
+
+    On a ``bucketBy(group) sortBy(group, ts)`` table (one file per
+    bucket — ``sources.write_bucketed`` aligns it) the scan itself
+    delivers the distribution + ordering every per-group plan needs, so:
+
+    (a) the window-anchor sequence pass runs with NO exchange and NO
+        sort — measured here against the same plan on plain parquet and
+        against the segmented fold on the same bucketed table, on
+        uniform AND whale streams. If window-on-layout is whale-flat
+        and beats segmented, auto's ``sorted_layout_window`` routing
+        (planner/compiler.py) is justified;
+    (b) the row universe's matched-count threshold stops mattering —
+        the window flags pass is compared against the semi join at a
+        SELECTIVE (~2% of groups) and a BROAD (~75%) matched set. If
+        window <= join at both ends, the engine's unconditional
+        sorted-layout window universe is justified.
+
+    Same measurement hygiene as the whale rung: untimed warm-up, every
+    combo run twice (second pass in reversed order), min-of-2 reported,
+    max/min spread printed.
+    """
+    n_groups = max(1, n_rows // 100)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    upath = os.path.join(here, ".scratch",
+                         f"events_{n_rows}_{n_groups}.parquet")
+    wpath = os.path.join(here, ".scratch",
+                         f"events_whale_{n_rows}_{whale_every}.parquet")
+    spark = get_spark(app_name="scale-check-bucketed", extra_conf={
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g"),
+        "spark.sql.warehouse.dir": os.path.join(here, ".scratch",
+                                                "warehouse")})
+    spark.sparkContext.setLogLevel("ERROR")
+    for path, we in ((upath, None), (wpath, whale_every)):
+        if not os.path.exists(path):
+            t0 = time.perf_counter()
+            synthesize(spark, n_rows, n_groups, path, whale_every=we)
+            print(f"# synthesized {path}: {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr)
+
+    from funnel_rocket_spark.plans import count_exchanges, count_sorts
+    from funnel_rocket_spark.sources.ingest import write_bucketed
+
+    n_buckets = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    tables = {}
+    for dist, path in (("uniform", upath), ("whale", wpath)):
+        tbl = f"events_bkt_{dist}_{n_rows}"
+        if not spark.catalog.tableExists(tbl):
+            t0 = time.perf_counter()
+            write_bucketed(spark.read.parquet(path), tbl, "user_id",
+                           num_buckets=n_buckets, sort_col="ts")
+            print(f"# bucketed {tbl}: {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr)
+        tables[dist] = tbl
+
+    eng = QueryEngine("user_id", "ts")
+    layout = {"buckets": n_buckets, "bucket_columns": ["user_id"],
+              "sort_columns": ["user_id", "ts"]}
+    seq_q = {"query": {"conditions": [
+        {"sequence": [{"filter": ["event_type", "==", "signup"]},
+                      {"filter": ["event_type", "==", "click"]},
+                      {"filter": ["event_type", "==", "purchase"]}]}]}}
+    out = {"n_rows": n_rows, "n_buckets": n_buckets, "timings": {},
+           "timings_runs": {}, "timing_spread": {}, "results": {},
+           "plan_gates": {}}
+
+    # -------- (a) sequence strategies on the declared layout ---------- #
+    for dist in ("uniform", "whale"):
+        bdf = spark.table(tables[dist])
+        pdf = spark.read.parquet(upath if dist == "uniform" else wpath)
+        topk = [int(r[0]) for r in bdf.groupBy("user_id").count()
+                .orderBy(F.desc("count")).limit(3)
+                .select("count").collect()]
+        variants = {
+            "window_layout": lambda: eng.plan(
+                bdf, seq_q, sequence_strategy="window"),
+            "auto_layout": lambda: eng.plan(
+                bdf, seq_q, total_rows=n_rows, group_rows_topk=topk,
+                layout=layout),
+            "fold_segmented_layout": lambda: eng.plan(
+                bdf, seq_q, sequence_strategy="fold_segmented"),
+            "window_parquet": lambda: eng.plan(
+                pdf, seq_q, sequence_strategy="window"),
+        }
+        # plan gates, recorded in the rung itself: the layout variants
+        # must be sort-free, single-exchange; auto must stay on window
+        gate = eng.plan(bdf, seq_q, total_rows=n_rows,
+                        group_rows_topk=topk, layout=layout)
+        out["plan_gates"][f"{dist}.auto_route_reason"] = \
+            gate.auto_route_reason
+        out["plan_gates"][f"{dist}.sorts"] = count_sorts(gate.counts())
+        out["plan_gates"][f"{dist}.exchanges"] = \
+            count_exchanges(gate.counts())
+
+        def run_once(name):
+            plan = variants[name]()
+            t0 = time.perf_counter()
+            res = sorted(map(tuple, plan.counts().collect()))
+            return round(time.perf_counter() - t0, 2), res
+
+        # warm-up: page-cache + codegen, untimed
+        bdf.groupBy("event_type").agg(F.count(F.lit(1)), F.max("ts"),
+                                      F.max("user_id")).collect()
+        pdf.groupBy("event_type").agg(F.count(F.lit(1))).collect()
+        run_once("window_layout")
+        order = list(variants)
+        for rnd, names in enumerate((order, list(reversed(order)))):
+            for name in names:
+                key = f"{dist}.seq.{name}"
+                t, res = run_once(name)
+                out["timings_runs"].setdefault(key, []).append(t)
+                out["results"][key] = res
+                print(f"# run{rnd} {key}: {t}s", file=sys.stderr)
+        for key, runs in out["timings_runs"].items():
+            if key.startswith(f"{dist}.seq."):
+                out["timings"][key] = min(runs)
+                out["timing_spread"][key] = round(
+                    max(runs) / max(min(runs), 0.01), 2)
+        vals = [out["results"][f"{dist}.seq.{n}"] for n in order]
+        out[f"equal.{dist}"] = all(v == vals[0] for v in vals)
+
+    # -------- (b) universe strategies at two matched-set sizes -------- #
+    # selective: >= 25 purchases (mean 12.5/group -> few % of groups);
+    # broad: >= 1 purchase (~all groups)
+    bdf = spark.table(tables["uniform"])
+    for sel, bound in (("selective", 25), ("broad", 1)):
+        agg_q = {"query": {
+            "conditions": [{"filter": ["event_type", "==", "purchase"],
+                            "target": ["count", ">=", bound]}],
+            "aggregations": [{"type": "sumPerValue",
+                              "column": "event_type",
+                              "otherColumn": "value"}]}}
+        plan = eng.plan(bdf, agg_q)
+        matched = plan.matched_groups()
+        matched.persist()
+        n_match = matched.count()
+        out[f"universe.{sel}.matched_groups"] = n_match
+
+        def run_universe(strategy):
+            rows = plan.rows_of_matching_groups(strategy, matched=matched)
+            agg = plan.aggregation_df(
+                agg_q["query"]["aggregations"][0], rows)
+            t0 = time.perf_counter()
+            res = sorted(map(tuple, agg.collect()))
+            return round(time.perf_counter() - t0, 2), res
+
+        strategies = ("join", "window", "hash_join")
+        run_universe("window")  # warm-up
+        for rnd, names in enumerate((strategies,
+                                     tuple(reversed(strategies)))):
+            for name in names:
+                key = f"universe.{sel}.{name}"
+                t, res = run_universe(name)
+                out["timings_runs"].setdefault(key, []).append(t)
+                out["results"][key] = res
+                print(f"# run{rnd} {key}: {t}s", file=sys.stderr)
+        for key, runs in out["timings_runs"].items():
+            if key.startswith(f"universe.{sel}."):
+                out["timings"][key] = min(runs)
+                out["timing_spread"][key] = round(
+                    max(runs) / max(min(runs), 0.01), 2)
+        vals = [out["results"][f"universe.{sel}.{n}"] for n in strategies]
+        out[f"equal.universe.{sel}"] = all(v == vals[0] for v in vals)
+        matched.unpersist()
+
+    out["window_vs_join"] = {
+        sel: round(out["timings"][f"universe.{sel}.window"]
+                   / max(out["timings"][f"universe.{sel}.join"], 0.01), 2)
+        for sel in ("selective", "broad")}
+    out["layout_vs_parquet"] = {
+        dist: round(out["timings"][f"{dist}.seq.window_layout"]
+                    / max(out["timings"][f"{dist}.seq.window_parquet"],
+                          0.01), 2)
+        for dist in ("uniform", "whale")}
+    out["auto_vs_segmented"] = {
+        dist: round(out["timings"][f"{dist}.seq.auto_layout"]
+                    / max(out["timings"]
+                          [f"{dist}.seq.fold_segmented_layout"], 0.01), 2)
+        for dist in ("uniform", "whale")}
+    del out["results"]
+    print(json.dumps(out))
+
+
 def universe_main(n_rows: int) -> None:
     """Round-11 rung: the MANY-GROUPS-MATCH row universe across sequence
     strategies. Anchor-strategy plans get the join-free windowed
@@ -1445,6 +1629,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "whale":
         whale_main(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000,
                    int(sys.argv[3]) if len(sys.argv) > 3 else 5)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bucketed":
+        bucketed_main(int(sys.argv[2]) if len(sys.argv) > 2
+                      else 100_000_000,
+                      int(sys.argv[3]) if len(sys.argv) > 3 else 5)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "universe":
         universe_main(int(sys.argv[2]) if len(sys.argv) > 2
