@@ -878,6 +878,19 @@ def kmeans_main(n_vecs: int, dim: int = 64) -> None:
 
 
 
+def _gc_between_runs(spark) -> None:
+    """Untimed inter-run cleanup, same hygiene as bench.py's loop (r12;
+    without it the whale rung's uniform stream showed a MONOTONIC
+    within-stream slowdown — identical window plans 8.5 s early in a
+    round vs 33 s late — from accumulated GC debt, orphaned persisted
+    frames, and shuffle state that the ContextCleaner only reclaims on
+    a collection): drop any cached frames the plan paths persisted,
+    then collect JVM garbage so the next timed run starts from a clean
+    heap and the cleaner has released old shuffle files."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
 def whale_main(n_rows: int, whale_every: int = 5) -> None:
     """Round-9 rung: WHALE-GROUP skew for the per-group sequence/funnel
     paths. Both strategies partition by group (window sort or
@@ -988,7 +1001,9 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
             else:
                 rows = plan.counts().collect()
                 res = sorted(map(tuple, rows))
-            return round(time.perf_counter() - t0, 2), res
+            elapsed = round(time.perf_counter() - t0, 2)
+            _gc_between_runs(spark)
+            return elapsed, res
 
         # Measurement hygiene (r12; VERDICT r11 finding #1): the r11 rung
         # timed each (strategy, query) ONCE in fixed strategy-major order,
@@ -1190,7 +1205,9 @@ def bucketed_main(n_rows: int, whale_every: int = 5) -> None:
             plan = variants[name]()
             t0 = time.perf_counter()
             res = sorted(map(tuple, plan.counts().collect()))
-            return round(time.perf_counter() - t0, 2), res
+            elapsed = round(time.perf_counter() - t0, 2)
+            _gc_between_runs(spark)
+            return elapsed, res
 
         # warm-up: page-cache + codegen, untimed
         bdf.groupBy("event_type").agg(F.count(F.lit(1)), F.max("ts"),
@@ -1236,7 +1253,9 @@ def bucketed_main(n_rows: int, whale_every: int = 5) -> None:
                 agg_q["query"]["aggregations"][0], rows)
             t0 = time.perf_counter()
             res = sorted(map(tuple, agg.collect()))
-            return round(time.perf_counter() - t0, 2), res
+            elapsed = round(time.perf_counter() - t0, 2)
+            _gc_between_runs(spark)
+            return elapsed, res
 
         strategies = ("join", "window", "hash_join")
         run_universe("window")  # warm-up
