@@ -878,6 +878,19 @@ def kmeans_main(n_vecs: int, dim: int = 64) -> None:
 
 
 
+def _plan_hash(plan, qname: str) -> str:
+    """Physical-plan fingerprint, expr/plan ids normalized away."""
+    import hashlib
+    import re as _re
+
+    from funnel_rocket_spark.plans import formatted_plan
+    dfq = (plan.funnel_step_counts() if qname == "funnel_steps"
+           else plan.counts())
+    norm = _re.sub(r"plan_id=\d+", "plan_id=X",
+                   _re.sub(r"#\d+", "#X", formatted_plan(dfq)))
+    return hashlib.md5(norm.encode()).hexdigest()
+
+
 def _gc_between_runs(spark) -> None:
     """Untimed inter-run cleanup, same hygiene as bench.py's loop (r12;
     without it the whale rung's uniform stream showed a MONOTONIC
@@ -993,6 +1006,17 @@ def whale_main(n_rows: int, whale_every: int = 5) -> None:
                     plan.auto_route_reason
                 out[f"route_estimates.{dist}.{qname}"] = \
                     plan.route_estimates
+                # machine-check that auto's physical plan is the routed
+                # strategy's plan, byte-identical modulo expr/plan ids:
+                # any auto-vs-best gap is then machine variance by
+                # construction, not a plan difference (r12 — the r11
+                # rung's auto_vs_best<1 confusion)
+                routed = (plan.sequence_strategy
+                          if plan.auto_routed_segmented else "window")
+                rp = QueryPlan(ev, expanded, "user_id", "ts",
+                               sequence_strategy=routed)
+                out[f"plan_identity.{dist}.{qname}"] = (
+                    _plan_hash(plan, qname) == _plan_hash(rp, qname))
             t0 = time.perf_counter()
             if qname == "funnel_steps":
                 rows = plan.funnel_step_counts().collect()
