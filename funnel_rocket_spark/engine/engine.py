@@ -214,15 +214,17 @@ class QueryEngine:
                 rows_strategy = (
                     ("hash_join" if fold_family else "window")
                     if many else "join")
-                if sorted_layout and not fold_family:
-                    # declared bucketBy(group)+sortBy(group, ts) layout:
-                    # the window flags pass is exchange-free AND
-                    # sort-free straight off the scan, beating the semi
-                    # join at EVERY matched-set size (measured —
-                    # tools/scale_check.py bucketed), so the
-                    # matched-count threshold no longer picks the
-                    # universe
-                    rows_strategy = "window"
+                # NOTE (r12, measured): a declared sorted layout does
+                # NOT flip this choice to "window" unconditionally —
+                # on bucketBy(group)+sortBy(group, ts) the semi join's
+                # big side is ALSO exchange-free and sort-free (the
+                # declared order satisfies the SMJ), and the join
+                # reuses the persisted matched frame while the window
+                # pass re-evaluates conditions as flags. The 100M rung
+                # (tools/rung_bucketed_100m_r12.json) has the join at
+                # 1.16 s vs window 1.84 s selective and 1.69 vs 1.92
+                # broad, so the matched-count threshold stays the
+                # right picker on every layout.
                 rows = plan.rows_of_matching_groups(strategy=rows_strategy,
                                                     matched=matched)
                 if len(query_aggs) > 1:
@@ -255,8 +257,6 @@ class QueryEngine:
                           > self.universe_window_threshold)
                 uni = ("window" if anchors_ok else "hash_join") \
                     if many_f and has_conditions else "join"
-                if sorted_layout and anchors_ok and has_conditions:
-                    uni = "window"  # same sorted-layout rule as above
                 # One row per group; step counts and every step-rows semi
                 # join derive from it (plan-equal rebuilds hit this cache).
                 frows = plan.funnel_per_group(uni, matched=matched)
@@ -294,11 +294,6 @@ class QueryEngine:
                                 > self.universe_window_threshold)
                         strat = ("window" if anchors_ok
                                  else "hash_join") if many else "join"
-                        if sorted_layout and anchors_ok:
-                            # sorted layout: the anchor columns came free
-                            # off the scan — "passed step i" is a pure
-                            # filter at any passed-set size
-                            strat = "window"
                         return plan.funnel_step_rows(
                             i, universe_strategy=uni, step_strategy=strat,
                             matched=matched)
