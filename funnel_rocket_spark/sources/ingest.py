@@ -84,6 +84,21 @@ def write_bucketed(
     (``QueryEngine._sorted_layout``). Write parallelism = num_buckets;
     size the bucket count for the table, not the writing cluster.
     """
+    if mode == "overwrite" and not df.sparkSession.catalog.tableExists(
+            table_name):
+        # a crashed/killed earlier writer can leave the managed-table
+        # LOCATION on disk with no catalog entry — saveAsTable then
+        # fails LOCATION_ALREADY_EXISTS even in overwrite mode (the
+        # overwrite only drops tables the catalog knows about). Clear
+        # the debris; never touches a live table's location.
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = urlparse(df.sparkSession.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse")).path
+        stale = os.path.join(loc, table_name.lower())
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     if sort_col is not None:
         df = df.repartition(num_buckets, F.col(group_col))
     writer = df.write.mode(mode).bucketBy(num_buckets, group_col)

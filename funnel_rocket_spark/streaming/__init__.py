@@ -20,6 +20,10 @@ from funnel_rocket_spark.streaming.sequence_aggs import (
     sequence_step_value_aggs,
     upsert_latest,
 )
+from funnel_rocket_spark.streaming.report_stream import (
+    SequenceReportStream,
+    start_sequence_report_stream,
+)
 from funnel_rocket_spark.streaming.sequence_stream import (
     watermarked_sequence_match,
 )
@@ -33,12 +37,15 @@ __all__ = [
     "incremental_funnel",
     "nanos_to_timestamp",
     "read_latest",
+    "SequenceReportStream",
     "sequence_step_counts",
     "sequence_step_value_aggs",
+    "start_sequence_report_stream",
     "streaming_exact_dedup",
     "streaming_incremental_dedup",
     "streaming_session_stats",
     "streaming_time_rollup",
     "streaming_value_counts",
     "upsert_latest",
+    "watermarked_sequence_match",
 ]

@@ -80,20 +80,30 @@ def test_premium_calibration_measured_and_persisted(spark, tmp_path):
     assert measure_segmented_premium(spark, tiny, "uid", "ts") is None
 
     src = tmp_path / "data"
-    spark.range(60_000).select(
+    spark.range(400_000).select(
         (F.col("id") % 100).alias("uid"), F.col("id").alias("ts"),
         (F.col("id") % 7).alias("kind"),
     ).write.parquet(str(src))
-    ds = register_dataset(spark, "calibrated", str(src), "uid", "ts",
-                          catalog_dir=str(tmp_path / "cat"),
-                          calibrate_premium=True)
+    # at the DEFAULT slope points (100k/400k rows) the single-task
+    # window delta is tens of ms — far above the noise-refusal floor
+    # (a 60k-row dataset shrank the points to 15k/60k, whose ~1 ms
+    # delta the measurement honestly refused on a fast box). One retry
+    # tolerates a momentarily-loaded machine without masking a real
+    # failure: two straight refusals at this size means the slope fit
+    # is broken.
+    for _attempt in range(2):
+        ds = register_dataset(spark, "calibrated", str(src), "uid", "ts",
+                              catalog_dir=str(tmp_path / "cat"),
+                              calibrate_premium=True)
+        if ds.segmented_cost_premium is not None:
+            break
     p = ds.segmented_cost_premium
     assert p is not None
     assert PREMIUM_BOUNDS[0] <= p <= PREMIUM_BOUNDS[1]
     # raw slope-fit evidence kept for audit
     assert ds.premium_calibration["premium"] == p
     assert len(ds.premium_calibration["timings"]) == 4
-    assert ds.premium_calibration["rows"] == [15_000, 60_000]
+    assert ds.premium_calibration["rows"] == [100_000, 400_000]
 
     loaded = load_dataset(str(tmp_path / "cat"), "calibrated")
     assert loaded.segmented_cost_premium == p
