@@ -12,8 +12,22 @@
 ``?stream=true`` on query routes streams NDJSON progress lines followed by
 the result — the reference's chunked-progress behavior (``apiserver.py:
 125-172``), with Spark's StatusTracker supplying stage progress in place of
-Lambda task polling. One SparkSession serves all requests; Spark's scheduler
-interleaves concurrent queries (FAIR pool recommended for multi-tenant use).
+Lambda task polling.
+
+Concurrency model (r12): one SparkContext serves all requests, but each
+request runs on its OWN ``SparkSession.newSession()`` clone — shared
+executors, shared block-manager cache, ISOLATED runtime SQL conf, so a
+query that flips a dynamic conf at its plan chokepoint (the sorted-layout
+``bucketedTableScan.outputOrdering`` enable) can never leak it into a
+neighbor compiling at the same instant. Each request thread also tags its
+jobs with a per-request ``spark.scheduler.pool`` local property (thread-
+local under PySpark's pinned-thread mode): under ``spark.scheduler.mode=
+FAIR`` (``get_spark(fair_scheduler=True)``, opt-in env
+``FUNNEL_ROCKET_FAIR=1`` in ``main``) Spark then shares cores fairly
+across in-flight queries instead of FIFO-starving short queries behind a
+whale — the serving shape the reference gets from per-request Lambda
+fan-out (``apiserver.py`` + invoker). Throughput/fairness evidence:
+``tools/scale_check.py concurrent`` (tools/rung_concurrent_r12.json).
 """
 
 from __future__ import annotations
@@ -182,9 +196,21 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
         ds = _dataset(name)
         touch_last_used(app.config["CATALOG_DIR"], name)
         engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
-        df = ds.load(_spark)
+        # Per-request isolation (r12): a newSession() clone shares the
+        # context (executors, cached blocks) but owns its runtime SQL
+        # conf, so concurrent requests can't observe each other's
+        # dynamic-conf plan decisions. The scheduler-pool local property
+        # is thread-local (pinned-thread mode) and names an on-demand
+        # pool per request — under FAIR mode Spark shares cores across
+        # pools; under default FIFO it is inert metadata.
+        request_id = _request_id()
+        session = _spark.newSession()
+        pool = f"frs-{request_id}"
+        df = ds.load(session)
         if not should_stream:
             t0 = time.monotonic()
+            session.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", pool)
             try:
                 check_timeframe_scale(query, ds.min_timestamp,
                                       ds.max_timestamp)
@@ -199,9 +225,12 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
             except Exception:
                 _prom.record_query(name, False, time.monotonic() - t0)
                 raise
+            finally:
+                session.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", None)
             _prom.record_query(name, True, time.monotonic() - t0,
                                result.get("stats"))
-            result.update({"success": True, "requestId": _request_id()})
+            result.update({"success": True, "requestId": request_id})
             return jsonify(result)
 
         # Validation must run synchronously so an invalid query still
@@ -218,6 +247,11 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
             t0 = time.monotonic()
 
             def work():
+                # the worker is a fresh Python thread: the scheduler-pool
+                # property must be set HERE (thread-local), not on the
+                # request handler thread that spawned it
+                session.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", pool)
                 try:
                     holder["result"] = engine.run(
                         df, query, with_stats=True,
@@ -230,6 +264,9 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                         layout=getattr(ds, "layout", None))
                 except Exception as e:  # surfaced in the stream tail
                     holder["error"] = str(e)
+                finally:
+                    session.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", None)
 
             t = threading.Thread(target=work, daemon=True)
             t.start()
@@ -247,7 +284,7 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
                 _prom.record_query(name, True, time.monotonic() - t0,
                                    holder["result"].get("stats"))
                 final = dict(holder["result"])
-                final.update({"success": True, "requestId": _request_id()})
+                final.update({"success": True, "requestId": request_id})
                 yield json.dumps(final) + "\n"
 
         return Response(stream_with_context(generate()),
@@ -276,7 +313,12 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
 
 
 def main() -> None:  # pragma: no cover - manual entry point
-    app = create_app()
+    # FUNNEL_ROCKET_FAIR=1 starts the context in FAIR scheduler mode so
+    # the per-request pools actually share cores (context-level conf —
+    # must be chosen before the first session exists)
+    fair = os.environ.get("FUNNEL_ROCKET_FAIR", "0") == "1"
+    app = create_app(spark=get_spark(app_name="funnel-rocket-spark-api",
+                                     fair_scheduler=fair))
     app.run(host=os.environ.get("API_HOST", "127.0.0.1"),
             port=int(os.environ.get("API_PORT", "5000")), threaded=True)
 

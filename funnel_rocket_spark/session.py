@@ -18,7 +18,18 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    fair_scheduler: bool = False,
 ) -> SparkSession:
+    """``fair_scheduler=True`` starts the context with
+    ``spark.scheduler.mode=FAIR`` — the multi-tenant serving shape: each
+    concurrent request runs its jobs in its own on-demand scheduler pool
+    (``spark.scheduler.pool`` local property, set per request thread by
+    the API server), and Spark shares executor cores fairly ACROSS pools
+    instead of letting one big query's FIFO jobs starve the short ones
+    behind it. This is a context-level (static) setting — it only takes
+    effect when this call actually creates the context, so a serving
+    process must opt in up front; ``getOrCreate`` on a live context
+    ignores it silently."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -62,6 +73,8 @@ def get_spark(
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
     )
+    if fair_scheduler:
+        builder = builder.config("spark.scheduler.mode", "FAIR")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

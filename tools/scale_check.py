@@ -1382,6 +1382,186 @@ def universe_main(n_rows: int) -> None:
     print(json.dumps(out))
 
 
+def concurrent_main(n_rows: int, n_threads: int = 8) -> None:
+    """Round-12 rung: MULTI-TENANT SERVING. The reference serves many
+    queries at once (each HTTP request fans out its own Lambda tasks);
+    the Spark engine's equivalent is one SparkContext in FAIR scheduler
+    mode, one ``newSession()`` clone + one on-demand scheduler pool per
+    in-flight query — exactly what ``api.py`` now does per request.
+    This rung PROVES that shape at scale:
+
+    - correctness under concurrency: every result dict from the
+      threaded run equals the serial run's (same engine, same session-
+      clone isolation the API server uses);
+    - throughput: wall-clock for the same 16-query mixed workload,
+      serial vs 4 vs ``n_threads`` threads — overlap hides driver-side
+      planning + the low-parallelism tail stages of each query;
+    - fairness: per-query latency inflation vs serial (a short count
+      query stuck behind two whale sequence sorts is the FIFO failure
+      mode FAIR pools exist to prevent) — reported per query;
+    - conf isolation: a clone flipping the sorted-layout dynamic conf
+      mid-flight must not leak it into the base session or siblings.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_groups = max(1, n_rows // 100)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, ".scratch",
+                        f"events_{n_rows}_{n_groups}.parquet")
+    spark = get_spark(app_name="scale-check-concurrent",
+                      fair_scheduler=True,
+                      extra_conf={"spark.driver.memory": os.environ.get(
+                          "SPARK_DRIVER_MEM", "16g")})
+    spark.sparkContext.setLogLevel("ERROR")
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == \
+        "FAIR", "rung requires a fresh context in FAIR mode"
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        synthesize(spark, n_rows, n_groups, path)
+        print(f"# synthesized {path}: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+
+    eng = QueryEngine("user_id", "ts")
+    queries = {
+        "count3": {"query": {"conditions": [
+            {"filter": ["event_type", "==", "purchase"],
+             "target": ["count", ">=", 3]}]}},
+        "sum_target": {"query": {"conditions": [
+            {"filter": ["event_type", "==", "purchase"],
+             "target": ["sum", "value", ">", 900.37]}]}},
+        "zero_err": {"query": {"conditions": [
+            {"filter": ["event_type", "==", "error"],
+             "target": ["count", "==", 0]}]}},
+        "seq3": {"query": {"conditions": [
+            {"sequence": [{"filter": ["event_type", "==", "signup"]},
+                          {"filter": ["event_type", "==", "click"]},
+                          {"filter": ["event_type", "==", "purchase"]}]}]}},
+        "seq_maxdur": {"query": {"conditions": [
+            {"sequence": [{"filter": ["event_type", "==", "signup"]},
+                          {"filter": ["event_type", "==", "click"]},
+                          {"filter": ["event_type", "==", "purchase"]}],
+             "maxDuration": 30 * NANOS_DAY}]}},
+        "funnel": {"query": {}, "funnel": {"sequence": [
+            {"filter": ["event_type", "==", "view"]},
+            {"filter": ["event_type", "==", "purchase"]}]}},
+        "per_value": {"query": {"aggregations": [
+            {"column": "event_type", "type": "countPerValue", "top": 8},
+            {"column": "event_type", "type": "sumPerValue",
+             "otherColumn": "value", "top": 8}]}},
+        "relation": {"query": {
+            "relation": "$0 and $1",
+            "conditions": [
+                {"filter": ["event_type", "==", "purchase"],
+                 "target": ["count", ">=", 2]},
+                {"filter": ["event_type", "==", "error"],
+                 "target": ["count", "==", 0]}]}},
+    }
+    # 16 tasks: the 8 distinct shapes, each submitted twice — the repeat
+    # exercises concurrent IDENTICAL plans (shared cache-manager entries,
+    # racing persist/unpersist on equal matched frames)
+    tasks = [(f"{name}#{i}", name, q)
+             for i in (0, 1) for name, q in queries.items()]
+
+    def run_task(session, name, q):
+        df = session.read.parquet(path)
+        t0 = time.perf_counter()
+        res = eng.run(df, q)
+        return time.perf_counter() - t0, res
+
+    out = {"n_rows": n_rows, "n_groups": n_groups,
+           "scheduler": "FAIR", "n_tasks": len(tasks),
+           "timings": {}, "latency": {}}
+
+    # warm-up: page cache + codegen for every query shape (untimed),
+    # same hygiene as the whale rung
+    t0 = time.perf_counter()
+    for name, q in queries.items():
+        run_task(spark, name, q)
+    print(f"# warm-up {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # serial baseline on the base session
+    serial_results: dict = {}
+    serial_lat: dict[str, float] = {}
+    t0 = time.perf_counter()
+    for task_id, name, q in tasks:
+        dt, res = run_task(spark, name, q)
+        serial_lat[task_id] = round(dt, 2)
+        serial_results[task_id] = res
+        _gc_between_runs(spark)
+    out["timings"]["serial"] = round(time.perf_counter() - t0, 2)
+    out["latency"]["serial"] = serial_lat
+
+    base_conf_before = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    leak_probe: dict = {}
+
+    def worker(task_id, name, q, results, lats):
+        # the API server's per-request shape: clone + pool, both
+        # established ON THIS THREAD (local properties are thread-local)
+        session = spark.newSession()
+        session.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"frs-{task_id}")
+        try:
+            if task_id == "count3#0":
+                # deliberate dynamic-conf flip on ONE clone: the
+                # sorted-layout enable the engine performs at its plan
+                # chokepoint. Siblings must never observe it.
+                session.conf.set(
+                    "spark.sql.legacy.bucketedTableScan.outputOrdering",
+                    "true")
+            dt, res = run_task(session, name, q)
+            if task_id == "seq3#1":
+                leak_probe["sibling_conf"] = session.conf.get(
+                    "spark.sql.legacy.bucketedTableScan.outputOrdering",
+                    "false")
+            results[task_id] = res
+            lats[task_id] = round(dt, 2)
+        finally:
+            session.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", None)
+
+    for nt in sorted({4, n_threads}):
+        results: dict = {}
+        lats: dict[str, float] = {}
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=nt) as pool:
+            futs = [pool.submit(worker, tid, name, q, results, lats)
+                    for tid, name, q in tasks]
+            for f in futs:
+                f.result()
+        out["timings"][f"threads_{nt}"] = round(time.perf_counter() - t0, 2)
+        out["latency"][f"threads_{nt}"] = dict(sorted(lats.items()))
+        out[f"equal_threads_{nt}"] = all(
+            results[tid] == serial_results[tid] for tid, _, _ in tasks)
+        _gc_between_runs(spark)
+
+    out["speedup_4"] = round(out["timings"]["serial"]
+                             / out["timings"]["threads_4"], 2)
+    out[f"speedup_{n_threads}"] = round(
+        out["timings"]["serial"] / out["timings"][f"threads_{n_threads}"], 2)
+    # fairness: per-task latency inflation at max concurrency (wall time
+    # while sharing the machine with n_threads-1 other queries)
+    lat_hi = out["latency"][f"threads_{n_threads}"]
+    inflation = sorted(lat_hi[t] / serial_lat[t] for t in lat_hi
+                       if serial_lat.get(t, 0) > 0.05)
+    out["latency_inflation_median"] = round(
+        inflation[len(inflation) // 2], 2) if inflation else None
+    out["latency_inflation_max"] = round(inflation[-1], 2) \
+        if inflation else None
+    out["conf_isolation"] = {
+        "base_before": base_conf_before,
+        "base_after": spark.conf.get(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"),
+        "sibling_during": leak_probe.get("sibling_conf"),
+        "isolated": (spark.conf.get(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering",
+            "false") == base_conf_before
+            and leak_probe.get("sibling_conf") != "true"),
+    }
+    print(json.dumps(out))
+
+
 def streamseq_main(n_rows: int, n_batches: int = 20) -> None:
     """Round-11 rung: the watermarked streaming sequence operator at
     scale. Arrival order = event time + bounded jitter (≤1 day, under
@@ -1681,6 +1861,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "universe":
         universe_main(int(sys.argv[2]) if len(sys.argv) > 2
                       else 100_000_000)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "concurrent":
+        concurrent_main(int(sys.argv[2]) if len(sys.argv) > 2
+                        else 20_000_000,
+                        int(sys.argv[3]) if len(sys.argv) > 3 else 8)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "streamseq":
         streamseq_main(int(sys.argv[2]) if len(sys.argv) > 2
