@@ -1382,7 +1382,8 @@ def universe_main(n_rows: int) -> None:
     print(json.dumps(out))
 
 
-def concurrent_main(n_rows: int, n_threads: int = 8) -> None:
+def concurrent_main(n_rows: int, n_threads: int = 8,
+                    scheduler: str = "fair") -> None:
     """Round-12 rung: MULTI-TENANT SERVING. The reference serves many
     queries at once (each HTTP request fans out its own Lambda tasks);
     the Spark engine's equivalent is one SparkContext in FAIR scheduler
@@ -1401,6 +1402,13 @@ def concurrent_main(n_rows: int, n_threads: int = 8) -> None:
       mode FAIR pools exist to prevent) — reported per query;
     - conf isolation: a clone flipping the sorted-layout dynamic conf
       mid-flight must not leak it into the base session or siblings.
+
+    ``scheduler="fifo"`` runs the identical workload under default FIFO
+    job scheduling (scheduler mode is context-level, so the A/B needs
+    two processes) — the delta isolates what FAIR pools buy: under FIFO
+    a short count query enqueued behind two whale sequence sorts waits
+    for their stages; under FAIR its pool gets a fair share of cores
+    immediately, trading whale latency for short-query latency.
     """
     import threading
     from concurrent.futures import ThreadPoolExecutor
@@ -1409,13 +1417,15 @@ def concurrent_main(n_rows: int, n_threads: int = 8) -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(here, ".scratch",
                         f"events_{n_rows}_{n_groups}.parquet")
-    spark = get_spark(app_name="scale-check-concurrent",
-                      fair_scheduler=True,
+    fair = scheduler.lower() == "fair"
+    spark = get_spark(app_name=f"scale-check-concurrent-{scheduler}",
+                      fair_scheduler=fair,
                       extra_conf={"spark.driver.memory": os.environ.get(
                           "SPARK_DRIVER_MEM", "16g")})
     spark.sparkContext.setLogLevel("ERROR")
-    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == \
-        "FAIR", "rung requires a fresh context in FAIR mode"
+    mode = spark.sparkContext.getConf().get("spark.scheduler.mode", "FIFO")
+    assert mode == ("FAIR" if fair else "FIFO"), \
+        f"rung requires a fresh context ({mode=} vs requested {scheduler})"
     if not os.path.exists(path):
         t0 = time.perf_counter()
         synthesize(spark, n_rows, n_groups, path)
@@ -1470,7 +1480,7 @@ def concurrent_main(n_rows: int, n_threads: int = 8) -> None:
         return time.perf_counter() - t0, res
 
     out = {"n_rows": n_rows, "n_groups": n_groups,
-           "scheduler": "FAIR", "n_tasks": len(tasks),
+           "scheduler": mode, "n_tasks": len(tasks),
            "timings": {}, "latency": {}}
 
     # warm-up: page cache + codegen for every query shape (untimed),
@@ -1541,7 +1551,9 @@ def concurrent_main(n_rows: int, n_threads: int = 8) -> None:
     out[f"speedup_{n_threads}"] = round(
         out["timings"]["serial"] / out["timings"][f"threads_{n_threads}"], 2)
     # fairness: per-task latency inflation at max concurrency (wall time
-    # while sharing the machine with n_threads-1 other queries)
+    # while sharing the machine with n_threads-1 other queries). Split
+    # short tasks from whales — FIFO's failure mode is SHORT queries
+    # inheriting whale latency, so that's where FAIR must show up.
     lat_hi = out["latency"][f"threads_{n_threads}"]
     inflation = sorted(lat_hi[t] / serial_lat[t] for t in lat_hi
                        if serial_lat.get(t, 0) > 0.05)
@@ -1549,6 +1561,15 @@ def concurrent_main(n_rows: int, n_threads: int = 8) -> None:
         inflation[len(inflation) // 2], 2) if inflation else None
     out["latency_inflation_max"] = round(inflation[-1], 2) \
         if inflation else None
+    cut = sorted(serial_lat.values())[len(serial_lat) // 2]
+    for cls, keep in (("short", lambda t: serial_lat[t] <= cut),
+                      ("long", lambda t: serial_lat[t] > cut)):
+        infl = sorted(lat_hi[t] / serial_lat[t] for t in lat_hi
+                      if serial_lat.get(t, 0) > 0.05 and keep(t))
+        out[f"latency_inflation_{cls}_median"] = round(
+            infl[len(infl) // 2], 2) if infl else None
+        out[f"latency_abs_{cls}_max_s"] = round(
+            max((lat_hi[t] for t in lat_hi if keep(t)), default=0), 2)
     out["conf_isolation"] = {
         "base_before": base_conf_before,
         "base_after": spark.conf.get(
@@ -1865,7 +1886,8 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "concurrent":
         concurrent_main(int(sys.argv[2]) if len(sys.argv) > 2
                         else 20_000_000,
-                        int(sys.argv[3]) if len(sys.argv) > 3 else 8)
+                        int(sys.argv[3]) if len(sys.argv) > 3 else 8,
+                        sys.argv[4] if len(sys.argv) > 4 else "fair")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "streamseq":
         streamseq_main(int(sys.argv[2]) if len(sys.argv) > 2
