@@ -56,10 +56,26 @@ from funnel_rocket_spark.validation import QueryValidationError
 from funnel_rocket_spark.validation.validator import check_timeframe_scale
 
 
-def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
+def create_app(spark=None, catalog_dir: Optional[str] = None,
+               max_inflight: Optional[int] = None) -> Flask:
+    """``max_inflight`` bounds concurrently-executing queries (admission
+    control): request N+1 gets an immediate HTTP 429 with ``kind:
+    "overloaded"`` and a ``Retry-After`` hint instead of queueing — a
+    FAIR scheduler shares cores fairly among admitted queries, but
+    admitting unboundedly many still divides the machine into slices too
+    small to finish (the serving rung measured median latency inflation
+    4.66× at just 8-way on 32 cores). Defaults to
+    ``FUNNEL_ROCKET_MAX_INFLIGHT`` (unset = unbounded, the historical
+    behavior). Registration/metadata routes are never gated."""
     app = Flask("funnel-rocket-spark")
     app.config["CATALOG_DIR"] = catalog_dir or os.environ.get(
         "FUNNEL_ROCKET_CATALOG", os.path.expanduser("~/.funnel_rocket_spark"))
+    if max_inflight is None:
+        env_max = os.environ.get("FUNNEL_ROCKET_MAX_INFLIGHT")
+        max_inflight = int(env_max) if env_max else None
+    _gate = (threading.BoundedSemaphore(max_inflight)
+             if max_inflight else None)
+    app.config["QUERY_GATE"] = _gate  # exposed for tests/operability
     _spark = spark or get_spark(app_name="funnel-rocket-spark-api")
     # Prometheus registry, one per server process — the reference's
     # invoker owns its registry the same way (prom_adapter.py:28-29).
@@ -193,6 +209,32 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
         return f"{int(time.time())}-{uuid.uuid4().hex[:8]}"
 
     def _run(name: str, query: dict, should_stream: bool):
+        if _gate is not None and not _gate.acquire(blocking=False):
+            resp = jsonify({"success": False,
+                            "errorMessage": "too many in-flight queries "
+                                            f"(max {max_inflight})",
+                            "kind": "overloaded"})
+            resp.status_code = 429
+            resp.headers["Retry-After"] = "1"
+            return resp
+        _released = []
+
+        def _release():
+            # once-guard: the non-stream finally, the stream validation
+            # failure path, and the stream generator's finally can't
+            # double-release (BoundedSemaphore would raise)
+            if _gate is not None and not _released:
+                _released.append(True)
+                _gate.release()
+
+        try:
+            return _run_admitted(name, query, should_stream, _release)
+        except BaseException:
+            _release()
+            raise
+
+    def _run_admitted(name: str, query: dict, should_stream: bool,
+                      _release):
         ds = _dataset(name)
         touch_last_used(app.config["CATALOG_DIR"], name)
         engine = QueryEngine(ds.group_id_column, ds.timestamp_column)
@@ -231,6 +273,7 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
             _prom.record_query(name, True, time.monotonic() - t0,
                                result.get("stats"))
             result.update({"success": True, "requestId": request_id})
+            _release()
             return jsonify(result)
 
         # Validation must run synchronously so an invalid query still
@@ -243,6 +286,16 @@ def create_app(spark=None, catalog_dir: Optional[str] = None) -> Flask:
         engine.plan(df, query)
 
         def generate():
+            # the admission slot is held for the GENERATOR's lifetime —
+            # the query executes while the client consumes progress
+            # lines; a dropped connection closes the generator and the
+            # finally still frees the slot
+            try:
+                yield from _generate()
+            finally:
+                _release()
+
+        def _generate():
             holder: dict = {}
             t0 = time.monotonic()
 

@@ -17,6 +17,7 @@ rows — that lives in ``tools/scale_check.py concurrent``
 (tools/rung_concurrent_r12.json), not here.
 """
 
+import json
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -156,3 +157,62 @@ def test_api_concurrent_requests(spark, tmp_path_factory):
     assert out["count3"]["requestId"] != out["seq"]["requestId"]
     for name in ("count3", "seq"):
         assert out[name]["query"] == expected[name]
+
+
+def test_admission_control(spark, tmp_path_factory):
+    """max_inflight bounds executing queries: with the single slot held,
+    a query gets an immediate 429 (kind=overloaded, Retry-After); once
+    the slot frees, the same query succeeds — and a successful query
+    returns its slot (the gate is back to capacity afterwards)."""
+    from funnel_rocket_spark.api import create_app
+
+    catalog = str(tmp_path_factory.mktemp("adm_catalog"))
+    app = create_app(spark=spark, catalog_dir=catalog, max_inflight=1)
+    app.config["TESTING"] = True
+    gate = app.config["QUERY_GATE"]
+    with app.test_client() as c:
+        r = c.post("/datasets/register", json={
+            "name": "ev", "basepath": SF_EVENTS,
+            "group_id_column": "user_id", "timestamp_column": "ts"})
+        assert r.status_code == 200
+
+        assert gate.acquire(blocking=False)  # server "full"
+        try:
+            r = c.post("/datasets/ev/query", json=QUERIES["count3"])
+            assert r.status_code == 429
+            body = r.get_json()
+            assert body["kind"] == "overloaded" and not body["success"]
+            assert r.headers["Retry-After"] == "1"
+            # metadata routes are never gated
+            assert c.get("/datasets").status_code == 200
+        finally:
+            gate.release()
+
+        r = c.post("/datasets/ev/query", json=QUERIES["count3"])
+        assert r.status_code == 200 and r.get_json()["success"]
+        # slot returned: full capacity available again
+        assert gate.acquire(blocking=False)
+        gate.release()
+
+
+def test_admission_control_streaming_holds_slot(spark, tmp_path_factory):
+    """A streaming query holds its slot for the NDJSON generator's
+    lifetime and frees it when the stream completes."""
+    from funnel_rocket_spark.api import create_app
+
+    catalog = str(tmp_path_factory.mktemp("adm_stream_catalog"))
+    app = create_app(spark=spark, catalog_dir=catalog, max_inflight=1)
+    app.config["TESTING"] = True
+    gate = app.config["QUERY_GATE"]
+    with app.test_client() as c:
+        r = c.post("/datasets/register", json={
+            "name": "ev", "basepath": SF_EVENTS,
+            "group_id_column": "user_id", "timestamp_column": "ts"})
+        assert r.status_code == 200
+        r = c.post("/datasets/ev/query?stream=true", json=QUERIES["seq"])
+        assert r.status_code == 200
+        lines = [json.loads(ln) for ln in
+                 r.get_data(as_text=True).strip().splitlines()]
+        assert lines[-1]["success"]
+        assert gate.acquire(blocking=False)  # freed after the stream
+        gate.release()
