@@ -202,6 +202,7 @@ def _validation_subset(files: list[str], mode: str,
 PREMIUM_SIZES = (100_000, 400_000)  # calibration slope points (rows)
 PREMIUM_BOUNDS = (2.0, 100.0)       # clamp for a noisy measurement
 PREMIUM_MIN_ROWS = 50_000           # below this, overhead drowns the slope
+PREMIUM_MAX_SIZE = 6_400_000        # escalation ladder cap (see below)
 
 
 def measure_segmented_premium(spark: SparkSession, df: DataFrame,
@@ -294,8 +295,19 @@ def measure_segmented_premium(spark: SparkSession, df: DataFrame,
         slope_s = (timings[f"fold_segmented.{n_l}"]
                    - timings[f"fold_segmented.{n_s}"]) / (n_l - n_s)
         # a window slope under ~20 ns/row is inside scheduler jitter at
-        # these sizes — refuse to divide by noise
+        # these sizes — don't divide by noise. If the prefix filled to
+        # the requested size the dataset has (or may have) more rows:
+        # escalate the slope points 4× and remeasure — bigger deltas
+        # lift the window slope clear of the jitter band (sf0.1 events
+        # needed 400k/1.6M where lineitem measured fine at 100k/400k).
+        # The cap bounds the escalation ladder (100k/400k → 400k/1.6M →
+        # 1.6M/6.4M); a too-small dataset stops recursing after one
+        # level because its next prefix can't fill.
         if slope_w < 2e-8 or slope_s <= 0:
+            if total == sizes[-1] and sizes[-1] < PREMIUM_MAX_SIZE:
+                return measure_segmented_premium(
+                    spark, df, group_col, ts_col,
+                    sizes=tuple(s * 4 for s in sizes))
             return None
         premium = max(PREMIUM_BOUNDS[0],
                       min(PREMIUM_BOUNDS[1], slope_s / slope_w))

@@ -120,6 +120,33 @@ def test_premium_calibration_measured_and_persisted(spark, tmp_path):
     assert plan.route_estimates["premium"] == p
 
 
+def test_premium_calibration_noise_escalation(spark, monkeypatch):
+    """r12: when the window slope sits in the noise floor AND the
+    calibration prefix filled to the requested size (the dataset may
+    have more rows), the slope points escalate 4× and remeasure; a
+    prefix that can't fill stops the ladder with an honest None. A
+    frozen clock makes every timing identical (slope 0 = guaranteed
+    noise refusal), so the test pins the ladder walk itself: 100k/400k
+    → 400k/1.6M, then stop because the 1M-row frame can't fill 1.6M."""
+    import time as _time
+
+    from funnel_rocket_spark import catalog as cat
+
+    calls = []
+    orig = cat.measure_segmented_premium
+
+    def spy(spark_, df_, g, ts, sizes=cat.PREMIUM_SIZES):
+        calls.append(sizes)
+        return orig(spark_, df_, g, ts, sizes)
+
+    monkeypatch.setattr(cat, "measure_segmented_premium", spy)
+    monkeypatch.setattr(_time, "perf_counter", lambda: 0.0)
+    million = spark.range(1_000_000).select(
+        (F.col("id") % 10).alias("uid"), F.col("id").alias("ts"))
+    assert spy(spark, million, "uid", "ts") is None
+    assert calls == [(100_000, 400_000), (400_000, 1_600_000)]
+
+
 def test_catalog_partial_validation_modes(spark, tmp_path):
     """Reference DatasetValidationMode parity: single/first_last/sample
     scan only a file subset, total_rows stays exact (metadata count), and
