@@ -20,6 +20,14 @@ from funnel_rocket_spark.streaming.sequence_aggs import (
     sequence_step_value_aggs,
     upsert_latest,
 )
+from funnel_rocket_spark.streaming.behavior_stream import (
+    BehaviorReportStream,
+    activity_partials,
+    activity_rollup_report,
+    retention_cohorts_report,
+    retention_rates_report,
+    start_behavior_report_stream,
+)
 from funnel_rocket_spark.streaming.report_stream import (
     SequenceReportStream,
     start_sequence_report_stream,
@@ -30,6 +38,9 @@ from funnel_rocket_spark.streaming.sequence_stream import (
 from funnel_rocket_spark.streaming.sessions import streaming_session_stats
 
 __all__ = [
+    "activity_partials",
+    "activity_rollup_report",
+    "BehaviorReportStream",
     "compact_band_index",
     "compact_latest",
     "content_digest",
@@ -37,9 +48,12 @@ __all__ = [
     "incremental_funnel",
     "nanos_to_timestamp",
     "read_latest",
+    "retention_cohorts_report",
+    "retention_rates_report",
     "SequenceReportStream",
     "sequence_step_counts",
     "sequence_step_value_aggs",
+    "start_behavior_report_stream",
     "start_sequence_report_stream",
     "streaming_exact_dedup",
     "streaming_incremental_dedup",
