@@ -210,6 +210,10 @@ def create_app(spark=None, catalog_dir: Optional[str] = None,
 
     def _run(name: str, query: dict, should_stream: bool):
         if _gate is not None and not _gate.acquire(blocking=False):
+            # shed requests are first-class operability data: alerting on
+            # this counter is how an operator learns max_inflight is
+            # undersized before users do
+            _prom.inc("shed_requests_total", {"dataset": name})
             resp = jsonify({"success": False,
                             "errorMessage": "too many in-flight queries "
                                             f"(max {max_inflight})",

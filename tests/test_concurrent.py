@@ -185,6 +185,9 @@ def test_admission_control(spark, tmp_path_factory):
             assert r.headers["Retry-After"] == "1"
             # metadata routes are never gated
             assert c.get("/datasets").status_code == 200
+            # shed requests surface in /metrics for alerting
+            metrics = c.get("/metrics").get_data(as_text=True)
+            assert 'shed_requests_total{dataset="ev"} 1' in metrics
         finally:
             gate.release()
 
