@@ -56,6 +56,26 @@ from funnel_rocket_spark.validation import QueryValidationError
 from funnel_rocket_spark.validation.validator import check_timeframe_scale
 
 
+def pool_for_request(request_id: str, tier: Optional[str]) -> str:
+    """Scheduler pool for a query request. A client-declared priority
+    tier (``X-Query-Pool`` header) wins — tiers declared via
+    ``get_spark(fair_pools={...})`` carry configured weight/minShare and
+    are internally FAIR, so same-tier requests still share cores fairly
+    rather than FIFO-queueing behind each other; an undeclared tier name
+    still works (Spark creates the pool on demand at weight 1).
+    Otherwise each request gets its own equal-weight pool. The tier name
+    is sanitized to a conservative charset — it lands in a Spark local
+    property and in metrics labels, never anywhere shell- or
+    path-interpreted."""
+    if tier:
+        import re
+
+        tier = re.sub(r"[^A-Za-z0-9_.-]", "", tier)[:64]
+        if tier:
+            return tier
+    return f"frs-{request_id}"
+
+
 def create_app(spark=None, catalog_dir: Optional[str] = None,
                max_inflight: Optional[int] = None) -> Flask:
     """``max_inflight`` bounds concurrently-executing queries (admission
@@ -251,7 +271,8 @@ def create_app(spark=None, catalog_dir: Optional[str] = None,
         # pools; under default FIFO it is inert metadata.
         request_id = _request_id()
         session = _spark.newSession()
-        pool = f"frs-{request_id}"
+        pool = pool_for_request(request_id,
+                                request.headers.get("X-Query-Pool"))
         df = ds.load(session)
         if not should_stream:
             t0 = time.monotonic()

@@ -13,12 +13,42 @@ import os
 from pyspark.sql import SparkSession
 
 
+def write_fair_allocation(pools: dict, path: str | None = None) -> str:
+    """Write a Spark FAIR allocation XML for named priority tiers and
+    return its path. ``pools`` maps pool name → {"weight": int,
+    "minShare": int} (either optional). Each tier pool is internally
+    FAIR so the requests sharing a tier also share cores fairly, not
+    FIFO-queue behind each other. Undeclared pool names still work at
+    runtime (Spark creates them on demand with weight 1) — the file
+    only exists to give declared tiers more/less than that default.
+    """
+    import tempfile
+    from xml.sax.saxutils import escape
+
+    parts = ["<?xml version=\"1.0\"?>", "<allocations>"]
+    for name, spec in pools.items():
+        parts.append(f"  <pool name=\"{escape(str(name))}\">")
+        parts.append("    <schedulingMode>FAIR</schedulingMode>")
+        parts.append(f"    <weight>{int(spec.get('weight', 1))}</weight>")
+        parts.append(
+            f"    <minShare>{int(spec.get('minShare', 0))}</minShare>")
+        parts.append("  </pool>")
+    parts.append("</allocations>")
+    if path is None:
+        fd, path = tempfile.mkstemp(prefix="frs_fair_", suffix=".xml")
+        os.close(fd)
+    with open(path, "w") as f:
+        f.write("\n".join(parts) + "\n")
+    return path
+
+
 def get_spark(
     app_name: str = "funnel-rocket-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
     fair_scheduler: bool = False,
+    fair_pools: dict | None = None,
 ) -> SparkSession:
     """``fair_scheduler=True`` starts the context with
     ``spark.scheduler.mode=FAIR`` — the multi-tenant serving shape: each
@@ -73,8 +103,11 @@ def get_spark(
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
     )
-    if fair_scheduler:
+    if fair_scheduler or fair_pools:
         builder = builder.config("spark.scheduler.mode", "FAIR")
+    if fair_pools:
+        builder = builder.config("spark.scheduler.allocation.file",
+                                 write_fair_allocation(fair_pools))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -219,3 +219,48 @@ def test_admission_control_streaming_holds_slot(spark, tmp_path_factory):
         assert lines[-1]["success"]
         assert gate.acquire(blocking=False)  # freed after the stream
         gate.release()
+
+
+def test_fair_pool_tiers():
+    """Priority-tier plumbing: the allocation XML writer emits the
+    declared weights/minShares with internally-FAIR pools, and the
+    request→pool mapping prefers a sanitized tier header over the
+    per-request pool."""
+    import os
+
+    from funnel_rocket_spark.api import pool_for_request
+    from funnel_rocket_spark.session import write_fair_allocation
+
+    path = write_fair_allocation({
+        "interactive": {"weight": 4, "minShare": 8},
+        "batch": {"weight": 1}})
+    try:
+        xml = open(path).read()
+        assert '<pool name="interactive">' in xml
+        assert "<weight>4</weight>" in xml and "<minShare>8</minShare>" in xml
+        assert '<pool name="batch">' in xml and "<weight>1</weight>" in xml
+        assert xml.count("<schedulingMode>FAIR</schedulingMode>") == 2
+    finally:
+        os.unlink(path)
+
+    assert pool_for_request("123-abc", None) == "frs-123-abc"
+    assert pool_for_request("123-abc", "interactive") == "interactive"
+    # hostile header collapses to the safe per-request pool
+    assert pool_for_request("123-abc", "../; rm $(x)") == "..rmx"
+    assert pool_for_request("123-abc", ";$()") == "frs-123-abc"
+
+
+def test_api_accepts_pool_header(spark, tmp_path_factory):
+    from funnel_rocket_spark.api import create_app
+
+    catalog = str(tmp_path_factory.mktemp("tier_catalog"))
+    app = create_app(spark=spark, catalog_dir=catalog)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        r = c.post("/datasets/register", json={
+            "name": "ev", "basepath": SF_EVENTS,
+            "group_id_column": "user_id", "timestamp_column": "ts"})
+        assert r.status_code == 200
+        r = c.post("/datasets/ev/query", json=QUERIES["count3"],
+                   headers={"X-Query-Pool": "interactive"})
+        assert r.status_code == 200 and r.get_json()["success"]
