@@ -49,6 +49,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread_max_bytes() -> int:
+    """Read per call (not at import) so a long-lived session — and an
+    interleaved A/B harness — can toggle the spread without reloading."""
+    import os
+
+    return int(os.environ.get("FRS_SPREAD_MAX_BYTES", 1 << 30))
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + a round-robin spread for split-starved inputs.
+
+    The testdata tables are single-file, single-row-group parquet, and a
+    parquet row group cannot split across tasks — so every scan is at
+    most ONE task no matter the split config, and heavy per-row work
+    before the first exchange (tokenize/shingle/hash/percentile
+    histograms) serializes on one core of however many the session has.
+    This is the optimization guide's input-skew case ("one huge
+    unsplittable file ... repartition immediately after the read"),
+    applied scale-adaptively: above ``FRS_SPREAD_MAX_BYTES`` (default
+    1 GiB) a real dataset has real splits and the spread is skipped, so
+    the exchange only ever moves a provably small table. Catalyst still
+    pushes later filters through the repartition to the scan (verified:
+    PushedFilters intact). Engine (fr_*) queries deliberately do NOT use
+    this — their first operation is already a group-keyed exchange, and
+    the extra round-robin pass measured 1.2-1.3x pure loss there."""
+    import os
+
+    df = load_table(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path) for f in files)
+    except OSError:
+        return df
+    if size <= _spread_max_bytes():
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def ts_ns(df: DataFrame, col: str = "ts") -> DataFrame:
     """Replace a timestamp-typed column with exact epoch-nanos int64.
 
@@ -268,7 +311,7 @@ def _fr_lineitem_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_tokens_fn(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
@@ -800,7 +843,7 @@ def _olap_percentiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one reduce task per group (3 here), while the histogram keeps
     partial aggregation map-side and interpolates identically to DuckDB's
     quantile_cont — values match bit-for-bit modulo rounding."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem")
     # Percentiles over integer CENTS: even-count groups interpolate at the
     # exact midpoint of two prices, and (a+b)/2 over 2-decimal dollars lands
     # on half-cent boundaries where the engines' fp rounding disagrees by one
@@ -1056,7 +1099,7 @@ def _pii_redact_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc (identically in the SQL oracle), then text.redact_pii — a pure
     regexp_replace projection whose patterns run verbatim on both Java
     regex and RE2, so redacted text AND redaction counts value-match."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_spread(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"), F.lit(" contact u"), F.col("doc_id"),
@@ -1087,7 +1130,7 @@ def _promo_share_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_entropy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each doc's token distribution — perplexity
     proxy for curation banding."""
-    return text.token_entropy(load_table(spark, sf_dir, "documents"))
+    return text.token_entropy(load_spread(spark, sf_dir, "documents"))
 
 
 def _part_avg_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,7 +1157,7 @@ def _winsorized_mean_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the fact scan. Floor-to-cent clamps keep every value integral
     so the mean is an exact-int sum over count — bit-stable across
     engines regardless of accumulation order."""
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
+    li = load_spread(spark, sf_dir, "lineitem").withColumn(
         "cents", _cents("l_extendedprice"))
     band = olap.grouped_exact_percentiles(
         li, ["l_returnflag"], F.col("cents"), {"p05": 0.05, "p95": 0.95}
@@ -1151,7 +1194,7 @@ def _asof_tolerance_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tfidf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, top=3)
 
 
@@ -1283,27 +1326,27 @@ def _simhash_fn(spark, sf_dir):
 
 
 def _text_stats_fn(spark, sf_dir):
-    return text.text_stats(load_table(spark, sf_dir, "documents"))
+    return text.text_stats(load_spread(spark, sf_dir, "documents"))
 
 
 def _text_quality_fn(spark, sf_dir):
-    return text.quality_score(load_table(spark, sf_dir, "documents"))
+    return text.quality_score(load_spread(spark, sf_dir, "documents"))
 
 
 def _langid_fn(spark, sf_dir):
-    return text.language_id(load_table(spark, sf_dir, "documents"))
+    return text.language_id(load_spread(spark, sf_dir, "documents"))
 
 
 def _text_repetition_fn(spark, sf_dir):
     # single-file parquet = one input partition; spread the interpreted
     # zip_with work across cores before the CPU-bound projection
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.repetition_stats(
         docs.repartition(spark.sparkContext.defaultParallelism))
 
 
 def _hash_sample_fn(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return sampling.hash_sample(docs, 0.25).select("doc_id")
 
 
@@ -1315,20 +1358,20 @@ def _stratified_sample_fn(spark, sf_dir):
 
 
 def _weighted_sample_fn(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return sampling.weighted_hash_sample(
         docs, n=50, weight_col="n_chars").select("doc_id", "n_chars")
 
 
 def _chunk_documents_fn(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.chunk_documents(
         docs.repartition(spark.sparkContext.defaultParallelism),
         max_tokens=16)
 
 
 def _vocabulary_fn(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.vocabulary(docs, min_count=5, top=200)
 
 
@@ -1345,7 +1388,7 @@ def _top_docs_fn(spark, sf_dir):
 
 
 def _fingerprint_fn(spark, sf_dir):
-    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+    return text.fingerprint(load_spread(spark, sf_dir, "documents"))
 
 
 def _ann_topk_fn(spark, sf_dir):
@@ -1388,7 +1431,7 @@ def _embedding_dedup_pipeline_fn(spark, sf_dir):
 def _group_cap_fn(spark, sf_dir):
     """Per-language document cap (corpus balancing): at most 20 docs per
     lang, chosen by deterministic md5 rank."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return sampling.per_group_cap(
         docs, ["lang"], n=20, id_col="doc_id", salt="cap"
     ).select("lang", "doc_id")
@@ -1627,7 +1670,7 @@ def _dsir_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     dyadically quantized) summed per doc. The quantization makes the
     per-doc sums exact and order-independent, so the oracle can aggregate
     in any order and still hash-match."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return sampling.dsir_importance(docs, docs.where(F.col("lang") == "en"))
 
 
@@ -1669,7 +1712,7 @@ def _mixture_upsample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rates < 1 → plain gate) — both code paths exercised across the
     driver's scales. The audit aggregates the EXPLODED output, so copy
     multiplicity itself is value-checked."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     plan = sampling.mixture_plan(docs, _MIXTURE_WEIGHTS, "lang",
                                  _MIXTURE_UP_TOTAL, cap_rate=False).persist()
     kept = sampling.mixture_upsample(docs, _MIXTURE_WEIGHTS, "lang",
@@ -1903,7 +1946,7 @@ def _late_orders_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_substring_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.exact_substring_spans(docs, window=20)
 
 
@@ -2052,7 +2095,7 @@ def _interval_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _remove_dup_spans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.remove_duplicate_spans(docs, window=20)
 
 
@@ -2064,7 +2107,7 @@ def _heavy_hitters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sample_splits_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test mix per language after deterministic 90/5/5 split
     assignment — the artifact audit every dataset release runs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     split = sampling.assign_split(
         docs, {"train": 0.9, "val": 0.05, "test": 0.05})
     return (split.groupBy("lang", "split")
@@ -2072,7 +2115,7 @@ def _sample_splits_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _classifier_score_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.classifier_score(docs)
 
 
@@ -2100,7 +2143,7 @@ def _classifier_trained_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy — what a production caller with a 31-word gate vocabulary
     gets; the broadcast-join twin (the 100k-vocabulary shape) is
     equality- and plan-pinned in pytest."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.classifier_score_weights(docs, _trained_weights())
 
 
@@ -2126,7 +2169,7 @@ def _gopher_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     published thresholds except min_words=20 (the synthetic docs run
     8-110 words) and min_stopword_hits=1 (the synthetic vocabulary carries
     only 'the' from the required-stopword list)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.gopher_quality_filter(docs, min_words=20,
                                       min_stopword_hits=1)
 
@@ -2135,7 +2178,7 @@ def _c4_clean_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning; terminal-punctuation rule off because the
     synthetic corpus has no punctuation (the rule itself is pinned in
     pytest on crafted docs) — variance comes from the ≥12-words rule."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.c4_line_filter(docs, min_words_per_line=12,
                                require_terminal_punct=False)
 
@@ -2163,7 +2206,7 @@ def _bpe_tokens_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression path: char-split + aggregate() fold over a literal merge
     array inside transform(), pure whole-stage codegen, zero shuffle.
     The oracle replays the same table as nested replace() calls."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.bpe_tokenize(docs, _BPE_MERGES)
 
 
@@ -2175,7 +2218,7 @@ def _lm_nll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects ≤256 unigram + ≤1024 top-bigram rows; scoring is a
     zero-shuffle literal-map projection. Dyadic-quantized log-probs make
     every value exact cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.lm_nll(docs, docs.where(F.col("lang") == "en"))
 
 
@@ -2242,7 +2285,7 @@ def _lm_nll_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the literal-map caps, so strategy='auto' routes to the join scorer
     (exploded pair keys → broadcast model frames → per-doc re-aggregate,
     shuffle volume ~1 row/doc after partial aggregation)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.lm_nll(docs, docs.where(F.col("lang") == "en"),
                        n_buckets=_LM_JOIN_NB, top_bigrams=_LM_JOIN_TB)
 
@@ -2260,7 +2303,7 @@ def _lm_nll_frames_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joins them against the exploded corpus pairs. The shape that
     carries a model past any driver bound — same oracle replay as the
     other LM variants at (2048, 50k)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text.lm_nll(docs, docs.where(F.col("lang") == "en"),
                        n_buckets=_LM_FRAMES_NB, top_bigrams=_LM_FRAMES_TB,
                        frames=True)
@@ -2279,7 +2322,7 @@ def _bpe_learned_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     perceptron-oracle pattern applied to tokenizer training. Early-stop
     padding: if training exhausts qualifying pairs, remaining ranks are
     ('','') on both sides."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     merges = text.learn_bpe(docs, _BPE_LEARN_N, min_count=2)
     merges = (merges + [("", "")] * _BPE_LEARN_N)[:_BPE_LEARN_N]
     rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
