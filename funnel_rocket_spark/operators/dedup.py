@@ -404,16 +404,18 @@ def _minhash_sigs(grams_df: DataFrame, num_hashes: int) -> DataFrame:
     params = minhash_params(num_hashes)
     exploded = grams_df.select("id", F.explode("grams").alias("g"))
     based = exploded.select("id", minhash_base(F.col("g")).alias("base"))
-    hashed = based.select(
+    # expression STRINGS, one py4j call per select: the per-column
+    # Column-object form cost ~5 driver round-trips per hash (~0.45 s of
+    # socket chatter at num_hashes=32 before any job ran); the parsed
+    # plan is identical.
+    hashed = based.selectExpr(
         "id",
-        *[((F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"h{i}")
+        *[f"(({a}L * base + {b}L) % {MINHASH_MOD}L) AS h{i}"
           for i, (a, b) in enumerate(params)],
     )
-    return (
-        hashed.groupBy("id")
-        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
-        .select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
-    )
+    return hashed.groupBy("id").agg(F.expr(
+        "array(" + ",".join(f"min(h{i})" for i in range(num_hashes))
+        + ") AS sig"))
 
 
 def _band_rows(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:

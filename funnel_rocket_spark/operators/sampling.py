@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from funnel_rocket_spark.operators._litexpr import lit_double_map
+
 # 2^44 buckets — every value of the 11-hex-char hash is a distinct bucket,
 # so rate resolution is ~6e-14 and the gate is a single integer compare.
 _BUCKETS = 1 << 44
@@ -401,18 +403,23 @@ def dsir_importance(df_raw: DataFrame, df_target: DataFrame,
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0")
 
-    def bucket_counts(df):
+    def bucket_agg(df, tag: int):
         from funnel_rocket_spark.operators.dedup import tokens
         ex = df.select(F.explode(tokens(F.col(text_col))).alias("__tok"))
-        rows = (ex.groupBy(_md5_bucket(F.col("__tok"), n_buckets)
+        return (ex.groupBy(_md5_bucket(F.col("__tok"), n_buckets)
                            .alias("b"))
                 .agg(F.count(F.lit(1)).alias("c"))
-                .collect())  # bounded: ≤ n_buckets rows
-        counts = {int(r["b"]): int(r["c"]) for r in rows}
-        return counts, sum(counts.values())
+                .select(F.lit(tag).alias("t"), "b", "c"))
 
-    tc, t_total = bucket_counts(df_target)
-    rc, r_total = bucket_counts(df_raw)
+    # ONE collect job for both corpora: the two bounded aggregates are
+    # branches of a union, so their stages run concurrently instead of
+    # as two sequential driver round-trips (≤ 2·n_buckets rows total —
+    # same driver-traffic bound as the two separate collects).
+    rows = (bucket_agg(df_target, 0).unionByName(bucket_agg(df_raw, 1))
+            .collect())
+    tc = {int(r["b"]): int(r["c"]) for r in rows if r["t"] == 0}
+    rc = {int(r["b"]): int(r["c"]) for r in rows if r["t"] == 1}
+    t_total, r_total = sum(tc.values()), sum(rc.values())
     s = float(smoothing)
     t_denom = t_total + s * n_buckets
     r_denom = r_total + s * n_buckets
@@ -423,8 +430,7 @@ def dsir_importance(df_raw: DataFrame, df_target: DataFrame,
 
     from funnel_rocket_spark.operators.dedup import tokens as _tokens
     tk = F.coalesce(_tokens(F.col(text_col)), F.array().cast("array<string>"))
-    mapping = F.create_map(*[F.lit(x) for b in sorted(lr)
-                             for x in (b, lr[b])])
+    mapping = lit_double_map((b, lr[b]) for b in sorted(lr))
     staged = df_raw.withColumn("__lrmap", mapping)
     logw = F.aggregate(
         tk, F.lit(0.0),

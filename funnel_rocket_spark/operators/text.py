@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from funnel_rocket_spark.operators._litexpr import (lit_double_map,
+                                                    lit_str_array)
 from funnel_rocket_spark.operators.dedup import tokens
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic language
@@ -618,8 +620,7 @@ def classifier_score_weights(df: DataFrame, weights: dict,
     tk = _tokens_or_empty(text_col)
     if strategy == "map":
         if weights:
-            mapping = F.create_map(
-                *[F.lit(x) for kv in sorted(weights.items()) for x in kv])
+            mapping = lit_double_map(sorted(weights.items()))
             # STAGE the literal map as a column: referenced from inside
             # the (interpreted) HOF lambda it would be re-materialized
             # per TOKEN — measured 3.8 s vs 0.24 s warm at sf0.1. As a
@@ -853,7 +854,7 @@ def train_classifier_perceptron(df: DataFrame, label_col, vocab: list,
             f"vocab larger than literal-map cap ({_CLASSIFIER_MAP_MAX}); "
             "train on a capped vocabulary (see vocabulary(min_count=...))")
     vocab = sorted(set(vocab))
-    vocab_arr = F.array(*[F.lit(t) for t in vocab])
+    vocab_arr = lit_str_array(vocab)
     tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
     feats = F.concat(F.array(F.lit("__bias__")),
                      F.array_intersect(tk, vocab_arr))
@@ -864,8 +865,7 @@ def train_classifier_perceptron(df: DataFrame, label_col, vocab: list,
     weights["__bias__"] = 0.0
     mistakes = []
     for _ in range(iterations):
-        wmap = F.create_map(
-            *[F.lit(x) for kv in sorted(weights.items()) for x in kv])
+        wmap = lit_double_map(sorted(weights.items()))
         staged = base.withColumn("__wmap", wmap)
         margin = F.aggregate(
             F.col("__ft"), F.lit(0.0),
@@ -1345,11 +1345,10 @@ def perceptron_predict(df: DataFrame, weights: dict,
         raise ValueError(
             f"weights larger than literal-map cap ({_CLASSIFIER_MAP_MAX})")
     vocab = sorted(t for t in weights if t != "__bias__")
-    vocab_arr = F.array(*[F.lit(t) for t in vocab])
+    vocab_arr = lit_str_array(vocab)
     tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
     feats = F.array_intersect(tk, vocab_arr)
-    wmap = F.create_map(
-        *[F.lit(x) for t in vocab for x in (t, float(weights[t]))])
+    wmap = lit_double_map((t, float(weights[t])) for t in vocab)
     staged = df.withColumn("__wmap", wmap)
     margin = F.aggregate(
         feats, F.lit(float(weights.get("__bias__", 0.0))),
@@ -1423,15 +1422,6 @@ def lm_bigram_model(df_target: DataFrame, text_col: str = "text",
     tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
     bs = F.transform(tk, lambda t: _md5_bucket(t, n_buckets).cast("int"))
     staged = df_target.select(bs.alias("__bs"))
-    uni_rows = (staged.select(F.explode("__bs").alias("b"))
-                .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-                .collect())  # bounded: <= n_buckets rows
-    uc = {int(r["b"]): int(r["c"]) for r in uni_rows}
-    total = sum(uc.values())
-    s = float(smoothing)
-    uni = {b: qln((uc.get(b, 0) + s) / (total + s * n_buckets))
-           for b in range(n_buckets)}
-
     n = F.size("__bs")
     # integer pair key p*n_buckets + c: int-keyed maps hash cheaper than
     # string concat keys in the scoring hot loop, and the numeric
@@ -1441,15 +1431,32 @@ def lm_bigram_model(df_target: DataFrame, text_col: str = "text",
         F.slice("__bs", 2, F.greatest(n - 1, F.lit(0))),
         # long arithmetic: int32 overflows at n_buckets > ~46k (ANSI)
         lambda p, c: p.cast("long") * n_buckets + c)
-    top = (staged.select(F.explode(pair_keys).alias("pc"))
-           .groupBy("pc").agg(F.count(F.lit(1)).alias("c"))
-           .orderBy(F.col("c").desc(), F.col("pc").asc())
-           .limit(top_bigrams).collect())  # bounded: <= top_bigrams rows
+    # ONE collect job for both model tables: the unigram aggregate
+    # (≤ n_buckets rows) and the top-bigram aggregate (≤ top_bigrams
+    # rows after its sort+limit) are branches of a union, so their
+    # stages run concurrently instead of as two sequential driver
+    # round-trips. Driver traffic keeps the same per-branch bounds.
+    uni_branch = (staged.select(F.explode("__bs").alias("k"))
+                  .groupBy(F.col("k").cast("long").alias("k"))
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .select(F.lit(0).alias("t"), "k", "c"))
+    bi_branch = (staged.select(F.explode(pair_keys).alias("k"))
+                 .groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+                 .orderBy(F.col("c").desc(), F.col("k").asc())
+                 .limit(top_bigrams)
+                 .select(F.lit(1).alias("t"), "k", "c"))
+    rows = uni_branch.unionByName(bi_branch).collect()
+    uc = {int(r["k"]): int(r["c"]) for r in rows if r["t"] == 0}
+    total = sum(uc.values())
+    s = float(smoothing)
+    uni = {b: qln((uc.get(b, 0) + s) / (total + s * n_buckets))
+           for b in range(n_buckets)}
+    top = [r for r in rows if r["t"] == 1]
     bi = {}
     for r in top:
-        p = int(r["pc"]) // n_buckets
-        bi[int(r["pc"])] = qln((int(r["c"]) + s)
-                               / (uc.get(p, 0) + s * n_buckets))
+        p = int(r["k"]) // n_buckets
+        bi[int(r["k"])] = qln((int(r["c"]) + s)
+                              / (uc.get(p, 0) + s * n_buckets))
     return {"uni": uni, "bi": bi, "log_alpha": qln(_LM_ALPHA),
             "n_buckets": n_buckets, "smoothing": s,
             "top_bigrams": top_bigrams}
@@ -1617,15 +1624,15 @@ def lm_score(df_raw: DataFrame, model: dict, text_col: str = "text",
     from funnel_rocket_spark.operators.sampling import _md5_bucket
 
     n_buckets = model["n_buckets"]
-    uni_map = F.create_map(*[F.lit(x) for b in sorted(model["uni"])
-                             for x in (b, model["uni"][b])])
+    uni_map = lit_double_map((b, model["uni"][b])
+                             for b in sorted(model["uni"]))
     tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
     bs = F.transform(tk, lambda t: _md5_bucket(t, n_buckets).cast("int"))
     staged = (df_raw.withColumn("__bs", bs)
               .withColumn("__uni", uni_map))
     if model["bi"]:
-        bi_map = F.create_map(*[F.lit(x) for k in sorted(model["bi"])
-                                for x in (k, model["bi"][k])])
+        bi_map = lit_double_map((k, model["bi"][k])
+                                for k in sorted(model["bi"]))
         staged = staged.withColumn("__bi", bi_map)
         bi_of = lambda key: F.element_at(F.col("__bi"), key)  # noqa: E731
     else:

@@ -1,0 +1,77 @@
+"""The single-expression literal builders must be plan-equivalent to the
+per-entry ``F.create_map(*[F.lit(x) ...])`` / ``F.array(*[F.lit(s)])``
+forms they replaced — same values bit-for-bit, same result types — for
+every key/value shape the operators feed them (int and str keys, doubles
+that stress the shortest-repr round-trip, strings needing escaping)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_rocket_spark.operators._litexpr import (lit_double_map,
+                                                    lit_str_array)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_double_map_str_keys_bit_exact(spark):
+    # values chosen to stress shortest-repr: subnormal-ish, repeating
+    # binary fractions, negative zero, huge/tiny magnitudes
+    vals = {
+        "a": 0.1, "b": -0.0, "c": 1e-308, "d": 1.7976931348623157e308,
+        "e": 2.0 / 3.0, "f": -123456.789012345678, "g": 5e-324,
+    }
+    got = _one(spark, lit_double_map(sorted(vals.items())))
+    want = _one(spark, F.create_map(
+        *[F.lit(x) for kv in sorted(vals.items()) for x in kv]))
+    assert set(got) == set(vals)
+    for k in vals:
+        assert got[k] == want[k]
+        assert math.copysign(1.0, got[k]) == math.copysign(1.0, want[k])
+
+
+def test_double_map_int_keys(spark):
+    vals = {0: 0.5, 7: -1.25, 10 ** 6: 3.141592653589793}
+    got = _one(spark, lit_double_map(sorted(vals.items())))
+    assert got == vals
+
+
+def test_str_keys_escaping(spark):
+    # quotes, backslashes, and backslash-before-quote must survive the
+    # SQL string literal round-trip
+    keys = ["plain", "it's", 'say "hi"', "back\\slash", "tricky\\'mix",
+            "tab\there", "unié"]
+    vals = {k: float(i) for i, k in enumerate(keys)}
+    got = _one(spark, lit_double_map(sorted(vals.items())))
+    assert got == vals
+
+
+def test_str_array_matches_per_entry_form(spark):
+    items = ["x", "it's", "a\\b", ""]
+    got = _one(spark, lit_str_array(items))
+    want = _one(spark, F.array(*[F.lit(s) for s in items]))
+    assert got == want == items
+
+
+def test_str_array_empty_is_typed(spark):
+    df = spark.range(1).select(lit_str_array([]).alias("v"))
+    assert df.schema["v"].dataType.simpleString() == "array<string>"
+    assert df.collect()[0]["v"] == []
+
+
+def test_double_map_result_type_is_double_not_decimal(spark):
+    # a bare 0.5 in Spark SQL is DECIMAL — the D suffix keeps DoubleType
+    df = spark.range(1).select(lit_double_map([("k", 0.5)]).alias("v"))
+    assert df.schema["v"].dataType.simpleString() == "map<string,double>"
+
+
+def test_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        lit_double_map([])
+    with pytest.raises(TypeError):
+        lit_double_map([(True, 1.0)])
+    with pytest.raises(ValueError):
+        lit_double_map([("k", float("nan"))])
