@@ -1430,8 +1430,11 @@ def _embedding_dedup_pipeline_fn(spark, sf_dir):
 
 def _group_cap_fn(spark, sf_dir):
     """Per-language document cap (corpus balancing): at most 20 docs per
-    lang, chosen by deterministic md5 rank."""
-    docs = load_spread(spark, sf_dir, "documents")
+    lang, chosen by deterministic md5 rank. No spread: the rank window's
+    group exchange is the first operation and WindowGroupLimit prunes
+    below the cap before it — an extra round-robin pass loses at sf0.1
+    AND sf1 (0.35 s vs 0.50 s) and costs the single-exchange plan."""
+    docs = load_table(spark, sf_dir, "documents")
     return sampling.per_group_cap(
         docs, ["lang"], n=20, id_col="doc_id", salt="cap"
     ).select("lang", "doc_id")
@@ -2404,8 +2407,14 @@ def _train_perceptron_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern applied to supervised learning). Output rows: one (token,
     weight) per vocab term + __bias__, plus __mistakes_i audit rows —
     if training converges early the remaining iterations are provably
-    no-ops (zero mistakes, zero updates), so padding with 0 is exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    no-ops (zero mistakes, zero updates), so padding with 0 is exact.
+
+    Spread: with the feature frame persisted (r12), the one-time
+    tokenize+intersect job parallelizes into the cache and every
+    iteration reads spread partitions — measured 0.77 s → 0.66 s at
+    sf0.1 (pre-persist, the spread lost: it re-paid the exchange on
+    every iteration's re-scan)."""
+    docs = load_spread(spark, sf_dir, "documents")
     label = F.array_contains(
         F.split(F.lower(F.col("text")), r"\s+"), "spark")
     w, m = text.train_classifier_perceptron(

@@ -861,6 +861,11 @@ def train_classifier_perceptron(df: DataFrame, label_col, vocab: list,
     base = df.select(
         feats.alias("__ft"),
         F.when(label_col.cast("int") == 1, 1).otherwise(0).alias("__y"))
+    # every iteration's job re-reads this frame: persist or each of the
+    # ``iterations`` jobs re-tokenizes + re-intersects the whole corpus
+    # (the kmeans_lloyd contract; ~1 row/doc of (tokens∩vocab, label))
+    from funnel_rocket_spark.operators.dedup import bounded_persist
+    base = bounded_persist(base)
     weights = {t: 0.0 for t in vocab}
     weights["__bias__"] = 0.0
     mistakes = []
@@ -1541,8 +1546,25 @@ def lm_bigram_model_frames(df_target: DataFrame, text_col: str = "text",
                     + F.lit(s * n_buckets))).alias("__bv")))
     n_bigrams = None
     if checkpoint:
-        uni_df = uni_df.localCheckpoint()
-        bi_df = bi_df.localCheckpoint()
+        # ONE eager action for both model tables: the two aggregates are
+        # branches of a tagged union checkpointed together (their stages
+        # run concurrently instead of as two sequential driver round
+        # trips), and the derived views are local filters over the
+        # checkpointed blocks. (__b is int, __pc long — the union rides
+        # the wider key and the uni view casts back.)
+        both = (uni_df.select(F.lit(0).alias("__t"),
+                              F.col("__b").cast("long").alias("__k"),
+                              F.col("__uv").alias("__v"))
+                .unionByName(bi_df.select(F.lit(1).alias("__t"),
+                                          F.col("__pc").alias("__k"),
+                                          F.col("__bv").alias("__v")))
+                .localCheckpoint())
+        uni_df = (both.where(F.col("__t") == 0)
+                  .select(F.col("__k").cast("int").alias("__b"),
+                          F.col("__v").alias("__uv")))
+        bi_df = (both.where(F.col("__t") == 1)
+                 .select(F.col("__k").alias("__pc"),
+                         F.col("__v").alias("__bv")))
         # checkpointed => counting is a cheap local scan; the ACTUAL
         # row count (not the requested cap) drives the scorer's
         # broadcast-vs-AQE decision, so a small model trained with a

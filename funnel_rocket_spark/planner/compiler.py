@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from funnel_rocket_spark.operators._litexpr import _sql_double
 from funnel_rocket_spark.validation.validator import ExpandedQuery
 
 COND_PREFIX = "__cond_"
@@ -300,6 +301,27 @@ def _chain_done(arrs: list[Column], entry: int,
     return F.aggregate(F.array(*rest), init, step)["done"]
 
 
+def _chain_done_sql(names: list[str], entry: int) -> str:
+    """SQL-string twin of :func:`_chain_done` (no ``maxDuration`` —
+    segmented callers have already turned it into a row filter) over
+    NAMED per-step array columns. One ``F.expr`` parse replaces the
+    per-link lambda-Column construction; the resolved expression tree is
+    identical, including the duplicated ``array_min(filter(...))`` the
+    Column form inlines through ``nxt``."""
+    a0 = f"array_min({names[entry]})"
+    done0 = f"cast({a0} is not null as int)"
+    rest = names[entry + 1:]
+    if not rest:
+        return done0
+    nxt = "array_min(filter(arr, x -> x > acc.a))"
+    return (
+        "aggregate(array(" + ",".join(rest) + "),"
+        f"named_struct('done',{done0},'a',{a0}),"
+        f"(acc, arr) -> named_struct("
+        f"'done',acc.done + cast({nxt} is not null as int),'a',{nxt})"
+        ").done")
+
+
 def sequence_anchor_chain(spec: SequenceSpec, df: DataFrame,
                           group_col: str, ts_col: str) -> DataFrame:
     """(group, __fr_rows, __fr_done) via n CHAINED per-group MIN
@@ -437,9 +459,19 @@ def _segmented_fold_frame(spec: SequenceSpec, df: DataFrame,
         bounds = sorted(set(
             df.select(ts.alias("__fr_ts")).approxQuantile(
                 "__fr_ts", probs, 0.001))) if probs else []
-    seg = F.lit(0)
-    for b in bounds:
-        seg = seg + F.when(ts >= F.lit(b), 1).otherwise(0)
+    if bounds:
+        # segment = #bounds ≤ ts. Keep the codegen'd when-chain shape (a
+        # size(filter(<63-element literal array>)) HOF is interpreted
+        # per ROW — measured 0.8 → 1.9 s CPU on fr_sequence_segmented)
+        # but render it as ONE parsed expression over a staged ts
+        # column: the per-bound Column loop cost ~6 py4j round-trips per
+        # boundary (~400 driver calls at 64 segments, every plan build).
+        df = df.withColumn("__fr_tsn", ts)
+        seg = F.expr(" + ".join(
+            f"(case when __fr_tsn >= {_sql_double(b)} then 1 else 0 end)"
+            for b in bounds))
+    else:
+        seg = F.lit(0)
 
     # per-(group, segment) per-step matching-ts arrays, then one
     # iterated-min chain per ENTRY index (r12 — replaces n evaluations
@@ -451,11 +483,16 @@ def _segmented_fold_frame(spec: SequenceSpec, df: DataFrame,
     seg_rows = (df.groupBy(F.col(group_col), seg.alias("__fr_seg"))
                 .agg(F.count(F.lit(1)).alias("__fr_prows"),
                      *[a.alias(f"__fr_a{i}") for i, a in enumerate(arrs)]))
-    acols = [F.col(f"__fr_a{i}") for i in range(n)]
-    exits = F.array(
-        *[F.lit(e) + _chain_done(acols, e) for e in range(n)],
-        F.lit(n),  # entry n: already matched, stays matched
-    )
+    # the full exit vector as ONE parsed expression over the named
+    # per-step array columns: the per-entry Column-API chains cost
+    # ~500 py4j round-trips per entry index (measured 0.79 s of the
+    # fr_sequence_segmented build); the parsed plan — aggregate() over
+    # named_struct with the same duplicated array_min(filter()) the
+    # Column form inlines — is identical node-for-node.
+    anames = [f"__fr_a{i}" for i in range(n)]
+    exits = F.expr("array(" + ",".join(
+        [f"{e} + {_chain_done_sql(anames, e)}" for e in range(n)]
+        + [str(n)]) + ")")  # entry n: already matched, stays matched
     seg_tbl = seg_rows.select(group_col, "__fr_seg", "__fr_prows",
                               exits.alias("__fr_x"))
     segs_sorted = F.array_sort(F.collect_list(F.struct(

@@ -357,13 +357,21 @@ def test_group_cap_single_window_exchange(spark):
 
 
 def test_pii_redact_shuffle_free(spark):
-    """text_pii_redact: a pure regexp_replace projection — zero exchanges,
-    one whole-stage-codegen span over the scan."""
+    """text_pii_redact: a pure regexp_replace projection — no
+    data-dependent exchange. The ONE allowed exchange is load_spread's
+    round-robin repartition (r12: the single-row-group input otherwise
+    serializes the regex work onto one task — 3.4 s vs 0.9 s at sf1),
+    which moves no keyed data and disappears on real multi-split
+    inputs."""
     out = bq.QUERIES["text_pii_redact"][0](spark, SF)
     plan = formatted_plan(out)
-    assert count_exchanges(out) == 0, plan
-    # '*' marks whole-stage-codegen nodes in formatted plans
-    assert "* Project" in plan, plan
+    assert count_exchanges(out) <= 1, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    # still a plain projection (AQE hides codegen stars pre-execution;
+    # the Python-boundary check is what matters: no Arrow/Python eval)
+    assert "Project" in plan, plan
+    assert "EvalPython" not in plan, plan
 
 
 def test_grouping_sets_single_exchange(spark):
