@@ -38,6 +38,25 @@ from funnel_rocket_spark.operators import (
 # loaders
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Analyzed scan handle for one table, registered once per session.
+
+    ``spark.read.parquet`` pays ~80 ms of driver work per call (file
+    listing, footer fetch, schema inference) — and a 133-query bench
+    session was re-paying it on every query × run for the same immutable
+    files. This memoizes the UNEXECUTED DataFrame handle (an analyzed
+    scan plan — schema metadata only, no rows) on the session object,
+    the reference engine's register-once dataset model. Every action
+    still scans the parquet inputs; nothing computed is reused. The
+    cache dies with the session (stored on it), so tests spinning up
+    fresh sessions can never see a stale handle.
+    """
+    cache = getattr(spark, "_frs_scan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._frs_scan_cache = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     # tz-independent epoch math for NTZ timestamp columns (driver sessions
     # may not have our session.py defaults)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -46,7 +65,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # epoch-nanos directly (nanosAsLong); micro/milli timestamps come
         # back as timestamp(_ntz) and are normalized below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cache[key] = df
+    return df
 
 
 def _spread_max_bytes() -> int:
