@@ -1567,8 +1567,15 @@ def _curation_pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3,
                                     threshold=0.5)
     survivors = dedup.apply_dedup(docs, pairs).select("doc_id")
-    good = text.quality_score(corpus).filter(
-        F.col("quality") >= 0.9).select("doc_id")
+    # The quality cut rides a SPREAD + tiny (id, quality) persist: filtered
+    # directly, PushDownPredicates plants the whole tokenizer+regex quality
+    # formula at the parquet scan (1-2 input splits — 2.6 s of the sf1-tier
+    # run serialized there); the cache boundary pins evaluation above the
+    # exchange, 16 bytes/doc of storage.
+    par = spark.sparkContext.defaultParallelism
+    good = dedup.bounded_persist(
+        text.quality_score(corpus.repartition(par, F.col("doc_id")))
+    ).filter(F.col("quality") >= 0.9).select("doc_id")
     contaminated = dedup.ngram_contamination(corpus, evalset, n=5,
                                           strategy="broadcast") \
         .select("doc_id")
@@ -2065,8 +2072,14 @@ def _curation_report_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont_ids = (dedup.ngram_contamination(corpus, evalset, n=5,
                                           strategy="broadcast")
                 .select("doc_id").withColumn("__cont", F.lit(1)))
+    # spread below the quality projection: the formula otherwise evaluates
+    # in the scan stage at the file's 1-2-split parallelism (no filter here,
+    # so no persist barrier is needed — just the exchange placement)
     base = (corpus.select("doc_id", "source")
-            .join(text.quality_score(corpus), "doc_id")
+            .join(text.quality_score(
+                corpus.repartition(
+                    spark.sparkContext.defaultParallelism,
+                    F.col("doc_id"))), "doc_id")
             .join(dup_ids, "doc_id", "left")
             .join(cont_ids, "doc_id", "left"))
     # quality is 6-dp-rounded, so sum it as EXACT integer micro-units and

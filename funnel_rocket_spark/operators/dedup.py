@@ -162,33 +162,37 @@ def shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                   persist: bool = True) -> DataFrame:
     """(id, grams) with the tokenization staged — split once per row.
 
-    Two projections with an explode barrier between them would still collapse
-    under Catalyst's CollapseProject (re-evaluating the regex split per
-    reference inside ``_ngrams_over`` — quadratic re-splitting), so the token
-    array must be materialized. Two ways, picked by the caller's consumer
-    count:
+    The token array is an intermediate PROJECT of its own, referenced many
+    times by ``_ngrams_over``; Catalyst's CollapseProject declines to merge
+    the two projections (it would duplicate a non-cheap ``split`` per
+    reference — verified on the optimized plan: one ``split`` call), so the
+    attribute boundary between the stacked projects already guarantees the
+    split runs exactly once per row. No exchange or cache is needed for
+    correctness; what remains is a PLACEMENT choice:
 
-    - ``persist=True`` (default): cache the token frame — right when the
-      shingles feed MULTIPLE jobs (verification ga/gb, incremental new×old).
-    - ``persist=False``: stage tokens through the repartition EXCHANGE
-      instead (projections don't collapse across an exchange, so the split
-      still runs exactly once) — right for single-pass consumers like the
-      signature build, where caching a corpus of token arrays buys nothing
-      and costs a full serialized copy in executor memory (measured 29s of
-      a 153s dedup_minhash stage at the 2M-doc rung).
+    - The repartition sits BELOW the tokenize, on the raw (id, text) rows:
+      a single-row-group parquet file scans as 1-2 tasks, and tokenizing
+      there serialized the whole corpus through those tasks (measured at
+      the 10x tier: the 2-task scan+tokenize stage was 9.4 s of
+      dedup_minhash_lsh's 13.3 s; with the exchange below the tokenize the
+      map side only scans+writes and the split work spreads cluster-wide).
+    - It hash-partitions on the id, not round-robin: hash is deterministic
+      per row, so the map side skips RoundRobinPartitioning's full-row
+      local sort (spark.sql.execution.sortBeforeRepartition) — a pure
+      map-side saving at every scale. Ids are unique, so the spread is
+      balanced.
+    - ``persist=True``: additionally cache the token frame — right when
+      the shingles feed MULTIPLE jobs (verification ga/gb, incremental
+      new×old). ``persist=False``: right for single-pass consumers like
+      the signature build, where caching a corpus of token arrays buys
+      nothing and costs a full serialized copy in executor memory
+      (measured 29s of a 153s dedup_minhash stage at the 2M-doc rung).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
+    toks_df = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
     if persist:
-        toks_df = df.repartition(par).select(
-            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
         bounded_persist(toks_df)
-    else:
-        # hash-partition on id, not round-robin: round-robin after a
-        # computed column pays sortBeforeRepartition's full-row local sort
-        # (retry determinism); hash on the id is deterministic per row
-        toks_df = df.select(
-            F.col(id_col).alias("id"),
-            tokens(F.col(text_col)).alias("toks")).repartition(par, F.col("id"))
     return toks_df.select("id", _ngrams_over(F.col("toks"), n).alias("grams"))
 
 
@@ -453,7 +457,7 @@ def minhash_band_table(df: DataFrame, text_col: str = "text",
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
     grams_df = shingle_frame(df, text_col, id_col, n,
-                             persist=False).filter(F.size("grams") > 0)
+                             persist=False)
     return _band_rows(_minhash_sigs(grams_df, num_hashes), bands, rows_per_band)
 
 
@@ -487,7 +491,7 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus: DataFrame,
     # union), not the inner token frame — whose only reader is the grams
     # cache materialization itself
     new_grams = shingle_frame(new_docs, text_col, id_col, n,
-                              persist=False).filter(F.size("grams") > 0)
+                              persist=False)
     bounded_persist(new_grams)
     new_banded = _band_rows(_minhash_sigs(new_grams, num_hashes),
                             bands, rows_per_band)
@@ -523,7 +527,7 @@ def incremental_lsh_pairs(new_docs: DataFrame, corpus: DataFrame,
     matched_old = corpus.join(
         cand_ids, corpus[id_col] == cand_ids["cid"], "left_semi")
     old_grams = shingle_frame(matched_old, text_col, id_col, n,
-                              persist=False).filter(F.size("grams") > 0)
+                              persist=False)
     # the union feeds BOTH sides of the pair join (ga/gb) — persist it,
     # or the corpus semi-join + re-shingle lineage executes twice
     grams = bounded_persist(
@@ -607,8 +611,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # reader would be the grams materialization one line down). Cached
     # mode persists the GRAMS frame, which signatures AND verification
     # both read.
+    #
+    # Deliberately NO ``filter(size(grams) > 0)`` here (or at any shingle
+    # site): empty-gram docs already vanish at the explode, and candidate
+    # ids are a subset of banded (≥1-gram) docs, so the filter changed no
+    # results — but PushDownPredicates substituted it below the shingle
+    # exchange as a scan-side predicate re-deriving the ENTIRE
+    # split→zip_with chain (5 ``split`` calls per row, interpreted) on
+    # the file's 1-2 input splits: 7.3 s of dedup_minhash_lsh's 9.8 s at
+    # the 10x tier was that one filter stage.
     grams_df = shingle_frame(df, text_col, id_col, n,
-                             persist=False).filter(F.size("grams") > 0)
+                             persist=False)
     if cache_grams:
         bounded_persist(grams_df)
     sigs = _minhash_sigs(grams_df, num_hashes)
@@ -648,7 +661,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         # grams frame persisted on the next line — caching both would
         # re-pay (at candidate scale) the double-cache this removed
         cand_grams = shingle_frame(matched, text_col, id_col, n,
-                                   persist=False).filter(F.size("grams") > 0)
+                                   persist=False)
         grams = bounded_persist(
             cand_grams.select("id", "grams",
                               F.size("grams").alias("n_grams")))

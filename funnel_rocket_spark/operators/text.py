@@ -273,12 +273,19 @@ def pack_token_blocks(df: DataFrame, text_col: str = "text",
             F.col(id_col).alias("__id"),
             toks.alias("__toks"))
         .withColumn("__n", F.size("__toks"))
-        .filter(F.col("__n") > 0)
     )
     w = (Window.partitionBy("shard").orderBy("__id")
          .rowsBetween(Window.unboundedPreceding, -1))
+    # The zero-token filter sits ABOVE the window, not on `base`: below it,
+    # PushDownPredicates substitutes `size(tokens(text)) > 0` into a scan-
+    # side predicate that re-runs the tokenizer on the file's 1-2 input
+    # splits (then again in the projection). Zero-token docs add 0 to every
+    # prefix sum, so letting them ride the one window exchange and dropping
+    # them just before the explode yields bit-identical blocks — the filter
+    # can't push through the window (``__n`` is not a partition key).
     placed = base.withColumn(
-        "__start", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+        "__start", F.coalesce(F.sum("__n").over(w), F.lit(0))).filter(
+        F.col("__n") > 0)
     exploded = placed.withColumn(
         "block_id",
         F.explode(F.sequence(

@@ -115,6 +115,21 @@ def get_spark(
         # re-runs of an identical plan recompile instead of hitting the cache
         # (static conf — must be set before the first codegen).
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` below every
+        # explode; PushDownPredicates then substitutes the filter through
+        # the projections that DERIVE the array, planting the whole
+        # tokenize→zip_with shingle chain at the parquet scan as an
+        # interpreted predicate (observed: 5 `split` calls per row in one
+        # Filter, 28 in one plan) — recomputed on the scan's 1-2 input
+        # splits, then computed again above. The rows it would skip are
+        # exactly the rows explode already skips (empty arrays), so the
+        # inference buys nothing on derived arrays: r12 A/B — sf1-tier
+        # dedup_incremental_lsh -0.37 s, decontaminate_ngram -0.31 s;
+        # catalog canaries at sf0.1 a wash. Stored-array explodes lose
+        # only a rarely-selective scan filter.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.ui.enabled", "false")
     )
     if fair_scheduler or fair_pools:
