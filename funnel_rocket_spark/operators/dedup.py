@@ -158,6 +158,28 @@ def _ngrams_over(toks, n: int):
         F.slice(out, 1, F.greatest(sz - (n - 1), F.lit(0))))
 
 
+def _tokens_sql(text_col_sql: str, lowercase: bool = True) -> str:
+    """SQL-text form of :func:`tokens` — identical parsed expression, one
+    driver round-trip instead of the lambda-plumbing Column calls."""
+    src = f"lower({text_col_sql})" if lowercase else text_col_sql
+    return f"filter(split({src}, '\\\\s+'), x -> x != '')"
+
+
+def _ngrams_sql(toks_sql: str, n: int) -> str:
+    """SQL-text form of :func:`_ngrams_over` over an existing token-array
+    column reference — same zip_with chain, parsed in one round-trip."""
+    if n <= 1:
+        return f"array_distinct({toks_sql})"
+    sz = f"size({toks_sql})"
+    out = toks_sql
+    for i in range(1, n):
+        shifted = f"slice({toks_sql}, {i + 1}, greatest({sz} - {i}, 0))"
+        out = (f"zip_with({out}, {shifted}, "
+               f"(x, y) -> concat_ws(' ', x, y))")
+    return (f"array_distinct(slice({out}, 1, "
+            f"greatest({sz} - {n - 1}, 0)))")
+
+
 def shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                   persist: bool = True) -> DataFrame:
     """(id, grams) with the tokenization staged — split once per row.
@@ -189,11 +211,17 @@ def shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int = 3,
       (measured 29s of a 153s dedup_minhash stage at the 2M-doc rung).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks_df = df.repartition(par, F.col(id_col)).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    # Both projections render as ONE parsed SQL expression each (the
+    # _litexpr idiom): the Column-API form costs ~20 py4j round-trips per
+    # higher-order function for the lambda plumbing — ~0.15 s of driver
+    # chatter per shingle_frame call, and a full bench session builds
+    # dozens. The parsed tree is the same ZipWith/LambdaFunction chain
+    # (equivalence is test-pinned via sameSemantics).
+    toks_df = df.repartition(par, F.col(id_col)).selectExpr(
+        f"`{id_col}` AS id", _tokens_sql(f"`{text_col}`") + " AS toks")
     if persist:
         bounded_persist(toks_df)
-    return toks_df.select("id", _ngrams_over(F.col("toks"), n).alias("grams"))
+    return toks_df.selectExpr("id", _ngrams_sql("toks", n) + " AS grams")
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -423,23 +451,18 @@ def _minhash_sigs(grams_df: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def _band_rows(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(id, band, bucket) LSH band-bucket rows from a signature frame."""
-    return sigs.select(
+    """(id, band, bucket) LSH band-bucket rows from a signature frame.
+
+    One parsed SQL expression (same tree as the former Column chain,
+    sameSemantics-pinned in tests) — the transform/struct/md5 lambda
+    plumbing cost dozens of driver round-trips per plan build."""
+    rpb = rows_per_band
+    return sigs.selectExpr(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b_idx: F.struct(
-                    b_idx.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|", b_idx, F.slice("sig", b_idx * rows_per_band + 1,
-                                                rows_per_band)
-                        ).cast("binary")
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        "explode(transform(sequence(0, %d), b -> named_struct("
+        "'band', b, "
+        "'bucket', md5(CAST(concat_ws('|', b, slice(sig, b * %d + 1, %d)) "
+        "AS BINARY))))) AS bb" % (bands - 1, rpb, rpb),
     ).select("id", "bb.band", "bb.bucket")
 
 
