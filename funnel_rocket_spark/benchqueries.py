@@ -341,7 +341,10 @@ def _text_tokens_fn(spark, sf_dir):
 
 
 def _ann_lsh_pairs_fn(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # spread: the bucket-assignment Arrow pass (V @ H.T) otherwise runs at
+    # the single-row-group file's 1-task scan parallelism; the byte-bound
+    # guard keeps a real sharded corpus from paying the extra exchange
+    emb = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     return similarity.lsh_bucketed_pairs(emb, threshold=0.4, n_bits=4, tables=4,
                                          dim=64)
@@ -1432,7 +1435,9 @@ def _semantic_contamination_fn(spark, sf_dir):
     self-hit at cosine 1). Broadcast tier: eval matrix broadcast, one
     zero-shuffle GEMM pass over the corpus (`similarity.py
     semantic_contamination`)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # spread (byte-gated): the corpus-side GEMM otherwise runs at the
+    # single-row-group file's 1-task scan parallelism
+    emb = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     evalset = emb.where(F.col("vec_id") % 10 == 3)
     return similarity.semantic_contamination(
