@@ -1177,22 +1177,32 @@ def _part_avg_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _winsorized_mean_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier-robust mean: clamp to the per-group [p5, p95] band (exact
-    histogram percentiles), then average. The 3-row band frame broadcasts
-    back to the fact scan. Floor-to-cent clamps keep every value integral
-    so the mean is an exact-int sum over count — bit-stable across
-    engines regardless of accumulation order."""
+    histogram percentiles), then average. Floor-to-cent clamps keep every
+    value integral so the mean is an exact-int sum over count — bit-stable
+    across engines regardless of accumulation order.
+
+    The mean is computed FROM THE VALUE HISTOGRAM the band already needs
+    (Σ clamp(v)·c / Σ c over distinct values — identical exact-integer
+    sum, identical count), not by re-scanning the fact table: one lineitem
+    pass instead of two, and the only full-width exchange is the histogram
+    build (guide §8: decide on the lightweight proxy). Both branches share
+    ONE histogram via ReusedExchange."""
     li = load_spread(spark, sf_dir, "lineitem").withColumn(
         "cents", _cents("l_extendedprice"))
-    band = olap.grouped_exact_percentiles(
-        li, ["l_returnflag"], F.col("cents"), {"p05": 0.05, "p95": 0.95}
+    hist = olap.grouped_value_histogram(li, ["l_returnflag"], F.col("cents"))
+    band = olap.percentiles_from_histogram(
+        hist, ["l_returnflag"], {"p05": 0.05, "p95": 0.95}
     ).select("l_returnflag", F.floor("p05").alias("lo"),
              F.floor("p95").alias("hi"))
-    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    clamped = F.least(F.greatest(F.col("__v"), F.col("lo")), F.col("hi"))
+    nn = F.col("__v").isNotNull()
     return (
-        li.join(F.broadcast(band), "l_returnflag")
+        hist.join(F.broadcast(band), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_rows"),
-             F.round(F.avg(clamped), 4).alias("winsorized_mean_cents"))
+        .agg(F.sum("__c").alias("n_rows"),
+             F.round(F.sum(F.when(nn, clamped * F.col("__c")))
+                     / F.sum(F.when(nn, F.col("__c"))), 4)
+             .alias("winsorized_mean_cents"))
     )
 
 

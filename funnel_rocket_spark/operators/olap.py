@@ -10,7 +10,9 @@ The histogram formulation keeps everything in whole-stage codegen:
    repeated values BEFORE the shuffle; shuffle keys are (key, value), spread
    across all partitions.
 2. One window pass per key over the (much smaller) distinct-value histogram
-   computes cumulative and total counts.
+   computes cumulative and total counts (an opt-in distributed form exists
+   for whale-sized per-group histograms — see
+   :func:`percentiles_from_histogram`).
 3. Each requested quantile becomes two conditional ``min()`` aggregates
    (the floor/ceil neighbors of the target rank) + linear interpolation —
    bit-identical to ``percentile`` / DuckDB ``quantile_cont`` semantics
@@ -25,46 +27,154 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def grouped_value_histogram(
+    df: DataFrame, group_cols: list[str], value
+) -> DataFrame:
+    """(groups..., __v, __c): distinct-value histogram of ``value`` per
+    group — the lightweight proxy every percentile/winsorize decision can
+    be made on without touching the raw rows again. Map-side partial
+    aggregation compresses repeated values before the one exchange.
+
+    NO null pre-filter: null values ride the histogram as ZERO-WEIGHT rows
+    downstream (never selectable — selection needs __cum >= 1), so a group
+    whose values are all null still emits a row with null quantiles,
+    exactly like SQL GROUP BY + quantile_cont. Filtering first silently
+    DROPPED such groups, contradicting the oracle.
+    """
+    val = value if isinstance(value, Column) else F.col(value)
+    return (
+        df.groupBy(*group_cols, val.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def _ranged_cumulative(
+    hist: DataFrame,
+    part_cols: list[str],
+    order_col: str = "__v",
+    count_col: str = "__c",
+    partitions: int | None = None,
+) -> DataFrame:
+    """hist + (__cum, __n): cumulative non-null weight within ``part_cols``
+    ordered by ``order_col``, computed at FULL cluster parallelism.
+
+    A plain ``Window.partitionBy(part_cols).orderBy(order_col)`` cumsum
+    parallelizes only to the partition-key cardinality (3 ``l_returnflag``
+    values → 3 tasks; AQE byte-coalescing makes it worse, merging the
+    histogram exchange down to ~2 tasks at 16 MB advisory while the stage
+    carries most of the query's CPU). This is the ``exact_ntile`` pattern
+    applied to grouped histograms instead:
+
+    1. ``repartitionByRange(p, *part_cols, order_col)`` — a distributed
+       sort shuffle; p from ``spark.sql.shuffle.partitions`` (scale-
+       adaptive, never a local constant).
+    2. Per-(physical partition, part_cols) weight subtotals → cumulative
+       offsets + per-group totals, computed IN-PLAN from the same range
+       exchange (ReusedExchange — range bounds are *sampled*, so a second
+       job could re-sample different bounds and mis-assign offsets; one
+       exchange = one consistent partitioning) and broadcast back
+       (≤ p × |groups| rows).
+    3. Local window cumsum per (partition, part_cols) + the offset =
+       exact global cumulative count. The window needs clustering on
+       (__pid, part_cols), which the range partitioning cannot prove, so
+       an EXPLICIT ``repartition(p, ...)`` provides it — explicit-count
+       repartitions are exempt from AQE byte-coalescing, keeping the
+       sort/window/final-aggregate stage at p-way parallelism.
+
+    Null ``order_col`` rows carry zero weight (they sort first and their
+    cumulative count stays 0 — never selectable, still emitted).
+    """
+    sess = hist.sparkSession
+    p = int(partitions
+            or sess.conf.get("spark.sql.shuffle.partitions"))
+    w = (F.when(F.col(order_col).isNotNull(), F.col(count_col))
+         .otherwise(F.lit(0)))
+    ranged = (hist.repartitionByRange(p, *part_cols, order_col)
+              .withColumn("__pid", F.spark_partition_id()))
+    w_off = (Window.partitionBy(*part_cols).orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_tot = Window.partitionBy(*part_cols)
+    offs = (
+        ranged.groupBy("__pid", *part_cols).agg(F.sum(w).alias("__s"))
+        .select(
+            "__pid", *part_cols,
+            F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+            F.sum("__s").over(w_tot).alias("__n"))
+    )
+    w_loc = (Window.partitionBy("__pid", *part_cols).orderBy(order_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ranged.join(F.broadcast(offs), ["__pid", *part_cols])
+        .repartition(p, "__pid", *part_cols)
+        .select(*hist.columns,
+                (F.sum(w).over(w_loc) + F.col("__off")).alias("__cum"),
+                F.col("__n"))
+    )
+
+
 def grouped_exact_percentiles(
     df: DataFrame,
     group_cols: list[str],
     value,
     quantiles: dict[str, float],
+    partitions: int | None = None,
 ) -> DataFrame:
     """Exact linear-interpolation percentiles of ``value`` per group.
 
     ``quantiles`` maps output column name → q in [0, 1]. Returns one row per
     group with a double column per requested quantile. Null values are
     ignored (matching ``percentile`` / ``quantile_cont``); a group whose
-    values are all null yields nulls.
+    values are all null yields nulls. ``partitions`` opts in to the
+    distributed cumulative pass (see :func:`percentiles_from_histogram`).
+    """
+    hist = grouped_value_histogram(df, group_cols, value)
+    return percentiles_from_histogram(hist, group_cols, quantiles,
+                                      partitions=partitions)
+
+
+def percentiles_from_histogram(
+    hist: DataFrame,
+    group_cols: list[str],
+    quantiles: dict[str, float],
+    partitions: int | None = None,
+) -> DataFrame:
+    """Quantiles from a ``(groups..., __v, __c)`` value histogram (the
+    :func:`grouped_value_histogram` shape) — the tail of
+    :func:`grouped_exact_percentiles`, exposed so a caller that also
+    needs the histogram itself (e.g. a winsorized mean over the same
+    values) computes it ONCE and shares the exchange.
+
+    Cumulative-count strategy: by default, one windowed pass partitioned
+    by the group keys — ONE histogram exchange, parallelism capped at
+    group-key cardinality. Pass ``partitions`` to switch to the
+    distributed range-partitioned cumsum (:func:`_ranged_cumulative`)
+    when a per-group histogram is itself whale-sized. The distributed
+    form was A/B-measured as a LOSS on the catalog queries at sf0.1
+    (olap_percentiles 1.45 → 2.51 s, behavior_funnel_step_timing
+    0.65 → 1.56 s, min-of-3 interleaved, quiet box): its extra histogram
+    exchange + offsets branch + broadcast cost more than the added
+    parallelism buys until the per-group histogram far exceeds the
+    advisory partition size — so it is opt-in, not the default.
     """
     for name, q in quantiles.items():
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {name}={q} outside [0, 1]")
-    val = value if isinstance(value, Column) else F.col(value)
-
-    # NO pre-filter: null values ride the histogram as ZERO-WEIGHT rows
-    # (never selectable — selection needs __cum >= 1), so a group whose
-    # values are all null still emits a row with null quantiles, exactly
-    # like SQL GROUP BY + quantile_cont. Filtering first silently DROPPED
-    # such groups, contradicting both the docstring and the oracle.
-    hist = (
-        df.groupBy(*group_cols, val.alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    nn_c = F.when(F.col("__v").isNotNull(), F.col("__c")).otherwise(F.lit(0))
-    w_cum = (
-        Window.partitionBy(*group_cols)
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(*group_cols)
-    h = hist.select(
-        *group_cols,
-        "__v",
-        F.sum(nn_c).over(w_cum).alias("__cum"),
-        F.sum(nn_c).over(w_all).alias("__n"),
-    )
+    if partitions is not None:
+        h = _ranged_cumulative(hist, group_cols, partitions=partitions)
+    else:
+        nn_c = (F.when(F.col("__v").isNotNull(), F.col("__c"))
+                .otherwise(F.lit(0)))
+        w_cum = (
+            Window.partitionBy(*group_cols)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(*group_cols)
+        h = hist.select(
+            *hist.columns,
+            F.sum(nn_c).over(w_cum).alias("__cum"),
+            F.sum(nn_c).over(w_all).alias("__n"),
+        )
 
     aggs = []
     for name, q in quantiles.items():

@@ -142,6 +142,37 @@ def test_multi_matches_single_value_calls(spark):
     assert plan.count("Scan ") <= 1
 
 
+def test_distributed_cumsum_cross_partition_offsets(spark):
+    """The range-partitioned cumulative pass (_ranged_cumulative) must
+    stitch partition-local counts with the in-plan offsets: force many
+    more range partitions than groups, heavy duplicates, and nulls, so
+    every group's histogram spans several partitions."""
+    rng = random.Random(23)
+    rows = [("g", float(rng.randint(0, 6))) for _ in range(400)]
+    rows += [("h", 1.0)] * 40 + [("h", None)] * 10 + [("i", None)] * 5
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: [r[n] for n in QS]
+           for r in olap.grouped_exact_percentiles(
+               df, ["k"], "v", QS, partitions=16).collect()}
+    want = {r["k"]: [r[n] for n in QS]
+            for r in _native(df, "k", "v").collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], nan_ok=True), k
+    assert got["i"] == [None] * len(QS)  # all-null group keeps its row
+
+    # plan gate (on the FINAL adaptive plan): the in-plan offsets branch
+    # must REUSE the range exchange — range bounds are sampled, so a
+    # second materialization could assign different partitions and
+    # corrupt the offsets (see _ranged_cumulative)
+    q = olap.grouped_exact_percentiles(df, ["k"], "v", QS, partitions=16)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert any("ReusedExchange" in ln and "rangepartitioning" in ln
+               for ln in final.splitlines())
+
+
 def test_multi_rejects_unknown_value_and_bad_q(spark):
     df = spark.createDataFrame([("x", 1.0)], "k string, v double")
     with pytest.raises(ValueError, match="unknown value"):
