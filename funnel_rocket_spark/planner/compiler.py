@@ -833,15 +833,44 @@ class QueryPlan:
         a monotone pure-function-of-ts bucketing (ties never split), so
         base-frame quantiles serve every universe built from this plan —
         and rebuilding a funnel frame neither re-runs the quantile job
-        nor bakes different literals into plan-equality-cached plans."""
+        nor bakes different literals into plan-equality-cached plans.
+
+        The quantile job is additionally memoized PER SESSION, keyed by
+        the base frame's canonicalized plan (semanticHash) + ts column +
+        segment count: ``approxQuantile`` is an eager ~0.35 s driver
+        round-trip that every fresh plan over the same immutable frame
+        re-paid. This is a load-balancing statistic, not a result —
+        results are invariant to the bounds by the monotone-bucketing
+        argument above (any bounds give identical output, only the
+        segment sizes shift) — so reuse can never change what a query
+        computes; the memo dies with the session."""
         key = id(spec)
         if key not in self._seg_bounds_cache:
-            ts, _ = ts_numeric(self.df, self.ts_col)
             probs = [i / self.fold_segments
                      for i in range(1, self.fold_segments)]
-            self._seg_bounds_cache[key] = sorted(set(
-                self.df.select(ts.alias("__fr_ts")).approxQuantile(
-                    "__fr_ts", probs, 0.001))) if probs else []
+            if not probs:
+                self._seg_bounds_cache[key] = []
+                return self._seg_bounds_cache[key]
+            sess = self.df.sparkSession
+            memo = getattr(sess, "_frs_seg_bounds_memo", None)
+            if memo is None:
+                memo = {}
+                sess._frs_seg_bounds_memo = memo
+            try:
+                mkey = (self.df.semanticHash(), self.ts_col,
+                        self.fold_segments)
+            except Exception:
+                mkey = None
+            if mkey is None or mkey not in memo:
+                ts, _ = ts_numeric(self.df, self.ts_col)
+                bounds = sorted(set(
+                    self.df.select(ts.alias("__fr_ts")).approxQuantile(
+                        "__fr_ts", probs, 0.001)))
+                if mkey is None:
+                    self._seg_bounds_cache[key] = bounds
+                    return bounds
+                memo[mkey] = bounds
+            self._seg_bounds_cache[key] = memo[mkey]
         return self._seg_bounds_cache[key]
 
     def _df_with_condition_anchors(self) -> DataFrame:
