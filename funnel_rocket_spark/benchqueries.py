@@ -647,8 +647,8 @@ def _ann_ivfpq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(F.broadcast(qv), "query_id")
              .select("query_id", "vec_id",
                      F.round(similarity.cosine(
-                         F.col("embedding").cast("array<double>"),
-                         F.col("__qv").cast("array<double>")), 6)
+                         "cast(embedding as array<double>)",
+                         "cast(__qv as array<double>)"), 6)
                      .alias("__true")))
     per_q = (truth.join(F.broadcast(kth), "query_id")
              .groupBy("query_id")

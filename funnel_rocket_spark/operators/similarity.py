@@ -47,12 +47,39 @@ def _gemm_block(n_cols: int) -> int:
     return max(1, min(4096, 8_000_000 // max(n_cols, 1)))
 
 
+# dot/norm/cosine accept either Columns or raw SQL fragments (plain
+# column names at every in-repo call site). The fragment form renders
+# the whole reduction as ONE parsed expression: the Column-API
+# zip_with/aggregate lambda chain costs ~20 py4j round-trips per call
+# and a cosine ~55 ms of driver socket chatter — an IVF assignment
+# expression over k centers paid that k times per plan build. The parsed
+# tree is semantically identical (sameSemantics-pinned in
+# tests/test_litexpr.py).
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "0.0D, (acc, v) -> acc + v)")
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + v * v))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (f"coalesce({_dot_sql(a, b)} / "
+            f"nullif({_norm_sql(a)} * {_norm_sql(b)}, 0.0D), 0.0D)")
+
+
 def dot(a, b):
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def norm(a):
+    if isinstance(a, str):
+        return F.expr(_norm_sql(a))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
@@ -61,6 +88,8 @@ def cosine(a, b):
     # HARD-FAILS the whole job on one degenerate row. cosine with a zero
     # vector is undefined — emit 0.0 (never above a threshold, never
     # outranks a genuine match).
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_sql(a, b))
     return F.coalesce(
         dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0)), F.lit(0.0))
 
@@ -80,7 +109,7 @@ def unit_normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     the norm is evaluated once per row, not once per element. Zero vectors
     stay zero (nullif/coalesce — ANSI divide would fail the job)."""
     staged = df.select(F.col(id_col), F.col(vec_col),
-                       F.nullif(norm(F.col(vec_col)), F.lit(0.0))
+                       F.nullif(norm(f"`{vec_col}`"), F.lit(0.0))
                        .alias("__norm"))
     return staged.select(
         F.col(id_col),
@@ -107,7 +136,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
     scored = joined.where(F.col(id_col) != F.col(query_id_col)).select(
         query_id_col, id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+        F.round(cosine(f"`{vec_col}`", "__qvec"), 6).alias("cosine_sim"),
     )
     from pyspark.sql import Window
 
@@ -252,7 +281,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
         return (
             pairs.select("id_a", "id_b",
-                         F.round(dot(F.col("va"), F.col("vb")), 6).alias("cosine_sim"))
+                         F.round(dot("va", "vb"), 6).alias("cosine_sim"))
             .filter(F.col("cosine_sim") >= threshold)
         )
 
@@ -441,7 +470,7 @@ def ivf_search(assigned: DataFrame, centers, queries: DataFrame, k: int = 10,
         assigned.join(F.broadcast(q), on="__cell")
         .where(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col,
-                F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+                F.round(cosine(f"`{vec_col}`", "__qvec"), 6)
                 .alias("cosine_sim"))
     )
     from pyspark.sql import Window
@@ -722,7 +751,7 @@ def semantic_contamination(corpus: DataFrame, evalset: DataFrame,
             .crossJoin(eu)
         return (pairs.select(
             id_col, "eval_id",
-            F.round(dot(F.col("__cv"), F.col("__ev")), 6)
+            F.round(dot("__cv", "__ev"), 6)
             .alias("cosine_sim"))
             .filter(F.col("cosine_sim") >= threshold))
 
@@ -894,17 +923,20 @@ def _assign_expr(vec_col, centers):
     per row, no UDF, no shuffle. array_sort on (−sim, idx) structs gives
     argmax-with-deterministic-ties in one pass.
     """
+    from funnel_rocket_spark.operators._litexpr import _sql_double
+
+    # ONE parsed expression: the per-center Column loop cost k×dim F.lit
+    # round-trips for the center arrays plus k lambda-built cosines —
+    # thousands of py4j calls per IVF plan build (guide §7.3).
     cnorms = [sum(x * x for x in c) ** 0.5 for c in centers]
     scored = []
     for i, (c, cn) in enumerate(zip(centers, cnorms)):
-        center = F.array(*[F.lit(float(x)) for x in c])
-        sim = F.coalesce(
-            dot(F.col(vec_col), center)
-            / F.nullif(norm(F.col(vec_col)) * F.lit(cn), F.lit(0.0)),
-            F.lit(0.0))
-        scored.append(F.struct((-sim).alias("negsim"),
-                               F.lit(i).alias("i")))
-    return F.array_sort(F.array(*scored))[0]["i"]
+        center = "array(" + ",".join(_sql_double(x) for x in c) + ")"
+        sim = (f"coalesce({_dot_sql(vec_col, center)} / "
+               f"nullif({_norm_sql(vec_col)} * {_sql_double(cn)}, 0.0D), "
+               "0.0D)")
+        scored.append(f"named_struct('negsim', -({sim}), 'i', {i})")
+    return F.expr(f"array_sort(array({','.join(scored)}))[0].i")
 
 
 def _gemm_assign(e: DataFrame, centers, id_col: str, vec_col: str):
@@ -1139,7 +1171,7 @@ def semantic_dedup_pairs(corpus: DataFrame, k: int = 8, rounds: int = 2,
     return (a.join(b, on="cluster")
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine_sim",
-                        F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+                        F.round(cosine("__va", "__vb"), 6))
             .where(F.col("cosine_sim") >= threshold)
             .select("id_a", "id_b", "cosine_sim"))
 
@@ -1470,7 +1502,7 @@ def ivf_pq_search(codes_df: DataFrame, centers, codebooks,
                       "vec_id")
              .join(F.broadcast(qdf), "query_id")
              .select("query_id", "vec_id",
-                     F.round(cosine(F.col("__rv"), F.col("__qv")), 6)
+                     F.round(cosine("__rv", "__qv"), 6)
                      .alias("cosine_sim")))
     w2 = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id"))

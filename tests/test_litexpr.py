@@ -122,3 +122,44 @@ def test_band_rows_sql_form_matches_column_form(spark):
     assert new.sameSemantics(old)
     assert sorted(map(tuple, new.collect())) == \
         sorted(map(tuple, old.collect()))
+
+
+def test_similarity_sql_forms_match_column_forms(spark):
+    """dot/norm/cosine's SQL-fragment form must resolve to the SAME plan
+    as the Column-API lambda chain (r12: ~55 ms of py4j chatter per
+    cosine saved per plan build), and _assign_expr's one-expression form
+    must assign identical clusters (bit-exact center literals)."""
+    from funnel_rocket_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.5, -0.25]), (2, [0.0, 0.0, 0.0]), (3, [0.1, 2.0 / 3.0, -0.0])],
+        "vec_id long, embedding array<double>")
+    pairs = [
+        (sim.dot("embedding", "embedding"),
+         sim.dot(F.col("embedding"), F.col("embedding"))),
+        (sim.norm("embedding"), sim.norm(F.col("embedding"))),
+        (sim.cosine("embedding", "embedding"),
+         sim.cosine(F.col("embedding"), F.col("embedding"))),
+    ]
+    for new_c, old_c in pairs:
+        new = df.select(new_c.alias("v"))
+        old = df.select(old_c.alias("v"))
+        assert new.sameSemantics(old)
+
+    # _assign_expr: parsed form vs the original per-center Column loop
+    centers = [[1.0, 0.0, 0.0], [0.1, 2.0 / 3.0, -5e-324], [0.0, -1.0, 1e150]]
+    cnorms = [sum(x * x for x in c) ** 0.5 for c in centers]
+    scored = []
+    for i, (c, cn) in enumerate(zip(centers, cnorms)):
+        center = F.array(*[F.lit(float(x)) for x in c])
+        s = F.coalesce(
+            sim.dot(F.col("embedding"), center)
+            / F.nullif(sim.norm(F.col("embedding")) * F.lit(cn), F.lit(0.0)),
+            F.lit(0.0))
+        scored.append(F.struct((-s).alias("negsim"), F.lit(i).alias("i")))
+    old_assign = F.array_sort(F.array(*scored))[0]["i"]
+    got = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id", sim._assign_expr("embedding", centers).alias("c")).collect()}
+    want = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id", old_assign.alias("c")).collect()}
+    assert got == want
