@@ -722,62 +722,64 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     ``_tokens_or_empty``): zero metrics, ``passes`` false — a definite
     verdict, not a NULL one.
     """
-    col = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
-    n_words = F.size(words)
-    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
-    mean_wl = F.round(nonspace / F.greatest(n_words, F.lit(1)), 6)
-    n_hash = F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
+    # One parsed selectExpr per projection (r12): the Column-API form of
+    # these six lambda HOFs + the literal stopword array cost ~0.3 s of
+    # py4j chatter per plan build (guide §7.3); the SQL text parses to
+    # the identical expression trees (values pinned bit-for-bit by the
+    # text_gopher_filter / curation DuckDB oracles).
+    from funnel_rocket_spark.operators._litexpr import _sql_double
+    from funnel_rocket_spark.operators.dedup import _tokens_sql
+
+    t = f"coalesce(`{text_col}`, '')"
+    words = f"filter(split({t}, '\\\\s+'), t -> t != '')"
+    n_words = f"size({words})"
+    gw = f"greatest({n_words}, 1)"
+    nonspace = f"length(regexp_replace({t}, '\\\\s', ''))"
+    n_hash = f"(length({t}) - length(regexp_replace({t}, '#', '')))"
     # both ellipsis spellings count, matching the line-end rule below
-    n_ellipsis = ((F.length(col)
-                   - F.length(F.replace(col, F.lit("..."), F.lit("")))) / 3
-                  + (F.length(col)
-                     - F.length(F.replace(col, F.lit("…"), F.lit("")))))
-    sym_ratio = F.round((n_hash + n_ellipsis)
-                        / F.greatest(n_words, F.lit(1)), 6)
-    lines = F.filter(F.split(col, r"\n"),
-                     lambda ln: F.trim(ln) != F.lit(""))
-    n_lines = F.size(lines)
-    bullet = F.size(F.filter(
-        lines, lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("•", "-", "*")))
-    ellipsis_end = F.size(F.filter(
-        lines, lambda ln: F.rtrim(ln).endswith("...")
-        | F.rtrim(ln).endswith("…")))
-    bullet_frac = F.round(bullet / F.greatest(n_lines, F.lit(1)), 6)
-    ellipsis_frac = F.round(ellipsis_end / F.greatest(n_lines, F.lit(1)), 6)
-    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    alpha_frac = F.round(alpha / F.greatest(n_words, F.lit(1)), 6)
-    stop_hits = F.size(F.array_intersect(
-        tokens(col), F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])))
-    out = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        sym_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stopword_hits"),
+    n_ellipsis = (f"((length({t}) - length(replace({t}, '...', ''))) / 3"
+                  f" + (length({t}) - length(replace({t}, '…', ''))))")
+    lines = f"filter(split({t}, '\\\\n'), ln -> trim(ln) != '')"
+    gl = f"greatest(size({lines}), 1)"
+    bullet = (f"size(filter({lines}, ln -> "
+              "substring(ltrim(ln), 1, 1) IN ('•', '-', '*')))")
+    ellipsis_end = (f"size(filter({lines}, ln -> "
+                    "endswith(rtrim(ln), '...') OR endswith(rtrim(ln), '…')))")
+    alpha = f"size(filter({words}, w -> w rlike '[A-Za-z]'))"
+    stops = ("array(" + ",".join(
+        f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS) + ")")
+    out = df.selectExpr(
+        f"`{id_col}`",
+        f"{n_words} AS n_words",
+        f"round({nonspace} / {gw}, 6) AS mean_word_len",
+        f"round(({n_hash} + {n_ellipsis}) / {gw}, 6) AS symbol_word_ratio",
+        f"round({bullet} / {gl}, 6) AS bullet_line_frac",
+        f"round({ellipsis_end} / {gl}, 6) AS ellipsis_line_frac",
+        f"round({alpha} / {gw}, 6) AS alpha_word_frac",
+        f"size(array_intersect({_tokens_sql(t)}, {stops})) AS stopword_hits",
     )
+    def _num(v):  # int thresholds as int literals, anything else double
+        return str(v) if isinstance(v, int) else _sql_double(v)
+
     rules = {
-        "rule_word_count": (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words),
-        "rule_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len),
-        "rule_symbol_ratio": F.col("symbol_word_ratio")
-        <= max_symbol_word_ratio,
-        "rule_bullet_lines": F.col("bullet_line_frac")
-        <= max_bullet_line_frac,
-        "rule_ellipsis_lines": F.col("ellipsis_line_frac")
-        <= max_ellipsis_line_frac,
-        "rule_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
-        "rule_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+        "rule_word_count": (f"n_words >= {_num(min_words)} "
+                            f"AND n_words <= {_num(max_words)}"),
+        "rule_mean_word_len":
+            (f"mean_word_len >= {_sql_double(min_mean_word_len)} "
+             f"AND mean_word_len <= {_sql_double(max_mean_word_len)}"),
+        "rule_symbol_ratio":
+            f"symbol_word_ratio <= {_sql_double(max_symbol_word_ratio)}",
+        "rule_bullet_lines":
+            f"bullet_line_frac <= {_sql_double(max_bullet_line_frac)}",
+        "rule_ellipsis_lines":
+            f"ellipsis_line_frac <= {_sql_double(max_ellipsis_line_frac)}",
+        "rule_alpha_words":
+            f"alpha_word_frac >= {_sql_double(min_alpha_word_frac)}",
+        "rule_stopwords": f"stopword_hits >= {_num(min_stopword_hits)}",
     }
-    out = out.select("*", *[c.alias(n) for n, c in rules.items()])
-    passes = None
-    for n in rules:
-        passes = F.col(n) if passes is None else passes & F.col(n)
-    return out.withColumn("passes", passes)
+    out = out.selectExpr("*", *[f"({e}) AS {n}" for n, e in rules.items()])
+    return out.selectExpr(
+        "*", "(" + " AND ".join(rules) + ") AS passes")
 
 
 def c4_line_filter(df: DataFrame, text_col: str = "text",
