@@ -1977,9 +1977,22 @@ def _late_orders_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = (li.select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(orders.select("o_orderkey", "o_orderdate"),
                 F.col("l_orderkey") == F.col("o_orderkey")))
-    flag = (lo.groupBy("l_orderkey", "l_suppkey")
-            .agg(F.max(F.when(F.col("l_shipdate") - F.col("o_orderdate")
-                              > F.lit(_LATE_NS), 1).otherwise(0)).alias("late")))
+    # ONE exchange serves both the flag aggregate and the per-order
+    # window: project the per-row late flag first (3 narrow columns),
+    # hash-repartition by l_orderkey (hash on a key subset satisfies the
+    # groupBy(l_orderkey, l_suppkey) clustering, and the window's), and
+    # aggregate in place. The groupBy-first form paid a second full
+    # exchange of the flag frame for the window; map-side partial
+    # aggregation bought almost nothing here ((orderkey, suppkey) is
+    # nearly distinct per line), so shuffling the pre-projected rows
+    # costs the same bytes. AQE still right-sizes the single exchange.
+    row_late = (F.when(F.col("l_shipdate") - F.col("o_orderdate")
+                       > F.lit(_LATE_NS), 1).otherwise(0))
+    flag = (lo.select("l_orderkey", "l_suppkey",
+                      row_late.alias("__row_late"))
+            .repartition(F.col("l_orderkey"))
+            .groupBy("l_orderkey", "l_suppkey")
+            .agg(F.max("__row_late").alias("late")))
     w = Window.partitionBy("l_orderkey")
     per_order = (flag.withColumn("n_supp", F.count(F.lit(1)).over(w))
                  .withColumn("n_late", F.sum("late").over(w)))
