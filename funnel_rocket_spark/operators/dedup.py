@@ -941,20 +941,26 @@ def simhash16_table(df: DataFrame, text_col: str = "text",
         F.col("__w").isNull().alias("__empty"),
         F.substring(F.md5(F.col("__w").cast("binary")), 1, n_bits).alias("__h"),
     )
+    # The per-bit vote aggregates and the bit reconstruction render as
+    # parsed SQL (r12): the Column-API when-chains cost ~0.5 s of py4j
+    # chatter per plan build at n_bits=16 (one F.expr per vote = one
+    # round-trip; trees identical, sameSemantics-pinned in
+    # tests/test_litexpr.py).
+    hexes = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
     votes = [
-        F.sum(
-            F.when(F.col("__empty"), F.lit(0))
-            .when(F.substring(F.col("__h"), j + 1, 1).isin(
-                "8", "9", "a", "b", "c", "d", "e", "f"), F.lit(1))
-            .otherwise(F.lit(-1))
+        F.expr(
+            "sum(case when __empty then 0 "
+            f"when substring(__h, {j + 1}, 1) in {hexes} then 1 "
+            "else -1 end)"
         ).alias(f"__v{j}")
         for j in range(n_bits)
     ]
     agg = hashed.groupBy(id_col).agg(*votes)
-    sh = F.lit(0)
-    for j in range(n_bits):
-        sh = sh + F.when(F.col(f"__v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return agg.select(F.col(id_col), sh.cast("bigint").alias("simhash"))
+    sh = " + ".join(
+        f"(case when __v{j} > 0 then {1 << j} else 0 end)"
+        for j in range(n_bits))
+    return agg.selectExpr(f"`{id_col}`",
+                          f"cast((0 + {sh}) as bigint) AS simhash")
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
