@@ -410,9 +410,20 @@ def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
     cost is Σ|basket|² — linear-ish in practice. Pathological mega-baskets
     are the skew risk: cap them upstream or let AQE skew-split the join.
     A min_support filter + top-k keeps the result bounded.
+
+    ONE exchange serves the distinct AND both self-join sides (r12): an
+    explicit hash repartition on the basket key satisfies the distinct's
+    (basket, item) clustering (hash on a key subset) and the join's, so
+    the aliased sides read the same exchange (ReusedExchange) with no
+    re-shuffle. Map-side partial dedup is traded away — (basket, item)
+    is nearly distinct per row in basket data, so the raw shuffle costs
+    the same bytes. 1.34 → 0.93 s at sf0.1 (min-of-4 interleaved,
+    values identical).
     """
-    bi = df.select(F.col(basket_col).alias("__b"),
-                   F.col(item_col).alias("__i")).distinct()
+    bi = (df.select(F.col(basket_col).alias("__b"),
+                    F.col(item_col).alias("__i"))
+          .repartition(F.col("__b"))
+          .distinct())
     a, b = bi.alias("a"), bi.alias("b")
     return (
         a.join(b, F.col("a.__b") == F.col("b.__b"))
