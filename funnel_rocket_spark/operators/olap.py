@@ -69,11 +69,12 @@ def _ranged_cumulative(
        sort shuffle; p from ``spark.sql.shuffle.partitions`` (scale-
        adaptive, never a local constant).
     2. Per-(physical partition, part_cols) weight subtotals → cumulative
-       offsets + per-group totals, computed IN-PLAN from the same range
-       exchange (ReusedExchange — range bounds are *sampled*, so a second
-       job could re-sample different bounds and mis-assign offsets; one
-       exchange = one consistent partitioning) and broadcast back
-       (≤ p × |groups| rows).
+       offsets + per-group totals, computed from the PERSISTED ranged
+       frame (range bounds are *sampled*, so a branch that re-executed
+       the exchange could re-sample different bounds and mis-assign
+       offsets; materializing the frame once makes both branches read
+       the same physical partitioning by construction, not by hoping
+       ReuseExchange fires) and broadcast back (≤ p × |groups| rows).
     3. Local window cumsum per (partition, part_cols) + the offset =
        exact global cumulative count. The window needs clustering on
        (__pid, part_cols), which the range partitioning cannot prove, so
@@ -85,12 +86,28 @@ def _ranged_cumulative(
     cumulative count stays 0 — never selectable, still emitted).
     """
     sess = hist.sparkSession
-    p = int(partitions
-            or sess.conf.get("spark.sql.shuffle.partitions"))
+    if partitions is not None:
+        p = int(partitions)
+    else:
+        try:
+            p = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:  # e.g. "auto" on AQE-managed platforms
+            p = sess.sparkContext.defaultParallelism
     w = (F.when(F.col(order_col).isNotNull(), F.col(count_col))
          .otherwise(F.lit(0)))
-    ranged = (hist.repartitionByRange(p, *part_cols, order_col)
-              .withColumn("__pid", F.spark_partition_id()))
+    # PERSIST the ranged frame: __pid comes from spark_partition_id()
+    # over SAMPLED range bounds, so the offsets branch and the main
+    # branch must see one physical partitioning. Relying on ReuseExchange
+    # to share the sampled exchange is plan-inferred and can silently
+    # break (exchange reuse disabled, a checkpointed input, AQE
+    # canonicalization drift) — materializing the frame once makes the
+    # shared partitioning explicit: both branches read the same cached
+    # partitions, mis-assigned offsets become impossible by construction.
+    from funnel_rocket_spark.operators.dedup import bounded_persist
+
+    ranged = bounded_persist(
+        hist.repartitionByRange(p, *part_cols, order_col)
+        .withColumn("__pid", F.spark_partition_id()))
     w_off = (Window.partitionBy(*part_cols).orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     w_tot = Window.partitionBy(*part_cols)

@@ -47,14 +47,23 @@ def _gemm_block(n_cols: int) -> int:
     return max(1, min(4096, 8_000_000 // max(n_cols, 1)))
 
 
-# dot/norm/cosine accept either Columns or raw SQL fragments (plain
-# column names at every in-repo call site). The fragment form renders
-# the whole reduction as ONE parsed expression: the Column-API
-# zip_with/aggregate lambda chain costs ~20 py4j round-trips per call
-# and a cosine ~55 ms of driver socket chatter — an IVF assignment
-# expression over k centers paid that k times per plan build. The parsed
-# tree is semantically identical (sameSemantics-pinned in
-# tests/test_litexpr.py).
+# dot/norm/cosine accept either Columns or raw SQL FRAGMENTS — the str
+# form is a SQL expression, not a column name: a plain identifier must be
+# backtick-quoted by the caller (use _qident) if it could contain spaces,
+# hyphens, or reserved words. The fragment form renders the whole
+# reduction as ONE parsed expression: the Column-API zip_with/aggregate
+# lambda chain costs ~20 py4j round-trips per call and a cosine ~55 ms of
+# driver socket chatter — an IVF assignment expression over k centers
+# paid that k times per plan build. The parsed tree is semantically
+# identical (sameSemantics-pinned in tests/test_litexpr.py).
+
+def _qident(name: str) -> str:
+    """Backtick-quote a plain column NAME for interpolation into a SQL
+    fragment (embedded backticks double, per the SQL identifier rules) —
+    the bridge between name-taking public APIs and the fragment-taking
+    _*_sql helpers."""
+    return "`" + name.replace("`", "``") + "`"
+
 
 def _dot_sql(a: str, b: str) -> str:
     return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
@@ -929,11 +938,12 @@ def _assign_expr(vec_col, centers):
     # round-trips for the center arrays plus k lambda-built cosines —
     # thousands of py4j calls per IVF plan build (guide §7.3).
     cnorms = [sum(x * x for x in c) ** 0.5 for c in centers]
+    vec = _qident(vec_col)  # vec_col is a NAME here, not a SQL fragment
     scored = []
     for i, (c, cn) in enumerate(zip(centers, cnorms)):
         center = "array(" + ",".join(_sql_double(x) for x in c) + ")"
-        sim = (f"coalesce({_dot_sql(vec_col, center)} / "
-               f"nullif({_norm_sql(vec_col)} * {_sql_double(cn)}, 0.0D), "
+        sim = (f"coalesce({_dot_sql(vec, center)} / "
+               f"nullif({_norm_sql(vec)} * {_sql_double(cn)}, 0.0D), "
                "0.0D)")
         scored.append(f"named_struct('negsim', -({sim}), 'i', {i})")
     return F.expr(f"array_sort(array({','.join(scored)}))[0].i")

@@ -727,7 +727,7 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     # py4j chatter per plan build (guide §7.3); the SQL text parses to
     # the identical expression trees (values pinned bit-for-bit by the
     # text_gopher_filter / curation DuckDB oracles).
-    from funnel_rocket_spark.operators._litexpr import _sql_double
+    from funnel_rocket_spark.operators._litexpr import _sql_double, _sql_str
     from funnel_rocket_spark.operators.dedup import _tokens_sql
 
     t = f"coalesce(`{text_col}`, '')"
@@ -747,7 +747,7 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
                     "endswith(rtrim(ln), '...') OR endswith(rtrim(ln), '…')))")
     alpha = f"size(filter({words}, w -> w rlike '[A-Za-z]'))"
     stops = ("array(" + ",".join(
-        f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS) + ")")
+        _sql_str(w) for w in GOPHER_REQUIRED_STOPWORDS) + ")")
     out = df.selectExpr(
         f"`{id_col}`",
         f"{n_words} AS n_words",

@@ -857,7 +857,12 @@ class QueryPlan:
                 memo = {}
                 sess._frs_seg_bounds_memo = memo
             try:
-                mkey = (self.df.semanticHash(), self.ts_col,
+                # semanticHash is 32-bit — schema.simpleString() rides
+                # along as a collision disambiguator so two distinct base
+                # frames can never silently share bounds (degenerate
+                # segment sizing, though never wrong results).
+                mkey = (self.df.semanticHash(),
+                        self.df.schema.simpleString(), self.ts_col,
                         self.fold_segments)
             except Exception:
                 mkey = None

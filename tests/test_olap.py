@@ -161,16 +161,41 @@ def test_distributed_cumsum_cross_partition_offsets(spark):
         assert got[k] == pytest.approx(want[k], nan_ok=True), k
     assert got["i"] == [None] * len(QS)  # all-null group keeps its row
 
-    # plan gate (on the FINAL adaptive plan): the in-plan offsets branch
-    # must REUSE the range exchange — range bounds are sampled, so a
-    # second materialization could assign different partitions and
-    # corrupt the offsets (see _ranged_cumulative)
+    # plan gate (on the FINAL adaptive plan): both branches must read the
+    # PERSISTED ranged frame — materialized once, so the sampled range
+    # bounds cannot differ between the offsets branch and the main branch
+    # (r12 ADVICE medium: relying on ReuseExchange to share the sampled
+    # exchange was plan-inferred and could silently break)
     q = olap.grouped_exact_percentiles(df, ["k"], "v", QS, partitions=16)
     q.collect()
     plan = q._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert any("ReusedExchange" in ln and "rangepartitioning" in ln
-               for ln in final.splitlines())
+    assert ("InMemoryTableScan" in final
+            or "TableCacheQueryStage" in final)
+
+
+def test_distributed_cumsum_correct_without_exchange_reuse(spark):
+    """r12 ADVICE (medium): _ranged_cumulative's offsets must not depend
+    on ReuseExchange firing. With exchange reuse disabled, the persisted
+    ranged frame is the only thing keeping both branches on one physical
+    partitioning — values must still match the native percentile."""
+    rng = random.Random(31)
+    rows = [("g", float(rng.randint(0, 6))) for _ in range(300)]
+    rows += [("h", 2.0)] * 30 + [("h", None)] * 7
+    df = spark.createDataFrame(rows, "k string, v double")
+    old = spark.conf.get("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        got = {r["k"]: [r[n] for n in QS]
+               for r in olap.grouped_exact_percentiles(
+                   df, ["k"], "v", QS, partitions=16).collect()}
+        want = {r["k"]: [r[n] for n in QS]
+                for r in _native(df, "k", "v").collect()}
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], nan_ok=True), k
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
 
 
 def test_multi_rejects_unknown_value_and_bad_q(spark):
