@@ -70,6 +70,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Unique (or near-unique) key per spread-loaded table: hash-partitioning
+# on it avoids round-robin's sortBeforeRepartition local sort (see
+# load_spread). High cardinality ≫ partition count keeps the spread even.
+_SPREAD_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "orders": "o_orderkey",
+}
+
+
 def _spread_max_bytes() -> int:
     """Read per call (not at import) so a long-lived session — and an
     interleaved A/B harness — can toggle the spread without reloading."""
@@ -109,7 +121,21 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         return df
     if size <= _spread_max_bytes():
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        # Hash-spread on the table's unique key rather than round-robin:
+        # a keyless repartition(n) locally SORTS its full input rows
+        # first (spark.sql.execution.sortBeforeRepartition — needed so
+        # retried tasks reproduce the same assignment), charging every
+        # spread scan stage a full-row sort. Hashing a deterministic
+        # unique key needs no such sort (same r13 A/B as r12's
+        # shingle_frame fix: lineitem scan stage 0.25 s/task → ~0.1),
+        # spreads evenly (key cardinality ≫ partitions), and is
+        # retry-safe (deterministic key, SPARK-38388 does not apply).
+        key = _SPREAD_KEYS.get(name)
+        par = spark.sparkContext.defaultParallelism
+        if key is not None and os.environ.get("FRS_SPREAD_MODE") != "rr":
+            df = df.repartition(par, F.col(key))
+        else:
+            df = df.repartition(par)
     return df
 
 
