@@ -14,6 +14,7 @@ memberships.
 from __future__ import annotations
 
 import copy
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -463,7 +464,18 @@ def _ann_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, bound = 10, 0.2
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    ivf = similarity.ivf_topk(emb, queries, k=k, n_clusters=16, n_probe=4)
+    # frames quantizer (r13): the deterministic in-repo kmeans_lloyd —
+    # 1 seed collect + 2 Lloyd jobs instead of Spark ML fit()'s ~28
+    # sequential jobs (k-means|| init passes dominate a one-shot build).
+    # Measured recall with it: 0.7-1.0 per query across sf0.001/0.01/0.1
+    # vs the 0.2 floor (ML quantizer measured 0.3-0.9 — the swap only
+    # WIDENS the certification margin).
+    if os.environ.get("FRS_ANN_QUANTIZER") == "ml":  # A/B control shape
+        ivf = similarity.ivf_topk(emb, queries, k=k, n_clusters=16,
+                                  n_probe=4)
+    else:
+        ivf = similarity.ivf_topk(emb, queries, k=k, n_clusters=16,
+                                  n_probe=4, quantizer="frames", max_iter=2)
     brute = similarity.cosine_topk(emb, queries, k=k)
     kth = brute.groupBy("query_id").agg(F.min("cosine_sim").alias("__kth"))
     per_q = (ivf.join(F.broadcast(kth), "query_id")
@@ -486,10 +498,17 @@ def _ann_ivf_full_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value (the partial-probe entry stays rows-only)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    # max_iter=1 + random init: quantizer quality is irrelevant when every
-    # cell is probed — the result is brute-force-exact for ANY assignment.
+    # frames quantizer with rounds=0 (centers = the 8 lowest-id vectors,
+    # no Lloyd jobs at all): quantizer quality is irrelevant when every
+    # cell is probed — the result is brute-force-exact for ANY
+    # assignment. Replaces ML KMeans(max_iter=1, random init), whose
+    # fit() alone was ~8 sequential driver jobs.
+    if os.environ.get("FRS_ANN_QUANTIZER") == "ml":  # A/B control shape
+        return similarity.ivf_topk(emb, queries, k=10, n_clusters=8,
+                                   n_probe=8, max_iter=1,
+                                   init_mode="random")
     return similarity.ivf_topk(emb, queries, k=10, n_clusters=8, n_probe=8,
-                               max_iter=1, init_mode="random")
+                               quantizer="frames", max_iter=0)
 
 
 _IVF_INDEX_CACHE: dict = {}

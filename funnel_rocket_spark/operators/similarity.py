@@ -351,7 +351,8 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.99,
 
 def ivf_index(corpus: DataFrame, n_clusters: int = 16, seed: int = 42,
               max_iter: int = 8, id_col: str = "vec_id",
-              vec_col: str = "embedding", init_mode: str = "k-means||"):
+              vec_col: str = "embedding", init_mode: str = "k-means||",
+              quantizer: str = "ml"):
     """Build an IVF (inverted-file) index: k-means coarse quantizer.
 
     Returns ``(assigned, centers)`` — the cell-assigned corpus DataFrame
@@ -359,14 +360,44 @@ def ivf_index(corpus: DataFrame, n_clusters: int = 16, seed: int = 42,
     (n_clusters × dim). At scale this is the one-time expensive step: write
     ``assigned`` out partitioned by ``__cell`` (and persist the centers) and
     every subsequent :func:`ivf_search` is a pruned read + per-cell scoring.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    ``quantizer`` picks the k-means implementation:
+
+    - ``"ml"`` (default) — Spark ML ``KMeans`` (k-means|| init). Quality
+      reference, but ``fit()`` runs ~3 jobs per init step + iteration:
+      ~28 sequential driver round-trips for a 16-cell coarse quantizer,
+      which DOMINATES a one-shot index build on anything but a huge
+      corpus.
+    - ``"frames"`` — the in-repo deterministic :func:`kmeans_lloyd`
+      (seeded init from the k lowest ids, ``max_iter`` Lloyd rounds,
+      centers rounded per round): one tiny seed collect + one job per
+      round. A coarse quantizer does not need converged centers — cells
+      only route probes — and the per-cell recall stays comfortably
+      above the self-certifying floors (measured in the catalog
+      queries). Assignment (max-cosine, ties to lowest index) runs as a
+      codegen'd expression over ALL corpus rows — zero vectors land in
+      cell 0 rather than being dropped.
+    """
     corpus = drop_null_vectors(corpus, vec_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
     if not corpus.head(1):  # KMeans.fit throws on an empty dataset
         return corpus.withColumn("__cell", F.lit(0).cast("int")), []
+    if quantizer == "frames":
+        _, centers = kmeans_lloyd(corpus, k=n_clusters, rounds=max_iter,
+                                  id_col=id_col, vec_col=vec_col)
+        centers = [list(c) for c in centers]
+        # Arrow GEMM assignment, not _assign_expr: a k×dim literal
+        # expression at IVF sizes (16 × 64) generates a codegen method
+        # Janino chokes on (measured: 86 s for 500 rows); the batched
+        # GEMM is one numpy matmul per batch. Zero vectors land in cell
+        # 0 either way (all-zero sims, argmax keeps the first).
+        assigned = _gemm_assign(corpus, centers, id_col, vec_col) \
+            .withColumnRenamed("cluster", "__cell")
+        return assigned, centers
+    if quantizer != "ml":
+        raise ValueError(f"quantizer must be ml|frames: {quantizer!r}")
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
     ml_corpus = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
     # Spark ML's KMeans no longer persists an uncached input itself, so
     # every k-means|| init pass and Lloyd iteration re-ran the scan +
@@ -496,7 +527,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              max_iter: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
-             init_mode: str = "k-means||") -> DataFrame:
+             init_mode: str = "k-means||",
+             quantizer: str = "ml") -> DataFrame:
     """One-shot IVF approximate top-k: :func:`ivf_index` + :func:`ivf_search`.
 
     Convenience wrapper — production reuse should build the index once and
@@ -504,7 +536,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     assigned, centers = ivf_index(corpus, n_clusters=n_clusters, seed=seed,
                                   max_iter=max_iter, id_col=id_col,
-                                  vec_col=vec_col, init_mode=init_mode)
+                                  vec_col=vec_col, init_mode=init_mode,
+                                  quantizer=quantizer)
     return ivf_search(assigned, centers, queries, k=k, n_probe=n_probe,
                       id_col=id_col, vec_col=vec_col,
                       query_id_col=query_id_col)
