@@ -1025,8 +1025,13 @@ def bloom_contamination(corpus: DataFrame, evalset: DataFrame,
     """
     import numpy as np
 
-    eval_grams = (shingle_frame(evalset, text_col, id_col, n)
-                  .select(F.explode("grams").alias("gram")).distinct())
+    # eval_grams is consumed TWICE (bitset build + the exact verify join
+    # at the end) — persist so both share one tokenize+shingle+distinct
+    # pass over the eval set (bounded by eval-suite size, same guarantee
+    # as the hash tier's persist in ngram_contamination).
+    eval_grams = bounded_persist(
+        shingle_frame(evalset, text_col, id_col, n)
+        .select(F.explode("grams").alias("gram")).distinct())
     h1c = F.xxhash64(F.col("gram"))
     h2c = F.xxhash64(F.col("gram"), F.lit("bloom2"))
 
