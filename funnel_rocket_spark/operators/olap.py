@@ -186,7 +186,17 @@ def percentiles_from_histogram(
             .orderBy("__v")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        w_all = Window.partitionBy(*group_cols)
+        # __n rides the SAME (partition, order) spec with an unbounded
+        # frame: WindowExec groups frames by (partitionBy, orderBy), so
+        # both sums run in ONE Window operator / one pass over the
+        # sorted histogram — a spec without orderBy planned as a second
+        # WindowExec re-iterating every row (same values either way:
+        # the unbounded frame covers the whole group). A/B at sf0.1 is a
+        # wash (the histogram is small); the point is one pass instead
+        # of two over a histogram that scales with the data.
+        w_all = (Window.partitionBy(*group_cols).orderBy("__v")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
         h = hist.select(
             *hist.columns,
             F.sum(nn_c).over(w_cum).alias("__cum"),
@@ -262,7 +272,11 @@ def grouped_exact_percentiles_multi(
             .agg(F.count(F.lit(1)).alias("__c")))
     w_cum = (Window.partitionBy(*group_cols, "__vid").orderBy("__v")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_all = Window.partitionBy(*group_cols, "__vid")
+    # same-spec unbounded frame -> one WindowExec (see
+    # percentiles_from_histogram)
+    w_all = (Window.partitionBy(*group_cols, "__vid").orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
     h = hist.select(*group_cols, "__vid", "__v",
                     F.sum("__c").over(w_cum).alias("__cum"),
                     F.sum("__c").over(w_all).alias("__n"))
