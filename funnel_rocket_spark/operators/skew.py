@@ -133,25 +133,45 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
     cands = bounded_persist(cands)
     try:
         candidates = cands.select("value").distinct()
-        agg_row = cands.agg(
-            F.max("pruned"),
-            F.coalesce(F.sum(F.when(F.col("value").isNull(),
-                                    F.col("n"))), F.lit(0))).collect()[0]
-        any_pruned, total = bool(agg_row[0]), int(agg_row[1])
-
         exact = (df.join(F.broadcast(candidates),
                          df[col] == candidates["value"], "left_semi")
                  .groupBy(F.col(col).alias("value"))
                  .agg(F.count(F.lit(1)).alias("cnt"))
                  .orderBy(F.desc("cnt"), F.asc("value")).limit(k))
-        rows = exact.collect()
+        # ONE collect for the recount AND the certification aggregate:
+        # the two are independent branches of a tagged union, so their
+        # stages run concurrently instead of as two sequential driver
+        # round-trips (the fused-collect idiom from the LM/DSIR
+        # trainers). Union order is not guaranteed across branches, so
+        # the top-k rows are re-sorted driver-side by the same
+        # (cnt desc, value asc) key the orderBy used.
+        vcol = F.col("value").cast(field)
+        tagged = (exact.select(
+                      F.lit(0).alias("__t"), vcol.alias("value"), "cnt",
+                      F.lit(None).cast("boolean").alias("pruned"),
+                      F.lit(None).cast("long").alias("n"))
+                  .unionByName(cands.agg(
+                      F.max("pruned").alias("pruned"),
+                      F.coalesce(F.sum(F.when(F.col("value").isNull(),
+                                              F.col("n"))),
+                                 F.lit(0)).alias("n"))
+                      .select(F.lit(1).alias("__t"),
+                              F.lit(None).cast(field).alias("value"),
+                              F.lit(None).cast("long").alias("cnt"),
+                              "pruned", "n")))
+        collected = tagged.collect()
+        agg_row = next(r for r in collected if r["__t"] == 1)
+        any_pruned, total = bool(agg_row["pruned"]), int(agg_row["n"])
+        rows = sorted(((r["value"], r["cnt"])
+                       for r in collected if r["__t"] == 0),
+                      key=lambda r: (-r[1], r[0]))
         # if no partition ever pruned, the candidate set is ALL values and
         # the recount is trivially the exact answer; otherwise certify via
         # the sketch bound
         bound = total / (counters + 1)
         if any_pruned and (len(rows) < k or
-                           (rows and rows[-1]["cnt"] <= bound)):
-            kth = rows[-1]["cnt"] if rows else 0
+                           (rows and rows[-1][1] <= bound)):
+            kth = rows[-1][1] if rows else 0
             raise ValueError(
                 f"heavy_hitters: k-th frequency {kth} is not above the "
                 f"Misra-Gries bound N/(counters+1) = {bound:.1f}; raise "
