@@ -359,15 +359,22 @@ def test_group_cap_single_window_exchange(spark):
 def test_pii_redact_shuffle_free(spark):
     """text_pii_redact: a pure regexp_replace projection — no
     data-dependent exchange. The ONE allowed exchange is load_spread's
-    round-robin repartition (r12: the single-row-group input otherwise
+    spread repartition (r12: the single-row-group input otherwise
     serializes the regex work onto one task — 3.4 s vs 0.9 s at sf1),
-    which moves no keyed data and disappears on real multi-split
-    inputs."""
+    which disappears on real multi-split inputs. r13: the spread hashes
+    the table's unique key (doc_id) instead of round-robin — no keyed
+    GROUPING semantics (the key is unique), just placement without
+    round-robin's sortBeforeRepartition local sort."""
     out = bq.QUERIES["text_pii_redact"][0](spark, SF)
     plan = formatted_plan(out)
     assert count_exchanges(out) <= 1, plan
-    assert "hashpartitioning" not in plan.lower(), plan
-    assert "rangepartitioning" not in plan.lower(), plan
+    # the only keyed partitioning allowed is the spread's unique-key hash
+    low = plan.lower()
+    import re
+
+    for m in re.finditer(r"hashpartitioning\((\w+)", low):
+        assert m.group(1).startswith("doc_id"), plan
+    assert "rangepartitioning" not in low, plan
     # still a plain projection (AQE hides codegen stars pre-execution;
     # the Python-boundary check is what matters: no Arrow/Python eval)
     assert "Project" in plan, plan

@@ -41,7 +41,12 @@ def main() -> None:
     all_q.update(getattr(benchqueries, "BENCH_VARIANTS", {}))
 
     def set_env(v: str) -> None:
-        if v == "":
+        if args.env.startswith("spark."):  # runtime SQLConf toggle
+            if v == "":
+                spark.conf.unset(args.env)
+            else:
+                spark.conf.set(args.env, v)
+        elif v == "":
             os.environ.pop(args.env, None)
         else:
             os.environ[args.env] = v
